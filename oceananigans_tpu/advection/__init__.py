@@ -1,0 +1,5 @@
+from .schemes import AdvectionScheme, Centered, UpwindBiased, WENO
+from .fluxes import (div_Uc, div_Uu, div_Uv, div_Uw, cell_advection_timescale)
+
+__all__ = ["AdvectionScheme", "Centered", "UpwindBiased", "WENO",
+           "div_Uc", "div_Uu", "div_Uv", "div_Uw", "cell_advection_timescale"]

@@ -1,0 +1,162 @@
+"""Advection schemes: Centered, UpwindBiased, WENO.
+
+Reference semantics: src/Advection/centered_reconstruction.jl,
+upwind_biased_reconstruction.jl, weno_reconstruction.jl (struct :7-22, ctor
+:77-93) and Advection.jl:52-60 (orders up to Centered(12)/UpwindBiased(11)/
+WENO(11) via buffer 1–6).
+
+Each scheme is a static hashable object exposing two methods over padded
+arrays:
+
+    symmetric(grid, a, axis, beta)            # face value, no bias
+    biased(grid, a, axis, beta, side)         # 'left'/'right' biased value
+    biased_pair(grid, a, axis, beta)          # (left, right) in one pass
+
+``beta`` is 0 for center→face output, 1 for face→center output.
+
+Like the reference, an upwind/WENO scheme carries a lower-order centered
+scheme for interpolating the *advecting* velocity (reference:
+``advecting_velocity_scheme``, upwind_biased_reconstruction.jl), and WENO
+computes smoothness indicators in reduced precision by default on TPU
+(FT2=float32 — weno_reconstruction.jl:7-22).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .reconstruction import (_ShiftCache, eno_coefficients, left_shifts,
+                             mirror, optimal_weights, smoothness_factors,
+                             smoothness_value, stencil_value)
+
+# WENO regularization (reference: weno_interpolants.jl `const ϵ = 1f-8`)
+WENO_EPSILON = 1e-8
+
+
+class AdvectionScheme:
+    required_halo = 1
+
+    def _fp(self):
+        return (type(self).__name__, self.order)
+
+    def __hash__(self):
+        return hash(self._fp())
+
+    def __eq__(self, other):
+        return isinstance(other, AdvectionScheme) and self._fp() == other._fp()
+
+    def __repr__(self):
+        return f"{type(self).__name__}(order={self.order})"
+
+    def biased_pair(self, grid, a, axis, beta):
+        sc = _ShiftCache(a, axis)
+        return (self._biased(grid, sc, axis, beta, "left"),
+                self._biased(grid, sc, axis, beta, "right"))
+
+    def biased(self, grid, a, axis, beta, side):
+        return self._biased(grid, _ShiftCache(a, axis), axis, beta, side)
+
+
+class Centered(AdvectionScheme):
+    """Symmetric reconstruction of even order (reference:
+    centered_reconstruction.jl)."""
+
+    def __init__(self, order=2):
+        if order % 2 != 0:
+            raise ValueError("Centered order must be even")
+        self.order = order
+        self.buffer = order // 2
+        self.required_halo = self.buffer
+        # symmetric stencil of `order` cells: buffer cells on each side of the
+        # interface ⇒ k = order, s = buffer - 1 relative to the left cell
+        self._coeffs = eno_coefficients(order, self.buffer - 1)
+
+    def symmetric(self, grid, a, axis, beta):
+        if grid.is_flat(axis):
+            return a
+        sc = _ShiftCache(a, axis)
+        shifts = left_shifts(self.order, self.buffer - 1, beta)
+        return stencil_value(sc, shifts, self._coeffs)
+
+    def _biased(self, grid, sc, axis, beta, side):
+        # a centered scheme has no bias: both sides get the symmetric value
+        shifts = left_shifts(self.order, self.buffer - 1, beta)
+        return stencil_value(sc, shifts, self._coeffs)
+
+
+class UpwindBiased(AdvectionScheme):
+    """Odd-order upwind-biased reconstruction (reference:
+    upwind_biased_reconstruction.jl)."""
+
+    def __init__(self, order=3):
+        if order % 2 != 1:
+            raise ValueError("UpwindBiased order must be odd")
+        self.order = order
+        self.buffer = (order + 1) // 2
+        self.required_halo = self.buffer
+        # k = order cells with buffer-1 cells strictly upwind of the
+        # interface-adjacent cell
+        self._s = self.buffer - 1
+        self._coeffs = eno_coefficients(order, self._s)
+        self.advecting_velocity_scheme = Centered(order=order - 1)
+
+    def symmetric(self, grid, a, axis, beta):
+        return self.advecting_velocity_scheme.symmetric(grid, a, axis, beta)
+
+    def _biased(self, grid, sc, axis, beta, side):
+        if grid.is_flat(axis):
+            return sc(0)
+        shifts = left_shifts(self.order, self._s, beta)
+        if side == "right":
+            shifts = mirror(shifts, beta)
+            coeffs = self._coeffs  # mirror symmetry: same coefficients
+        else:
+            coeffs = self._coeffs
+        return stencil_value(sc, shifts, coeffs)
+
+
+class WENO(AdvectionScheme):
+    """Weighted ENO of odd order 3–11 (reference: weno_reconstruction.jl,
+    weno_interpolants.jl). Nonlinear weights α_s = γ_s/(β_s+ε)²; smoothness
+    computed in ``smoothness_dtype`` (float32 by default — the reference's
+    FT2 low-precision inner-weight path)."""
+
+    def __init__(self, order=5, smoothness_dtype=jnp.float32):
+        if order % 2 != 1:
+            raise ValueError("WENO order must be odd (3, 5, 7, 9, 11)")
+        self.order = order
+        self.buffer = k = (order + 1) // 2
+        self.required_halo = self.buffer
+        self.smoothness_dtype = smoothness_dtype
+        self._gammas = optimal_weights(k)
+        self._coeffs = [eno_coefficients(k, s) for s in range(k)]
+        self._sfactors = [smoothness_factors(k, s) for s in range(k)]
+        self.advecting_velocity_scheme = Centered(order=order - 1)
+
+    def _fp(self):
+        return (type(self).__name__, self.order, str(self.smoothness_dtype))
+
+    def symmetric(self, grid, a, axis, beta):
+        return self.advecting_velocity_scheme.symmetric(grid, a, axis, beta)
+
+    def _biased(self, grid, sc, axis, beta, side):
+        if grid.is_flat(axis):
+            return sc(0)
+        k = self.buffer
+        num = None
+        den = None
+        out_dtype = sc(0).dtype
+        for s in range(k):
+            shifts = left_shifts(k, s, beta)
+            if side == "right":
+                shifts = mirror(shifts, beta)
+            p = stencil_value(sc, shifts, self._coeffs[s])
+            b = smoothness_value(sc, shifts, self._sfactors[s],
+                                 compute_dtype=self.smoothness_dtype)
+            eps = jnp.asarray(WENO_EPSILON, b.dtype)
+            alpha = (self._gammas[s] / (b + eps) ** 2).astype(out_dtype)
+            nterm = alpha * p
+            num = nterm if num is None else num + nterm
+            den = alpha if den is None else den + alpha
+        return num / den

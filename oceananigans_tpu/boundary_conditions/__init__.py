@@ -1,0 +1,16 @@
+from .boundary_condition import (
+    BoundaryCondition, FieldBoundaryConditions,
+    PeriodicBoundaryCondition, FluxBoundaryCondition, ValueBoundaryCondition,
+    GradientBoundaryCondition, OpenBoundaryCondition, ImpenetrableBoundaryCondition,
+    regularize_field_boundary_conditions, default_bcs,
+)
+from .fill_halos import fill_halo_regions, apply_flux_bcs
+
+__all__ = [
+    "BoundaryCondition", "FieldBoundaryConditions",
+    "PeriodicBoundaryCondition", "FluxBoundaryCondition", "ValueBoundaryCondition",
+    "GradientBoundaryCondition", "OpenBoundaryCondition",
+    "ImpenetrableBoundaryCondition",
+    "regularize_field_boundary_conditions", "default_bcs",
+    "fill_halo_regions", "apply_flux_bcs",
+]

@@ -1,0 +1,173 @@
+"""Boundary condition types.
+
+Reference semantics: src/BoundaryConditions/boundary_condition_classifications.jl
+(Flux, Value/Dirichlet, Gradient/Neumann, Open, Periodic),
+boundary_condition.jl (classification + condition), and
+field_boundary_conditions.jl (per-side container + regularization that fills
+topology-appropriate defaults).
+
+TPU-first differences: BCs are static, hashable configuration (they select the
+halo-fill code path at trace time); conditions may be
+
+* ``None``      — homogeneous (zero flux / zero value),
+* a scalar      — uniform condition,
+* a numpy/jnp array broadcastable over the boundary plane,
+* a callable ``f(ξ1, ξ2, t)`` of the two transverse *padded broadcastable*
+  coordinate arrays and time — the analogue of the reference's
+  ContinuousBoundaryFunction (continuous_boundary_function.jl). It must be
+  JAX-traceable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..grids import topology as topo_mod
+from ..grids.topology import BOUNDED, CENTER, FACE, FLAT, PERIODIC
+
+# Classifications
+PERIODIC_BC = "periodic"
+FLUX = "flux"
+VALUE = "value"
+GRADIENT = "gradient"
+OPEN = "open"
+ZIPPER = "zipper"  # tripolar north fold (fill implemented with grid support)
+
+
+class BoundaryCondition:
+    __slots__ = ("classification", "condition")
+
+    def __init__(self, classification, condition=None):
+        self.classification = classification
+        self.condition = condition
+
+    def _fp(self):
+        c = self.condition
+        if c is None or np.isscalar(c):
+            cf = c
+        elif callable(c):
+            cf = id(c)
+        else:
+            cf = np.asarray(c).tobytes()
+        return (self.classification, cf)
+
+    def __hash__(self):
+        return hash(self._fp())
+
+    def __eq__(self, other):
+        return (isinstance(other, BoundaryCondition)
+                and self._fp() == other._fp())
+
+    def __repr__(self):
+        return f"BoundaryCondition({self.classification}, {self.condition})"
+
+
+def PeriodicBoundaryCondition():
+    return BoundaryCondition(PERIODIC_BC)
+
+
+def FluxBoundaryCondition(condition=None):
+    return BoundaryCondition(FLUX, condition)
+
+
+def ValueBoundaryCondition(condition=None):
+    return BoundaryCondition(VALUE, condition)
+
+
+def GradientBoundaryCondition(condition=None):
+    return BoundaryCondition(GRADIENT, condition)
+
+
+def OpenBoundaryCondition(condition=None):
+    return BoundaryCondition(OPEN, condition)
+
+
+def ImpenetrableBoundaryCondition():
+    """No-penetration: wall-normal velocity face pinned to zero (reference:
+    default boundary condition for wall-normal velocities)."""
+    return BoundaryCondition(OPEN, None)
+
+
+_SIDES = ("west", "east", "south", "north", "bottom", "top")
+# side index → (axis, is_left)
+SIDE_AXIS = {"west": (0, True), "east": (0, False),
+             "south": (1, True), "north": (1, False),
+             "bottom": (2, True), "top": (2, False)}
+
+
+class FieldBoundaryConditions:
+    """Per-side container (west/east/south/north/bottom/top + immersed).
+    ``None`` entries are filled with topology-appropriate defaults by
+    :func:`regularize_field_boundary_conditions` (reference:
+    field_boundary_conditions.jl regularization)."""
+
+    __slots__ = _SIDES + ("immersed",)
+
+    def __init__(self, west=None, east=None, south=None, north=None,
+                 bottom=None, top=None, immersed=None):
+        self.west, self.east = west, east
+        self.south, self.north = south, north
+        self.bottom, self.top = bottom, top
+        self.immersed = immersed
+
+    def side(self, name):
+        return getattr(self, name)
+
+    def pair(self, axis):
+        return (self.side(_SIDES[2 * axis]), self.side(_SIDES[2 * axis + 1]))
+
+    def _fp(self):
+        return tuple(getattr(self, s)._fp() if getattr(self, s) is not None else None
+                     for s in self.__slots__)
+
+    def __hash__(self):
+        return hash(self._fp())
+
+    def __eq__(self, other):
+        return (isinstance(other, FieldBoundaryConditions)
+                and self._fp() == other._fp())
+
+    def __repr__(self):
+        parts = [f"{s}={getattr(self, s)!r}" for s in self.__slots__
+                 if getattr(self, s) is not None]
+        return "FieldBoundaryConditions(" + ", ".join(parts) + ")"
+
+
+def default_bc(topology_axis, loc_axis):
+    """Default BC for one side of one direction, from topology + location
+    (reference: field_boundary_conditions.jl default rules)."""
+    if topology_axis == PERIODIC:
+        return PeriodicBoundaryCondition()
+    if topology_axis == FLAT:
+        return None
+    # Bounded:
+    if loc_axis == FACE:
+        return ImpenetrableBoundaryCondition()   # wall-normal velocity
+    return FluxBoundaryCondition(None)           # no-flux for centered fields
+
+
+def default_bcs(grid, loc):
+    kw = {}
+    for side, (axis, _) in SIDE_AXIS.items():
+        kw[side] = default_bc(grid.topology[axis], loc[axis])
+    return FieldBoundaryConditions(**kw)
+
+
+def regularize_field_boundary_conditions(bcs, grid, loc):
+    """Fill missing sides with defaults and validate topology compatibility."""
+    if bcs is None:
+        return default_bcs(grid, loc)
+    kw = {}
+    for side, (axis, _) in SIDE_AXIS.items():
+        user = bcs.side(side)
+        if user is None:
+            kw[side] = default_bc(grid.topology[axis], loc[axis])
+        else:
+            if grid.topology[axis] == PERIODIC and user.classification != PERIODIC_BC:
+                raise ValueError(
+                    f"cannot set {user.classification} BC on {side} of a periodic direction")
+            if grid.topology[axis] == FLAT:
+                raise ValueError(f"cannot set a BC on {side} of a flat direction")
+            kw[side] = user
+    kw["immersed"] = bcs.immersed
+    return FieldBoundaryConditions(**kw)

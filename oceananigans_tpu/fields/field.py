@@ -1,0 +1,171 @@
+"""Field: a staggered quantity on a grid.
+
+Reference semantics: src/Fields/field.jl (Field = grid + offset data + BCs),
+set!.jl (set from number/array/function), and field reductions.
+
+TPU-first design: `Field` is a registered pytree whose only leaf is the padded
+jnp data array; grid/location/BCs are static aux data. Models do NOT operate on
+Field objects in the hot path — they carry raw padded arrays in the state
+pytree and reconstruct Fields only at the user-facing API boundary. This keeps
+the jitted step a pure array→array program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..boundary_conditions import (fill_halo_regions,
+                                   regularize_field_boundary_conditions)
+from ..grids.base import broadcastable_1d
+from ..grids.topology import (BOUNDED, CENTER, FACE, LOC_CCC, LOC_CCF, LOC_CFC,
+                              LOC_FCC, validate_location)
+
+
+@jax.tree_util.register_pytree_node_class
+class Field:
+    def __init__(self, grid, loc=LOC_CCC, bcs=None, data=None, _regularize=True):
+        self.grid = grid
+        self.loc = validate_location(loc)
+        if _regularize:
+            bcs = regularize_field_boundary_conditions(bcs, grid, self.loc)
+        self.bcs = bcs
+        if data is None:
+            data = jnp.zeros(grid.padded_shape, dtype=grid.dtype)
+        self.data = data
+
+    # -- pytree protocol ------------------------------------------------------
+
+    def tree_flatten(self):
+        return (self.data,), (self.grid, self.loc, self.bcs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        grid, loc, bcs = aux
+        obj = cls.__new__(cls)
+        obj.grid, obj.loc, obj.bcs = grid, loc, bcs
+        obj.data = children[0]
+        return obj
+
+    # -- views ----------------------------------------------------------------
+
+    @property
+    def interior(self):
+        """Interior values: N points per direction, N+1 for a Face location in
+        a Bounded direction (the boundary face lives in the first halo slot —
+        see grids/base.py)."""
+        sls = []
+        for axis in range(3):
+            n, h = self.grid.N[axis], self.grid.H[axis]
+            extra = 1 if (self.loc[axis] == FACE
+                          and self.grid.topology[axis] == BOUNDED) else 0
+            sls.append(slice(h, h + n + extra))
+        return self.data[tuple(sls)]
+
+    @property
+    def shape(self):
+        return self.interior.shape
+
+    def nodes(self):
+        return self.grid.nodes(self.loc)
+
+    # -- mutation-style API (returns new Field; reference: set!, fill_halo_regions!)
+
+    def set(self, value, time=0.0):
+        data = set_on_padded(self.grid, self.loc, value)
+        data = fill_halo_regions(data, self.grid, self.loc, self.bcs, time)
+        return Field(self.grid, self.loc, self.bcs, data, _regularize=False)
+
+    def fill_halos(self, time=0.0):
+        data = fill_halo_regions(self.data, self.grid, self.loc, self.bcs, time)
+        return Field(self.grid, self.loc, self.bcs, data, _regularize=False)
+
+    # -- reductions over the interior ----------------------------------------
+
+    def min(self):
+        return jnp.min(self.interior)
+
+    def max(self):
+        return jnp.max(self.interior)
+
+    def mean(self):
+        return jnp.mean(self.interior)
+
+    def sum(self):
+        return jnp.sum(self.interior)
+
+    def norm(self):
+        return jnp.linalg.norm(self.interior.ravel())
+
+    def __repr__(self):
+        return (f"Field{self.loc} on {type(self.grid).__name__}, "
+                f"size {self.shape}")
+
+
+def set_on_padded(grid, loc, value):
+    """Build a padded data array from a scalar / interior array / padded array
+    / callable f(x, y, z) (reference: src/Fields/set!.jl:34-90)."""
+    shape = grid.padded_shape
+    dtype = grid.dtype
+    if callable(value):
+        coords = [broadcastable_1d(grid.coord_padded(ax, loc[ax]), ax)
+                  for ax in range(3)]
+        data = jnp.broadcast_to(jnp.asarray(value(*coords), dtype), shape)
+        return data.astype(dtype)
+    if np.isscalar(value):
+        return jnp.full(shape, value, dtype=dtype)
+    value = jnp.asarray(value, dtype)
+    if value.ndim == 2:
+        # allow 2D input for grids with one flat dimension
+        flat_axes = [ax for ax in range(3) if grid.is_flat(ax)]
+        if len(flat_axes) == 1:
+            value = jnp.expand_dims(value, flat_axes[0])
+    if value.shape == shape:
+        return value
+    data = jnp.zeros(shape, dtype=dtype)
+    ints = grid.interior_slices
+    int_shape = tuple(s.stop - s.start for s in ints)
+    if value.shape == int_shape:
+        return data.at[ints].set(value)
+    # interior-plus-boundary-face shape (Face/Bounded dims have N+1 entries)
+    sls, exp = [], []
+    for axis in range(3):
+        n, h = grid.N[axis], grid.H[axis]
+        extra = 1 if (loc[axis] == FACE and grid.topology[axis] == BOUNDED) else 0
+        sls.append(slice(h, h + n + extra))
+        exp.append(n + extra)
+    if value.shape == tuple(exp):
+        return data.at[tuple(sls)].set(value)
+    raise ValueError(f"cannot set field of interior shape {int_shape} "
+                     f"from array of shape {value.shape}")
+
+
+# -- constructors (reference: src/Fields/field.jl CenterField/XFaceField/…) ----
+
+def CenterField(grid, bcs=None):
+    return Field(grid, LOC_CCC, bcs)
+
+
+def XFaceField(grid, bcs=None):
+    return Field(grid, LOC_FCC, bcs)
+
+
+def YFaceField(grid, bcs=None):
+    return Field(grid, LOC_CFC, bcs)
+
+
+def ZFaceField(grid, bcs=None):
+    return Field(grid, LOC_CCF, bcs)
+
+
+def VelocityFields(grid, u_bcs=None, v_bcs=None, w_bcs=None):
+    """u, v, w at (f,c,c), (c,f,c), (c,c,f) (reference:
+    src/Fields/field_tuples.jl)."""
+    return dict(u=XFaceField(grid, u_bcs), v=YFaceField(grid, v_bcs),
+                w=ZFaceField(grid, w_bcs))
+
+
+def TracerFields(grid, names, bcs=None):
+    bcs = bcs or {}
+    return {name: CenterField(grid, bcs.get(name)) for name in names}

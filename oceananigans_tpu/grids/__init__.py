@@ -1,0 +1,8 @@
+from .topology import (PERIODIC, BOUNDED, FLAT, CENTER, FACE,
+                       LOC_CCC, LOC_FCC, LOC_CFC, LOC_CCF, LOC_FFC)
+from .base import AbstractGrid
+from .rectilinear import RectilinearGrid
+
+__all__ = ["PERIODIC", "BOUNDED", "FLAT", "CENTER", "FACE",
+           "LOC_CCC", "LOC_FCC", "LOC_CFC", "LOC_CCF", "LOC_FFC",
+           "AbstractGrid", "RectilinearGrid"]

@@ -1,0 +1,79 @@
+"""FFT-based Poisson solver on fully-regular grids.
+
+Reference semantics: src/Solvers/fft_based_poisson_solver.jl (:5-11, :52-74,
+:95-125) — solve ∇²φ = b by forward transform (FFT along Periodic dims, DCT
+along Bounded dims), eigenvalue division φ̂ = -b̂/(λx+λy+λz), zero-mode fix
+φ̂[0,0,0] = 0, inverse transform. Eigenvalues per
+src/Solvers/poisson_eigenvalues.jl:
+
+    Periodic: λ[k] = (2 sin(kπ/N)  · N/L)²,  k = 0…N-1
+    Bounded:  λ[k] = (2 sin(kπ/2N) · N/L)²
+    Flat:     λ = 0
+
+The solver operates on INTERIOR arrays (no halos): the pressure-projection
+step writes the solution back into a padded array and refreshes halos.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..grids.topology import BOUNDED, FLAT, PERIODIC
+from .transforms import dct_forward, dct_inverse
+
+
+def poisson_eigenvalues(N, L, topology):
+    k = np.arange(N)
+    if topology == PERIODIC:
+        return (2 * np.sin(k * np.pi / N) * N / L) ** 2
+    if topology == BOUNDED:
+        return (2 * np.sin(k * np.pi / (2 * N)) * N / L) ** 2
+    return np.zeros(N)
+
+
+class FFTPoissonSolver:
+    """Eigenfunction solver for ∇²φ = b on an all-regular RectilinearGrid."""
+
+    def __init__(self, grid):
+        if not grid.all_regular:
+            raise ValueError(
+                "FFTPoissonSolver requires regular spacing in every direction "
+                "(use FourierTridiagonalPoissonSolver for one stretched dim)")
+        self.grid = grid
+        lam = np.zeros((1, 1, 1))
+        self._plan = []
+        for axis in range(3):
+            topo = grid.topology[axis]
+            N = grid.N[axis]
+            L = grid.extent[axis]
+            if topo == FLAT:
+                continue
+            shape = [1, 1, 1]
+            shape[axis] = N
+            lam = lam + poisson_eigenvalues(N, L, topo).reshape(shape)
+            self._plan.append((axis, "fft" if topo == PERIODIC else "dct"))
+        self.eigenvalues = lam
+
+    def solve(self, b):
+        """Solve ∇²φ = b for interior array b (shape grid.N); returns interior
+        φ with zero mean."""
+        bh = b
+        for axis, kind in self._plan:
+            if kind == "fft":
+                bh = jnp.fft.fft(bh, axis=axis)
+            else:
+                bh = dct_forward(bh, axis)
+        lam = jnp.asarray(self.eigenvalues, bh.real.dtype)
+        denom = jnp.where(lam == 0, 1.0, lam)
+        ph = -bh / denom
+        # zero the (singular) volume-mean mode
+        ph = jnp.where(lam == 0, 0.0, ph)
+        for axis, kind in reversed(self._plan):
+            if kind == "fft":
+                ph = jnp.fft.ifft(ph, axis=axis)
+            else:
+                ph = dct_inverse(ph, axis)
+        if jnp.iscomplexobj(ph):
+            ph = jnp.real(ph)
+        return ph.astype(b.dtype)

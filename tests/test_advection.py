@@ -1,0 +1,149 @@
+"""Advection scheme tests: reconstruction exactness/order, upwinding
+direction, conservation (reference analogue: test/test_advection_schemes.jl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oceananigans_tpu import RectilinearGrid
+from oceananigans_tpu.advection import Centered, UpwindBiased, WENO, div_Uc
+from oceananigans_tpu.advection.reconstruction import (eno_coefficients,
+                                                       optimal_weights,
+                                                       smoothness_factors)
+from oceananigans_tpu.fields import CenterField, XFaceField
+from oceananigans_tpu.boundary_conditions import (
+    fill_halo_regions, regularize_field_boundary_conditions)
+
+
+def grid1d(n):
+    return RectilinearGrid(size=(n, 1, 1), x=(0, 1), y=None, z=None,
+                           topology=("periodic", "flat", "flat"), halo=6)
+
+
+def test_known_coefficients():
+    assert eno_coefficients(3, 2) == (1/3, -7/6, 11/6)
+    assert eno_coefficients(3, 1) == (-1/6, 5/6, 1/3)
+    assert optimal_weights(3) == (0.3, 0.6, 0.1)
+    assert optimal_weights(2) == (2/3, 1/3)
+    # Balsara-Shu WENO-9 weights (reference weno_interpolants.jl C★ WENO{5})
+    g5 = optimal_weights(5)
+    assert np.allclose(g5, (5/126, 20/63, 10/21, 10/63, 1/126))
+
+
+def test_smoothness_factors_match_jiang_shu():
+    f = smoothness_factors(3, 2)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        a = rng.normal(size=3)
+        beta = sum(np.dot(w, a) ** 2 for w in f)
+        ref = (13/12 * (a[0] - 2*a[1] + a[2])**2
+               + 0.25 * (a[0] - 4*a[1] + 3*a[2])**2)
+        assert np.isclose(beta, ref)
+
+
+@pytest.mark.parametrize("scheme,tol_order", [
+    (Centered(2), 2), (Centered(4), 4),
+    (UpwindBiased(3), 3), (UpwindBiased(5), 5),
+    (WENO(5, smoothness_dtype=jnp.float64), 5),
+    (WENO(7, smoothness_dtype=jnp.float64), 7),
+])
+def test_reconstruction_convergence_order(scheme, tol_order):
+    errs = []
+    ns = (16, 32)
+    for n in ns:
+        g = grid1d(n)
+        # the schemes reconstruct FACE POINT VALUES from CELL AVERAGES
+        # (finite-volume reconstruction, as in the reference's Balsara-Shu
+        # coefficients) — so feed exact cell averages of sin(2πx)
+        dx = 1.0 / n
+        k = 2 * np.pi
+
+        def cell_avg(x, y, z, dx=dx, k=k):
+            return (jnp.cos(k * (x - dx / 2)) - jnp.cos(k * (x + dx / 2))) / (k * dx)
+
+        c = CenterField(g).set(cell_avg)
+        if isinstance(scheme, Centered):
+            rec = scheme.symmetric(g, c.data, 0, 0)
+        else:
+            rec = scheme.biased(g, c.data, 0, 0, "left")
+        xf = g.coord_padded(0, "f").reshape(-1, 1, 1)
+        exact = np.sin(2 * np.pi * xf) * np.ones(g.padded_shape)
+        errs.append(float(np.max(np.abs(g.interior(rec) - g.interior(exact)))))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > tol_order - 0.7, (errs, rate)
+
+
+def test_weno_nonoscillatory_step():
+    # WENO reconstruction of a step must not overshoot significantly
+    g = grid1d(32)
+    c = CenterField(g).set(lambda x, y, z: jnp.where(x < 0.5, 1.0, 0.0))
+    w = WENO(5)
+    rec = w.biased(g, c.data, 0, 0, "left")
+    vals = np.asarray(g.interior(rec))
+    assert vals.max() < 1.0 + 1e-6
+    assert vals.min() > -1e-6
+
+
+def test_upwind_direction_sensitivity():
+    # advecting a tracer bump with u > 0 must use upstream cells
+    g = RectilinearGrid(size=(32, 1, 1), x=(0, 1), y=None, z=None,
+                        topology=("periodic", "flat", "flat"), halo=3)
+    c = CenterField(g).set(lambda x, y, z: jnp.exp(-100 * (x - 0.5) ** 2))
+    u = XFaceField(g).set(1.0)
+    tend = -div_Uc(g, UpwindBiased(3), u.data, jnp.zeros_like(u.data),
+                   jnp.zeros_like(u.data), c.data)
+    # with u>0, tendency is positive downstream of the bump (x>0.5)
+    xc = g.xnodes("c")
+    t = np.asarray(g.interior(tend))[:, 0, 0]
+    i_peak = np.argmax(np.asarray(g.interior(c.data))[:, 0, 0])
+    assert t[i_peak + 1] > 0       # bump moves right
+    assert t[i_peak - 1] < 0
+
+
+def test_tracer_advection_conservation():
+    # periodic advection conserves the tracer integral exactly
+    g = RectilinearGrid(size=(16, 16, 1), x=(0, 1), y=(0, 1), z=None,
+                        topology=("periodic", "periodic", "flat"), halo=3)
+    rng = np.random.default_rng(7)
+    c = CenterField(g).set(rng.normal(size=(16, 16, 1)))
+    u = XFaceField(g).set(lambda x, y, z: jnp.sin(2 * jnp.pi * y))
+    from oceananigans_tpu.fields import YFaceField
+    v = YFaceField(g).set(lambda x, y, z: jnp.cos(2 * jnp.pi * x))
+    for scheme in (Centered(2), UpwindBiased(3), WENO(5)):
+        G = div_Uc(g, scheme, u.data, v.data, jnp.zeros_like(c.data), c.data)
+        tot = float(jnp.sum(g.interior(G)))
+        assert abs(tot) < 1e-10, (scheme, tot)
+
+
+def test_advection_translation_accuracy():
+    # step a Gaussian one revolution with RK4 (hand-rolled) and Centered(2):
+    # it should come back close to itself
+    g = RectilinearGrid(size=(64, 1, 1), x=(0, 1), y=None, z=None,
+                        topology=("periodic", "flat", "flat"), halo=3)
+    c0 = CenterField(g).set(lambda x, y, z: jnp.exp(-200 * (x - 0.5) ** 2))
+    u = XFaceField(g).set(1.0)
+    zero = jnp.zeros_like(u.data)
+    bcs = regularize_field_boundary_conditions(None, g, ("c", "c", "c"))
+    scheme = WENO(5, smoothness_dtype=jnp.float64)
+
+    @jax.jit
+    def rhs(c):
+        c = fill_halo_regions(c, g, ("c", "c", "c"), bcs)
+        return -div_Uc(g, scheme, u.data, zero, zero, c)
+
+    @jax.jit
+    def rk4_step(c, dt):
+        k1 = rhs(c)
+        k2 = rhs(c + 0.5 * dt * k1)
+        k3 = rhs(c + 0.5 * dt * k2)
+        k4 = rhs(c + dt * k3)
+        return c + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    dt = 0.5 * (1 / 64)
+    n = int(round(1.0 / dt))
+    c = c0.data
+    for _ in range(n):
+        c = rk4_step(c, dt)
+    err = np.max(np.abs(np.asarray(g.interior(c) - g.interior(c0.data))))
+    assert err < 0.05, err

@@ -1,0 +1,100 @@
+"""Grid construction and metric tests (reference analogue: test/test_grids.jl)."""
+
+import numpy as np
+import pytest
+
+from oceananigans_tpu import RectilinearGrid
+from oceananigans_tpu.grids.topology import PERIODIC, BOUNDED, FLAT
+
+
+def test_regular_grid_basic():
+    g = RectilinearGrid(size=(4, 6, 8), extent=(1.0, 2.0, 3.0))
+    assert g.N == (4, 6, 8)
+    assert g.H == (3, 3, 3)
+    assert g.topology == (PERIODIC, PERIODIC, BOUNDED)
+    assert g.padded_shape == (10, 12, 14)
+    assert np.isclose(g.dx(("c", "c", "c")), 0.25)
+    assert np.isclose(g.dy(("c", "c", "c")), 2.0 / 6)
+    assert np.isclose(g.dz(("c", "c", "c")), 3.0 / 8)
+    # extent z in (-Lz, 0)
+    zf = g.znodes("f")
+    assert np.isclose(zf[0], -3.0)
+    assert np.isclose(zf[-1], 0.0)
+    assert len(zf) == 9  # bounded faces: N+1
+    assert len(g.znodes("c")) == 8
+    # periodic x faces: N values
+    assert len(g.xnodes("f")) == 4
+    xc = g.xnodes("c")
+    assert np.allclose(xc, 0.25 * (np.arange(4) + 0.5))
+
+
+def test_flat_2d_grid():
+    g = RectilinearGrid(size=(16, 16), x=(0, 2 * np.pi), y=(0, 2 * np.pi),
+                        topology=(PERIODIC, PERIODIC, FLAT))
+    assert g.N == (16, 16, 1)
+    assert g.H[2] == 0
+    assert g.padded_shape == (22, 22, 1)
+    assert g.dz(("c", "c", "c")) == 1.0
+
+
+def test_stretched_grid():
+    faces = np.array([0.0, 0.1, 0.3, 0.6, 1.0])
+    g = RectilinearGrid(size=(4, 4, 4), x=(0, 1), y=(0, 1), z=faces,
+                        topology=(PERIODIC, PERIODIC, BOUNDED), halo=2)
+    dz = g.dz(("c", "c", "c"))
+    assert dz.shape == (1, 1, 8)
+    # interior cell widths
+    assert np.allclose(dz[0, 0, 2:6], np.diff(faces))
+    # halo extrapolation with uniform end spacing
+    assert np.allclose(dz[0, 0, :2], 0.1)
+    assert np.allclose(dz[0, 0, 6:], 0.4)
+    zc = g.znodes("c")
+    assert np.allclose(zc, 0.5 * (faces[:-1] + faces[1:]))
+    assert not g.all_regular
+    assert g.stretched_axes == (2,)
+
+
+def test_stretched_grid_from_function():
+    g = RectilinearGrid(size=(4, 4, 8), x=(0, 1), y=(0, 1),
+                        z=lambda k: -(1 - (k / 8) ** 2) * 100)
+    zf = g.znodes("f")
+    assert np.isclose(zf[0], -100.0)
+    assert np.isclose(zf[-1], 0.0)
+
+
+def test_grid_hashable_and_equal():
+    g1 = RectilinearGrid(size=(4, 4, 4), extent=(1, 1, 1))
+    g2 = RectilinearGrid(size=(4, 4, 4), extent=(1, 1, 1))
+    g3 = RectilinearGrid(size=(4, 4, 8), extent=(1, 1, 1))
+    assert g1 == g2
+    assert hash(g1) == hash(g2)
+    assert g1 != g3
+    d = {g1: "a"}
+    assert d[g2] == "a"
+
+
+def test_with_halo():
+    g = RectilinearGrid(size=(8, 8, 8), extent=(1, 1, 1))
+    g5 = g.with_halo((5, 5, 5))
+    assert g5.H == (5, 5, 5)
+    assert g5.N == g.N
+    assert np.allclose(g5.znodes("c"), g.znodes("c"))
+    faces = np.linspace(0, 1, 9) ** 2
+    gs = RectilinearGrid(size=(8, 8, 8), x=(0, 1), y=(0, 1), z=faces)
+    gs4 = gs.with_halo((4, 4, 4))
+    assert np.allclose(gs4.znodes("f"), gs.znodes("f"))
+
+
+def test_areas_volumes_consistency():
+    g = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 2.0, 4.0))
+    ccc = ("c", "c", "c")
+    assert np.isclose(g.V(ccc), 0.25 * 0.5 * 1.0)
+    assert np.isclose(g.Ax(ccc), 0.5 * 1.0)
+    assert np.isclose(g.Az(ccc), 0.25 * 0.5)
+
+
+def test_size_topology_errors():
+    with pytest.raises(ValueError):
+        RectilinearGrid(size=(4, 4), extent=(1, 1, 1))
+    with pytest.raises(ValueError):
+        RectilinearGrid(size=(4, 4, 4), x=(0, 1), y=(0, 1))  # missing z
