@@ -1,0 +1,71 @@
+"""Headline benchmark: 256³ nonhydrostatic WENO LES, time per RK3 step.
+
+Mirrors the reference's canonical benchmark setup
+(benchmark/benchmark_nonhydrostatic_models.jl / benchmarkable_nonhydrostatic_
+model.jl: RectilinearGrid(size=(N,N,N)) + default model, warmup, then timed
+time_step!). Baseline anchor: 432 M cell-updates/s (V100, Float32, WENO —
+docs/src/appendix/benchmarks.md:120-125; see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CU_PER_S = 432e6  # V100 Float32 256³ WENO (BASELINE.md)
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "256"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.advection import WENO
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    platform = jax.devices()[0].platform
+    if platform == "cpu" and "BENCH_N" not in os.environ:
+        n = 64  # keep CPU smoke-runs fast
+
+    grid = RectilinearGrid(size=(n, n, n), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"),
+                           dtype=jnp.float32)
+    model = NonhydrostaticModel(grid=grid, advection=WENO(5))
+    rng = np.random.default_rng(0)
+    model.set(u=0.1 * rng.standard_normal((n, n, n)).astype(np.float32),
+              v=0.1 * rng.standard_normal((n, n, n)).astype(np.float32))
+
+    dt = jnp.asarray(1e-4, grid.dtype)
+
+    # warmup / compile
+    state = model._step(model.state, dt)
+    jax.block_until_ready(state)
+
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        state = model._step(state, dt)
+        jax.block_until_ready(state)
+        times.append(time.perf_counter() - t0)
+
+    t_median = float(np.median(times))
+    cu_per_s = n ** 3 / t_median
+
+    print(json.dumps({
+        "metric": f"nonhydrostatic_{n}^3_weno5_f32_cell_updates_per_s",
+        "value": cu_per_s,
+        "unit": "cell-updates/s",
+        "vs_baseline": cu_per_s / BASELINE_CU_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Buoyancy formulations and equations of state.
+
+Reference semantics: src/BuoyancyFormulations/ — `BuoyancyTracer`
+(buoyancy_tracer.jl: a prognostic tracer `b` IS the buoyancy),
+`SeawaterBuoyancy` (seawater_buoyancy.jl: T, S tracers + an equation of
+state; buoyancy perturbation b = g (α T - β S) for the linear EOS,
+linear_equation_of_state.jl:81), and the interface
+`buoyancy_perturbationᶜᶜᶜ` / vertical contribution at (c,c,f).
+
+The tendency hook is ``z_buoyancy(grid, tracers)``: the buoyancy force that
+enters Gw at (c,c,f) (gravity along -z; the reference's arbitrary
+gravity-direction `BuoyancyForce` is a later extension)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .defaults import defaults
+from .operators.operators import iz_f
+
+
+class BuoyancyTracer:
+    """Buoyancy is the prognostic tracer ``b`` [m/s²]."""
+
+    required_tracers = ("b",)
+
+    def _fp(self):
+        return ("BuoyancyTracer",)
+
+    def __hash__(self):
+        return hash(self._fp())
+
+    def __eq__(self, o):
+        return hasattr(o, "_fp") and self._fp() == o._fp()
+
+    def buoyancy_ccc(self, grid, tracers):
+        return tracers["b"]
+
+    def z_buoyancy(self, grid, tracers):
+        """Buoyancy at (c,c,f) for the Gw tendency."""
+        return iz_f(grid, tracers["b"])
+
+
+class LinearEquationOfState:
+    """b = g (α (T - T₀) - β (S - S₀)) (reference:
+    linear_equation_of_state.jl)."""
+
+    def __init__(self, thermal_expansion=1.67e-4, haline_contraction=7.8e-4):
+        self.alpha = float(thermal_expansion)
+        self.beta = float(haline_contraction)
+
+    def _fp(self):
+        return ("LinearEOS", self.alpha, self.beta)
+
+    __hash__ = BuoyancyTracer.__hash__
+    __eq__ = BuoyancyTracer.__eq__
+
+
+class SeawaterBuoyancy:
+    """T, S tracers + equation of state (reference: seawater_buoyancy.jl).
+    ``constant_temperature`` / ``constant_salinity`` drop the respective
+    tracer."""
+
+    def __init__(self, equation_of_state=None, gravitational_acceleration=None,
+                 constant_temperature=None, constant_salinity=None):
+        self.eos = equation_of_state or LinearEquationOfState()
+        self.g = (defaults.gravitational_acceleration
+                  if gravitational_acceleration is None
+                  else float(gravitational_acceleration))
+        self.constant_temperature = constant_temperature
+        self.constant_salinity = constant_salinity
+        names = []
+        if constant_temperature is None:
+            names.append("T")
+        if constant_salinity is None:
+            names.append("S")
+        self.required_tracers = tuple(names)
+
+    def _fp(self):
+        return ("SeawaterBuoyancy", self.eos._fp(), self.g,
+                self.constant_temperature, self.constant_salinity)
+
+    __hash__ = BuoyancyTracer.__hash__
+    __eq__ = BuoyancyTracer.__eq__
+
+    def buoyancy_ccc(self, grid, tracers):
+        T = (tracers["T"] if self.constant_temperature is None
+             else self.constant_temperature)
+        S = (tracers["S"] if self.constant_salinity is None
+             else self.constant_salinity)
+        return self.g * (self.eos.alpha * T - self.eos.beta * S)
+
+    def z_buoyancy(self, grid, tracers):
+        return iz_f(grid, self.buoyancy_ccc(grid, tracers))

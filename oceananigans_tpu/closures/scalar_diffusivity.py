@@ -1,0 +1,155 @@
+"""ScalarDiffusivity and ScalarBiharmonicDiffusivity closures.
+
+Reference semantics: src/TurbulenceClosures/turbulence_closure_implementations/
+scalar_diffusivity.jl (iso/horizontal/vertical formulations, ν and per-tracer
+κ, Explicit or VerticallyImplicit time discretization) and
+scalar_biharmonic_diffusivity.jl.
+
+Closure protocol (consumed by models):
+
+    compute_diffusivities(grid, fields, time)      -> aux dict (static-shaped)
+    momentum_tendencies(grid, fields, aux)          -> dict u/v/w contributions
+    tracer_tendency(grid, name, fields, aux)        -> Gc contribution
+    vertical_implicit_kappas(grid, fields, aux)     -> dict of κz for the
+        implicit vertical solve, or {} when fully explicit (reference:
+        implicit_explicit_time_discretization.jl + vertically_implicit_
+        diffusion_solver.jl)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .diffusion_operators import (div_2nu_strain_u, div_2nu_strain_v,
+                                  div_2nu_strain_w, div_kappa_grad)
+
+ISO = "iso"
+HORIZONTAL = "horizontal"
+VERTICAL = "vertical"
+
+
+class _ClosureBase:
+    def _fp(self):
+        raise NotImplementedError
+
+    def __hash__(self):
+        return hash(self._fp())
+
+    def __eq__(self, o):
+        return hasattr(o, "_fp") and self._fp() == o._fp()
+
+    def compute_diffusivities(self, grid, fields, time):
+        return {}
+
+    def vertical_implicit_kappas(self, grid, fields, aux):
+        return {}
+
+    required_halo = 1
+
+
+def _kappa_for(kappa, name):
+    if isinstance(kappa, dict):
+        return kappa.get(name, 0.0)
+    return kappa
+
+
+class ScalarDiffusivity(_ClosureBase):
+    def __init__(self, nu=0.0, kappa=0.0, formulation=ISO,
+                 time_discretization="explicit"):
+        self.nu = nu
+        self.kappa = kappa
+        self.formulation = formulation
+        self.time_discretization = time_discretization
+        if formulation not in (ISO, HORIZONTAL, VERTICAL):
+            raise ValueError(formulation)
+
+    def _fp(self):
+        k = tuple(sorted(self.kappa.items())) if isinstance(self.kappa, dict) \
+            else self.kappa
+        return ("ScalarDiffusivity", self.nu, k, self.formulation,
+                self.time_discretization)
+
+    @property
+    def _axes(self):
+        return {ISO: (0, 1, 2), HORIZONTAL: (0, 1), VERTICAL: (2,)}[
+            self.formulation]
+
+    @property
+    def _explicit_axes(self):
+        if self.time_discretization == "vertically_implicit":
+            return tuple(a for a in self._axes if a != 2)
+        return self._axes
+
+    def momentum_tendencies(self, grid, fields, aux):
+        u, v, w = fields["u"], fields["v"], fields["w"]
+        nu = self.nu
+        axes = self._explicit_axes
+        if self.formulation == ISO:
+            return dict(
+                u=div_2nu_strain_u(grid, u, v, w, nu, nu, nu, axes),
+                v=div_2nu_strain_v(grid, u, v, w, nu, nu, nu, axes),
+                w=div_2nu_strain_w(grid, u, v, w, nu, nu, nu, axes))
+        # horizontal / vertical formulations use the gradient (Laplacian) form
+        return dict(
+            u=div_kappa_grad(grid, u, ("f", "c", "c"), nu, axes),
+            v=div_kappa_grad(grid, v, ("c", "f", "c"), nu, axes),
+            w=div_kappa_grad(grid, w, ("c", "c", "f"), nu, axes))
+
+    def tracer_tendency(self, grid, name, fields, aux):
+        k = _kappa_for(self.kappa, name)
+        return div_kappa_grad(grid, fields[name], ("c", "c", "c"), k,
+                              self._explicit_axes)
+
+    def vertical_implicit_kappas(self, grid, fields, aux):
+        if self.time_discretization != "vertically_implicit":
+            return {}
+        out = {"u": self.nu, "v": self.nu}
+        for name in fields:
+            if name not in ("u", "v", "w"):
+                out[name] = _kappa_for(self.kappa, name)
+        return out
+
+
+def VerticalScalarDiffusivity(nu=0.0, kappa=0.0,
+                              time_discretization="explicit"):
+    return ScalarDiffusivity(nu, kappa, VERTICAL, time_discretization)
+
+
+def HorizontalScalarDiffusivity(nu=0.0, kappa=0.0):
+    return ScalarDiffusivity(nu, kappa, HORIZONTAL)
+
+
+class ScalarBiharmonicDiffusivity(_ClosureBase):
+    """4th-order hyperdiffusion: tendency -= ∇·(ν ∇(∇²q)) with a sign such
+    that it damps (reference: scalar_biharmonic_diffusivity.jl)."""
+
+    required_halo = 2
+
+    def __init__(self, nu=0.0, kappa=0.0, formulation=ISO):
+        self.nu = nu
+        self.kappa = kappa
+        self.formulation = formulation
+
+    def _fp(self):
+        k = tuple(sorted(self.kappa.items())) if isinstance(self.kappa, dict) \
+            else self.kappa
+        return ("ScalarBiharmonicDiffusivity", self.nu, k, self.formulation)
+
+    @property
+    def _axes(self):
+        return {ISO: (0, 1, 2), HORIZONTAL: (0, 1), VERTICAL: (2,)}[
+            self.formulation]
+
+    def _biharm(self, grid, q, loc, kappa):
+        lap = div_kappa_grad(grid, q, loc, 1.0, self._axes)
+        return -div_kappa_grad(grid, lap, loc, kappa, self._axes)
+
+    def momentum_tendencies(self, grid, fields, aux):
+        return dict(
+            u=self._biharm(grid, fields["u"], ("f", "c", "c"), self.nu),
+            v=self._biharm(grid, fields["v"], ("c", "f", "c"), self.nu),
+            w=self._biharm(grid, fields["w"], ("c", "c", "f"), self.nu))
+
+    def tracer_tendency(self, grid, name, fields, aux):
+        k = _kappa_for(self.kappa, name)
+        return self._biharm(grid, fields[name], ("c", "c", "c"), k)

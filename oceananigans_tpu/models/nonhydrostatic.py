@@ -1,0 +1,407 @@
+"""NonhydrostaticModel: incompressible Boussinesq LES/DNS with a 3D pressure
+projection.
+
+Reference semantics: src/Models/NonhydrostaticModels/ —
+* constructor pipeline (nonhydrostatic_model.jl:115-244): validate → inflate
+  halos for the advection/closure order → regularize BCs → build fields →
+  choose pressure solver by grid regularity (NonhydrostaticModels.jl:25-60)
+* tendencies (nonhydrostatic_tendency_kernel_functions.jl:70-103):
+  G_u = -∇·(𝐯u) - f×U|_x + b ẑ|_x - ∂ⱼτ₁ⱼ + F_u, etc.
+* pressure projection (pressure_correction.jl, solve_for_pressure.jl):
+  solve ∇²p = ∇·u*/Δt, then u ← u* - Δt ∇p
+* RK3 / quasi-AB2 stepping (src/TimeSteppers/) with per-substep projection.
+
+TPU-first design: the model state is an immutable pytree of padded arrays
+({u, v, w, tracers…, clock}); ALL configuration (grid, schemes, physics) is
+closed over by ONE jitted ``step(state, dt)`` built at construction. There is
+no mutable Clock, no per-side kernel launches, no host logic in the hot loop —
+the whole RK3 step (tendencies + Poisson solve + projection ×3) is a single
+XLA program. G⁻ storage only exists for AB2 (RK3's ζ¹=0 makes tendencies
+step-local, so checkpoints are smaller than the reference's)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..advection import Centered, div_Uc, div_Uu, div_Uv, div_Uw
+from ..boundary_conditions import (apply_flux_bcs, fill_halo_regions,
+                                   regularize_field_boundary_conditions)
+from ..fields import Field, set_on_padded
+from ..grids.topology import LOC_CCC, LOC_CCF, LOC_CFC, LOC_FCC
+from ..operators.operators import ddx, ddy, ddz, div_ccc
+from ..solvers.fft_poisson import FFTPoissonSolver
+from ..solvers.fourier_tridiagonal import FourierTridiagonalPoissonSolver
+from ..solvers.tridiagonal import solve_batched_tridiagonal
+from ..timesteppers import (RK3_GAMMAS, RK3_ZETAS,
+                            QuasiAdamsBashforth2TimeStepper,
+                            RungeKutta3TimeStepper)
+
+PROGNOSTIC_LOCS = {"u": LOC_FCC, "v": LOC_CFC, "w": LOC_CCF}
+
+
+def select_pressure_solver(grid):
+    """Reference: NonhydrostaticModels.jl:25-60 — FFT on fully-regular grids,
+    Fourier-tridiagonal with one stretched (vertical) direction."""
+    if grid.all_regular:
+        return FFTPoissonSolver(grid)
+    if grid.stretched_axes == (2,):
+        return FourierTridiagonalPoissonSolver(grid)
+    raise NotImplementedError(
+        "conjugate-gradient pressure solver for multiply-stretched/immersed "
+        "grids is not implemented yet")
+
+
+class NonhydrostaticModel:
+    def __init__(self, grid, advection=None, tracers=(), buoyancy=None,
+                 coriolis=None, closure=None, forcing=None,
+                 boundary_conditions=None, timestepper="RungeKutta3",
+                 pressure_solver=None, background_fields=None):
+        if advection is None:
+            advection = Centered(order=2)
+        self.advection = advection
+        if isinstance(tracers, str):
+            tracers = (tracers,)
+        tracers = tuple(tracers)
+        if buoyancy is not None:
+            for name in buoyancy.required_tracers:
+                if name not in tracers:
+                    tracers = tracers + (name,)
+        self.tracer_names = tracers
+        self.buoyancy = buoyancy
+        self.coriolis = coriolis
+        self.closure = closure
+        self.forcing = dict(forcing or {})
+        self.background_fields = dict(background_fields or {})
+
+        # halo inflation (reference: nonhydrostatic_model.jl:179-184 +
+        # automatic_halo_sizing.jl)
+        required = getattr(advection, "required_halo", 1)
+        if closure is not None:
+            required = max(required, getattr(closure, "required_halo", 1))
+        halo = tuple(max(h, required) if not grid.is_flat(i) else 0
+                     for i, h in enumerate(grid.H))
+        self.grid = grid.with_halo(halo)
+
+        if timestepper in ("RungeKutta3", "rk3"):
+            self.timestepper = RungeKutta3TimeStepper()
+        elif timestepper in ("QuasiAdamsBashforth2", "ab2", "qab2"):
+            self.timestepper = QuasiAdamsBashforth2TimeStepper()
+        elif hasattr(timestepper, "n_stages"):
+            self.timestepper = timestepper
+        else:
+            raise ValueError(f"unknown timestepper {timestepper}")
+
+        # boundary conditions
+        bcs_in = dict(boundary_conditions or {})
+        self.bcs = {}
+        for name, loc in PROGNOSTIC_LOCS.items():
+            self.bcs[name] = regularize_field_boundary_conditions(
+                bcs_in.get(name), self.grid, loc)
+        for name in self.tracer_names:
+            self.bcs[name] = regularize_field_boundary_conditions(
+                bcs_in.get(name), self.grid, LOC_CCC)
+        self.bcs["p"] = regularize_field_boundary_conditions(
+            None, self.grid, LOC_CCC)
+
+        self.pressure_solver = pressure_solver or select_pressure_solver(self.grid)
+
+        # state pytree
+        shape = self.grid.padded_shape
+        dtype = self.grid.dtype
+        zeros = lambda: jnp.zeros(shape, dtype)
+        fields = {n: zeros() for n in self.prognostic_names}
+        clock = dict(time=jnp.zeros((), dtype),
+                     iteration=jnp.zeros((), jnp.int32),
+                     last_dt=jnp.full((), np.inf, dtype))
+        self.state = dict(fields=fields, clock=clock, pressure=zeros())
+        if self.timestepper.needs_previous_tendencies:
+            self.state["Gm"] = {n: zeros() for n in self.prognostic_names}
+
+        self._step = jax.jit(self._build_step())
+
+    # -- basic properties -----------------------------------------------------
+
+    @property
+    def prognostic_names(self):
+        return ("u", "v", "w") + self.tracer_names
+
+    def loc(self, name):
+        return PROGNOSTIC_LOCS.get(name, LOC_CCC)
+
+    @property
+    def clock(self):
+        return {k: np.asarray(v) for k, v in self.state["clock"].items()}
+
+    @property
+    def time(self):
+        return float(self.state["clock"]["time"])
+
+    @property
+    def iteration(self):
+        return int(self.state["clock"]["iteration"])
+
+    def field(self, name):
+        if name == "p":
+            return Field(self.grid, LOC_CCC, self.bcs["p"],
+                         self.state["pressure"], _regularize=False)
+        return Field(self.grid, self.loc(name), self.bcs[name],
+                     self.state["fields"][name], _regularize=False)
+
+    @property
+    def fields(self):
+        return {n: self.field(n) for n in self.prognostic_names}
+
+    @property
+    def velocities(self):
+        return {n: self.field(n) for n in ("u", "v", "w")}
+
+    @property
+    def tracers(self):
+        return {n: self.field(n) for n in self.tracer_names}
+
+    # -- setting initial conditions -------------------------------------------
+
+    def set(self, enforce_incompressibility=True, **values):
+        """Set prognostic fields from scalars/arrays/functions (reference:
+        src/Models/set_model.jl; incompressibility projection applied like the
+        reference's update_state+pressure correction on set!)."""
+        fields = dict(self.state["fields"])
+        t = self.state["clock"]["time"]
+        for name, value in values.items():
+            if name not in fields:
+                raise ValueError(f"unknown prognostic field {name!r}")
+            data = set_on_padded(self.grid, self.loc(name), value)
+            fields[name] = fill_halo_regions(data, self.grid, self.loc(name),
+                                             self.bcs[name], t)
+        if enforce_incompressibility and any(k in values for k in "uvw"):
+            u, v, w, p = self._project(fields["u"], fields["v"], fields["w"],
+                                       jnp.asarray(1.0, self.grid.dtype), t)
+            fields.update(u=u, v=v, w=w)
+        self.state = {**self.state, "fields": fields}
+
+    # -- step construction ----------------------------------------------------
+
+    def _fill_all(self, fields, time):
+        out = {}
+        for name, data in fields.items():
+            out[name] = fill_halo_regions(data, self.grid, self.loc(name),
+                                          self.bcs[name], time)
+        return out
+
+    def _total_velocities(self, fields, time):
+        """Add background (mean-flow) velocities for advection (reference:
+        src/Models/NonhydrostaticModels/background_fields.jl)."""
+        u, v, w = fields["u"], fields["v"], fields["w"]
+        bg = self.background_fields
+        if not bg:
+            return u, v, w
+        def add(q, name, loc):
+            if name not in bg:
+                return q
+            return q + set_on_padded(self.grid, loc, bg[name])
+        return (add(u, "u", LOC_FCC), add(v, "v", LOC_CFC),
+                add(w, "w", LOC_CCF))
+
+    def _compute_tendencies(self, fields, time):
+        """The hot stencil assembly (reference:
+        nonhydrostatic_tendency_kernel_functions.jl:70-103 and
+        compute_nonhydrostatic_tendencies.jl:97-131)."""
+        grid = self.grid
+        u, v, w = fields["u"], fields["v"], fields["w"]
+        ua, va, wa = self._total_velocities(fields, time)
+        adv = self.advection
+
+        G = {}
+        G["u"] = -div_Uu(grid, adv, ua, va, wa)
+        G["v"] = -div_Uv(grid, adv, ua, va, wa)
+        G["w"] = -div_Uw(grid, adv, ua, va, wa)
+
+        if self.coriolis is not None:
+            G["u"] = G["u"] - self.coriolis.x_f_cross_U(grid, u, v, w)
+            G["v"] = G["v"] - self.coriolis.y_f_cross_U(grid, u, v, w)
+            G["w"] = G["w"] - self.coriolis.z_f_cross_U(grid, u, v, w)
+
+        if self.buoyancy is not None:
+            G["w"] = G["w"] + self.buoyancy.z_buoyancy(grid, fields)
+
+        aux = {}
+        if self.closure is not None:
+            aux = self.closure.compute_diffusivities(grid, fields, time)
+            mt = self.closure.momentum_tendencies(grid, fields, aux)
+            for k in ("u", "v", "w"):
+                G[k] = G[k] + mt[k]
+
+        for name in self.tracer_names:
+            Gc = -div_Uc(grid, adv, ua, va, wa, fields[name])
+            if self.closure is not None:
+                Gc = Gc + self.closure.tracer_tendency(grid, name, fields, aux)
+            G[name] = Gc
+
+        # user forcing (discrete form: F(grid, fields, time) -> padded array)
+        for name, F in self.forcing.items():
+            G[name] = G[name] + (F(grid, fields, time) if callable(F) else F)
+
+        # boundary flux divergences (reference: compute_flux_bc_tendencies!)
+        for name in G:
+            G[name] = apply_flux_bcs(G[name], grid, self.loc(name),
+                                     self.bcs[name], time)
+        return G, aux
+
+    def _project(self, u, v, w, dtt, time):
+        """Pressure projection (reference: pressure_correction.jl:8-53,
+        solve_for_pressure.jl:12-108)."""
+        grid = self.grid
+        u = fill_halo_regions(u, grid, LOC_FCC, self.bcs["u"], time)
+        v = fill_halo_regions(v, grid, LOC_CFC, self.bcs["v"], time)
+        w = fill_halo_regions(w, grid, LOC_CCF, self.bcs["w"], time)
+        rhs = grid.interior(div_ccc(grid, u, v, w)) / dtt
+        p_int = self.pressure_solver.solve(rhs)
+        p = jnp.zeros(grid.padded_shape, grid.dtype)
+        p = p.at[grid.interior_slices].set(p_int)
+        p = fill_halo_regions(p, grid, LOC_CCC, self.bcs["p"], time)
+        u = u - dtt * ddx(grid, p, LOC_FCC)
+        v = v - dtt * ddy(grid, p, LOC_CFC)
+        w = w - dtt * ddz(grid, p, LOC_CCF)
+        return u, v, w, p
+
+    def _implicit_step(self, fields, aux, dtt):
+        """Vertically-implicit diffusion solve per field (reference:
+        vertically_implicit_diffusion_solver.jl: implicit_step!)."""
+        if self.closure is None:
+            return fields
+        kappas = self.closure.vertical_implicit_kappas(self.grid, fields, aux)
+        if not kappas:
+            return fields
+        out = dict(fields)
+        for name, kz in kappas.items():
+            if name == "w":
+                continue  # w implicit solve handled separately (future work)
+            out[name] = implicit_vertical_diffusion(
+                self.grid, fields[name], kz, dtt)
+        return out
+
+    def _build_step(self):
+        ts = self.timestepper
+
+        if isinstance(ts, RungeKutta3TimeStepper):
+            def step(state, dt):
+                fields = state["fields"]
+                clock = state["clock"]
+                time = clock["time"]
+                Gm = None
+                p = state["pressure"]
+                for gamma, zeta in zip(RK3_GAMMAS, RK3_ZETAS):
+                    fields = self._fill_all(fields, time)
+                    G, aux = self._compute_tendencies(fields, time)
+                    stage_dt = (gamma + zeta) * dt
+                    new = {}
+                    for name in fields:
+                        inc = gamma * G[name]
+                        if zeta != 0.0:
+                            inc = inc + zeta * Gm[name]
+                        new[name] = fields[name] + dt * inc
+                    new = self._implicit_step(new, aux, stage_dt)
+                    u, v, w, p = self._project(new["u"], new["v"], new["w"],
+                                               stage_dt, time)
+                    new.update(u=u, v=v, w=w)
+                    fields = new
+                    Gm = G
+                    time = time + stage_dt
+                clock = dict(time=time, iteration=clock["iteration"] + 1,
+                             last_dt=dt * jnp.ones_like(clock["last_dt"]))
+                return dict(fields=fields, clock=clock, pressure=p)
+
+            return step
+
+        if isinstance(ts, QuasiAdamsBashforth2TimeStepper):
+            chi0 = ts.chi
+
+            def step(state, dt):
+                fields = state["fields"]
+                clock = state["clock"]
+                time = clock["time"]
+                Gm = state["Gm"]
+                # Euler (χ = -1/2) on the first iteration or when Δt changes
+                # (reference: quasi_adams_bashforth_2.jl:88-96)
+                euler = jnp.logical_or(clock["iteration"] == 0,
+                                       clock["last_dt"] != dt)
+                chi = jnp.where(euler, -0.5, chi0)
+                not_euler = jnp.where(euler, 0.0, 1.0)
+                fields = self._fill_all(fields, time)
+                G, aux = self._compute_tendencies(fields, time)
+                new = {}
+                for name in fields:
+                    inc = (1.5 + chi) * G[name] \
+                        - (0.5 + chi) * Gm[name] * not_euler
+                    new[name] = fields[name] + dt * inc
+                new = self._implicit_step(new, aux, dt)
+                u, v, w, p = self._project(new["u"], new["v"], new["w"],
+                                           dt, time)
+                new.update(u=u, v=v, w=w)
+                clock = dict(time=time + dt, iteration=clock["iteration"] + 1,
+                             last_dt=dt * jnp.ones_like(clock["last_dt"]))
+                return dict(fields=new, clock=clock, pressure=p, Gm=G)
+
+            return step
+
+        raise ValueError(f"unsupported timestepper {ts}")
+
+    # -- public stepping API --------------------------------------------------
+
+    def time_step(self, dt):
+        """Advance the model state by one Δt (reference: time_step!)."""
+        dt = jnp.asarray(dt, self.grid.dtype)
+        self.state = self._step(self.state, dt)
+        return self
+
+    def __repr__(self):
+        return (f"NonhydrostaticModel(grid={self.grid!r}, "
+                f"advection={self.advection!r}, tracers={self.tracer_names}, "
+                f"timestepper={self.timestepper.name})")
+
+
+def _vertical_spacings(grid):
+    """Interior Δz at centers (n,) and at faces (n+1,), numpy."""
+    h, n = grid.H[2], grid.N[2]
+    npad = grid.padded_shape[2]
+    dzc = np.broadcast_to(np.asarray(grid.dz(("c", "c", "c"))).reshape(-1),
+                          (npad,))[h:h + n]
+    dzf_all = np.broadcast_to(np.asarray(grid.dz(("c", "c", "f"))).reshape(-1),
+                              (npad,))
+    # face k of interior cell k sits at padded index h+k; the top face h+n is
+    # stored in the first halo slot (uniform padded layout, grids/base.py)
+    dzf = np.empty(n + 1)
+    dzf[:n] = dzf_all[h:h + n]
+    dzf[n] = dzf_all[h + n] if h + n < npad else dzf_all[-1]
+    return dzc, dzf
+
+
+def implicit_vertical_diffusion(grid, q, kappa, dtt):
+    """Solve (1 - Δt ∂z κ ∂z) q' = q on cell-centered z levels with no-flux
+    walls (reference: vertically_implicit_diffusion_solver.jl:30-79).
+
+    ``kappa`` is a scalar or a padded (c,c,f)-located 3D array (κ at the z-face
+    below each cell). The implicit operator drops the boundary-face fluxes
+    (no-flux; Dirichlet/flux conditions enter explicitly via halo fills and
+    apply_flux_bcs, as in the reference)."""
+    h, n = grid.H[2], grid.N[2]
+    dzc, dzf = _vertical_spacings(grid)
+
+    inv_lo = np.zeros(n)            # couples q[k-1] via face k
+    inv_up = np.zeros(n)            # couples q[k+1] via face k+1
+    inv_lo[1:] = 1.0 / (dzc[1:] * dzf[1:n])
+    inv_up[:-1] = 1.0 / (dzc[:-1] * dzf[1:n])
+
+    if hasattr(kappa, "ndim") and np.ndim(kappa) == 3:
+        sx, sy, _ = grid.interior_slices
+        kfaces = kappa[sx, sy, h:h + n + 1]
+        lo = -dtt * jnp.asarray(inv_lo) * kfaces[..., :n]
+        up = -dtt * jnp.asarray(inv_up) * kfaces[..., 1:n + 1]
+    else:
+        lo = -dtt * kappa * jnp.asarray(inv_lo)
+        up = -dtt * kappa * jnp.asarray(inv_up)
+    diag = 1.0 - lo - up
+    sol = solve_batched_tridiagonal(lo, diag, up, grid.interior(q))
+    return q.at[grid.interior_slices].set(sol)

@@ -1,0 +1,271 @@
+"""ShallowWaterModel.
+
+Reference semantics: src/Models/ShallowWaterModels/ — struct
+(shallow_water_model.jl:39-55), `ConservativeFormulation` (prognostic
+transports uh, vh and height h) vs `VectorInvariantFormulation` (u, v, h)
+(:57-59), tendencies (solution_and_tracer_tendencies.jl):
+
+    ∂t uh = -∇·(𝐮 uh) - ∂x(g h²/2) - f×(uh,vh)|x - g h ∂x h_B + F
+    ∂t h  = -∇·(uh, vh)
+    ∂t c  = -∇·(𝐔 c) + c ∇·𝐔          (advective form via flux + correction)
+
+vector-invariant:
+
+    ∂t u = -(ζ+f) v̂ - ∂x(g(h+h_B) + |u|²/2) + F
+
+RK3 stepping (the reference default for this model), no elliptic solve."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..advection import Centered
+from ..advection.fluxes import _biased_by
+from ..boundary_conditions import (apply_flux_bcs, fill_halo_regions,
+                                   regularize_field_boundary_conditions)
+from ..defaults import defaults
+from ..fields import Field, set_on_padded
+from ..grids.topology import FLAT, LOC_CCC, LOC_CFC, LOC_FCC
+from ..operators.operators import (LOC_FFC, _delta_c, _delta_f, ddx, ddy,
+                                   div_xy_ccc, dx_c, dy_c, interp, ix_c, ix_f,
+                                   iy_c, iy_f, zeta3_ffc)
+from ..timesteppers import RK3_GAMMAS, RK3_ZETAS
+
+CONSERVATIVE = "conservative"
+VECTOR_INVARIANT = "vector_invariant"
+
+
+class ShallowWaterModel:
+    def __init__(self, grid, gravitational_acceleration=None,
+                 advection=None, coriolis=None, bathymetry=0.0,
+                 tracers=(), forcing=None, boundary_conditions=None,
+                 formulation=CONSERVATIVE, closure=None):
+        if not grid.is_flat(2):
+            raise ValueError("ShallowWaterModel requires a z-Flat grid "
+                             "(reference: shallow_water_model.jl validation)")
+        self.grid = grid
+        self.g = (defaults.gravitational_acceleration
+                  if gravitational_acceleration is None
+                  else float(gravitational_acceleration))
+        self.advection = advection if advection is not None else Centered(2)
+        required = getattr(self.advection, "required_halo", 1)
+        halo = tuple(max(h, required) if not grid.is_flat(i) else 0
+                     for i, h in enumerate(grid.H))
+        self.grid = grid.with_halo(halo)
+        self.coriolis = coriolis
+        self.closure = closure
+        self.formulation = formulation
+        if isinstance(tracers, str):
+            tracers = (tracers,)
+        self.tracer_names = tuple(tracers)
+        self.forcing = dict(forcing or {})
+
+        if formulation == CONSERVATIVE:
+            self._solution = ("uh", "vh", "h")
+        elif formulation == VECTOR_INVARIANT:
+            self._solution = ("u", "v", "h")
+        else:
+            raise ValueError(formulation)
+
+        self.bathymetry = set_on_padded(self.grid, LOC_CCC, bathymetry)
+
+        bcs_in = dict(boundary_conditions or {})
+        self.bcs = {}
+        locs = {self._solution[0]: LOC_FCC, self._solution[1]: LOC_CFC,
+                "h": LOC_CCC}
+        for name in self.tracer_names:
+            locs[name] = LOC_CCC
+        self._locs = locs
+        for name, loc in locs.items():
+            self.bcs[name] = regularize_field_boundary_conditions(
+                bcs_in.get(name), self.grid, loc)
+
+        zeros = lambda: jnp.zeros(self.grid.padded_shape, self.grid.dtype)
+        fields = {n: zeros() for n in self.prognostic_names}
+        clock = dict(time=jnp.zeros((), self.grid.dtype),
+                     iteration=jnp.zeros((), jnp.int32),
+                     last_dt=jnp.full((), np.inf, self.grid.dtype))
+        self.state = dict(fields=fields, clock=clock)
+        self._step = jax.jit(self._build_step())
+
+    @property
+    def prognostic_names(self):
+        return self._solution + self.tracer_names
+
+    def loc(self, name):
+        return self._locs[name]
+
+    @property
+    def time(self):
+        return float(self.state["clock"]["time"])
+
+    @property
+    def iteration(self):
+        return int(self.state["clock"]["iteration"])
+
+    def field(self, name):
+        return Field(self.grid, self.loc(name), self.bcs[name],
+                     self.state["fields"][name], _regularize=False)
+
+    @property
+    def fields(self):
+        return {n: self.field(n) for n in self.prognostic_names}
+
+    def set(self, **values):
+        fields = dict(self.state["fields"])
+        t = self.state["clock"]["time"]
+        for name, value in values.items():
+            data = set_on_padded(self.grid, self.loc(name), value)
+            fields[name] = fill_halo_regions(data, self.grid, self.loc(name),
+                                             self.bcs[name], t)
+        self.state = {**self.state, "fields": fields}
+
+    # -- physics --------------------------------------------------------------
+
+    def _velocities(self, fields):
+        if self.formulation == CONSERVATIVE:
+            h = fields["h"]
+            hx = ix_f(self.grid, h)
+            hy = iy_f(self.grid, h)
+            return fields["uh"] / hx, fields["vh"] / hy
+        return fields[self._solution[0]], fields[self._solution[1]]
+
+    def _transports(self, fields):
+        if self.formulation == CONSERVATIVE:
+            return fields["uh"], fields["vh"]
+        h = fields["h"]
+        return (fields["u"] * ix_f(self.grid, h),
+                fields["v"] * iy_f(self.grid, h))
+
+    def _compute_tendencies(self, fields, time):
+        grid = self.grid
+        g = self.g
+        scheme = self.advection
+        h = fields["h"]
+        hB = self.bathymetry
+        u, v = self._velocities(fields)
+        uh, vh = self._transports(fields)
+        G = {}
+
+        if self.formulation == CONSERVATIVE:
+            # momentum flux divergence of transports: ∇·(𝐮 uh)
+            # x-flux of uh at ccc: ℑx(uh)·û ; y-flux at ffc: ℑx(vh)·û
+            ut = scheme.symmetric(grid, uh, 0, 1)            # fcc → ccc
+            uhat = _biased_by(scheme, grid, u, 0, 1, ut)
+            fx = _delta_f(grid, grid.dy(LOC_CCC) * ut * uhat, 0)
+            vt = scheme.symmetric(grid, vh, 0, 0)            # cfc → ffc
+            uhat = _biased_by(scheme, grid, u, 1, 0, vt)
+            fy = _delta_c(grid, grid.dx(LOC_FFC) * vt * uhat, 1)
+            div_mom_u = (fx + fy) / grid.Az(LOC_FCC)
+
+            ut = scheme.symmetric(grid, uh, 1, 0)            # fcc → ffc
+            vhat = _biased_by(scheme, grid, v, 0, 0, ut)
+            fx = _delta_c(grid, grid.dy(LOC_FFC) * ut * vhat, 0)
+            vt = scheme.symmetric(grid, vh, 1, 1)            # cfc → ccc
+            vhat = _biased_by(scheme, grid, v, 1, 1, vt)
+            fy = _delta_f(grid, grid.dx(LOC_CCC) * vt * vhat, 1)
+            div_mom_v = (fx + fy) / grid.Az(LOC_CFC)
+
+            Gu = (-div_mom_u
+                  - ddx(grid, 0.5 * g * h * h, LOC_FCC)
+                  - g * ix_f(grid, h) * ddx(grid, hB, LOC_FCC))
+            Gv = (-div_mom_v
+                  - ddy(grid, 0.5 * g * h * h, LOC_CFC)
+                  - g * iy_f(grid, h) * ddy(grid, hB, LOC_CFC))
+            if self.coriolis is not None:
+                zero = jnp.zeros_like(h)
+                Gu = Gu - self.coriolis.x_f_cross_U(grid, uh, vh, zero)
+                Gv = Gv - self.coriolis.y_f_cross_U(grid, uh, vh, zero)
+            G["uh"], G["vh"] = Gu, Gv
+        else:
+            # vector-invariant: -(ζ+f) v̂ + ∂x KE + g ∂x(h+hB)
+            zeta = zeta3_ffc(grid, u, v)
+            f = 0.0
+            if self.coriolis is not None:
+                f = getattr(self.coriolis, "f", 0.0)
+            q = zeta + f
+            KE = 0.5 * (ix_c(grid, u * u) + iy_c(grid, v * v))
+            Gu = (iy_c(grid, q * ix_f(grid, iy_f(grid, iy_c(grid, v))))
+                  * 0.0)  # placeholder replaced below
+            # enstrophy-conserving form: +q̄ʸ v̄ˣʸ at fcc, -q̄ˣ ūˣʸ at cfc
+            v_at_ffc = ix_f(grid, v)
+            u_at_ffc = iy_f(grid, u)
+            Gu = (iy_c(grid, q * v_at_ffc)
+                  - ddx(grid, KE + g * (h + hB), LOC_FCC))
+            Gv = (-ix_c(grid, q * u_at_ffc)
+                  - ddy(grid, KE + g * (h + hB), LOC_CFC))
+            G[self._solution[0]], G[self._solution[1]] = Gu, Gv
+
+        G["h"] = -div_xy_ccc(grid, uh, vh) * grid.V(LOC_CCC) / grid.Az(LOC_CCC)
+
+        for name in self.tracer_names:
+            c = fields[name]
+            # advective form via conservative flux + c ∇·U correction
+            ct_l, ct_r = scheme.biased_pair(grid, c, 0, 0)
+            chat_x = jnp.where(uh > 0, ct_l, ct_r)
+            fx = dx_c(grid, grid.dy(LOC_FCC) * uh * chat_x)
+            ct_l, ct_r = scheme.biased_pair(grid, c, 1, 0)
+            chat_y = jnp.where(vh > 0, ct_l, ct_r)
+            fy = dy_c(grid, grid.dx(LOC_CFC) * vh * chat_y)
+            divUc = (fx + fy) / grid.Az(LOC_CCC)
+            divU = (dx_c(grid, grid.dy(LOC_FCC) * uh)
+                    + dy_c(grid, grid.dx(LOC_CFC) * vh)) / grid.Az(LOC_CCC)
+            G[name] = -divUc + c * divU
+
+        if self.closure is not None:
+            aux = self.closure.compute_diffusivities(grid, dict(
+                fields, u=u, v=v, w=jnp.zeros_like(u)), time)
+            mt = self.closure.momentum_tendencies(
+                grid, dict(fields, u=u, v=v, w=jnp.zeros_like(u)), aux)
+            G[self._solution[0]] = G[self._solution[0]] + mt["u"]
+            G[self._solution[1]] = G[self._solution[1]] + mt["v"]
+            for name in self.tracer_names:
+                G[name] = G[name] + self.closure.tracer_tendency(
+                    grid, name, fields, aux)
+
+        for name, F in self.forcing.items():
+            G[name] = G[name] + (F(grid, fields, time) if callable(F) else F)
+        for name in G:
+            G[name] = apply_flux_bcs(G[name], grid, self.loc(name),
+                                     self.bcs[name], time)
+        return G
+
+    def _fill_all(self, fields, time):
+        return {name: fill_halo_regions(data, self.grid, self.loc(name),
+                                        self.bcs[name], time)
+                for name, data in fields.items()}
+
+    def _build_step(self):
+        def step(state, dt):
+            fields = state["fields"]
+            clock = state["clock"]
+            time = clock["time"]
+            Gm = None
+            for gamma, zeta in zip(RK3_GAMMAS, RK3_ZETAS):
+                fields = self._fill_all(fields, time)
+                G = self._compute_tendencies(fields, time)
+                new = {}
+                for name in fields:
+                    inc = gamma * G[name]
+                    if zeta != 0.0:
+                        inc = inc + zeta * Gm[name]
+                    new[name] = fields[name] + dt * inc
+                fields = new
+                Gm = G
+                time = time + (gamma + zeta) * dt
+            clock = dict(time=time, iteration=clock["iteration"] + 1,
+                         last_dt=dt * jnp.ones_like(clock["last_dt"]))
+            return dict(fields=fields, clock=clock)
+
+        return step
+
+    def time_step(self, dt):
+        dt = jnp.asarray(dt, self.grid.dtype)
+        self.state = self._step(self.state, dt)
+        return self
+
+    def __repr__(self):
+        return (f"ShallowWaterModel(grid={self.grid!r}, "
+                f"formulation={self.formulation})")

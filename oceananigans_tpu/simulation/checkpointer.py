@@ -1,0 +1,108 @@
+"""Checkpoint / resume.
+
+Reference semantics: src/OutputWriters/checkpointer.jl:10-97 — snapshot the
+grid spec, clock, prognostic fields AND (for AB2) the previous tendencies G⁻
+(needed for restart continuity), with `run!(sim, pickup=true)` restoring the
+latest checkpoint (src/Simulations/run.jl:59-97).
+
+Format: one ``checkpoint_iteration{N}.npz`` per snapshot containing the whole
+state pytree flattened to named arrays."""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.schedules import IterationInterval
+
+
+def _flatten_state(state, prefix=""):
+    out = {}
+    for k, v in state.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_state(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_state(arrays):
+    out = {}
+    for key, v in arrays.items():
+        parts = key.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(v)
+    return out
+
+
+class Checkpointer:
+    def __init__(self, model, schedule=None, dir=".", prefix="checkpoint",
+                 keep=None):
+        self.model = model
+        self.schedule = schedule or IterationInterval(1000)
+        self.dir = dir
+        self.prefix = prefix
+        self.keep = keep
+        os.makedirs(dir, exist_ok=True)
+
+    def path(self, iteration):
+        return os.path.join(self.dir, f"{self.prefix}_iteration{iteration}.npz")
+
+    def write(self, sim):
+        model = sim.model
+        arrays = _flatten_state(model.state)
+        np.savez(self.path(model.iteration), **arrays)
+        if self.keep:
+            files = sorted(glob.glob(os.path.join(
+                self.dir, f"{self.prefix}_iteration*.npz")),
+                key=_iteration_of)
+            for f in files[:-self.keep]:
+                os.remove(f)
+
+    def maybe_write(self, sim, force=False):
+        if force:
+            return  # no iteration-0 checkpoint by default
+        if self.schedule(sim.model):
+            self.write(sim)
+
+
+def _iteration_of(path):
+    m = re.search(r"iteration(\d+)\.npz$", path)
+    return int(m.group(1)) if m else -1
+
+
+def restore(model, path):
+    """Restore a model's state pytree from a checkpoint file (reference:
+    set!(model, path), src/Models/set_model.jl)."""
+    with np.load(path) as data:
+        arrays = {k: data[k] for k in data.files}
+    state = _unflatten_state(arrays)
+    # merge: keep any state entries the checkpoint lacks
+    merged = dict(model.state)
+    for k, v in state.items():
+        if isinstance(v, dict) and isinstance(merged.get(k), dict):
+            merged[k] = {**merged[k], **v}
+        else:
+            merged[k] = v
+    model.state = merged
+    return model
+
+
+def restore_latest(model, pickup):
+    """pickup=True → newest checkpoint in cwd; pickup=<path> → that file."""
+    if pickup is True:
+        files = sorted(glob.glob("checkpoint_iteration*.npz"),
+                       key=_iteration_of)
+        if not files:
+            raise FileNotFoundError("no checkpoint files found for pickup")
+        path = files[-1]
+    else:
+        path = pickup
+    return restore(model, path)

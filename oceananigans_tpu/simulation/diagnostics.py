@@ -1,0 +1,86 @@
+"""Diagnostics: CFL numbers, TimeStepWizard, StateChecker.
+
+Reference semantics: src/Diagnostics/cfl.jl:8 (CFL = Δt/cell_advection_
+timescale; AdvectiveCFL, DiffusiveCFL), src/Simulations/time_step_wizard.jl:
+5-14,65-100 (CFL-adaptive Δt with max_change/min_change clamps), and
+src/Diagnostics/state_checker.jl."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..advection.fluxes import cell_advection_timescale
+
+
+class AdvectiveCFL:
+    def __init__(self, dt):
+        self.dt = dt
+
+    def __call__(self, model):
+        f = model.state["fields"]
+        tau = cell_advection_timescale(model.grid, f["u"], f["v"], f["w"])
+        dt = self.dt(model) if callable(self.dt) else self.dt
+        return float(dt / tau)
+
+
+CFL = AdvectiveCFL
+
+
+class DiffusiveCFL:
+    def __init__(self, dt):
+        self.dt = dt
+
+    def __call__(self, model):
+        nu = getattr(model.closure, "nu", 0.0) if model.closure else 0.0
+        if not np.isscalar(nu):
+            nu = float(np.max(np.asarray(nu)))
+        dmin = min(model.grid.minimum_spacing(i) for i in range(3)
+                   if not model.grid.is_flat(i))
+        dt = self.dt(model) if callable(self.dt) else self.dt
+        return float(dt * nu / dmin ** 2)
+
+
+class TimeStepWizard:
+    """Adapt Simulation.dt to hold a target CFL (reference:
+    time_step_wizard.jl). Install with
+    ``sim.add_callback(TimeStepWizard(cfl=0.7), IterationInterval(10))``.
+
+    This is the one deliberate device→host sync in the loop: it reads one
+    scalar (the min advection timescale) every N iterations."""
+
+    def __init__(self, cfl=0.2, diffusive_cfl=np.inf, max_change=1.1,
+                 min_change=0.5, max_dt=np.inf, min_dt=0.0):
+        self.cfl = cfl
+        self.diffusive_cfl = diffusive_cfl
+        self.max_change = max_change
+        self.min_change = min_change
+        self.max_dt = max_dt
+        self.min_dt = min_dt
+
+    def new_dt(self, model, dt):
+        f = model.state["fields"]
+        tau = float(cell_advection_timescale(model.grid, f["u"], f["v"],
+                                             f["w"]))
+        new = self.cfl * tau
+        new = min(new, self.max_change * dt)
+        new = max(new, self.min_change * dt)
+        return float(np.clip(new, self.min_dt, self.max_dt))
+
+    def __call__(self, sim):
+        sim.dt = self.new_dt(sim.model, sim.dt)
+
+
+class StateChecker:
+    """Print min/max/mean of every prognostic field (reference:
+    state_checker.jl)."""
+
+    def __call__(self, sim):
+        model = sim.model
+        print(f"State check, iteration {model.iteration}, "
+              f"time {model.time:.4g}:")
+        for name in model.prognostic_names:
+            fld = model.field(name)
+            print(f"  {name:>4}: min {float(fld.min()):+.6e} "
+                  f"max {float(fld.max()):+.6e} mean {float(fld.mean()):+.6e}")

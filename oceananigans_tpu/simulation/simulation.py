@@ -1,0 +1,145 @@
+"""Simulation: the host-side run loop around the jitted model step.
+
+Reference semantics: src/Simulations/simulation.jl (struct :10-30, ctor
+:68-110 — auto-installed stop criteria and NaNChecker) and run.jl (run! :92-113,
+time_step! :125-176, Δt alignment :24-57).
+
+TPU-first: the loop itself is plain Python — everything inside
+``model.time_step(dt)`` is one compiled XLA program. Callbacks/writers fire on
+host between steps; NaN checking syncs device→host only every N iterations."""
+
+from __future__ import annotations
+
+import time as _time
+
+import numpy as np
+
+from ..utils.schedules import IterationInterval, Schedule, TimeInterval
+
+
+class Callback:
+    def __init__(self, func, schedule=None):
+        self.func = func
+        self.schedule = schedule or IterationInterval(1)
+
+    def maybe_call(self, sim):
+        if self.schedule(sim.model):
+            self.func(sim)
+
+
+class NaNChecker:
+    """Abort when a NaN appears in the monitored fields (reference:
+    src/Diagnostics/nan_checker.jl; installed every 100 iterations by default
+    like simulation.jl:91-94)."""
+
+    def __init__(self, fields=("u",)):
+        self.fields = fields
+
+    def __call__(self, sim):
+        for name in self.fields:
+            data = sim.model.state["fields"][name]
+            if bool(np.isnan(np.asarray(data).ravel()[::max(1, data.size // 4096)]).any()):
+                sim.running = False
+                raise RuntimeError(
+                    f"time = {sim.model.time}, iteration = "
+                    f"{sim.model.iteration}: NaN found in field {name!r}. "
+                    "Aborting simulation.")
+
+
+class Simulation:
+    def __init__(self, model, dt, stop_time=None, stop_iteration=None,
+                 wall_time_limit=None, verbose=False):
+        self.model = model
+        self.dt = float(dt)
+        self.stop_time = stop_time
+        self.stop_iteration = stop_iteration
+        self.wall_time_limit = wall_time_limit
+        self.verbose = verbose
+        self.callbacks = {}
+        self.output_writers = {}
+        self.diagnostics = {}
+        self.running = True
+        self.initialized = False
+        self.run_wall_time = 0.0
+        self.add_callback(NaNChecker(fields=("u",)), IterationInterval(100),
+                          name="nan_checker")
+
+    # -- registration ---------------------------------------------------------
+
+    def add_callback(self, func, schedule=None, name=None):
+        cb = Callback(func, schedule)
+        name = name or f"callback{len(self.callbacks)}"
+        self.callbacks[name] = cb
+        return cb
+
+    def add_output_writer(self, writer, name=None):
+        name = name or f"writer{len(self.output_writers)}"
+        self.output_writers[name] = writer
+        return writer
+
+    # -- stepping -------------------------------------------------------------
+
+    def _aligned_dt(self):
+        """Shrink Δt to land on schedules / stop_time (reference:
+        run.jl:24-57 aligned_time_step)."""
+        dt = self.dt
+        for w in self.output_writers.values():
+            sched = getattr(w, "schedule", None)
+            if isinstance(sched, Schedule):
+                dt = sched.aligned_time_step(self.model, dt)
+        for cb in self.callbacks.values():
+            dt = cb.schedule.aligned_time_step(self.model, dt)
+        if self.stop_time is not None:
+            dt = min(dt, max(self.stop_time - self.model.time, 1e-12))
+        return dt
+
+    def _stop_criteria(self):
+        if self.stop_iteration is not None \
+                and self.model.iteration >= self.stop_iteration:
+            return "stop_iteration"
+        if self.stop_time is not None \
+                and self.model.time >= self.stop_time - 1e-12:
+            return "stop_time"
+        if self.wall_time_limit is not None \
+                and self.run_wall_time >= self.wall_time_limit:
+            return "wall_time_limit"
+        return None
+
+    def initialize(self):
+        for cb in self.callbacks.values():
+            cb.schedule.initialize(self.model)
+        for w in self.output_writers.values():
+            sched = getattr(w, "schedule", None)
+            if isinstance(sched, Schedule):
+                sched.initialize(self.model)
+            if hasattr(w, "initialize"):
+                w.initialize(self)
+            w.maybe_write(self, force=True)
+        self.initialized = True
+
+    def step(self):
+        dt = self._aligned_dt()
+        self.model.time_step(dt)
+        for cb in self.callbacks.values():
+            cb.maybe_call(self)
+        for w in self.output_writers.values():
+            w.maybe_write(self)
+
+    def run(self, pickup=False):
+        """Reference: run!, src/Simulations/run.jl:92-113."""
+        if pickup:
+            from .checkpointer import restore_latest
+            restore_latest(self.model, pickup)
+        if not self.initialized:
+            self.initialize()
+        self.running = True
+        t0 = _time.monotonic()
+        while self.running:
+            reason = self._stop_criteria()
+            if reason is not None:
+                if self.verbose:
+                    print(f"Simulation is stopping ({reason}).")
+                break
+            self.step()
+            self.run_wall_time = _time.monotonic() - t0
+        return self

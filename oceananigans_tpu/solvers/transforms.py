@@ -99,4 +99,4 @@ def dct_inverse_fft(a, axis):
     half = (N + 1) // 2
     x = x.at[..., 0::2].set(jnp.real(v[..., :half]))
     x = x.at[..., 1::2].set(jnp.real(jnp.flip(v[..., half:], axis=-1)))
-    return jnp.moveaxis(x / 2.0, -1, axis)
+    return jnp.moveaxis(x, -1, axis)

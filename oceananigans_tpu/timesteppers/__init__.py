@@ -1,0 +1,5 @@
+from .steppers import RK3_GAMMAS, RK3_ZETAS, RungeKutta3TimeStepper, \
+    QuasiAdamsBashforth2TimeStepper
+
+__all__ = ["RK3_GAMMAS", "RK3_ZETAS", "RungeKutta3TimeStepper",
+           "QuasiAdamsBashforth2TimeStepper"]

@@ -1,0 +1,126 @@
+"""Schedules controlling when callbacks / writers / diagnostics fire.
+
+Reference semantics: src/Utils/schedules.jl — `TimeInterval` (:32-70),
+`IterationInterval`, `WallTimeInterval`, `SpecifiedTimes`, `AndSchedule`/
+`OrSchedule`. Schedules are host-side objects: they are consulted between
+jitted steps and never traced."""
+
+from __future__ import annotations
+
+import time as _time
+
+import numpy as np
+
+
+class Schedule:
+    def initialize(self, model):
+        return None
+
+    def aligned_time_step(self, model, dt):
+        """Optionally shrink dt so the next actuation lands exactly."""
+        return dt
+
+    def __and__(self, other):
+        return AndSchedule(self, other)
+
+    def __or__(self, other):
+        return OrSchedule(self, other)
+
+
+class TimeInterval(Schedule):
+    """Actuates every ``interval`` of model time."""
+
+    def __init__(self, interval):
+        self.interval = float(interval)
+        self.previous_actuation_time = None
+
+    def initialize(self, model):
+        self.previous_actuation_time = model.time
+
+    def __call__(self, model):
+        t = model.time
+        if self.previous_actuation_time is None:
+            self.previous_actuation_time = t
+            return True
+        if t >= self.previous_actuation_time + self.interval - 1e-12:
+            # align to the schedule grid like the reference (schedules.jl)
+            n = round((t - self.previous_actuation_time) / self.interval)
+            self.previous_actuation_time += max(n, 1) * self.interval
+            return True
+        return False
+
+    def aligned_time_step(self, model, dt):
+        if self.previous_actuation_time is None:
+            return dt
+        next_t = self.previous_actuation_time + self.interval
+        return min(dt, max(next_t - model.time, 1e-12))
+
+
+class IterationInterval(Schedule):
+    def __init__(self, interval, offset=0):
+        self.interval = int(interval)
+        self.offset = offset
+
+    def __call__(self, model):
+        return (model.iteration + self.offset) % self.interval == 0
+
+
+class WallTimeInterval(Schedule):
+    def __init__(self, interval):
+        self.interval = float(interval)
+        self.previous = _time.monotonic()
+
+    def __call__(self, model):
+        now = _time.monotonic()
+        if now - self.previous >= self.interval:
+            self.previous = now
+            return True
+        return False
+
+
+class SpecifiedTimes(Schedule):
+    def __init__(self, *times):
+        if len(times) == 1 and np.iterable(times[0]):
+            times = tuple(times[0])
+        self.times = sorted(float(t) for t in times)
+        self._next = 0
+
+    def __call__(self, model):
+        if self._next >= len(self.times):
+            return False
+        if model.time >= self.times[self._next] - 1e-12:
+            self._next += 1
+            return True
+        return False
+
+    def aligned_time_step(self, model, dt):
+        if self._next >= len(self.times):
+            return dt
+        return min(dt, max(self.times[self._next] - model.time, 1e-12))
+
+
+class AndSchedule(Schedule):
+    def __init__(self, *schedules):
+        self.schedules = schedules
+
+    def initialize(self, model):
+        for s in self.schedules:
+            s.initialize(model)
+
+    def __call__(self, model):
+        return all(s(model) for s in self.schedules)
+
+
+class OrSchedule(Schedule):
+    def __init__(self, *schedules):
+        self.schedules = schedules
+
+    def initialize(self, model):
+        for s in self.schedules:
+            s.initialize(model)
+
+    def __call__(self, model):
+        return any(s(model) for s in self.schedules)
+
+    def aligned_time_step(self, model, dt):
+        return min(s.aligned_time_step(model, dt) for s in self.schedules)

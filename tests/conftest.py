@@ -4,7 +4,7 @@ import sys
 # Run the test-suite on a virtual 8-device CPU mesh so multi-chip sharding
 # logic is exercised without TPU hardware (SURVEY.md §4: the serial-vs-sharded
 # equivalence strategy; JAX's host-device-count override).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,8 +14,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The container's sitecustomize imports jax with JAX_PLATFORMS=axon (TPU
+# tunnel) already pinned, so the env var above may be too late — force the
+# platform through the config API before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+
 # Reference-grade precision for numerical assertions.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: repeated test runs skip recompilation.
+jax.config.update("jax_compilation_cache_dir", "/tmp/oceananigans_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

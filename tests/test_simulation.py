@@ -1,0 +1,124 @@
+"""Simulation / schedules / output / checkpoint tests (reference analogue:
+test/test_simulations.jl, test_schedules.jl, test_output_writers.jl,
+test_checkpointer.jl)."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from oceananigans_tpu import RectilinearGrid
+from oceananigans_tpu.models import NonhydrostaticModel
+from oceananigans_tpu.simulation import Simulation
+from oceananigans_tpu.simulation.checkpointer import Checkpointer, restore
+from oceananigans_tpu.simulation.diagnostics import (AdvectiveCFL,
+                                                     TimeStepWizard)
+from oceananigans_tpu.simulation.output_writers import FieldWriter
+from oceananigans_tpu.utils.schedules import (IterationInterval, SpecifiedTimes,
+                                              TimeInterval)
+
+
+def tiny_model():
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1, 1, 1))
+    m = NonhydrostaticModel(grid=grid, tracers=("c",))
+    m.set(u=lambda x, y, z: 0.01 * jnp.sin(2 * jnp.pi * x))
+    return m
+
+
+def test_run_until_stop_time():
+    sim = Simulation(tiny_model(), dt=0.01, stop_time=0.1)
+    sim.run()
+    assert np.isclose(sim.model.time, 0.1, atol=1e-9)
+
+
+def test_run_until_stop_iteration():
+    sim = Simulation(tiny_model(), dt=0.01, stop_iteration=7)
+    sim.run()
+    assert sim.model.iteration == 7
+
+
+def test_callback_iteration_interval():
+    sim = Simulation(tiny_model(), dt=0.01, stop_iteration=10)
+    count = []
+    sim.add_callback(lambda s: count.append(s.model.iteration),
+                     IterationInterval(2))
+    sim.run()
+    assert count == [2, 4, 6, 8, 10]
+
+
+def test_time_interval_schedule_aligns_dt():
+    sim = Simulation(tiny_model(), dt=0.03, stop_time=0.1)
+    times = []
+    sim.add_callback(lambda s: times.append(s.model.time), TimeInterval(0.05))
+    sim.run()
+    # the dt was shrunk to land exactly on 0.05 and 0.10
+    assert any(np.isclose(t, 0.05, atol=1e-9) for t in times)
+    assert any(np.isclose(t, 0.10, atol=1e-9) for t in times)
+
+
+def test_specified_times_schedule():
+    sim = Simulation(tiny_model(), dt=0.03, stop_time=0.12)
+    times = []
+    sim.add_callback(lambda s: times.append(s.model.time),
+                     SpecifiedTimes(0.04, 0.11))
+    sim.run()
+    assert np.isclose(times[0], 0.04, atol=1e-9)
+    assert np.isclose(times[1], 0.11, atol=1e-9)
+
+
+def test_field_writer_and_reader(tmp_path):
+    sim = Simulation(tiny_model(), dt=0.01, stop_iteration=4)
+    path = str(tmp_path / "out")
+    w = FieldWriter(sim.model, outputs={"u": "u", "c": "c"}, path=path,
+                    schedule=IterationInterval(2))
+    sim.add_output_writer(w)
+    sim.run()
+    index = json.load(open(os.path.join(path, "series.json")))
+    assert index["iterations"] == [0, 2, 4]
+    u2 = np.load(os.path.join(path, "u_2.npy"))
+    assert u2.shape == (8, 8, 4)
+
+
+def test_checkpoint_restore_bitwise(tmp_path):
+    m1 = tiny_model()
+    sim = Simulation(m1, dt=0.01, stop_iteration=5)
+    ck = Checkpointer(m1, schedule=IterationInterval(5), dir=str(tmp_path))
+    sim.add_output_writer(ck)
+    sim.run()
+    path = ck.path(5)
+    assert os.path.exists(path)
+    u5 = np.asarray(m1.state["fields"]["u"]).copy()
+
+    # restore into a fresh model and continue: must match a straight run
+    m2 = tiny_model()
+    restore(m2, path)
+    assert np.array_equal(np.asarray(m2.state["fields"]["u"]), u5)
+    assert m2.iteration == 5
+    m1.time_step(0.01)
+    m2.time_step(0.01)
+    assert np.allclose(np.asarray(m1.state["fields"]["u"]),
+                       np.asarray(m2.state["fields"]["u"]), atol=0)
+
+
+def test_time_step_wizard():
+    m = tiny_model()
+    m.set(u=1.0)  # fast flow
+    wiz = TimeStepWizard(cfl=0.5, max_change=1.5, min_change=0.1)
+    new = wiz.new_dt(m, 1.0)
+    # dt limited toward cfl * dx/u = 0.5 * 0.125 but clamped by min_change
+    assert new == 0.1
+    cfl = AdvectiveCFL(new)(m)
+    assert cfl > 0
+
+
+def test_nan_checker_aborts():
+    m = tiny_model()
+    m.state["fields"]["u"] = m.state["fields"]["u"].at[5, 5, 4].set(np.nan)
+    sim = Simulation(m, dt=0.01, stop_iteration=200)
+    try:
+        sim.run()
+        raised = False
+    except RuntimeError as e:
+        raised = "NaN" in str(e)
+    assert raised

@@ -1,0 +1,129 @@
+"""Solver tests (reference analogue: test/test_poisson_solvers.jl,
+test_batched_tridiagonal_solver.jl): analytic eigenfunctions, random-RHS
+residual checks, DCT path equivalence, tridiagonal vs dense."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oceananigans_tpu import RectilinearGrid
+from oceananigans_tpu.boundary_conditions import (
+    fill_halo_regions, regularize_field_boundary_conditions)
+from oceananigans_tpu.operators import laplacian_ccc
+from oceananigans_tpu.solvers.fft_poisson import FFTPoissonSolver
+from oceananigans_tpu.solvers.fourier_tridiagonal import (
+    FourierTridiagonalPoissonSolver)
+from oceananigans_tpu.solvers.transforms import (
+    dct_forward, dct_forward_fft, dct_inverse, dct_inverse_fft)
+from oceananigans_tpu.solvers.tridiagonal import solve_batched_tridiagonal
+
+CCC = ("c", "c", "c")
+
+
+def _laplacian_residual(grid, phi_int, rhs_int):
+    """‖∇²φ - b‖∞ over the interior, with halo-filled φ."""
+    bcs = regularize_field_boundary_conditions(None, grid, CCC)
+    phi = jnp.zeros(grid.padded_shape, phi_int.dtype)
+    phi = phi.at[grid.interior_slices].set(phi_int)
+    phi = fill_halo_regions(phi, grid, CCC, bcs)
+    lap = grid.interior(laplacian_ccc(grid, phi))
+    return float(np.max(np.abs(np.asarray(lap - rhs_int))))
+
+
+@pytest.mark.parametrize("topo", [
+    ("periodic", "periodic", "periodic"),
+    ("periodic", "periodic", "bounded"),
+    ("bounded", "bounded", "bounded"),
+    ("periodic", "bounded", "bounded"),
+])
+def test_fft_poisson_random_rhs(topo, rng):
+    g = RectilinearGrid(size=(8, 8, 8), x=(0, 1), y=(0, 2), z=(0, 1.5),
+                        topology=topo)
+    b = rng.normal(size=(8, 8, 8))
+    b -= b.mean()
+    b = jnp.asarray(b)
+    solver = FFTPoissonSolver(g)
+    phi = solver.solve(b)
+    assert _laplacian_residual(g, phi, b) < 1e-9
+
+
+def test_fft_poisson_analytic_eigenfunction():
+    # φ = cos(2πx) on periodic x ⇒ ∇²φ = -λ φ with the DISCRETE eigenvalue
+    n = 16
+    g = RectilinearGrid(size=(n, 1, 1), x=(0, 1), y=None, z=None,
+                        topology=("periodic", "flat", "flat"))
+    xc = g.xnodes("c")
+    phi_exact = np.cos(2 * np.pi * xc).reshape(-1, 1, 1)
+    lam = (2 * np.sin(np.pi / n) * n) ** 2  # discrete eigenvalue, k=1, L=1
+    b = jnp.asarray(-lam * phi_exact)
+    solver = FFTPoissonSolver(g)
+    phi = np.asarray(solver.solve(b))
+    phi = phi - phi.mean()
+    assert np.allclose(phi, phi_exact - phi_exact.mean(), atol=1e-10)
+
+
+def test_dct_matmul_vs_fft_paths(rng):
+    x = jnp.asarray(rng.normal(size=(5, 12, 7)))
+    for axis in (0, 1, 2):
+        a = dct_forward(x, axis)
+        b = dct_forward_fft(x, axis)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-10), axis
+        # roundtrips
+        assert np.allclose(np.asarray(dct_inverse(a, axis)), np.asarray(x),
+                           atol=1e-10)
+        assert np.allclose(np.asarray(dct_inverse_fft(b, axis)), np.asarray(x),
+                           atol=1e-10)
+
+
+def test_batched_tridiagonal_vs_dense(rng):
+    nz = 12
+    plane = (3, 4)
+    a = rng.normal(size=nz) * 0.1
+    b = 2.0 + rng.random(size=nz)
+    c = rng.normal(size=nz) * 0.1
+    d = rng.normal(size=plane + (nz,))
+    phi = np.asarray(solve_batched_tridiagonal(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d)))
+    M = np.diag(b) + np.diag(a[1:], -1) + np.diag(c[:-1], 1)
+    for i in range(plane[0]):
+        for j in range(plane[1]):
+            expect = np.linalg.solve(M, d[i, j])
+            assert np.allclose(phi[i, j], expect, atol=1e-10)
+
+
+def test_batched_tridiagonal_3d_coefficients(rng):
+    nz = 8
+    shape = (4, 4, nz)
+    a = rng.normal(size=shape) * 0.1
+    b = 2.0 + rng.random(size=shape)
+    c = rng.normal(size=shape) * 0.1
+    d = rng.normal(size=shape)
+    phi = np.asarray(solve_batched_tridiagonal(*map(jnp.asarray, (a, b, c, d))))
+    i, j = 2, 3
+    M = (np.diag(b[i, j]) + np.diag(a[i, j, 1:], -1) + np.diag(c[i, j, :-1], 1))
+    assert np.allclose(phi[i, j], np.linalg.solve(M, d[i, j]), atol=1e-10)
+
+
+def test_fourier_tridiagonal_matches_fft_on_regular_grid(rng):
+    g = RectilinearGrid(size=(8, 8, 8), x=(0, 1), y=(0, 1), z=(-1, 0))
+    b = rng.normal(size=(8, 8, 8))
+    b -= b.mean()
+    b = jnp.asarray(b)
+    p1 = np.asarray(FFTPoissonSolver(g).solve(b))
+    p2 = np.asarray(FourierTridiagonalPoissonSolver(g).solve(b))
+    p1 = p1 - p1.mean()
+    p2 = p2 - p2.mean()
+    assert np.allclose(p1, p2, atol=1e-8)
+
+
+def test_fourier_tridiagonal_stretched_z(rng):
+    faces = -np.flip(np.concatenate([[0], np.cumsum(0.1 * 1.15 ** np.arange(8))]))
+    g = RectilinearGrid(size=(8, 8, 8), x=(0, 1), y=(0, 1), z=faces)
+    b = rng.normal(size=(8, 8, 8))
+    # remove the volume-weighted mean so the Neumann problem is solvable
+    dz = np.diff(faces)
+    w = np.ones((8, 8, 8)) * dz[None, None, :]
+    b = b - (b * w).sum() / w.sum()
+    b = jnp.asarray(b)
+    phi = FourierTridiagonalPoissonSolver(g).solve(b)
+    assert _laplacian_residual(g, phi, b) < 1e-8
