@@ -57,6 +57,10 @@ class Field:
         see grids/base.py)."""
         sls = []
         for axis in range(3):
+            if self.data.shape[axis] == 1:
+                # reduced (e.g. surface) field: size-1 axis has no halo
+                sls.append(slice(0, 1))
+                continue
             n, h = self.grid.N[axis], self.grid.H[axis]
             extra = 1 if (self.loc[axis] == FACE
                           and self.grid.topology[axis] == BOUNDED) else 0

@@ -1,3 +1,9 @@
 from .nonhydrostatic import NonhydrostaticModel
+from .shallow_water import ShallowWaterModel
+from .hydrostatic import HydrostaticFreeSurfaceModel
+from .free_surfaces import (ExplicitFreeSurface, ImplicitFreeSurface,
+                            SplitExplicitFreeSurface)
 
-__all__ = ["NonhydrostaticModel"]
+__all__ = ["NonhydrostaticModel", "ShallowWaterModel",
+           "HydrostaticFreeSurfaceModel", "ExplicitFreeSurface",
+           "ImplicitFreeSurface", "SplitExplicitFreeSurface"]

@@ -1,0 +1,143 @@
+"""Free surface treatments for the HydrostaticFreeSurfaceModel.
+
+Reference semantics: src/Models/HydrostaticFreeSurfaceModels/ —
+* `ExplicitFreeSurface` (explicit_free_surface.jl): ∂t η = -∇·U with the
+  barotropic pressure gradient -g∇η in the momentum tendencies (gravity-wave
+  CFL limited).
+* `ImplicitFreeSurface` (implicit_free_surface.jl:35-110 with the
+  :FastFourierTransform solver, fft_based_implicit_free_surface_solver.jl):
+  backward-Euler step of the barotropic mode — solve
+  (1 - g H Δt² ∇²) ηⁿ⁺¹ = ηⁿ - Δt ∇·∫u* dz on a regular grid by FFT/DCT
+  eigenvalue division, then correct u ← u* - Δt g ∇ηⁿ⁺¹.
+* `SplitExplicitFreeSurface` (SplitExplicitFreeSurfaces/): barotropic
+  substepping — forward-backward substeps of (η, U, V) with Δτ spanning
+  (t, t+2Δt), Shchepetkin averaging-shape weights
+  (split_explicit_free_surface.jl:227-231, weights_from_substeps :268), slow
+  forcing Gᵁ = ∫ G_u dz, and the barotropic corrector replacing the depth
+  mean of u with the filtered Ū (barotropic_split_explicit_corrector.jl).
+
+TPU-first: the substep loop is a `lax.scan` over a stacked weights array —
+two tiny fused 2D kernels per substep with no host round trips (the
+reference hand-unrolls and pre-converts kernel arguments for the same reason,
+step_split_explicit_free_surface.jl:65-107)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..defaults import defaults
+from ..grids.topology import LOC_CCC, LOC_CFC, LOC_FCC
+from ..operators.operators import ddx, ddy, dx_c, dy_c, ix_f, iy_f
+
+
+def averaging_shape_function(tau, p=2, q=4, r=0.18927):
+    """Shchepetkin & McWilliams (2005) minimal-dispersion averaging kernel
+    (reference: split_explicit_free_surface.jl:227-231)."""
+    tau0 = (p + 2) * (p + q + 2) / (p + 1) / (p + q + 1)
+    return (tau / tau0) ** p * (1 - (tau / tau0) ** q) - r * (tau / tau0)
+
+
+def weights_from_substeps(substeps, kernel=averaging_shape_function):
+    """Fractional substep size and normalized averaging weights (reference:
+    weights_from_substeps, split_explicit_free_surface.jl:268-280)."""
+    tau_f = np.linspace(0.0, 2.0, substeps + 1)
+    dtau = tau_f[1] - tau_f[0]
+    w = np.array([kernel(t) for t in tau_f[1:]])
+    # truncate where the kernel goes non-positive at the tail
+    idx = len(w)
+    while idx > 1 and w[idx - 1] <= 0:
+        idx -= 1
+    w = w[:idx]
+    w = w / w.sum()
+    return float(dtau), w
+
+
+class ExplicitFreeSurface:
+    def __init__(self, gravitational_acceleration=None):
+        self.g = (defaults.gravitational_acceleration
+                  if gravitational_acceleration is None
+                  else float(gravitational_acceleration))
+
+    def _fp(self):
+        return ("ExplicitFreeSurface", self.g)
+
+    def __hash__(self):
+        return hash(self._fp())
+
+    def __eq__(self, o):
+        return hasattr(o, "_fp") and self._fp() == o._fp()
+
+
+class ImplicitFreeSurface:
+    def __init__(self, gravitational_acceleration=None,
+                 solver_method="FastFourierTransform"):
+        self.g = (defaults.gravitational_acceleration
+                  if gravitational_acceleration is None
+                  else float(gravitational_acceleration))
+        self.solver_method = solver_method
+
+    def _fp(self):
+        return ("ImplicitFreeSurface", self.g, self.solver_method)
+
+    __hash__ = ExplicitFreeSurface.__hash__
+    __eq__ = ExplicitFreeSurface.__eq__
+
+
+class SplitExplicitFreeSurface:
+    def __init__(self, gravitational_acceleration=None, substeps=None,
+                 cfl=None, averaging_kernel=averaging_shape_function):
+        self.g = (defaults.gravitational_acceleration
+                  if gravitational_acceleration is None
+                  else float(gravitational_acceleration))
+        if substeps is None:
+            substeps = 30  # a safe default; reference requires substeps or cfl
+        self.substeps = int(substeps)
+        self.fractional_step, self.weights = weights_from_substeps(
+            self.substeps, averaging_kernel)
+
+    def _fp(self):
+        return ("SplitExplicitFreeSurface", self.g, self.substeps)
+
+    __hash__ = ExplicitFreeSurface.__hash__
+    __eq__ = ExplicitFreeSurface.__eq__
+
+    def substep(self, grid, H_fc, H_cf, eta, U0, V0, GU, GV, dt,
+                fill_eta, fill_U, fill_V):
+        """Run the barotropic substep loop.
+
+        Inputs are padded 2D-ish arrays (shape (Nx+2H, Ny+2H, 1)):
+        ``eta`` the free surface, ``U0/V0`` the initial barotropic
+        transports (∫u dz), ``GU/GV`` the depth-integrated slow tendencies,
+        ``H_fc/H_cf`` the column depths at (f,c)/(c,f). ``fill_*`` refresh
+        the 2D halos (cheap slice updates — stencils consume one halo ring
+        per substep otherwise; the reference instead extends halos by the
+        substep count in distributed runs, maybe_extend_halos).
+
+        Returns (eta_filtered, U_filtered, V_filtered)."""
+        g = self.g
+        dtau = self.fractional_step * dt  # python float * traced scalar: no promotion
+        weights = jnp.asarray(self.weights, eta.dtype)
+
+        def body(carry, w):
+            eta, U, V, eta_f, U_f, V_f = carry
+            # η ← η - Δτ ∇·U   (δx(Δy U) + δy(Δx V)) / Az
+            U = fill_U(U)
+            V = fill_V(V)
+            div = (dx_c(grid, grid.dy(LOC_FCC) * U)
+                   + dy_c(grid, grid.dx(LOC_CFC) * V)) / grid.Az(LOC_CCC)
+            eta = fill_eta(eta - dtau * div)
+            # U ← U + Δτ(-g H ∂x η + Gᵁ)
+            U = U + dtau * (-g * H_fc * ddx(grid, eta, LOC_FCC) + GU)
+            V = V + dtau * (-g * H_cf * ddy(grid, eta, LOC_CFC) + GV)
+            eta_f = eta_f + w * eta
+            U_f = U_f + w * U
+            V_f = V_f + w * V
+            return (eta, U, V, eta_f, U_f, V_f), None
+
+        init = (eta, U0, V0, jnp.zeros_like(eta), jnp.zeros_like(U0),
+                jnp.zeros_like(V0))
+        (eta_m, U_m, V_m, eta_f, U_f, V_f), _ = jax.lax.scan(
+            body, init, weights)
+        return eta_f, U_f, V_f

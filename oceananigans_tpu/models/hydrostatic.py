@@ -1,0 +1,432 @@
+"""HydrostaticFreeSurfaceModel: primitive equations with a free surface.
+
+Reference semantics: src/Models/HydrostaticFreeSurfaceModels/ —
+* struct + defaults (hydrostatic_free_surface_model.jl:37-64): prognostic
+  u, v, tracers, η; w diagnosed from continuity
+  (compute_w_from_continuity.jl:16-19); free surface Explicit / Implicit /
+  SplitExplicit (by grid type).
+* tendencies (hydrostatic_free_surface_tendency_kernel_functions.jl:27-140):
+  vector-invariant momentum advection, Coriolis, ∂x pHY′ from the buoyancy
+  integral (update_hydrostatic_pressure.jl), closures, forcing; no w equation.
+* quasi-AB2 stepping (hydrostatic_free_surface_ab2_step.jl): explicit AB2 for
+  u, v, tracers + implicit vertical diffusion + free-surface step + barotropic
+  corrector.
+
+TPU-first: one jitted step; the split-explicit barotropic loop is a lax.scan
+(models/free_surfaces.py); the hydrostatic pressure integral and w-from-
+continuity are cumulative sums along the z (lane) axis — XLA lowers them to
+efficient scans. The barotropic transports are re-initialized from ∫u dz each
+step (the reference persists them across steps; the filtered average is
+insensitive to this at O(Δt) — documented deviation)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..advection import Centered, WENO, div_Uc, div_Uu, div_Uv
+from ..advection.vector_invariant import VectorInvariant
+from ..boundary_conditions import (apply_flux_bcs, fill_halo_regions,
+                                   regularize_field_boundary_conditions)
+from ..boundary_conditions.fill_halos import _fill_axis
+from ..fields import Field, set_on_padded
+from ..grids.topology import BOUNDED, LOC_CCC, LOC_CCF, LOC_CFC, LOC_FCC
+from ..operators.operators import ddx, ddy, div_xy_ccc, dx_c, dy_c, iz_f
+from ..solvers.fft_poisson import poisson_eigenvalues
+from ..solvers.transforms import dct_forward, dct_inverse
+from ..timesteppers import QuasiAdamsBashforth2TimeStepper
+from .free_surfaces import (ExplicitFreeSurface, ImplicitFreeSurface,
+                            SplitExplicitFreeSurface)
+from .nonhydrostatic import implicit_vertical_diffusion, _vertical_spacings
+
+PROGNOSTIC_LOCS = {"u": LOC_FCC, "v": LOC_CFC}
+
+
+class HydrostaticFreeSurfaceModel:
+    def __init__(self, grid, momentum_advection=None, tracer_advection=None,
+                 free_surface=None, tracers=(), buoyancy=None, coriolis=None,
+                 closure=None, forcing=None, boundary_conditions=None):
+        self.momentum_advection = (momentum_advection if momentum_advection
+                                   is not None else VectorInvariant())
+        self.tracer_advection = (tracer_advection if tracer_advection
+                                 is not None else Centered(2))
+        self.free_surface = free_surface or SplitExplicitFreeSurface()
+        if isinstance(tracers, str):
+            tracers = (tracers,)
+        tracers = tuple(tracers)
+        if buoyancy is not None:
+            for name in buoyancy.required_tracers:
+                if name not in tracers:
+                    tracers = tracers + (name,)
+        self.tracer_names = tracers
+        self.buoyancy = buoyancy
+        self.coriolis = coriolis
+        self.closure = closure
+        self.forcing = dict(forcing or {})
+        self.timestepper = QuasiAdamsBashforth2TimeStepper()
+
+        required = max(getattr(self.tracer_advection, "required_halo", 1),
+                       getattr(self.momentum_advection, "required_halo", 1))
+        if closure is not None:
+            required = max(required, getattr(closure, "required_halo", 1))
+        halo = tuple(max(h, required) if not grid.is_flat(i) else 0
+                     for i, h in enumerate(grid.H))
+        self.grid = grid.with_halo(halo)
+        if not self.grid.is_bounded(2):
+            raise ValueError("HydrostaticFreeSurfaceModel needs a Bounded "
+                             "z direction")
+
+        bcs_in = dict(boundary_conditions or {})
+        self.bcs = {}
+        for name, loc in PROGNOSTIC_LOCS.items():
+            self.bcs[name] = regularize_field_boundary_conditions(
+                bcs_in.get(name), self.grid, loc)
+        for name in self.tracer_names:
+            self.bcs[name] = regularize_field_boundary_conditions(
+                bcs_in.get(name), self.grid, LOC_CCC)
+        self.bcs["w"] = regularize_field_boundary_conditions(
+            None, self.grid, LOC_CCF)
+        self.bcs["eta"] = regularize_field_boundary_conditions(
+            bcs_in.get("eta"), self.grid, LOC_CCC)
+        self.bcs["ph"] = regularize_field_boundary_conditions(
+            None, self.grid, LOC_CCC)
+
+        shape = self.grid.padded_shape
+        dtype = self.grid.dtype
+        shape2d = (shape[0], shape[1], 1)
+        zeros = lambda: jnp.zeros(shape, dtype)
+        fields = {n: zeros() for n in ("u", "v") + self.tracer_names}
+        fields["eta"] = jnp.zeros(shape2d, dtype)
+        clock = dict(time=jnp.zeros((), dtype),
+                     iteration=jnp.zeros((), jnp.int32),
+                     last_dt=jnp.full((), np.inf, dtype))
+        self.state = dict(fields=fields, clock=clock, w=zeros(),
+                          Gm={n: zeros() for n in self.prognostic_3d})
+
+        # column depth (static z coordinate: H = depth of the water column;
+        # reference column_depthᶠᶜᵃ — constant for ZCoordinate grids)
+        Lz = self.grid.extent[2]
+        self._H_fc = Lz
+        self._H_cf = Lz
+
+        # implicit free-surface FFT plan (2D horizontal Helmholtz)
+        if isinstance(self.free_surface, ImplicitFreeSurface):
+            lam = np.zeros((1, 1, 1))
+            self._fs_plan = []
+            for axis in (0, 1):
+                topo = self.grid.topology[axis]
+                if self.grid.is_flat(axis):
+                    continue
+                N, L = self.grid.N[axis], self.grid.extent[axis]
+                sh = [1, 1, 1]
+                sh[axis] = N
+                lam = lam + poisson_eigenvalues(N, L, topo).reshape(sh)
+                self._fs_plan.append(
+                    (axis, "fft" if topo == "periodic" else "dct"))
+            self._fs_lam = lam
+
+        self._step = jax.jit(self._build_step())
+
+    # -- properties -----------------------------------------------------------
+
+    @property
+    def prognostic_3d(self):
+        return ("u", "v") + self.tracer_names
+
+    @property
+    def prognostic_names(self):
+        return self.prognostic_3d + ("eta",)
+
+    def loc(self, name):
+        if name == "w":
+            return LOC_CCF
+        return PROGNOSTIC_LOCS.get(name, LOC_CCC)
+
+    @property
+    def time(self):
+        return float(self.state["clock"]["time"])
+
+    @property
+    def iteration(self):
+        return int(self.state["clock"]["iteration"])
+
+    def field(self, name):
+        if name == "w":
+            return Field(self.grid, LOC_CCF, self.bcs["w"], self.state["w"],
+                         _regularize=False)
+        return Field(self.grid, self.loc(name), self.bcs[name],
+                     self.state["fields"][name], _regularize=False)
+
+    @property
+    def fields(self):
+        out = {n: self.field(n) for n in self.prognostic_names}
+        out["w"] = self.field("w")
+        return out
+
+    def set(self, **values):
+        fields = dict(self.state["fields"])
+        t = self.state["clock"]["time"]
+        for name, value in values.items():
+            if name == "eta":
+                data = set_on_padded(self.grid, LOC_CCC, value)
+                data = data[:, :, :1] if data.shape[2] > 1 else data
+                fields["eta"] = self._fill_xy(data, LOC_CCC, self.bcs["eta"], t)
+                continue
+            data = set_on_padded(self.grid, self.loc(name), value)
+            fields[name] = fill_halo_regions(data, self.grid, self.loc(name),
+                                             self.bcs[name], t)
+        self.state = {**self.state, "fields": fields}
+
+    # -- helpers --------------------------------------------------------------
+
+    def _fill_xy(self, a, loc, bcs, time):
+        """Horizontal-only halo fill (for 2D surface fields)."""
+        for axis in (0, 1):
+            if not self.grid.is_flat(axis):
+                a = _fill_axis(a, self.grid, loc, bcs, axis, time)
+        return a
+
+    def _fill_all(self, fields, time):
+        out = {}
+        for name, data in fields.items():
+            if name == "eta":
+                out[name] = self._fill_xy(data, LOC_CCC, self.bcs["eta"], time)
+            else:
+                out[name] = fill_halo_regions(
+                    data, self.grid, self.loc(name), self.bcs[name], time)
+        return out
+
+    def _w_from_continuity(self, u, v):
+        """Diagnose w by integrating continuity upward from the bottom
+        (reference: compute_w_from_continuity.jl:16-19)."""
+        grid = self.grid
+        h, n = grid.H[2], grid.N[2]
+        dzc, _ = _vertical_spacings(grid)
+        div_h = div_xy_ccc(grid, u, v)
+        sx, sy = grid.interior_slices[0], grid.interior_slices[1]
+        d = div_h[sx, sy, h:h + n] * jnp.asarray(dzc, div_h.dtype)
+        w_faces = -jnp.cumsum(d, axis=2)  # w at faces 1..n (w[0] = 0)
+        w = jnp.zeros(grid.padded_shape, u.dtype)
+        w = w.at[sx, sy, h + 1:h + n + 1].set(w_faces)
+        return fill_halo_regions(w, grid, LOC_CCF, self.bcs["w"])
+
+    def _hydrostatic_pressure(self, fields, time):
+        """pHY′(z) = -∫_z^0 b dz′ at cell centers (reference:
+        update_hydrostatic_pressure.jl)."""
+        grid = self.grid
+        if self.buoyancy is None:
+            return None
+        b = self.buoyancy.buoyancy_ccc(grid, fields)
+        h, n = grid.H[2], grid.N[2]
+        dzc, dzf = _vertical_spacings(grid)
+        sx, sy = grid.interior_slices[0], grid.interior_slices[1]
+        b_int = b[sx, sy, h:h + n]
+        # p[k] = -(b[k] dz[k]/2 + Σ_{k'>k} b[k'] dz[k'])  (centered integral)
+        bdz = b_int * jnp.asarray(dzc, b.dtype)
+        # reverse cumulative sum above each level, excluding the level itself
+        above = jnp.flip(jnp.cumsum(jnp.flip(bdz, 2), axis=2), 2) - bdz
+        p_int = -(0.5 * bdz + above)
+        p = jnp.zeros(grid.padded_shape, b.dtype)
+        p = p.at[sx, sy, h:h + n].set(p_int)
+        return self._fill_xy(p, LOC_CCC, self.bcs["ph"], time)
+
+    def _depth_integral(self, q, loc):
+        """∫ q dz as a padded 2D (…,1) array."""
+        grid = self.grid
+        h, n = grid.H[2], grid.N[2]
+        dzc, _ = _vertical_spacings(grid)
+        return jnp.sum(q[:, :, h:h + n] * jnp.asarray(dzc, q.dtype),
+                       axis=2, keepdims=True)
+
+    # -- tendencies -----------------------------------------------------------
+
+    def _compute_tendencies(self, fields, w, time):
+        grid = self.grid
+        u, v = fields["u"], fields["v"]
+        G = {}
+
+        if isinstance(self.momentum_advection, VectorInvariant):
+            adv_u, adv_v = self.momentum_advection.momentum_tendencies(
+                grid, u, v, w)
+        else:
+            adv_u = div_Uu(grid, self.momentum_advection, u, v, w)
+            adv_v = div_Uv(grid, self.momentum_advection, u, v, w)
+        G["u"] = -adv_u
+        G["v"] = -adv_v
+
+        if self.coriolis is not None:
+            G["u"] = G["u"] - self.coriolis.x_f_cross_U(grid, u, v, w)
+            G["v"] = G["v"] - self.coriolis.y_f_cross_U(grid, u, v, w)
+
+        ph = self._hydrostatic_pressure(fields, time)
+        if ph is not None:
+            G["u"] = G["u"] - ddx(grid, ph, LOC_FCC)
+            G["v"] = G["v"] - ddy(grid, ph, LOC_CFC)
+
+        if isinstance(self.free_surface, ExplicitFreeSurface):
+            g = self.free_surface.g
+            G["u"] = G["u"] - g * ddx(grid, fields["eta"], LOC_FCC)
+            G["v"] = G["v"] - g * ddy(grid, fields["eta"], LOC_CFC)
+
+        aux = {}
+        if self.closure is not None:
+            cf = dict(fields)
+            cf["w"] = w
+            aux = self.closure.compute_diffusivities(grid, cf, time)
+            mt = self.closure.momentum_tendencies(grid, cf, aux)
+            G["u"] = G["u"] + mt["u"]
+            G["v"] = G["v"] + mt["v"]
+
+        for name in self.tracer_names:
+            Gc = -div_Uc(grid, self.tracer_advection, u, v, w, fields[name])
+            if self.closure is not None:
+                cf = dict(fields)
+                cf["w"] = w
+                Gc = Gc + self.closure.tracer_tendency(grid, name, cf, aux)
+            G[name] = Gc
+
+        for name, F in self.forcing.items():
+            G[name] = G[name] + (F(grid, fields, time) if callable(F) else F)
+        for name in list(G):
+            G[name] = apply_flux_bcs(G[name], grid, self.loc(name),
+                                     self.bcs[name], time)
+        return G, aux
+
+    # -- free surface steps ---------------------------------------------------
+
+    def _step_free_surface_split_explicit(self, fields, ab2G, dt, time):
+        fs = self.free_surface
+        grid = self.grid
+        GU = self._depth_integral(ab2G["u"], LOC_FCC)
+        GV = self._depth_integral(ab2G["v"], LOC_CFC)
+        U0 = self._depth_integral(fields["u"], LOC_FCC)
+        V0 = self._depth_integral(fields["v"], LOC_CFC)
+        fill_eta = lambda a: self._fill_xy(a, LOC_CCC, self.bcs["eta"], time)
+        fill_U = lambda a: self._fill_xy(a, LOC_FCC, self.bcs["u"], time)
+        fill_V = lambda a: self._fill_xy(a, LOC_CFC, self.bcs["v"], time)
+        eta_f, U_f, V_f = fs.substep(
+            grid, self._H_fc, self._H_cf, fields["eta"], U0, V0,
+            GU, GV, dt, fill_eta, fill_U, fill_V)
+        return eta_f, U_f, V_f
+
+    def _barotropic_corrector(self, u, v, U_f, V_f):
+        """Replace the depth mean of (u, v) with the filtered barotropic mode
+        (reference: barotropic_split_explicit_corrector.jl)."""
+        Ustar = self._depth_integral(u, LOC_FCC)
+        Vstar = self._depth_integral(v, LOC_CFC)
+        u = u + (U_f - Ustar) / self._H_fc
+        v = v + (V_f - Vstar) / self._H_cf
+        return u, v
+
+    def _implicit_free_surface_solve(self, eta_rhs, dt):
+        """(1 + g H Δt² λ) η̂ = η̂* in transform space (reference:
+        fft_based_implicit_free_surface_solver.jl)."""
+        grid = self.grid
+        sx, sy = grid.interior_slices[0], grid.interior_slices[1]
+        b = eta_rhs[sx, sy, :]
+        for axis, kind in self._fs_plan:
+            b = jnp.fft.fft(b, axis=axis) if kind == "fft" \
+                else dct_forward(b, axis)
+        g = self.free_surface.g
+        H = self._H_fc
+        lam = jnp.asarray(self._fs_lam, eta_rhs.dtype)
+        b = b / (1.0 + g * H * dt * dt * lam)
+        for axis, kind in reversed(self._fs_plan):
+            b = jnp.fft.ifft(b, axis=axis) if kind == "fft" \
+                else dct_inverse(b, axis)
+        if jnp.iscomplexobj(b):
+            b = jnp.real(b)
+        eta = jnp.zeros_like(eta_rhs)
+        return eta.at[sx, sy, :].set(b.astype(eta_rhs.dtype))
+
+    # -- the step -------------------------------------------------------------
+
+    def _build_step(self):
+        chi0 = self.timestepper.chi
+
+        def step(state, dt):
+            fields = state["fields"]
+            clock = state["clock"]
+            time = clock["time"]
+            Gm = state["Gm"]
+
+            euler = jnp.logical_or(clock["iteration"] == 0,
+                                   clock["last_dt"] != dt)
+            chi = jnp.where(euler, -0.5, chi0)
+            not_euler = jnp.where(euler, 0.0, 1.0)
+
+            fields = self._fill_all(fields, time)
+            w = self._w_from_continuity(fields["u"], fields["v"])
+            G, aux = self._compute_tendencies(fields, w, time)
+
+            ab2G = {name: (1.5 + chi) * G[name]
+                    - (0.5 + chi) * Gm[name] * not_euler
+                    for name in self.prognostic_3d}
+
+            new = {name: fields[name] + dt * ab2G[name]
+                   for name in self.prognostic_3d}
+            new = dict(new)
+
+            # implicit vertical diffusion
+            if self.closure is not None:
+                kappas = self.closure.vertical_implicit_kappas(
+                    self.grid, new, aux)
+                for name, kz in kappas.items():
+                    if name in new:
+                        new[name] = implicit_vertical_diffusion(
+                            self.grid, new[name], kz, dt)
+
+            fs = self.free_surface
+            if isinstance(fs, SplitExplicitFreeSurface):
+                # substepping starts from the OLD barotropic mode ∫uⁿ dz and
+                # the old ηⁿ, forced by the AB2-weighted slow tendency
+                eta_f, U_f, V_f = self._step_free_surface_split_explicit(
+                    fields, ab2G, dt, time)
+                u, v = self._barotropic_corrector(new["u"], new["v"],
+                                                 U_f, V_f)
+                new.update(u=u, v=v)
+                new["eta"] = eta_f
+            elif isinstance(fs, ExplicitFreeSurface):
+                U = self._depth_integral(new["u"], LOC_FCC)
+                V = self._depth_integral(new["v"], LOC_CFC)
+                div = (dx_c(self.grid, self.grid.dy(LOC_FCC) * U)
+                       + dy_c(self.grid, self.grid.dx(LOC_CFC) * V)) \
+                    / self.grid.Az(LOC_CCC)
+                new["eta"] = fields["eta"] - dt * div
+            elif isinstance(fs, ImplicitFreeSurface):
+                U = self._depth_integral(new["u"], LOC_FCC)
+                V = self._depth_integral(new["v"], LOC_CFC)
+                div = (dx_c(self.grid, self.grid.dy(LOC_FCC) * U)
+                       + dy_c(self.grid, self.grid.dx(LOC_CFC) * V)) \
+                    / self.grid.Az(LOC_CCC)
+                rhs = fields["eta"] - dt * div
+                eta = self._implicit_free_surface_solve(rhs, dt)
+                eta = self._fill_xy(eta, LOC_CCC, self.bcs["eta"], time)
+                g = fs.g
+                u = new["u"] - dt * g * ddx(self.grid, eta, LOC_FCC)
+                v = new["v"] - dt * g * ddy(self.grid, eta, LOC_CFC)
+                new.update(u=u, v=v, eta=eta)
+            else:
+                raise ValueError(f"unknown free surface {fs}")
+
+            w_new = self._w_from_continuity(
+                fill_halo_regions(new["u"], self.grid, LOC_FCC,
+                                  self.bcs["u"], time),
+                fill_halo_regions(new["v"], self.grid, LOC_CFC,
+                                  self.bcs["v"], time))
+            clock = dict(time=time + dt, iteration=clock["iteration"] + 1,
+                         last_dt=dt * jnp.ones_like(clock["last_dt"]))
+            return dict(fields=new, clock=clock, w=w_new, Gm=G)
+
+        return step
+
+    def time_step(self, dt):
+        dt = jnp.asarray(dt, self.grid.dtype)
+        self.state = self._step(self.state, dt)
+        return self
+
+    def __repr__(self):
+        return (f"HydrostaticFreeSurfaceModel(grid={self.grid!r}, "
+                f"free_surface={type(self.free_surface).__name__}, "
+                f"tracers={self.tracer_names})")

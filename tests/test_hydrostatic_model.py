@@ -1,0 +1,111 @@
+"""HydrostaticFreeSurfaceModel tests (reference analogue:
+test/test_hydrostatic_free_surface_models.jl, test_split_explicit_*.jl)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oceananigans_tpu import RectilinearGrid
+from oceananigans_tpu.advection import WENO
+from oceananigans_tpu.buoyancy import BuoyancyTracer
+from oceananigans_tpu.closures.scalar_diffusivity import ScalarDiffusivity
+from oceananigans_tpu.coriolis import FPlane
+from oceananigans_tpu.models import (ExplicitFreeSurface,
+                                     HydrostaticFreeSurfaceModel,
+                                     ImplicitFreeSurface,
+                                     SplitExplicitFreeSurface)
+from oceananigans_tpu.models.free_surfaces import weights_from_substeps
+
+
+def test_averaging_weights_normalized():
+    dtau, w = weights_from_substeps(20)
+    assert np.isclose(w.sum(), 1.0)
+    assert dtau == pytest.approx(0.1)
+    # Shchepetkin kernel weights are centered past the baroclinic step
+    assert np.argmax(w) > len(w) // 3
+
+
+@pytest.mark.parametrize("fs_type", ["explicit", "implicit", "split"])
+def test_gravity_wave_speed_barotropic(fs_type):
+    # surface gravity wave c = sqrt(gH): track η phase after one period
+    gacc, H, L, n = 10.0, 100.0, 1e4, 64
+    grid = RectilinearGrid(size=(n, 1, 4), x=(0, L), y=(0, 1), z=(-H, 0),
+                           topology=("periodic", "periodic", "bounded"))
+    fs = dict(explicit=ExplicitFreeSurface(gacc),
+              implicit=ImplicitFreeSurface(gacc),
+              split=SplitExplicitFreeSurface(gacc, substeps=30))[fs_type]
+    model = HydrostaticFreeSurfaceModel(grid=grid, free_surface=fs)
+    eps = 1e-3
+    model.set(eta=lambda x, y, z: eps * jnp.sin(2 * jnp.pi * x / L))
+    c = np.sqrt(gacc * H)
+    T = L / c
+    nsteps = 320 if fs_type == "explicit" else 64
+    dt = T / nsteps
+    for _ in range(nsteps):
+        model.time_step(dt)
+    eta = np.asarray(model.field("eta").interior)[:, 0, 0]
+    x = grid.xnodes("c")
+    expected = eps * np.sin(2 * np.pi * x / L)
+    corr = np.corrcoef(eta, expected)[0, 1]
+    # implicit is dissipative/dispersive at this Δt; phases must agree
+    assert corr > 0.9, (fs_type, corr)
+
+
+def test_volume_conservation():
+    grid = RectilinearGrid(size=(16, 16, 4), extent=(1e4, 1e4, 100.0))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=12))
+    model.set(eta=lambda x, y, z: 0.1 * jnp.sin(2 * jnp.pi * x / 1e4)
+              * jnp.cos(2 * jnp.pi * y / 1e4))
+    v0 = float(model.field("eta").sum())
+    for _ in range(10):
+        model.time_step(30.0)
+    v1 = float(model.field("eta").sum())
+    assert abs(v1 - v0) < 1e-10 * max(1.0, abs(v0)) + 1e-10
+
+
+def test_w_diagnosed_from_continuity():
+    grid = RectilinearGrid(size=(16, 1, 8), x=(0, 1), y=(0, 1), z=(-1, 0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=ImplicitFreeSurface(10.0))
+    model.set(u=lambda x, y, z: jnp.sin(2 * jnp.pi * x))
+    model.time_step(1e-3)
+    w = np.asarray(model.field("w").interior)
+    # w must be nonzero in the interior and zero at the bottom face
+    assert np.abs(w[:, :, 0]).max() < 1e-12  # bottom face = 0
+    assert np.abs(w[:, :, 4]).max() > 1e-4
+
+
+def test_thermal_wind_balance_geostrophic_flow():
+    # a buoyancy front on an f-plane spins up shear: basic run stays finite
+    grid = RectilinearGrid(size=(32, 32, 8), extent=(1e5, 1e5, 1e3))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=20),
+        coriolis=FPlane(f=1e-4), buoyancy=BuoyancyTracer(),
+        tracer_advection=WENO(5),
+        closure=ScalarDiffusivity(nu=1e-2, kappa={"b": 1e-2}))
+    model.set(b=lambda x, y, z: 1e-7 * z + 1e-8 * jnp.tanh(
+        (y - 5e4) / 1e4) * jnp.ones_like(x))
+    for _ in range(20):
+        model.time_step(100.0)
+    u = np.asarray(model.field("u").interior)
+    assert np.all(np.isfinite(u))
+    # thermal wind: ∂z u ≈ -(1/f) ∂y b < 0 somewhere → vertical shear develops
+    assert np.abs(u).max() > 1e-8
+
+
+def test_implicit_vertical_diffusion_in_hydrostatic():
+    grid = RectilinearGrid(size=(4, 4, 32), extent=(1, 1, 1))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=ImplicitFreeSurface(10.0), tracers=("c",),
+        closure=ScalarDiffusivity(kappa={"c": 1.0}, formulation="vertical",
+                                  time_discretization="vertically_implicit"))
+    model.set(c=lambda x, y, z: jnp.exp(-((z + 0.5) / 0.1) ** 2))
+    tot0 = float(model.field("c").sum())
+    for _ in range(5):
+        model.time_step(0.05)
+    c = np.asarray(model.field("c").interior)
+    assert np.all(np.isfinite(c))
+    assert np.isclose(float(model.field("c").sum()), tot0, rtol=1e-10)
+    assert c.max() - c.min() < 0.1
