@@ -45,18 +45,23 @@ def main():
 
     dt = jnp.asarray(1e-4, grid.dtype)
 
+    def fetch(state):
+        # device→host readback of one scalar: forces completion of all
+        # enqueued steps (block_until_ready alone does not synchronize
+        # through remote-execution tunnels)
+        return float(jnp.sum(state["fields"]["u"][0, 0]))
+
     # warmup / compile
     state = model._step(model.state, dt)
-    jax.block_until_ready(state)
+    fetch(state)
 
-    times = []
+    t0 = time.perf_counter()
     for _ in range(steps):
-        t0 = time.perf_counter()
         state = model._step(state, dt)
-        jax.block_until_ready(state)
-        times.append(time.perf_counter() - t0)
+    fetch(state)
+    elapsed = time.perf_counter() - t0
 
-    t_median = float(np.median(times))
+    t_median = elapsed / steps
     cu_per_s = n ** 3 / t_median
 
     print(json.dumps({

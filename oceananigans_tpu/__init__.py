@@ -17,7 +17,7 @@ Layer map (mirrors SURVEY.md §1; reference: src/Oceananigans.jl:226-271):
 """
 
 from .defaults import defaults
-from .grids import RectilinearGrid, PERIODIC, BOUNDED, FLAT, CENTER, FACE
+from .grids import RectilinearGrid, LatitudeLongitudeGrid, PERIODIC, BOUNDED, FLAT, CENTER, FACE
 from .fields import (Field, CenterField, XFaceField, YFaceField, ZFaceField,
                      VelocityFields, TracerFields)
 from .boundary_conditions import (

@@ -182,3 +182,33 @@ class NonTraditionalBetaPlane:
 
     def z_f_cross_U(self, grid, u, v, w):
         return -self._fy(grid, "f") * _u_at_ccf(grid, u)
+
+
+class HydrostaticSphericalCoriolis:
+    """f = 2Ω sin(φ) on a latitude-longitude grid (reference:
+    src/Coriolis/hydrostatic_spherical_coriolis.jl; energy-conserving
+    4-point interpolation of the transverse velocity)."""
+
+    def __init__(self, rotation_rate=None):
+        self.rotation_rate = (defaults.rotation_rate if rotation_rate is None
+                              else float(rotation_rate))
+
+    def _fp(self):
+        return ("HydrostaticSphericalCoriolis", self.rotation_rate)
+
+    __hash__ = FPlane.__hash__
+    __eq__ = FPlane.__eq__
+
+    def _f(self, grid, yloc):
+        phi = grid.coord_padded(1, yloc).reshape(1, -1, 1)
+        return 2 * self.rotation_rate * np.sin(np.deg2rad(
+            np.clip(phi, -90, 90)))
+
+    def x_f_cross_U(self, grid, u, v, w):
+        return -self._f(grid, "c") * _v_at_fcc(grid, v)
+
+    def y_f_cross_U(self, grid, u, v, w):
+        return self._f(grid, "f") * _u_at_cfc(grid, u)
+
+    def z_f_cross_U(self, grid, u, v, w):
+        return jnp.zeros_like(w)

@@ -33,7 +33,7 @@ from ..boundary_conditions.fill_halos import _fill_axis
 from ..fields import Field, set_on_padded
 from ..grids.topology import BOUNDED, LOC_CCC, LOC_CCF, LOC_CFC, LOC_FCC
 from ..operators.operators import ddx, ddy, div_xy_ccc, dx_c, dy_c, iz_f
-from ..solvers.fft_poisson import poisson_eigenvalues
+from ..solvers.fft_poisson import poisson_eigenvalues, fft_along, ifft_along
 from ..solvers.transforms import dct_forward, dct_inverse
 from ..timesteppers import QuasiAdamsBashforth2TimeStepper
 from .free_surfaces import (ExplicitFreeSurface, ImplicitFreeSurface,
@@ -326,14 +326,14 @@ class HydrostaticFreeSurfaceModel:
         sx, sy = grid.interior_slices[0], grid.interior_slices[1]
         b = eta_rhs[sx, sy, :]
         for axis, kind in self._fs_plan:
-            b = jnp.fft.fft(b, axis=axis) if kind == "fft" \
+            b = fft_along(b, axis) if kind == "fft" \
                 else dct_forward(b, axis)
         g = self.free_surface.g
         H = self._H_fc
         lam = jnp.asarray(self._fs_lam, eta_rhs.dtype)
         b = b / (1.0 + g * H * dt * dt * lam)
         for axis, kind in reversed(self._fs_plan):
-            b = jnp.fft.ifft(b, axis=axis) if kind == "fft" \
+            b = ifft_along(b, axis) if kind == "fft" \
                 else dct_inverse(b, axis)
         if jnp.iscomplexobj(b):
             b = jnp.real(b)

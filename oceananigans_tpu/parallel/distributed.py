@@ -1,0 +1,92 @@
+"""Distributed architecture: device meshes and domain decomposition.
+
+Reference semantics: src/DistributedComputations/distributed_architectures.jl
+— `Partition{Sx,Sy,Sz}` rank layouts (:14-18) and the `Distributed`
+architecture (:166-302) that owns the communicator.
+
+TPU-first design: there is no MPI. The "communicator" is a
+``jax.sharding.Mesh`` over the chips with axes ("x", "y") — spatial domain
+decomposition in the horizontal, the framework's parallelism strategy
+(SURVEY.md §5). Two execution paths share it:
+
+* **global-view (GSPMD)**: the model state (halo-padded global arrays) is
+  placed with ``NamedSharding(mesh, P("x", "y", None))`` and the jitted step
+  runs unchanged — XLA partitions every stencil and inserts the halo
+  collectives itself. This mirrors the reference's Reactant/sharded-grids
+  path (ext/OceananigansReactantExt/Grids/sharded_grids.jl:20-56) and is the
+  default.
+* **explicit shard_map**: hand-written ppermute halo exchange over ICI
+  (parallel/halo_exchange.py) for when the compiler's choices need
+  overriding — the analogue of the reference's hand-rolled MPI
+  Isend/Irecv halo passing (halo_communication.jl)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class Partition:
+    """Rank layout (reference: Partition{Sx,Sy,Sz}). ``x``/``y`` are the
+    number of shards along each horizontal direction; z is never sharded
+    (vertical solves and integrals stay chip-local)."""
+
+    def __init__(self, x=1, y=1):
+        self.x = int(x)
+        self.y = int(y)
+
+    def __repr__(self):
+        return f"Partition(x={self.x}, y={self.y})"
+
+
+class Distributed:
+    """Device-mesh architecture.
+
+    Usage::
+
+        arch = Distributed(Partition(x=2, y=4))          # 8 chips
+        state = arch.shard(model.state)                  # place on the mesh
+        model.state = state                              # step as usual
+    """
+
+    def __init__(self, partition=None, devices=None):
+        if devices is None:
+            devices = jax.devices()
+        n = len(devices)
+        if partition is None:
+            px = int(np.floor(np.sqrt(n)))
+            while n % px:
+                px -= 1
+            partition = Partition(px, n // px)
+        need = partition.x * partition.y
+        if need > n:
+            raise ValueError(f"partition {partition} needs {need} devices, "
+                             f"have {n}")
+        self.partition = partition
+        dev_array = np.asarray(devices[:need]).reshape(partition.x,
+                                                       partition.y)
+        self.mesh = Mesh(dev_array, ("x", "y"))
+
+    def sharding(self, leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim == 3:
+            return NamedSharding(self.mesh, P("x", "y", None))
+        return NamedSharding(self.mesh, P())
+
+    def shard(self, tree):
+        """Place a state pytree on the mesh (3D padded arrays split over
+        (x, y); scalars replicated)."""
+        return jax.tree.map(
+            lambda leaf: jax.device_put(leaf, self.sharding(leaf)), tree)
+
+    def validate_grid(self, grid):
+        """Padded extents must divide the mesh (GSPMD NamedSharding
+        constraint). Reference analogue: the Ny%Rx divisibility constraints
+        of the distributed FFT (distributed_fft_based_poisson_solver.jl:80-91)."""
+        px, py = self.partition.x, self.partition.y
+        sx, sy = grid.padded_shape[0], grid.padded_shape[1]
+        if sx % px or sy % py:
+            raise ValueError(
+                f"padded shape ({sx}, {sy}) not divisible by partition "
+                f"({px}, {py}); choose N so that N + 2·halo divides the mesh")

@@ -16,6 +16,7 @@ step writes the solution back into a padded array and refreshes halos.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,20 +61,62 @@ class FFTPoissonSolver:
         φ with zero mean."""
         bh = b
         for axis, kind in self._plan:
-            if kind == "fft":
-                bh = jnp.fft.fft(bh, axis=axis)
-            else:
-                bh = dct_forward(bh, axis)
+            bh = fft_along(bh, axis) if kind == "fft" else dct_forward(bh, axis)
         lam = jnp.asarray(self.eigenvalues, bh.real.dtype)
         denom = jnp.where(lam == 0, 1.0, lam)
         ph = -bh / denom
         # zero the (singular) volume-mean mode
         ph = jnp.where(lam == 0, 0.0, ph)
         for axis, kind in reversed(self._plan):
-            if kind == "fft":
-                ph = jnp.fft.ifft(ph, axis=axis)
-            else:
-                ph = dct_inverse(ph, axis)
+            ph = ifft_along(ph, axis) if kind == "fft" else dct_inverse(ph, axis)
         if jnp.iscomplexobj(ph):
             ph = jnp.real(ph)
         return ph.astype(b.dtype)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_matrices(N):
+    k = np.arange(N)
+    W = np.exp(-2j * np.pi * np.outer(k, k) / N)
+    return W, W.conj() / N
+
+
+def _use_matmul_dft():
+    # XLA:CPU's fft thunk RET_CHECKs on non-dim0-major layouts that arise
+    # under SPMD partitioning; the DFT as a matmul partitions cleanly. The
+    # TPU/GPU backends use the native FFT (on TPU the matmul-DFT is actually
+    # competitive on the MXU for N ≤ ~512, but FFT is the default).
+    return jax.default_backend() == "cpu"
+
+
+def fft_along(a, axis):
+    """FFT along ``axis``, computed on the LAST axis (innermost — the fast
+    layout on TPU)."""
+    if axis != a.ndim - 1:
+        a = jnp.moveaxis(a, axis, -1)
+    if _use_matmul_dft():
+        W, _ = _dft_matrices(a.shape[-1])
+        out = jnp.einsum("kn,...n->...k", jnp.asarray(W),
+                         a.astype(jnp.result_type(a.dtype, jnp.complex64)))
+    else:
+        out = jnp.fft.fft(a, axis=-1)
+    if axis != a.ndim - 1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
+def ifft_along(a, axis):
+    if axis != a.ndim - 1:
+        a = jnp.moveaxis(a, axis, -1)
+    if _use_matmul_dft():
+        _, Wi = _dft_matrices(a.shape[-1])
+        out = jnp.einsum("kn,...n->...k", jnp.asarray(Wi),
+                         a.astype(jnp.result_type(a.dtype, jnp.complex64)))
+    else:
+        out = jnp.fft.ifft(a, axis=-1)
+    if axis != a.ndim - 1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out

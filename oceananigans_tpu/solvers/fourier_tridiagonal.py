@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..grids.topology import BOUNDED, CENTER, FACE, FLAT, PERIODIC
-from .fft_poisson import poisson_eigenvalues
+from .fft_poisson import poisson_eigenvalues, fft_along, ifft_along
 from .transforms import dct_forward, dct_inverse
 from .tridiagonal import solve_batched_tridiagonal
 
@@ -73,7 +73,7 @@ class FourierTridiagonalPoissonSolver:
         """Solve ∇²φ = b for interior b (shape grid.N); returns interior φ."""
         bh = b
         for axis, kind in self._plan:
-            bh = (jnp.fft.fft(bh, axis=axis) if kind == "fft"
+            bh = (fft_along(bh, axis) if kind == "fft"
                   else dct_forward(bh, axis))
         n = self.grid.N[2]
         lam = jnp.asarray(self.eigenvalues, bh.real.dtype)
@@ -101,7 +101,7 @@ class FourierTridiagonalPoissonSolver:
             ph = solve_batched_tridiagonal(lo, diag, up0, rhs)
 
         for axis, kind in reversed(self._plan):
-            ph = (jnp.fft.ifft(ph, axis=axis) if kind == "fft"
+            ph = (ifft_along(ph, axis) if kind == "fft"
                   else dct_inverse(ph, axis))
         if jnp.iscomplexobj(ph):
             ph = jnp.real(ph)

@@ -1,0 +1,108 @@
+"""Distributed/sharding tests on the 8-device virtual CPU mesh (the TPU
+analogue of the reference's 4-rank MPI tests — SURVEY.md §4.5: halo views
+equal neighbor interiors; sharded run matches serial run)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from oceananigans_tpu import RectilinearGrid
+from oceananigans_tpu.advection import WENO
+from oceananigans_tpu.models import NonhydrostaticModel
+from oceananigans_tpu.parallel import (Distributed, DistributedFFTPoissonSolver,
+                                       Partition, make_halo_exchange)
+from oceananigans_tpu.solvers.fft_poisson import FFTPoissonSolver
+
+
+def need_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def test_shard_map_halo_exchange_matches_periodic_wrap():
+    need_devices(4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+    h = 2
+    nlx, nly = 8, 8       # local interior per shard
+    rng = np.random.default_rng(0)
+    # global interior field (16, 16, 4), laid out as per-shard padded blocks
+    glob = rng.normal(size=(16, 16, 4))
+    blocks = np.zeros((2, 2, nlx + 2 * h, nly + 2 * h, 4))
+    for i in range(2):
+        for j in range(2):
+            blocks[i, j, h:h + nlx, h:h + nly] = glob[
+                i * nlx:(i + 1) * nlx, j * nly:(j + 1) * nly]
+    # stack into the sharded global layout: (2*nlx+4h, 2*nly+4h, 4)
+    stacked = np.concatenate(
+        [np.concatenate([blocks[i, j] for j in range(2)], axis=1)
+         for i in range(2)], axis=0)
+    a = jnp.asarray(stacked)
+
+    ex = make_halo_exchange(mesh, (h, h, 0), (nlx, nly, 4))
+    out = np.asarray(ex(a))
+
+    # each shard's halos must equal the periodic-neighbor interior
+    for i in range(2):
+        for j in range(2):
+            blk = out[i * (nlx + 2 * h):(i + 1) * (nlx + 2 * h),
+                      j * (nly + 2 * h):(j + 1) * (nly + 2 * h)]
+            gi, gj = i * nlx, j * nly
+            # left halo in x = neighbor interior (wrapped)
+            expect = glob[(gi - h) % 16:(gi - h) % 16 + h,
+                          gj:gj + nly]
+            assert np.allclose(blk[0:h, h:h + nly], expect)
+            # corner: left-bottom corner = diagonal neighbor
+            expect_c = glob[(gi - h) % 16:(gi - h) % 16 + h,
+                            (gj - h) % 16:(gj - h) % 16 + h]
+            assert np.allclose(blk[0:h, 0:h], expect_c)
+
+
+def test_sharded_step_matches_serial():
+    need_devices(8)
+    arch = Distributed(Partition(x=2, y=4))
+    # padded shape (10+6)=16 divides (2, 4)
+    grid = RectilinearGrid(size=(10, 10, 10), extent=(1, 1, 1),
+                           topology=("periodic", "periodic", "periodic"))
+    arch.validate_grid(grid)
+
+    def build():
+        m = NonhydrostaticModel(grid=grid, advection=WENO(5))
+        rng = np.random.default_rng(1)
+        m.set(u=0.1 * rng.standard_normal((10, 10, 10)),
+              v=0.1 * rng.standard_normal((10, 10, 10)))
+        return m
+
+    m_serial = build()
+    m_shard = build()
+    m_shard.state = arch.shard(m_shard.state)
+
+    for _ in range(2):
+        m_serial.time_step(1e-3)
+        m_shard.time_step(1e-3)
+
+    u1 = np.asarray(m_serial.state["fields"]["u"])
+    u2 = np.asarray(m_shard.state["fields"]["u"])
+    assert np.allclose(u1, u2, atol=1e-11), np.abs(u1 - u2).max()
+
+
+def test_distributed_pencil_fft_matches_serial():
+    need_devices(4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1, 1, 1),
+                           topology=("periodic", "periodic", "periodic"))
+    rng = np.random.default_rng(2)
+    b = rng.normal(size=(16, 16, 8))
+    b -= b.mean()
+    b = jnp.asarray(b)
+    serial = np.asarray(FFTPoissonSolver(grid).solve(b))
+    dist = np.asarray(DistributedFFTPoissonSolver(grid, mesh).solve(b))
+    assert np.allclose(serial, dist, atol=1e-10), np.abs(serial - dist).max()
+
+
+def test_partition_validation():
+    arch = Distributed(Partition(x=2, y=2), devices=jax.devices()[:4])
+    bad = RectilinearGrid(size=(9, 9, 4), extent=(1, 1, 1))
+    with pytest.raises(ValueError):
+        arch.validate_grid(bad)
