@@ -1,0 +1,148 @@
+"""Immersed boundaries: solid topography inside the domain.
+
+Reference semantics: src/ImmersedBoundaries/ —
+* `ImmersedBoundaryGrid` wraps an underlying grid + an immersed boundary
+  object and re-exports every metric/coordinate query
+  (immersed_boundary_grid.jl).
+* `GridFittedBottom` (grid_fitted_bottom.jl): cells whose center lies below a
+  bottom-height field z_b(x, y) are solid.
+* `GridFittedBoundary` (grid_fitted_boundary.jl): a general 3D mask function.
+* masking (mask_immersed_field.jl): zero prognostic fields in solid cells
+  after each step; conditional fluxes zero transport through immersed faces
+  (conditional_differences.jl).
+
+TPU-first: the immersed geometry is a set of STATIC numpy masks baked into
+the compiled step as constants — `where`-selects fuse into the stencil
+kernels for free (branchless SIMD; the reference's active-cells-map gather
+strategy trades badly on TPU where dense masked arithmetic is cheaper than
+irregular gathers — SURVEY.md §7 note)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .grids.base import AbstractGrid, broadcastable_1d
+from .grids.topology import CENTER, FACE, LOC_CCC, LOC_CCF, LOC_CFC, LOC_FCC
+
+
+class GridFittedBottom:
+    def __init__(self, bottom_height):
+        self.bottom_height = bottom_height
+
+    def solid_centers(self, grid):
+        """Boolean padded array: True where the cell center is below the
+        bottom."""
+        zc = broadcastable_1d(grid.coord_padded(2, CENTER), 2)
+        b = self.bottom_height
+        if callable(b):
+            x = broadcastable_1d(grid.coord_padded(0, CENTER), 0)
+            y = broadcastable_1d(grid.coord_padded(1, CENTER), 1)
+            zb = np.asarray(b(x, y))
+        elif np.isscalar(b):
+            zb = np.asarray(b)
+        else:
+            zb = np.asarray(b)
+            if zb.shape == (grid.N[0], grid.N[1]):
+                zb = np.pad(zb, [(grid.H[0],) * 2, (grid.H[1],) * 2],
+                            mode="edge")
+            zb = zb[..., None] if zb.ndim == 2 else zb
+        return np.broadcast_to(zc < zb, grid.padded_shape).copy()
+
+    def _fp(self):
+        b = self.bottom_height
+        key = (id(b) if callable(b)
+               else (b if np.isscalar(b) else np.asarray(b).tobytes()))
+        return ("GridFittedBottom", key)
+
+
+class GridFittedBoundary:
+    """General mask: solid where mask(x, y, z) is True (reference:
+    grid_fitted_boundary.jl)."""
+
+    def __init__(self, mask):
+        self.mask = mask
+
+    def solid_centers(self, grid):
+        x = broadcastable_1d(grid.coord_padded(0, CENTER), 0)
+        y = broadcastable_1d(grid.coord_padded(1, CENTER), 1)
+        z = broadcastable_1d(grid.coord_padded(2, CENTER), 2)
+        return np.broadcast_to(np.asarray(self.mask(x, y, z), bool),
+                               grid.padded_shape).copy()
+
+    def _fp(self):
+        return ("GridFittedBoundary", id(self.mask))
+
+
+class ImmersedBoundaryGrid(AbstractGrid):
+    def __init__(self, grid, immersed_boundary):
+        self._underlying = grid
+        self.immersed_boundary = immersed_boundary
+
+        solid_c = immersed_boundary.solid_centers(grid)
+        self.solid_ccc = solid_c
+        # a face is solid (no transport) if EITHER adjacent center is solid
+        self.solid_fcc = solid_c | np.roll(solid_c, 1, 0)
+        self.solid_cfc = solid_c | np.roll(solid_c, 1, 1)
+        self.solid_ccf = solid_c | np.roll(solid_c, 1, 2)
+        # fluid masks (float multipliers)
+        self.mask = {
+            LOC_CCC: (~self.solid_ccc),
+            LOC_FCC: (~self.solid_fcc),
+            LOC_CFC: (~self.solid_cfc),
+            LOC_CCF: (~self.solid_ccf),
+        }
+
+    @property
+    def underlying_grid(self):
+        return self._underlying
+
+    def fluid_mask(self, loc, dtype=None):
+        m = self.mask.get(tuple(loc), ~self.solid_ccc)
+        return jnp.asarray(m, dtype or self.dtype)
+
+    def mask_immersed(self, a, loc, value=0.0):
+        """Zero (or set) a field inside the solid (reference:
+        mask_immersed_field.jl)."""
+        m = self.mask.get(tuple(loc), ~self.solid_ccc)
+        return jnp.where(jnp.asarray(m), a, value)
+
+    # -- delegation to the underlying grid ------------------------------------
+
+    def __getattr__(self, name):
+        return getattr(self._underlying, name)
+
+    # explicit delegation for the metric protocol (AbstractGrid methods would
+    # otherwise bind to self and miss the underlying data)
+    def dx(self, loc):
+        return self._underlying.dx(loc)
+
+    def dy(self, loc):
+        return self._underlying.dy(loc)
+
+    def dz(self, loc):
+        return self._underlying.dz(loc)
+
+    def Ax(self, loc):
+        return self._underlying.Ax(loc)
+
+    def Ay(self, loc):
+        return self._underlying.Ay(loc)
+
+    def Az(self, loc):
+        return self._underlying.Az(loc)
+
+    def V(self, loc):
+        return self._underlying.V(loc)
+
+    def with_halo(self, halo):
+        return ImmersedBoundaryGrid(self._underlying.with_halo(halo),
+                                    self.immersed_boundary)
+
+    def _fingerprint(self):
+        return ("ImmersedBoundaryGrid", self._underlying._fingerprint(),
+                self.immersed_boundary._fp())
+
+    def __repr__(self):
+        return (f"ImmersedBoundaryGrid({self._underlying!r}, "
+                f"{type(self.immersed_boundary).__name__})")

@@ -41,16 +41,23 @@ from ..timesteppers import (RK3_GAMMAS, RK3_ZETAS,
 PROGNOSTIC_LOCS = {"u": LOC_FCC, "v": LOC_CFC, "w": LOC_CCF}
 
 
-def select_pressure_solver(grid):
+def select_pressure_solver(grid, fill_p=None):
     """Reference: NonhydrostaticModels.jl:25-60 — FFT on fully-regular grids,
-    Fourier-tridiagonal with one stretched (vertical) direction."""
+    Fourier-tridiagonal with one stretched (vertical) direction,
+    FFT-preconditioned CG on immersed grids."""
+    from ..immersed import ImmersedBoundaryGrid
+    if isinstance(grid, ImmersedBoundaryGrid):
+        from ..solvers.conjugate_gradient import make_immersed_poisson_solver
+        under = grid.underlying_grid
+        fft = FFTPoissonSolver(under) if under.all_regular else None
+        return make_immersed_poisson_solver(grid, fill_p, fft)
     if grid.all_regular:
         return FFTPoissonSolver(grid)
     if grid.stretched_axes == (2,):
         return FourierTridiagonalPoissonSolver(grid)
     raise NotImplementedError(
-        "conjugate-gradient pressure solver for multiply-stretched/immersed "
-        "grids is not implemented yet")
+        "pressure solver for multiply-stretched non-immersed grids is not "
+        "implemented yet")
 
 
 class NonhydrostaticModel:
@@ -105,7 +112,13 @@ class NonhydrostaticModel:
         self.bcs["p"] = regularize_field_boundary_conditions(
             None, self.grid, LOC_CCC)
 
-        self.pressure_solver = pressure_solver or select_pressure_solver(self.grid)
+        from ..immersed import ImmersedBoundaryGrid
+        self.immersed = isinstance(self.grid, ImmersedBoundaryGrid)
+        if pressure_solver is None:
+            fill_p = (lambda p: fill_halo_regions(p, self.grid, LOC_CCC,
+                                                  self.bcs["p"]))
+            pressure_solver = select_pressure_solver(self.grid, fill_p)
+        self.pressure_solver = pressure_solver
 
         # state pytree
         shape = self.grid.padded_shape
@@ -186,6 +199,11 @@ class NonhydrostaticModel:
     def _fill_all(self, fields, time):
         out = {}
         for name, data in fields.items():
+            if self.immersed:
+                # zero prognostic fields inside the topography before the
+                # halo fill (reference: mask_immersed_field! in
+                # update_nonhydrostatic_model_state.jl:23-25)
+                data = self.grid.mask_immersed(data, self.loc(name))
             out[name] = fill_halo_regions(data, self.grid, self.loc(name),
                                           self.bcs[name], time)
         return out
@@ -253,6 +271,10 @@ class NonhydrostaticModel:
         """Pressure projection (reference: pressure_correction.jl:8-53,
         solve_for_pressure.jl:12-108)."""
         grid = self.grid
+        if self.immersed:
+            u = grid.mask_immersed(u, LOC_FCC)
+            v = grid.mask_immersed(v, LOC_CFC)
+            w = grid.mask_immersed(w, LOC_CCF)
         u = fill_halo_regions(u, grid, LOC_FCC, self.bcs["u"], time)
         v = fill_halo_regions(v, grid, LOC_CFC, self.bcs["v"], time)
         w = fill_halo_regions(w, grid, LOC_CCF, self.bcs["w"], time)
@@ -264,6 +286,10 @@ class NonhydrostaticModel:
         u = u - dtt * ddx(grid, p, LOC_FCC)
         v = v - dtt * ddy(grid, p, LOC_CFC)
         w = w - dtt * ddz(grid, p, LOC_CCF)
+        if self.immersed:
+            u = grid.mask_immersed(u, LOC_FCC)
+            v = grid.mask_immersed(v, LOC_CFC)
+            w = grid.mask_immersed(w, LOC_CCF)
         return u, v, w, p
 
     def _implicit_step(self, fields, aux, dtt):

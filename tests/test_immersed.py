@@ -1,0 +1,87 @@
+"""Immersed boundary tests (reference analogue:
+test/test_immersed_boundary_grid.jl, test_conjugate_gradient_poisson_solver.jl)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from oceananigans_tpu import RectilinearGrid
+from oceananigans_tpu.abstract_operations import Average, partial_x
+from oceananigans_tpu.immersed import (GridFittedBottom, GridFittedBoundary,
+                                       ImmersedBoundaryGrid)
+from oceananigans_tpu.models import NonhydrostaticModel
+from oceananigans_tpu.operators import div_ccc
+from oceananigans_tpu.boundary_conditions import fill_halo_regions
+
+
+def test_grid_fitted_bottom_mask():
+    base = RectilinearGrid(size=(8, 8, 8), extent=(1, 1, 1))
+    ibg = ImmersedBoundaryGrid(base, GridFittedBottom(
+        lambda x, y: -0.5 + 0 * x))
+    solid = ibg.solid_ccc
+    h = base.H[2]
+    # bottom half of the water column (z < -0.5) is solid
+    ii = base.interior_slices
+    s_int = solid[ii]
+    assert s_int[:, :, :4].all()
+    assert not s_int[:, :, 4:].any()
+    # metric delegation works
+    assert ibg.dx(("c", "c", "c")) == base.dx(("c", "c", "c"))
+    assert ibg.N == base.N
+
+
+def test_grid_fitted_boundary_sphere():
+    base = RectilinearGrid(size=(16, 16, 16), extent=(1, 1, 1),
+                           topology=("periodic", "periodic", "periodic"))
+    ibg = ImmersedBoundaryGrid(base, GridFittedBoundary(
+        lambda x, y, z: (x - 0.5) ** 2 + (y - 0.5) ** 2 + (z + 0.5) ** 2
+        < 0.2 ** 2))
+    s = ibg.solid_ccc[base.interior_slices]
+    assert 0 < s.sum() < s.size
+
+
+def test_immersed_model_flow_over_bump():
+    base = RectilinearGrid(size=(32, 1, 16), x=(0, 4), y=(0, 1), z=(-1, 0),
+                           topology=("periodic", "flat", "bounded"))
+    bump = lambda x, y: -1 + 0.4 * jnp.exp(-((x - 2) / 0.4) ** 2)
+    ibg = ImmersedBoundaryGrid(base, GridFittedBottom(bump))
+    model = NonhydrostaticModel(grid=ibg)
+    model.set(u=0.1)
+    for _ in range(5):
+        model.time_step(0.01)
+    u = np.asarray(model.state["fields"]["u"])
+    assert np.all(np.isfinite(u))
+    # velocity is masked inside the bump
+    solid_u = ibg.solid_fcc
+    assert np.abs(u[solid_u]).max() == 0.0
+    # flow is (nearly) divergence-free in the fluid
+    g = model.grid
+    f = model.state["fields"]
+    uu = fill_halo_regions(f["u"], g, ("f", "c", "c"), model.bcs["u"])
+    ww = fill_halo_regions(f["w"], g, ("c", "c", "f"), model.bcs["w"])
+    vv = jnp.zeros_like(uu)
+    d = np.asarray(g.interior(div_ccc(g, uu, vv, ww)))
+    fluid = ~ibg.solid_ccc[g.interior_slices]
+    assert np.abs(d[fluid]).max() < 1e-5, np.abs(d[fluid]).max()
+    # and the flow accelerates over the bump crest (mass conservation)
+    h = g.H[0]
+    u_int = np.asarray(model.field("u").interior)
+    crest = u_int[16, 0, -1]
+    upstream = u_int[0, 0, -1]
+    assert crest > upstream
+
+
+def test_abstract_operations_basics():
+    g = RectilinearGrid(size=(8, 8, 8), extent=(1, 1, 1),
+                        topology=("periodic", "periodic", "periodic"))
+    from oceananigans_tpu.fields import CenterField, XFaceField
+    u = XFaceField(g).set(lambda x, y, z: jnp.sin(2 * jnp.pi * x))
+    c = CenterField(g).set(lambda x, y, z: 2.0)
+    prod = u * c
+    vals = np.asarray(prod.interior)
+    assert vals.shape == (8, 8, 8)
+    du = partial_x(u)
+    assert du.loc == ("c", "c", "c")
+    # Average is volume-weighted; mean of sin over a period ≈ 0
+    av = Average(u * u)
+    m = float(np.asarray(av.materialize()).ravel()[0])
+    assert abs(m - 0.5) < 0.05  # mean of sin² over a period = 1/2

@@ -35,10 +35,10 @@ def test_latlon_metrics():
     assert pole < eq
     assert np.isclose(eq, R * np.cos(np.deg2rad(2.5)) * np.deg2rad(10),
                       rtol=1e-6)
-    # total surface area ≈ band area
+    # total surface area ≈ band area (Az is broadcastable (1, ny, 1): the
+    # x-extent contributes a factor Nx)
     Az = np.asarray(g.Az(("c", "c", "c")))
-    ii = (slice(g.H[0], g.H[0] + 36), slice(h, h + 16), slice(0, 1))
-    total = Az[ii].sum()
+    total = Az[0, h:h + 16, 0].sum() * 36
     exact = 2 * np.pi * R ** 2 * (np.sin(np.deg2rad(40))
                                   - np.sin(np.deg2rad(-40)))
     assert np.isclose(total, exact, rtol=1e-10)
