@@ -1,0 +1,160 @@
+"""User forcing functions.
+
+Reference semantics: src/Forcings/ — `ContinuousForcing` (continuous_forcing.jl:
+user function of (x, y, z, t, fields...) auto-interpolated to the target
+location), `DiscreteForcing` (discrete_forcing.jl: f(i, j, k, grid, clock,
+model_fields)), `Relaxation` with masks/targets (relaxation.jl:257),
+`AdvectiveForcing` (advective_forcing.jl: forcing as a divergence of a
+prescribed flux / settling velocity), `MultipleForcings` (multiple_forcings.jl).
+
+Model protocol: every forcing is called as ``F(grid, fields, time) -> padded
+array`` (already the discrete form). The classes here adapt the reference's
+user-facing constructors to that protocol; all callables must be traceable."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..grids.base import broadcastable_1d
+from ..grids.topology import LOC_CCC
+from ..operators.operators import interp_to
+
+
+class Forcing:
+    loc = LOC_CCC
+
+    def __call__(self, grid, fields, time):
+        raise NotImplementedError
+
+
+class ContinuousForcing(Forcing):
+    """f(x, y, z, t, *field_values) evaluated at the target location
+    (reference: continuous_forcing.jl — `Forcing(func; field_dependencies)`).
+
+    field_dependencies name prognostic fields passed (interpolated to the
+    forcing location) as trailing arguments."""
+
+    def __init__(self, func, loc=LOC_CCC, field_dependencies=()):
+        self.func = func
+        self.loc = tuple(loc)
+        if isinstance(field_dependencies, str):
+            field_dependencies = (field_dependencies,)
+        self.field_dependencies = tuple(field_dependencies)
+
+    def __call__(self, grid, fields, time):
+        coords = [broadcastable_1d(grid.coord_padded(ax, self.loc[ax]), ax)
+                  for ax in range(3)]
+        deps = []
+        from ..models.nonhydrostatic import PROGNOSTIC_LOCS
+        for name in self.field_dependencies:
+            src_loc = PROGNOSTIC_LOCS.get(name, LOC_CCC)
+            deps.append(interp_to(grid, fields[name], src_loc, self.loc))
+        return self.func(*coords, time, *deps)
+
+
+class DiscreteForcing(Forcing):
+    """f(grid, fields, t) raw form (reference: discrete_forcing.jl)."""
+
+    def __init__(self, func):
+        self.func = func
+
+    def __call__(self, grid, fields, time):
+        return self.func(grid, fields, time)
+
+
+class GaussianMask:
+    """exp(-(ξ-center)²/(2 width²)) mask factory (reference:
+    relaxation.jl GaussianMask)."""
+
+    def __init__(self, center, width, axis=2):
+        self.center, self.width, self.axis = center, width, axis
+
+    def __call__(self, x, y, z):
+        xi = (x, y, z)[self.axis]
+        return jnp.exp(-((xi - self.center) ** 2) / (2 * self.width ** 2))
+
+
+class LinearTarget:
+    """target = intercept + gradient·ξ (reference: relaxation.jl
+    LinearTarget)."""
+
+    def __init__(self, intercept=0.0, gradient=0.0, axis=2):
+        self.intercept, self.gradient, self.axis = intercept, gradient, axis
+
+    def __call__(self, x, y, z, t):
+        return self.intercept + self.gradient * (x, y, z)[self.axis]
+
+
+class Relaxation(Forcing):
+    """F = -rate · mask(x,y,z) · (field - target) (reference:
+    relaxation.jl)."""
+
+    def __init__(self, rate, mask=None, target=0.0, field_name=None,
+                 loc=LOC_CCC):
+        self.rate = float(rate)
+        self.mask = mask
+        self.target = target
+        self.field_name = field_name
+        self.loc = tuple(loc)
+
+    def bind(self, name):
+        self.field_name = self.field_name or name
+        return self
+
+    def __call__(self, grid, fields, time):
+        name = self.field_name
+        if name is None:
+            raise ValueError("Relaxation needs field_name (models bind it "
+                             "automatically when passed via forcing={name: ...})")
+        q = fields[name]
+        coords = [broadcastable_1d(grid.coord_padded(ax, self.loc[ax]), ax)
+                  for ax in range(3)]
+        target = self.target
+        if callable(target):
+            target = target(*coords, time)
+        m = 1.0 if self.mask is None else self.mask(*coords)
+        return -self.rate * m * (q - target)
+
+
+class AdvectiveForcing(Forcing):
+    """Forcing by an extra advective flux with a prescribed (e.g. settling)
+    velocity: F = -∂z(w_s q) (reference: advective_forcing.jl)."""
+
+    def __init__(self, w=0.0, u=0.0, v=0.0, field_name=None):
+        self.u, self.v, self.w = u, v, w
+        self.field_name = field_name
+
+    def bind(self, name):
+        self.field_name = self.field_name or name
+        return self
+
+    def __call__(self, grid, fields, time):
+        from ..advection import Centered, div_Uc
+        q = fields[self.field_name]
+        shape = grid.padded_shape
+        dtype = q.dtype
+
+        def vel(v):
+            if np.isscalar(v):
+                return jnp.full(shape, v, dtype)
+            return v
+
+        return -div_Uc(grid, Centered(2), vel(self.u), vel(self.v),
+                       vel(self.w), q)
+
+
+class MultipleForcings(Forcing):
+    """Sum of forcings (reference: multiple_forcings.jl)."""
+
+    def __init__(self, *forcings):
+        self.forcings = forcings
+
+    def bind(self, name):
+        for f in self.forcings:
+            if hasattr(f, "bind"):
+                f.bind(name)
+        return self
+
+    def __call__(self, grid, fields, time):
+        return sum(f(grid, fields, time) for f in self.forcings)

@@ -64,6 +64,9 @@ class HydrostaticFreeSurfaceModel:
         self.coriolis = coriolis
         self.closure = closure
         self.forcing = dict(forcing or {})
+        for _name, _F in self.forcing.items():
+            if hasattr(_F, "bind"):
+                _F.bind(_name)
         self.timestepper = QuasiAdamsBashforth2TimeStepper()
 
         required = max(getattr(self.tracer_advection, "required_halo", 1),

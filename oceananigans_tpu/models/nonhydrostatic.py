@@ -64,7 +64,8 @@ class NonhydrostaticModel:
     def __init__(self, grid, advection=None, tracers=(), buoyancy=None,
                  coriolis=None, closure=None, forcing=None,
                  boundary_conditions=None, timestepper="RungeKutta3",
-                 pressure_solver=None, background_fields=None):
+                 pressure_solver=None, background_fields=None,
+                 stokes_drift=None, biogeochemistry=None, particles=None):
         if advection is None:
             advection = Centered(order=2)
         self.advection = advection
@@ -75,11 +76,21 @@ class NonhydrostaticModel:
             for name in buoyancy.required_tracers:
                 if name not in tracers:
                     tracers = tracers + (name,)
+        if biogeochemistry is not None:
+            for name in biogeochemistry.required_tracers:
+                if name not in tracers:
+                    tracers = tracers + (name,)
         self.tracer_names = tracers
+        self.stokes_drift = stokes_drift
+        self.biogeochemistry = biogeochemistry
+        self.particles = particles
         self.buoyancy = buoyancy
         self.coriolis = coriolis
         self.closure = closure
         self.forcing = dict(forcing or {})
+        for _name, _F in self.forcing.items():
+            if hasattr(_F, "bind"):
+                _F.bind(_name)
         self.background_fields = dict(background_fields or {})
 
         # halo inflation (reference: nonhydrostatic_model.jl:179-184 +
@@ -131,6 +142,8 @@ class NonhydrostaticModel:
         self.state = dict(fields=fields, clock=clock, pressure=zeros())
         if self.timestepper.needs_previous_tendencies:
             self.state["Gm"] = {n: zeros() for n in self.prognostic_names}
+        if self.particles is not None:
+            self.state["particles"] = dict(self.particles.initial)
 
         self._step = jax.jit(self._build_step())
 
@@ -244,6 +257,13 @@ class NonhydrostaticModel:
         if self.buoyancy is not None:
             G["w"] = G["w"] + self.buoyancy.z_buoyancy(grid, fields)
 
+        if self.stokes_drift is not None:
+            # Craik-Leibovich vortex force + ∂t uˢ (reference:
+            # src/StokesDrifts.jl tendency contributions)
+            G["u"] = G["u"] + self.stokes_drift.x_tendency(grid, u, v, w, time)
+            G["v"] = G["v"] + self.stokes_drift.y_tendency(grid, u, v, w, time)
+            G["w"] = G["w"] + self.stokes_drift.z_tendency(grid, u, v, w, time)
+
         aux = {}
         if self.closure is not None:
             aux = self.closure.compute_diffusivities(grid, fields, time)
@@ -255,6 +275,15 @@ class NonhydrostaticModel:
             Gc = -div_Uc(grid, adv, ua, va, wa, fields[name])
             if self.closure is not None:
                 Gc = Gc + self.closure.tracer_tendency(grid, name, fields, aux)
+            if self.biogeochemistry is not None:
+                Gc = Gc + self.biogeochemistry.tracer_tendency(
+                    grid, name, fields, time)
+                drift = self.biogeochemistry.drift_velocity(name)
+                if drift is not None:
+                    du, dv, dw = [jnp.full(grid.padded_shape, q, grid.dtype)
+                                  if np.isscalar(q) else q
+                                  for q in drift]
+                    Gc = Gc - div_Uc(grid, adv, du, dv, dw, fields[name])
             G[name] = Gc
 
         # user forcing (discrete form: F(grid, fields, time) -> padded array)
@@ -337,7 +366,14 @@ class NonhydrostaticModel:
                     time = time + stage_dt
                 clock = dict(time=time, iteration=clock["iteration"] + 1,
                              last_dt=dt * jnp.ones_like(clock["last_dt"]))
-                return dict(fields=fields, clock=clock, pressure=p)
+                out = dict(fields=fields, clock=clock, pressure=p)
+                if self.particles is not None:
+                    parts = self.particles.advect(
+                        self.grid, fields["u"], fields["v"], fields["w"],
+                        state["particles"], dt)
+                    out["particles"] = self.particles.track(
+                        self.grid, fields, parts)
+                return out
 
             return step
 
@@ -368,7 +404,14 @@ class NonhydrostaticModel:
                 new.update(u=u, v=v, w=w)
                 clock = dict(time=time + dt, iteration=clock["iteration"] + 1,
                              last_dt=dt * jnp.ones_like(clock["last_dt"]))
-                return dict(fields=new, clock=clock, pressure=p, Gm=G)
+                out = dict(fields=new, clock=clock, pressure=p, Gm=G)
+                if self.particles is not None:
+                    parts = self.particles.advect(
+                        self.grid, new["u"], new["v"], new["w"],
+                        state["particles"], dt)
+                    out["particles"] = self.particles.track(
+                        self.grid, new, parts)
+                return out
 
             return step
 

@@ -61,6 +61,9 @@ class ShallowWaterModel:
             tracers = (tracers,)
         self.tracer_names = tuple(tracers)
         self.forcing = dict(forcing or {})
+        for _name, _F in self.forcing.items():
+            if hasattr(_F, "bind"):
+                _F.bind(_name)
 
         if formulation == CONSERVATIVE:
             self._solution = ("uh", "vh", "h")

@@ -43,7 +43,8 @@ class FFTPoissonSolver:
                 "(use FourierTridiagonalPoissonSolver for one stretched dim)")
         self.grid = grid
         lam = np.zeros((1, 1, 1))
-        self._plan = []
+        self._dct_axes = []
+        self._fft_axes = []
         for axis in range(3):
             topo = grid.topology[axis]
             N = grid.N[axis]
@@ -53,24 +54,34 @@ class FFTPoissonSolver:
             shape = [1, 1, 1]
             shape[axis] = N
             lam = lam + poisson_eigenvalues(N, L, topo).reshape(shape)
-            self._plan.append((axis, "fft" if topo == PERIODIC else "dct"))
+            (self._fft_axes if topo == PERIODIC
+             else self._dct_axes).append(axis)
         self.eigenvalues = lam
 
     def solve(self, b):
         """Solve ∇²φ = b for interior array b (shape grid.N); returns interior
-        φ with zero mean."""
+        φ with zero mean.
+
+        Transform order: DCT axes first (real→real), then FFT axes — the axes
+        commute, and this keeps every DCT on REAL data. The inverse takes the
+        real part after the inverse FFTs (exact: φ is real and the remaining
+        inverse DCTs are real-to-real)."""
         bh = b
-        for axis, kind in self._plan:
-            bh = fft_along(bh, axis) if kind == "fft" else dct_forward(bh, axis)
-        lam = jnp.asarray(self.eigenvalues, bh.real.dtype)
+        for axis in self._dct_axes:
+            bh = dct_forward(bh, axis)
+        for axis in self._fft_axes:
+            bh = fft_along(bh, axis)
+        lam = jnp.asarray(self.eigenvalues, b.dtype)
         denom = jnp.where(lam == 0, 1.0, lam)
         ph = -bh / denom
         # zero the (singular) volume-mean mode
         ph = jnp.where(lam == 0, 0.0, ph)
-        for axis, kind in reversed(self._plan):
-            ph = ifft_along(ph, axis) if kind == "fft" else dct_inverse(ph, axis)
+        for axis in reversed(self._fft_axes):
+            ph = ifft_along(ph, axis)
         if jnp.iscomplexobj(ph):
             ph = jnp.real(ph)
+        for axis in reversed(self._dct_axes):
+            ph = dct_inverse(ph, axis)
         return ph.astype(b.dtype)
 
 

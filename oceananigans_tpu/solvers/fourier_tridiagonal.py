@@ -70,9 +70,11 @@ class FourierTridiagonalPoissonSolver:
         self._upper = upper
 
     def solve(self, b):
-        """Solve ∇²φ = b for interior b (shape grid.N); returns interior φ."""
+        """Solve ∇²φ = b for interior b (shape grid.N); returns interior φ.
+        DCT axes transform first so they always see real data (see
+        FFTPoissonSolver.solve)."""
         bh = b
-        for axis, kind in self._plan:
+        for axis, kind in sorted(self._plan, key=lambda p: p[1] != "dct"):
             bh = (fft_along(bh, axis) if kind == "fft"
                   else dct_forward(bh, axis))
         n = self.grid.N[2]
@@ -100,11 +102,14 @@ class FourierTridiagonalPoissonSolver:
         else:
             ph = solve_batched_tridiagonal(lo, diag, up0, rhs)
 
-        for axis, kind in reversed(self._plan):
-            ph = (ifft_along(ph, axis) if kind == "fft"
-                  else dct_inverse(ph, axis))
+        for axis, kind in self._plan:
+            if kind == "fft":
+                ph = ifft_along(ph, axis)
         if jnp.iscomplexobj(ph):
             ph = jnp.real(ph)
+        for axis, kind in self._plan:
+            if kind == "dct":
+                ph = dct_inverse(ph, axis)
         # remove the volume mean (the solution is defined up to a constant)
         w = dzc / jnp.sum(dzc)
         mean = jnp.sum(jnp.mean(ph, axis=(0, 1)) * w)

@@ -1,0 +1,145 @@
+"""Tests for forcings, Stokes drift, biogeochemistry, Lagrangian particles,
+and the remaining closures (reference analogue: test_forcings.jl,
+test_stokes_drift.jl, test_biogeochemistry.jl, test_lagrangian_particles.jl)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from oceananigans_tpu import RectilinearGrid
+from oceananigans_tpu.biogeochemistry import SimpleBiogeochemistry
+from oceananigans_tpu.closures import (AnisotropicMinimumDissipation,
+                                       Smagorinsky)
+from oceananigans_tpu.forcings import (ContinuousForcing, GaussianMask,
+                                       LinearTarget, Relaxation)
+from oceananigans_tpu.models import NonhydrostaticModel
+from oceananigans_tpu.particles import LagrangianParticles
+from oceananigans_tpu.stokes_drift import UniformStokesDrift
+
+
+def test_relaxation_forcing():
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1, 1, 1))
+    rate = 10.0
+    model = NonhydrostaticModel(
+        grid=grid, tracers=("c",),
+        forcing={"c": Relaxation(rate=rate, target=1.0)})
+    model.set(c=0.0)
+    for _ in range(20):
+        model.time_step(0.01)
+    c = np.asarray(model.field("c").interior)
+    # c(t) = 1 - exp(-rate t): after t=0.2, ≈ 0.86
+    assert np.allclose(c, 1 - np.exp(-rate * model.time), atol=0.01)
+
+
+def test_relaxation_with_mask_and_target():
+    grid = RectilinearGrid(size=(4, 4, 32), extent=(1, 1, 1))
+    mask = GaussianMask(center=-0.1, width=0.05, axis=2)
+    target = LinearTarget(intercept=0.0, gradient=1.0, axis=2)
+    model = NonhydrostaticModel(
+        grid=grid, tracers=("b",),
+        forcing={"b": Relaxation(rate=1.0, mask=mask, target=target)})
+    model.time_step(0.1)
+    b = np.asarray(model.field("b").interior)
+    assert np.all(np.isfinite(b))
+    # forcing pulls b toward z near the surface sponge only
+    assert abs(b[0, 0, -3]) > abs(b[0, 0, 2])
+
+
+def test_continuous_forcing_with_field_dependencies():
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1, 1, 1))
+
+    def damping(x, y, z, t, u):
+        return -10.0 * u
+
+    model = NonhydrostaticModel(
+        grid=grid,
+        forcing={"u": ContinuousForcing(damping, loc=("f", "c", "c"),
+                                        field_dependencies="u")})
+    model.set(u=0.1, enforce_incompressibility=False)
+    for _ in range(10):
+        model.time_step(0.01)
+    u = float(np.mean(np.asarray(model.field("u").interior)))
+    assert abs(u - 0.1 * np.exp(-10 * model.time)) < 0.005
+
+
+def test_stokes_drift_tendencies():
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1, 1, 1))
+    us = UniformStokesDrift(grad_z_us=lambda z, t: 0.1 * jnp.exp(4 * z))
+    model = NonhydrostaticModel(grid=grid, stokes_drift=us)
+    model.set(w=lambda x, y, z: 0.01 * jnp.sin(2 * jnp.pi * x),
+              enforce_incompressibility=False)
+    model.time_step(0.01)
+    u = np.asarray(model.field("u").interior)
+    assert np.all(np.isfinite(u))
+    assert np.abs(u).max() > 0  # w ∂z uˢ forced u
+
+
+def test_biogeochemistry_decay_and_sinking():
+    grid = RectilinearGrid(size=(4, 4, 16), extent=(1, 1, 1))
+    bgc = SimpleBiogeochemistry(
+        tracers=("P",),
+        reactions={"P": lambda x, y, z, t, P: -0.5 * P},
+        drift={"P": -0.05})  # sinking
+    model = NonhydrostaticModel(grid=grid, biogeochemistry=bgc)
+    assert "P" in model.tracer_names
+    model.set(P=lambda x, y, z: jnp.exp(-((z + 0.3) / 0.1) ** 2))
+    z_com0 = _center_of_mass(model)
+    for _ in range(10):
+        model.time_step(0.05)
+    P = np.asarray(model.field("P").interior)
+    assert np.all(np.isfinite(P))
+    # decay reduces total mass
+    z_com1 = _center_of_mass(model)
+    assert z_com1 < z_com0  # sinking moves the center of mass down
+
+
+def _center_of_mass(model):
+    P = np.asarray(model.field("P").interior)
+    z = model.grid.znodes("c")
+    return float((P.sum(axis=(0, 1)) * z).sum() / P.sum())
+
+
+def test_lagrangian_particles_advect():
+    grid = RectilinearGrid(size=(16, 16, 4), extent=(1, 1, 1),
+                           topology=("periodic", "periodic", "periodic"))
+    parts = LagrangianParticles(x=np.asarray([0.2, 0.5]),
+                                y=np.asarray([0.5, 0.5]),
+                                z=np.asarray([-0.5, -0.5]))
+    model = NonhydrostaticModel(grid=grid, particles=parts)
+    model.set(u=0.1, enforce_incompressibility=False)
+    for _ in range(10):
+        model.time_step(0.05)
+    x = np.asarray(model.state["particles"]["x"])
+    # uniform u = 0.1 for t=0.5 → displacement 0.05
+    assert np.allclose(x, [0.25, 0.55], atol=1e-3), x
+
+
+def test_lagrangian_particles_periodic_wrap():
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1, 1, 1),
+                           topology=("periodic", "periodic", "periodic"))
+    parts = LagrangianParticles(x=np.asarray([0.95]), y=np.asarray([0.5]),
+                                z=np.asarray([-0.5]))
+    model = NonhydrostaticModel(grid=grid, particles=parts)
+    model.set(u=0.5, enforce_incompressibility=False)
+    for _ in range(4):
+        model.time_step(0.1)
+    x = float(np.asarray(model.state["particles"]["x"])[0])
+    assert 0 <= x < 1
+    assert abs(x - 0.15) < 0.01
+
+
+def test_smagorinsky_and_amd_stable():
+    grid = RectilinearGrid(size=(16, 16, 16), extent=(1, 1, 1),
+                           topology=("periodic", "periodic", "periodic"))
+    rng = np.random.default_rng(0)
+    for closure in (Smagorinsky(), AnisotropicMinimumDissipation()):
+        model = NonhydrostaticModel(grid=grid, closure=closure)
+        model.set(u=0.1 * rng.standard_normal((16, 16, 16)),
+                  v=0.1 * rng.standard_normal((16, 16, 16)))
+        ke0 = float(np.sum(np.asarray(model.field("u").interior) ** 2))
+        for _ in range(5):
+            model.time_step(0.005)
+        u = np.asarray(model.field("u").interior)
+        assert np.all(np.isfinite(u)), closure
+        # LES closures dissipate small-scale KE
+        ke1 = float(np.sum(u ** 2))
+        assert ke1 < ke0 * 1.05, closure
