@@ -92,3 +92,71 @@ class SeawaterBuoyancy:
 
     def z_buoyancy(self, grid, tracers):
         return iz_f(grid, self.buoyancy_ccc(grid, tracers))
+
+
+class RoquetSecondOrderEquationOfState:
+    """Simplified nonlinear (second-order polynomial) TEOS-10-like equation
+    of state after Roquet et al. (2015), "Defining a Simplified yet Realistic
+    Equation of State for Seawater" — the reference reaches the same family
+    through SeawaterPolynomials.jl (nonlinear_equation_of_state.jl).
+
+    Density anomaly (kg/m³), Θ conservative temperature, S absolute salinity,
+    z height (negative downward):
+
+        ρ′ = -a₀ (1 + ½ λ₁ Θ + μ₁ z) Θ + b₀ S
+
+    capturing thermal expansion, cabbeling (λ₁) and thermobaricity (μ₁)."""
+
+    def __init__(self, a0=1.6550e-1, b0=7.6554e-1, lambda1=5.9520e-2,
+                 mu1=1.4970e-4, reference_density=1020.0):
+        self.a0 = float(a0)
+        self.b0 = float(b0)
+        self.lambda1 = float(lambda1)
+        self.mu1 = float(mu1)
+        self.rho0 = float(reference_density)
+
+    def _fp(self):
+        return ("RoquetEOS2", self.a0, self.b0, self.lambda1, self.mu1,
+                self.rho0)
+
+    __hash__ = BuoyancyTracer.__hash__
+    __eq__ = BuoyancyTracer.__eq__
+
+    def density_anomaly(self, T, S, z):
+        return -self.a0 * (1 + 0.5 * self.lambda1 * T + self.mu1 * z) * T \
+            + self.b0 * S
+
+    def buoyancy(self, g, T, S, z):
+        return -g * self.density_anomaly(T, S, z) / self.rho0
+
+
+class NonlinearSeawaterBuoyancy(SeawaterBuoyancy):
+    """SeawaterBuoyancy with a nonlinear (z-dependent) equation of state."""
+
+    def __init__(self, equation_of_state=None, **kw):
+        eos = equation_of_state or RoquetSecondOrderEquationOfState()
+        super().__init__(equation_of_state=eos, **kw)
+
+    def buoyancy_ccc(self, grid, tracers):
+        from .grids.base import broadcastable_1d
+        T = (tracers["T"] if self.constant_temperature is None
+             else self.constant_temperature)
+        S = (tracers["S"] if self.constant_salinity is None
+             else self.constant_salinity)
+        z = broadcastable_1d(grid.coord_padded(2, "c"), 2)
+        return self.eos.buoyancy(self.g, T, S, z)
+
+
+def seawater_density(model, eos=None):
+    """Diagnostic density field ρ = ρ₀ + ρ′(T, S, z) as a lazy operation
+    (reference: src/Models/seawater_density.jl KernelFunctionOperation)."""
+    from .abstract_operations import KernelFunctionOperation
+    from .grids.base import broadcastable_1d
+    eos = eos or RoquetSecondOrderEquationOfState()
+
+    def rho(grid, T, S):
+        z = broadcastable_1d(grid.coord_padded(2, "c"), 2)
+        return eos.rho0 + eos.density_anomaly(T, S, z)
+
+    return KernelFunctionOperation(rho, model.grid, model.field("T"),
+                                   model.field("S"))

@@ -3,7 +3,14 @@ from .scalar_diffusivity import (ScalarDiffusivity, VerticalScalarDiffusivity,
                                  ScalarBiharmonicDiffusivity)
 from .smagorinsky import Smagorinsky, SmagorinskyLilly
 from .amd import AnisotropicMinimumDissipation
+from .vertical_diffusivities import (ConvectiveAdjustmentVerticalDiffusivity,
+                                     RiBasedVerticalDiffusivity,
+                                     TwoDimensionalLeith)
+from .catke import CATKEVerticalDiffusivity
 
 __all__ = ["ScalarDiffusivity", "VerticalScalarDiffusivity",
            "HorizontalScalarDiffusivity", "ScalarBiharmonicDiffusivity",
-           "Smagorinsky", "SmagorinskyLilly", "AnisotropicMinimumDissipation"]
+           "Smagorinsky", "SmagorinskyLilly", "AnisotropicMinimumDissipation",
+           "ConvectiveAdjustmentVerticalDiffusivity",
+           "RiBasedVerticalDiffusivity", "TwoDimensionalLeith",
+           "CATKEVerticalDiffusivity"]

@@ -59,6 +59,10 @@ class HydrostaticFreeSurfaceModel:
             for name in buoyancy.required_tracers:
                 if name not in tracers:
                     tracers = tracers + (name,)
+        if closure is not None:
+            for name in getattr(closure, "required_tracers", ()):
+                if name not in tracers:
+                    tracers = tracers + (name,)
         self.tracer_names = tracers
         self.buoyancy = buoyancy
         self.coriolis = coriolis
@@ -375,10 +379,17 @@ class HydrostaticFreeSurfaceModel:
             if self.closure is not None:
                 kappas = self.closure.vertical_implicit_kappas(
                     self.grid, new, aux)
+                dampings = {}
+                if hasattr(self.closure, "vertical_implicit_damping"):
+                    dampings = self.closure.vertical_implicit_damping(
+                        self.grid, new, aux)
                 for name, kz in kappas.items():
                     if name in new:
                         new[name] = implicit_vertical_diffusion(
-                            self.grid, new[name], kz, dt)
+                            self.grid, new[name], kz, dt,
+                            damping=dampings.get(name))
+                if hasattr(self.closure, "clip_fields"):
+                    new = self.closure.clip_fields(new)
 
             fs = self.free_surface
             if isinstance(fs, SplitExplicitFreeSurface):

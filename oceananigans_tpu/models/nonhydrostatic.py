@@ -80,6 +80,10 @@ class NonhydrostaticModel:
             for name in biogeochemistry.required_tracers:
                 if name not in tracers:
                     tracers = tracers + (name,)
+        if closure is not None:
+            for name in getattr(closure, "required_tracers", ()):
+                if name not in tracers:
+                    tracers = tracers + (name,)
         self.tracer_names = tracers
         self.stokes_drift = stokes_drift
         self.biogeochemistry = biogeochemistry
@@ -329,12 +333,19 @@ class NonhydrostaticModel:
         kappas = self.closure.vertical_implicit_kappas(self.grid, fields, aux)
         if not kappas:
             return fields
+        dampings = {}
+        if hasattr(self.closure, "vertical_implicit_damping"):
+            dampings = self.closure.vertical_implicit_damping(
+                self.grid, fields, aux)
         out = dict(fields)
         for name, kz in kappas.items():
             if name == "w":
                 continue  # w implicit solve handled separately (future work)
             out[name] = implicit_vertical_diffusion(
-                self.grid, fields[name], kz, dtt)
+                self.grid, fields[name], kz, dtt,
+                damping=dampings.get(name))
+        if hasattr(self.closure, "clip_fields"):
+            out = self.closure.clip_fields(out)
         return out
 
     def _build_step(self):
@@ -447,14 +458,17 @@ def _vertical_spacings(grid):
     return dzc, dzf
 
 
-def implicit_vertical_diffusion(grid, q, kappa, dtt):
-    """Solve (1 - Δt ∂z κ ∂z) q' = q on cell-centered z levels with no-flux
-    walls (reference: vertically_implicit_diffusion_solver.jl:30-79).
+def implicit_vertical_diffusion(grid, q, kappa, dtt, damping=None):
+    """Solve (1 + Δt λ - Δt ∂z κ ∂z) q' = q on cell-centered z levels with
+    no-flux walls (reference: vertically_implicit_diffusion_solver.jl:30-79).
 
     ``kappa`` is a scalar or a padded (c,c,f)-located 3D array (κ at the z-face
-    below each cell). The implicit operator drops the boundary-face fluxes
-    (no-flux; Dirichlet/flux conditions enter explicitly via halo fills and
-    apply_flux_bcs, as in the reference)."""
+    below each cell). ``damping`` is an optional linear damping rate λ at cell
+    centers (padded array) treated implicitly — used by CATKE-family closures
+    for the TKE dissipation term (reference: time_step_catke_equation.jl
+    implicit dissipation). The implicit operator drops the boundary-face
+    fluxes (no-flux; Dirichlet/flux conditions enter explicitly via halo
+    fills and apply_flux_bcs, as in the reference)."""
     h, n = grid.H[2], grid.N[2]
     dzc, dzf = _vertical_spacings(grid)
 
@@ -472,5 +486,9 @@ def implicit_vertical_diffusion(grid, q, kappa, dtt):
         lo = -dtt * kappa * jnp.asarray(inv_lo)
         up = -dtt * kappa * jnp.asarray(inv_up)
     diag = 1.0 - lo - up
+    if damping is not None:
+        lam = damping[grid.interior_slices] if jnp.ndim(damping) == 3 \
+            else damping
+        diag = diag + dtt * lam
     sol = solve_batched_tridiagonal(lo, diag, up, grid.interior(q))
     return q.at[grid.interior_slices].set(sol)

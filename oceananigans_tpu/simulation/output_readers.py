@@ -1,0 +1,69 @@
+"""OutputReaders: FieldTimeSeries.
+
+Reference semantics: src/OutputReaders/field_time_series.jl:34-70 — a time
+series of field snapshots with `InMemory` (fully loaded) or `OnDisk` (lazy,
+per-index load) backends, time indexing/interpolation, and use as
+time-dependent boundary conditions / forcing
+(update_model_field_time_series!, src/Models/Models.jl:48).
+
+Reads the FieldWriter directory format (series.json + <name>_<iter>.npy)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+class FieldTimeSeries:
+    def __init__(self, path, name, backend="in_memory"):
+        self.path = path
+        self.name = name
+        self.backend = backend
+        index = json.load(open(os.path.join(path, "series.json")))
+        if name not in index["outputs"]:
+            raise KeyError(f"{name!r} not among outputs {index['outputs']}")
+        self.times = np.asarray(index["times"], float)
+        self.iterations = list(index["iterations"])
+        self._cache = {}
+        if backend == "in_memory":
+            self._data = np.stack([self._load(i)
+                                   for i in range(len(self.iterations))])
+        else:
+            self._data = None
+        try:
+            self.grid_meta = json.load(open(os.path.join(path, "grid.json")))
+        except FileNotFoundError:
+            self.grid_meta = None
+
+    def _load(self, idx):
+        it = self.iterations[idx]
+        return np.load(os.path.join(self.path, f"{self.name}_{it}.npy"))
+
+    def __len__(self):
+        return len(self.iterations)
+
+    def __getitem__(self, idx):
+        """Snapshot by time index."""
+        if self._data is not None:
+            return self._data[idx]
+        if idx not in self._cache:
+            self._cache[idx] = self._load(idx)
+        return self._cache[idx]
+
+    def at_time(self, t):
+        """Linear interpolation in time (reference: time indexing /
+        interpolation of FieldTimeSeries)."""
+        times = self.times
+        if t <= times[0]:
+            return self[0]
+        if t >= times[-1]:
+            return self[len(self) - 1]
+        j = int(np.searchsorted(times, t))
+        i = j - 1
+        w = (t - times[i]) / (times[j] - times[i])
+        return (1 - w) * self[i] + w * self[j]
+
+    def __call__(self, t):
+        return self.at_time(t)

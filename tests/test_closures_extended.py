@@ -1,0 +1,101 @@
+"""Tests for vertical-diffusivity closures: convective adjustment, Ri-based,
+CATKE, Leith (reference analogue: test_turbulence_closures.jl)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from oceananigans_tpu import RectilinearGrid
+from oceananigans_tpu.buoyancy import BuoyancyTracer
+from oceananigans_tpu.closures import (CATKEVerticalDiffusivity,
+                                       ConvectiveAdjustmentVerticalDiffusivity,
+                                       RiBasedVerticalDiffusivity,
+                                       TwoDimensionalLeith)
+from oceananigans_tpu.models import (HydrostaticFreeSurfaceModel,
+                                     ImplicitFreeSurface, NonhydrostaticModel)
+
+
+def test_convective_adjustment_mixes_unstable_column():
+    grid = RectilinearGrid(size=(4, 4, 16), extent=(1, 1, 1))
+    buoyancy = BuoyancyTracer()
+    closure = ConvectiveAdjustmentVerticalDiffusivity(
+        convective_kappa_z=1.0, buoyancy=buoyancy)
+    model = NonhydrostaticModel(grid=grid, buoyancy=buoyancy, closure=closure)
+    # unstable: buoyancy increasing downward (b decreasing upward)
+    model.set(b=lambda x, y, z: -0.01 * z)  # ∂z b < 0... b = -0.01 z ⇒ ∂z b = -0.01 < 0 unstable
+    b0_range = _b_range(model)
+    for _ in range(20):
+        model.time_step(0.05)
+    b1_range = _b_range(model)
+    assert b1_range < b0_range * 0.8  # column mixes toward homogeneous
+    assert np.all(np.isfinite(np.asarray(model.field("b").interior)))
+
+
+def _b_range(model):
+    b = np.asarray(model.field("b").interior)
+    prof = b.mean(axis=(0, 1))
+    return float(prof.max() - prof.min())
+
+
+def test_convective_adjustment_preserves_stable_column():
+    grid = RectilinearGrid(size=(4, 4, 16), extent=(1, 1, 1))
+    buoyancy = BuoyancyTracer()
+    closure = ConvectiveAdjustmentVerticalDiffusivity(
+        convective_kappa_z=1.0, background_kappa_z=0.0, buoyancy=buoyancy)
+    model = NonhydrostaticModel(grid=grid, buoyancy=buoyancy, closure=closure)
+    model.set(b=lambda x, y, z: 0.01 * z)  # stable stratification
+    b0 = np.asarray(model.field("b").interior).copy()
+    for _ in range(10):
+        model.time_step(0.05)
+    b1 = np.asarray(model.field("b").interior)
+    assert np.allclose(b0, b1, atol=1e-8)  # nothing to mix
+
+
+def test_ri_based_closure_runs():
+    grid = RectilinearGrid(size=(4, 4, 16), extent=(200.0, 200.0, 100.0))
+    buoyancy = BuoyancyTracer()
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=ImplicitFreeSurface(),
+        buoyancy=buoyancy,
+        closure=RiBasedVerticalDiffusivity(buoyancy=buoyancy))
+    model.set(b=lambda x, y, z: 1e-5 * z,
+              u=lambda x, y, z: 0.1 * (1 + z / 100.0))
+    for _ in range(10):
+        model.time_step(10.0)
+    assert np.all(np.isfinite(np.asarray(model.field("u").interior)))
+
+
+def test_catke_wind_mixing_deepens_layer():
+    # classic wind-driven mixed layer: stress at surface, stable strat below
+    grid = RectilinearGrid(size=(4, 4, 32), extent=(200.0, 200.0, 64.0))
+    buoyancy = BuoyancyTracer()
+    closure = CATKEVerticalDiffusivity(buoyancy=buoyancy)
+    from oceananigans_tpu.boundary_conditions import (FieldBoundaryConditions,
+                                                      FluxBoundaryCondition)
+    u_bcs = FieldBoundaryConditions(top=FluxBoundaryCondition(-1e-4))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=ImplicitFreeSurface(), buoyancy=buoyancy,
+        closure=closure, boundary_conditions={"u": u_bcs})
+    assert "e" in model.tracer_names
+    N2 = 1e-5
+    model.set(b=lambda x, y, z: N2 * z, e=1e-7)
+    for _ in range(30):
+        model.time_step(60.0)
+    e = np.asarray(model.field("e").interior)
+    b = np.asarray(model.field("b").interior)
+    assert np.all(np.isfinite(e))
+    assert e.max() > 1e-7          # TKE generated near the surface
+    prof = e.mean(axis=(0, 1))
+    assert prof[-1] > prof[0]      # concentrated near the top
+    assert np.all(np.isfinite(b))
+
+
+def test_leith_runs_2d():
+    grid = RectilinearGrid(size=(32, 32), x=(0, 1), y=(0, 1),
+                           topology=("periodic", "periodic", "flat"))
+    rng = np.random.default_rng(0)
+    model = NonhydrostaticModel(grid=grid, closure=TwoDimensionalLeith())
+    model.set(u=0.1 * rng.standard_normal((32, 32)),
+              v=0.1 * rng.standard_normal((32, 32)))
+    for _ in range(5):
+        model.time_step(0.002)
+    assert np.all(np.isfinite(np.asarray(model.field("u").interior)))
