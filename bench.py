@@ -26,6 +26,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the first (cold) compile of the 256³ step
+    # through the remote-compile tunnel is slow; subsequent runs reuse it.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from oceananigans_tpu import RectilinearGrid
     from oceananigans_tpu.advection import WENO
