@@ -1,5 +1,7 @@
-from .schemes import AdvectionScheme, Centered, UpwindBiased, WENO
+from .schemes import (AdvectionScheme, Centered, UpwindBiased, WENO,
+                      FluxFormAdvection)
 from .fluxes import (div_Uc, div_Uu, div_Uv, div_Uw, cell_advection_timescale)
 
 __all__ = ["AdvectionScheme", "Centered", "UpwindBiased", "WENO",
+           "FluxFormAdvection",
            "div_Uc", "div_Uu", "div_Uv", "div_Uw", "cell_advection_timescale"]

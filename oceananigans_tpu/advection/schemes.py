@@ -160,3 +160,26 @@ class WENO(AdvectionScheme):
             num = nterm if num is None else num + nterm
             den = alpha if den is None else den + alpha
         return num / den
+
+
+class FluxFormAdvection(AdvectionScheme):
+    """A different scheme per direction (reference:
+    src/Advection/flux_form_advection.jl)."""
+
+    def __init__(self, x, y=None, z=None):
+        self.schemes = (x, y if y is not None else x,
+                        z if z is not None else x)
+        self.order = max(s.order for s in self.schemes)
+        self.required_halo = max(s.required_halo for s in self.schemes)
+
+    def _fp(self):
+        return ("FluxFormAdvection",) + tuple(s._fp() for s in self.schemes)
+
+    def symmetric(self, grid, a, axis, beta):
+        return self.schemes[axis].symmetric(grid, a, axis, beta)
+
+    def biased_pair(self, grid, a, axis, beta):
+        return self.schemes[axis].biased_pair(grid, a, axis, beta)
+
+    def biased(self, grid, a, axis, beta, side):
+        return self.schemes[axis].biased(grid, a, axis, beta, side)

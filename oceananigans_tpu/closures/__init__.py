@@ -1,6 +1,6 @@
 from .scalar_diffusivity import (ScalarDiffusivity, VerticalScalarDiffusivity,
                                  HorizontalScalarDiffusivity,
-                                 ScalarBiharmonicDiffusivity)
+                                 ScalarBiharmonicDiffusivity, ClosureTuple)
 from .smagorinsky import Smagorinsky, SmagorinskyLilly
 from .amd import AnisotropicMinimumDissipation
 from .vertical_diffusivities import (ConvectiveAdjustmentVerticalDiffusivity,
@@ -13,4 +13,4 @@ __all__ = ["ScalarDiffusivity", "VerticalScalarDiffusivity",
            "Smagorinsky", "SmagorinskyLilly", "AnisotropicMinimumDissipation",
            "ConvectiveAdjustmentVerticalDiffusivity",
            "RiBasedVerticalDiffusivity", "TwoDimensionalLeith",
-           "CATKEVerticalDiffusivity"]
+           "CATKEVerticalDiffusivity", "ClosureTuple"]

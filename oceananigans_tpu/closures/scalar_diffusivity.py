@@ -153,3 +153,57 @@ class ScalarBiharmonicDiffusivity(_ClosureBase):
     def tracer_tendency(self, grid, name, fields, aux):
         k = _kappa_for(self.kappa, name)
         return self._biharm(grid, fields[name], ("c", "c", "c"), k)
+
+
+class ClosureTuple(_ClosureBase):
+    """Sum of closures (reference: closure tuples,
+    src/TurbulenceClosures/closure_tuples.jl)."""
+
+    def __init__(self, *closures):
+        self.closures = tuple(closures)
+        self.required_halo = max(getattr(c, "required_halo", 1)
+                                 for c in closures)
+        names = []
+        for c in closures:
+            for n in getattr(c, "required_tracers", ()):
+                if n not in names:
+                    names.append(n)
+        self.required_tracers = tuple(names)
+
+    def _fp(self):
+        return ("ClosureTuple",) + tuple(c._fp() for c in self.closures)
+
+    def compute_diffusivities(self, grid, fields, time):
+        return [c.compute_diffusivities(grid, fields, time)
+                for c in self.closures]
+
+    def momentum_tendencies(self, grid, fields, aux):
+        outs = [c.momentum_tendencies(grid, fields, a)
+                for c, a in zip(self.closures, aux)]
+        return {k: sum(o[k] for o in outs) for k in ("u", "v", "w")}
+
+    def tracer_tendency(self, grid, name, fields, aux):
+        return sum(c.tracer_tendency(grid, name, fields, a)
+                   for c, a in zip(self.closures, aux))
+
+    def vertical_implicit_kappas(self, grid, fields, aux):
+        combined = {}
+        for c, a in zip(self.closures, aux):
+            for k, v in c.vertical_implicit_kappas(grid, fields, a).items():
+                combined[k] = combined.get(k, 0.0) + v
+        return combined
+
+    def vertical_implicit_damping(self, grid, fields, aux):
+        combined = {}
+        for c, a in zip(self.closures, aux):
+            if hasattr(c, "vertical_implicit_damping"):
+                for k, v in c.vertical_implicit_damping(grid, fields,
+                                                        a).items():
+                    combined[k] = combined.get(k, 0.0) + v
+        return combined
+
+    def clip_fields(self, fields):
+        for c in self.closures:
+            if hasattr(c, "clip_fields"):
+                fields = c.clip_fields(fields)
+        return fields

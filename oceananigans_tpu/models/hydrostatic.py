@@ -43,10 +43,39 @@ from .nonhydrostatic import implicit_vertical_diffusion, _vertical_spacings
 PROGNOSTIC_LOCS = {"u": LOC_FCC, "v": LOC_CFC}
 
 
+class PrescribedVelocityFields:
+    """Tracer-only mode: velocities are prescribed (constants or traceable
+    callables of (x, y, z, t)) and NOT stepped (reference:
+    prescribed_hydrostatic_velocity_fields.jl)."""
+
+    def __init__(self, u=0.0, v=0.0, w=0.0):
+        self.u, self.v, self.w = u, v, w
+
+    def evaluate(self, grid, time):
+        from ..grids.base import broadcastable_1d
+
+        def ev(q, loc):
+            if callable(q):
+                coords = [broadcastable_1d(grid.coord_padded(ax, loc[ax]), ax)
+                          for ax in range(3)]
+                out = q(*coords, time)
+                import jax.numpy as _jnp
+                return _jnp.broadcast_to(_jnp.asarray(out, grid.dtype),
+                                         grid.padded_shape)
+            import jax.numpy as _jnp
+            return _jnp.full(grid.padded_shape, q, grid.dtype)
+
+        return (ev(self.u, LOC_FCC), ev(self.v, LOC_CFC),
+                ev(self.w, LOC_CCF))
+
+
 class HydrostaticFreeSurfaceModel:
     def __init__(self, grid, momentum_advection=None, tracer_advection=None,
                  free_surface=None, tracers=(), buoyancy=None, coriolis=None,
-                 closure=None, forcing=None, boundary_conditions=None):
+                 closure=None, forcing=None, boundary_conditions=None,
+                 velocities=None):
+        self.prescribed_velocities = (velocities if isinstance(
+            velocities, PrescribedVelocityFields) else None)
         self.momentum_advection = (momentum_advection if momentum_advection
                                    is not None else VectorInvariant())
         self.tracer_advection = (tracer_advection if tracer_advection
@@ -103,7 +132,9 @@ class HydrostaticFreeSurfaceModel:
         dtype = self.grid.dtype
         shape2d = (shape[0], shape[1], 1)
         zeros = lambda: jnp.zeros(shape, dtype)
-        fields = {n: zeros() for n in ("u", "v") + self.tracer_names}
+        base_names = (() if self.prescribed_velocities is not None
+                      else ("u", "v")) + self.tracer_names
+        fields = {n: zeros() for n in base_names}
         fields["eta"] = jnp.zeros(shape2d, dtype)
         clock = dict(time=jnp.zeros((), dtype),
                      iteration=jnp.zeros((), jnp.int32),
@@ -139,6 +170,8 @@ class HydrostaticFreeSurfaceModel:
 
     @property
     def prognostic_3d(self):
+        if self.prescribed_velocities is not None:
+            return self.tracer_names
         return ("u", "v") + self.tracer_names
 
     @property
@@ -351,6 +384,59 @@ class HydrostaticFreeSurfaceModel:
 
     def _build_step(self):
         chi0 = self.timestepper.chi
+
+        if self.prescribed_velocities is not None:
+            # tracer-only mode (reference:
+            # prescribed_hydrostatic_velocity_fields.jl)
+            def step(state, dt):
+                fields = state["fields"]
+                clock = state["clock"]
+                time = clock["time"]
+                Gm = state["Gm"]
+                euler = jnp.logical_or(clock["iteration"] == 0,
+                                       clock["last_dt"] != dt)
+                chi = jnp.where(euler, -0.5, chi0)
+                not_euler = jnp.where(euler, 0.0, 1.0)
+                fields = self._fill_all(fields, time)
+                u, v, w = self.prescribed_velocities.evaluate(self.grid, time)
+                G = {}
+                aux = {}
+                cf = dict(fields, u=u, v=v, w=w)
+                if self.closure is not None:
+                    aux = self.closure.compute_diffusivities(self.grid, cf,
+                                                             time)
+                for name in self.tracer_names:
+                    Gc = -div_Uc(self.grid, self.tracer_advection, u, v, w,
+                                 fields[name])
+                    if self.closure is not None:
+                        Gc = Gc + self.closure.tracer_tendency(
+                            self.grid, name, cf, aux)
+                    G[name] = Gc
+                for name, F in self.forcing.items():
+                    if name in G:
+                        G[name] = G[name] + (F(self.grid, fields, time)
+                                             if callable(F) else F)
+                for name in list(G):
+                    G[name] = apply_flux_bcs(G[name], self.grid,
+                                             self.loc(name), self.bcs[name],
+                                             time)
+                new = {name: fields[name] + dt * ((1.5 + chi) * G[name]
+                       - (0.5 + chi) * Gm[name] * not_euler)
+                       for name in self.tracer_names}
+                new["eta"] = fields["eta"]
+                if self.closure is not None:
+                    kappas = self.closure.vertical_implicit_kappas(
+                        self.grid, new, aux)
+                    for name, kz in kappas.items():
+                        if name in new and name != "eta":
+                            new[name] = implicit_vertical_diffusion(
+                                self.grid, new[name], kz, dt)
+                clock = dict(time=time + dt,
+                             iteration=clock["iteration"] + 1,
+                             last_dt=dt * jnp.ones_like(clock["last_dt"]))
+                return dict(fields=new, clock=clock, w=w, Gm=G)
+
+            return step
 
         def step(state, dt):
             fields = state["fields"]

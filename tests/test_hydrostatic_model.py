@@ -109,3 +109,21 @@ def test_implicit_vertical_diffusion_in_hydrostatic():
     assert np.all(np.isfinite(c))
     assert np.isclose(float(model.field("c").sum()), tot0, rtol=1e-10)
     assert c.max() - c.min() < 0.1
+
+
+def test_prescribed_velocity_fields_tracer_only():
+    # reference: prescribed_hydrostatic_velocity_fields.jl (tracer-only mode)
+    from oceananigans_tpu.models.hydrostatic import PrescribedVelocityFields
+    from oceananigans_tpu.advection import WENO as _WENO
+    grid = RectilinearGrid(size=(32, 1, 8), x=(0, 1), y=(0, 1), z=(-1, 0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("c",), tracer_advection=_WENO(5),
+        velocities=PrescribedVelocityFields(u=0.5))
+    model.set(c=lambda x, y, z: jnp.exp(-((x - 0.3) / 0.1) ** 2))
+    for _ in range(20):
+        model.time_step(0.02)
+    c = np.asarray(model.field("c").interior)[:, 0, :].mean(axis=1)
+    x = grid.xnodes("c")
+    peak = x[np.argmax(c)]
+    assert abs(peak - 0.5) < 0.05  # advected by u·t = 0.5·0.4 = 0.2
