@@ -1,0 +1,170 @@
+"""Pallas fused advection megakernel.
+
+The single hottest computation (SURVEY.md §3.2: WENO tendency assembly
+dominates FLOPs) executed as ONE Pallas kernel per step stage:
+
+* the padded prognostic arrays stay in HBM (`memory_space=ANY`);
+* each program instance DMAs an (TX+2Hx, TY+2Hy, ZP) slab — interior tile
+  plus its stencil halo — into VMEM scratch (double-buffer-free: one slab per
+  field, the DMAs for all fields run concurrently);
+* the ENTIRE flux-form advection (WENO reconstructions both sides, advecting-
+  velocity interpolation, metric scaling, flux differences) evaluates on the
+  VMEM slab with the SAME jnp operator code used by the XLA path
+  (advection/fluxes.py) — Mosaic fuses it into one loop nest with VMEM-only
+  intermediate traffic, eliminating the HBM round-trips XLA materializes
+  between stencil ops;
+* outputs are interior-tiled (Nx, Ny, ZP) arrays (z halo slots carry garbage
+  and are never consumed — G halos are refilled before use anyway).
+
+Eligibility: regular (scalar-metric) RectilinearGrid; Nx/Ny divisible by the
+tile. The model falls back to the XLA path otherwise."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..advection.fluxes import div_Uc, div_Uu, div_Uv, div_Uw
+
+
+class _TileGrid:
+    """Scalar-metric grid proxy for kernel-local evaluation."""
+
+    def __init__(self, grid):
+        self._flat = tuple(grid.is_flat(ax) for ax in range(3))
+        ccc = ("c", "c", "c")
+        # regular grids: all metrics are location-independent scalars
+        self._dx = float(np.asarray(grid.dx(ccc)).reshape(())) \
+            if not self._flat[0] else 1.0
+        self._dy = float(np.asarray(grid.dy(ccc)).reshape(())) \
+            if not self._flat[1] else 1.0
+        self._dz = float(np.asarray(grid.dz(ccc)).reshape(())) \
+            if not self._flat[2] else 1.0
+
+    def is_flat(self, axis):
+        return self._flat[axis]
+
+    def dx(self, loc):
+        return self._dx
+
+    def dy(self, loc):
+        return self._dy
+
+    def dz(self, loc):
+        return self._dz
+
+    def Ax(self, loc):
+        return self._dy * self._dz
+
+    def Ay(self, loc):
+        return self._dx * self._dz
+
+    def Az(self, loc):
+        return self._dx * self._dy
+
+    def V(self, loc):
+        return self._dx * self._dy * self._dz
+
+
+def _pick_tile(n, candidates):
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return None
+
+
+def eligible(grid, n_tile_candidates=((8, 16, 4, 32, 2), (64, 128, 32, 16, 8, 4, 2))):
+    if not getattr(grid, "all_regular", False):
+        return False
+    if grid.is_flat(0) or grid.is_flat(1):
+        return False  # tile over (x, y); 2D-in-xy grids use the XLA path
+    tx = _pick_tile(grid.N[0], n_tile_candidates[0])
+    ty = _pick_tile(grid.N[1], n_tile_candidates[1])
+    return tx is not None and ty is not None
+
+
+def build_fused_advection(grid, scheme, tracer_names):
+    """Return fn(u, v, w, tracers_dict) -> (Gu, Gv, Gw, {name: Gc}) of
+    PADDED-shape arrays whose interior holds -∇·(𝐯 q); halo slots are
+    garbage."""
+    Hx, Hy, Hz = grid.H
+    Nx, Ny, Nz = grid.N
+    ZP = grid.padded_shape[2]
+    TX = _pick_tile(Nx, (8, 16, 4, 32, 2))
+    TY = _pick_tile(Ny, (64, 128, 32, 16, 8, 4, 2))
+    if TX is None or TY is None:
+        raise ValueError("grid not tileable for the fused kernel")
+    tgrid = _TileGrid(grid)
+    names = tuple(tracer_names)
+    nf = 3 + len(names)
+
+    slab_shape = (TX + 2 * Hx, TY + 2 * Hy, ZP)
+
+    def kernel(*refs):
+        ins = refs[:nf]
+        outs = refs[nf:2 * nf]
+        slabs = refs[2 * nf:3 * nf]
+        sems = refs[3 * nf]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        x0 = i * TX
+        y0 = j * TY
+        copies = []
+        for k in range(nf):
+            dma = pltpu.make_async_copy(
+                ins[k].at[pl.ds(x0, TX + 2 * Hx), pl.ds(y0, TY + 2 * Hy), :],
+                slabs[k], sems.at[k])
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+        u = slabs[0][:]
+        v = slabs[1][:]
+        w = slabs[2][:]
+
+        def out_tile(a):
+            return a[Hx:Hx + TX, Hy:Hy + TY, :]
+
+        outs[0][:] = out_tile(-div_Uu(tgrid, scheme, u, v, w))
+        outs[1][:] = out_tile(-div_Uv(tgrid, scheme, u, v, w))
+        outs[2][:] = out_tile(-div_Uw(tgrid, scheme, u, v, w))
+        for t, name in enumerate(names):
+            c = slabs[3 + t][:]
+            outs[3 + t][:] = out_tile(-div_Uc(tgrid, scheme, u, v, w, c))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(Nx // TX, Ny // TY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nf,
+        out_specs=[pl.BlockSpec((TX, TY, ZP), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)] * nf,
+        out_shape=[jax.ShapeDtypeStruct((Nx, Ny, ZP), grid.dtype)] * nf,
+        scratch_shapes=([pltpu.VMEM(slab_shape, grid.dtype)] * nf
+                        + [pltpu.SemaphoreType.DMA((nf,))]),
+        # CPU backend (tests): run the kernel in the Pallas interpreter
+        interpret=jax.default_backend() == "cpu",
+    )
+
+    sx = slice(Hx, Hx + Nx)
+    sy = slice(Hy, Hy + Ny)
+
+    def fused(u, v, w, tracers):
+        args = [u, v, w] + [tracers[n] for n in names]
+        outs = call(*args)
+        shape = grid.padded_shape
+
+        def embed(o):
+            full = jnp.zeros(shape, o.dtype)
+            return full.at[sx, sy, :].set(o)
+
+        Gu, Gv, Gw = embed(outs[0]), embed(outs[1]), embed(outs[2])
+        Gc = {n: embed(outs[3 + t]) for t, n in enumerate(names)}
+        return Gu, Gv, Gw, Gc
+
+    return fused

@@ -65,7 +65,8 @@ class NonhydrostaticModel:
                  coriolis=None, closure=None, forcing=None,
                  boundary_conditions=None, timestepper="RungeKutta3",
                  pressure_solver=None, background_fields=None,
-                 stokes_drift=None, biogeochemistry=None, particles=None):
+                 stokes_drift=None, biogeochemistry=None, particles=None,
+                 fused_advection="auto"):
         if advection is None:
             advection = Centered(order=2)
         self.advection = advection
@@ -148,6 +149,18 @@ class NonhydrostaticModel:
             self.state["Gm"] = {n: zeros() for n in self.prognostic_names}
         if self.particles is not None:
             self.state["particles"] = dict(self.particles.initial)
+
+        # Pallas fused advection megakernel (regular grids): the WENO/upwind
+        # flux assembly runs in VMEM with one HBM read per field per stage
+        self._fused_advection = None
+        if fused_advection in (True, "auto") and not self.immersed \
+                and self.advection is not None:
+            from ..kernels.fused_advection import build_fused_advection, eligible
+            if eligible(self.grid):
+                self._fused_advection = build_fused_advection(
+                    self.grid, self.advection, self.tracer_names)
+            elif fused_advection is True:
+                raise ValueError("grid is not eligible for fused advection")
 
         self._step = jax.jit(self._build_step())
 
@@ -249,9 +262,14 @@ class NonhydrostaticModel:
         adv = self.advection
 
         G = {}
-        G["u"] = -div_Uu(grid, adv, ua, va, wa)
-        G["v"] = -div_Uv(grid, adv, ua, va, wa)
-        G["w"] = -div_Uw(grid, adv, ua, va, wa)
+        Gc_fused = None
+        if self._fused_advection is not None:
+            G["u"], G["v"], G["w"], Gc_fused = self._fused_advection(
+                ua, va, wa, {n: fields[n] for n in self.tracer_names})
+        else:
+            G["u"] = -div_Uu(grid, adv, ua, va, wa)
+            G["v"] = -div_Uv(grid, adv, ua, va, wa)
+            G["w"] = -div_Uw(grid, adv, ua, va, wa)
 
         if self.coriolis is not None:
             G["u"] = G["u"] - self.coriolis.x_f_cross_U(grid, u, v, w)
@@ -276,7 +294,8 @@ class NonhydrostaticModel:
                 G[k] = G[k] + mt[k]
 
         for name in self.tracer_names:
-            Gc = -div_Uc(grid, adv, ua, va, wa, fields[name])
+            Gc = (Gc_fused[name] if Gc_fused is not None
+                  else -div_Uc(grid, adv, ua, va, wa, fields[name]))
             if self.closure is not None:
                 Gc = Gc + self.closure.tracer_tendency(grid, name, fields, aux)
             if self.biogeochemistry is not None:
