@@ -103,7 +103,13 @@ def build_fused_advection(grid, scheme, tracer_names):
     names = tuple(tracer_names)
     nf = 3 + len(names)
 
-    slab_shape = (TX + 2 * Hx, TY + 2 * Hy, ZP)
+    if (2 * Hy) % 8:
+        raise ValueError("fused kernel needs 2*Hy % 8 == 0 (Mosaic DMA "
+                         "sublane alignment); the model rounds Hy up")
+    # Mosaic DMA slices must be 128-aligned in the lane (z) dim: inputs are
+    # zero-padded to ZPAD before the call (cheap single pads)
+    ZPAD = -(-ZP // 128) * 128
+    slab_shape = (TX + 2 * Hx, TY + 2 * Hy, ZPAD)
 
     def kernel(*refs):
         ins = refs[:nf]
@@ -129,7 +135,7 @@ def build_fused_advection(grid, scheme, tracer_names):
         w = slabs[2][:]
 
         def out_tile(a):
-            return a[Hx:Hx + TX, Hy:Hy + TY, :]
+            return a[Hx:Hx + TX, Hy:Hy + TY, :ZP]
 
         outs[0][:] = out_tile(-div_Uu(tgrid, scheme, u, v, w))
         outs[1][:] = out_tile(-div_Uv(tgrid, scheme, u, v, w))
@@ -154,8 +160,11 @@ def build_fused_advection(grid, scheme, tracer_names):
     sx = slice(Hx, Hx + Nx)
     sy = slice(Hy, Hy + Ny)
 
+    zpad = [(0, 0), (0, 0), (0, ZPAD - ZP)]
+
     def fused(u, v, w, tracers):
-        args = [u, v, w] + [tracers[n] for n in names]
+        args = [jnp.pad(a, zpad) for a in
+                [u, v, w] + [tracers[n] for n in names]]
         outs = call(*args)
         shape = grid.padded_shape
 

@@ -35,7 +35,8 @@ from ..grids.topology import BOUNDED, LOC_CCC, LOC_CCF, LOC_CFC, LOC_FCC
 from ..operators.operators import ddx, ddy, div_xy_ccc, dx_c, dy_c, iz_f
 from ..solvers.fft_poisson import poisson_eigenvalues, fft_along, ifft_along
 from ..solvers.transforms import dct_forward, dct_inverse
-from ..timesteppers import QuasiAdamsBashforth2TimeStepper
+from ..timesteppers import (QuasiAdamsBashforth2TimeStepper,
+                            SplitRungeKutta3TimeStepper)
 from .free_surfaces import (ExplicitFreeSurface, ImplicitFreeSurface,
                             SplitExplicitFreeSurface)
 from .nonhydrostatic import implicit_vertical_diffusion, _vertical_spacings
@@ -73,7 +74,7 @@ class HydrostaticFreeSurfaceModel:
     def __init__(self, grid, momentum_advection=None, tracer_advection=None,
                  free_surface=None, tracers=(), buoyancy=None, coriolis=None,
                  closure=None, forcing=None, boundary_conditions=None,
-                 velocities=None):
+                 velocities=None, timestepper="QuasiAdamsBashforth2"):
         self.prescribed_velocities = (velocities if isinstance(
             velocities, PrescribedVelocityFields) else None)
         self.momentum_advection = (momentum_advection if momentum_advection
@@ -100,7 +101,14 @@ class HydrostaticFreeSurfaceModel:
         for _name, _F in self.forcing.items():
             if hasattr(_F, "bind"):
                 _F.bind(_name)
-        self.timestepper = QuasiAdamsBashforth2TimeStepper()
+        if timestepper in ("QuasiAdamsBashforth2", "ab2", "qab2"):
+            self.timestepper = QuasiAdamsBashforth2TimeStepper()
+        elif timestepper in ("SplitRungeKutta3", "split_rk3"):
+            self.timestepper = SplitRungeKutta3TimeStepper()
+        elif hasattr(timestepper, "n_stages"):
+            self.timestepper = timestepper
+        else:
+            raise ValueError(f"unknown timestepper {timestepper}")
 
         required = max(getattr(self.tracer_advection, "required_halo", 1),
                        getattr(self.momentum_advection, "required_halo", 1))
@@ -382,7 +390,79 @@ class HydrostaticFreeSurfaceModel:
 
     # -- the step -------------------------------------------------------------
 
+    def _stage_free_surface(self, fields0, new, G_or_ab2G, sdt, time):
+        """Apply the configured free-surface treatment for one (sub)step of
+        size sdt starting from fields0's eta; returns updated (new, eta)."""
+        fs = self.free_surface
+        if isinstance(fs, SplitExplicitFreeSurface):
+            eta_f, U_f, V_f = self._step_free_surface_split_explicit(
+                fields0, G_or_ab2G, sdt, time)
+            u, v = self._barotropic_corrector(new["u"], new["v"], U_f, V_f)
+            new.update(u=u, v=v)
+            new["eta"] = eta_f
+            return new
+        U = self._depth_integral(new["u"], LOC_FCC)
+        V = self._depth_integral(new["v"], LOC_CFC)
+        div = (dx_c(self.grid, self.grid.dy(LOC_FCC) * U)
+               + dy_c(self.grid, self.grid.dx(LOC_CFC) * V)) \
+            / self.grid.Az(LOC_CCC)
+        if isinstance(fs, ExplicitFreeSurface):
+            new["eta"] = fields0["eta"] - sdt * div
+            return new
+        if isinstance(fs, ImplicitFreeSurface):
+            rhs = fields0["eta"] - sdt * div
+            eta = self._implicit_free_surface_solve(rhs, sdt)
+            eta = self._fill_xy(eta, LOC_CCC, self.bcs["eta"], time)
+            g = fs.g
+            new["u"] = new["u"] - sdt * g * ddx(self.grid, eta, LOC_FCC)
+            new["v"] = new["v"] - sdt * g * ddy(self.grid, eta, LOC_CFC)
+            new["eta"] = eta
+            return new
+        raise ValueError(f"unknown free surface {fs}")
+
     def _build_step(self):
+        if isinstance(self.timestepper, SplitRungeKutta3TimeStepper):
+            def step(state, dt):
+                fields0 = state["fields"]
+                clock = state["clock"]
+                time = clock["time"]
+                fields = fields0
+                G = None
+                for beta in SplitRungeKutta3TimeStepper.betas:
+                    sdt = dt / beta
+                    ff = self._fill_all(fields, time)
+                    w = self._w_from_continuity(ff["u"], ff["v"])
+                    G, aux = self._compute_tendencies(ff, w, time)
+                    new = {n: fields0[n] + sdt * G[n]
+                           for n in self.prognostic_3d}
+                    if self.closure is not None:
+                        kappas = self.closure.vertical_implicit_kappas(
+                            self.grid, new, aux)
+                        dampings = {}
+                        if hasattr(self.closure, "vertical_implicit_damping"):
+                            dampings = self.closure.vertical_implicit_damping(
+                                self.grid, new, aux)
+                        for name, kz in kappas.items():
+                            if name in new:
+                                new[name] = implicit_vertical_diffusion(
+                                    self.grid, new[name], kz, sdt,
+                                    damping=dampings.get(name))
+                        if hasattr(self.closure, "clip_fields"):
+                            new = self.closure.clip_fields(new)
+                    new = self._stage_free_surface(fields0, new, G, sdt, time)
+                    fields = new
+                w_new = self._w_from_continuity(
+                    fill_halo_regions(fields["u"], self.grid, LOC_FCC,
+                                      self.bcs["u"], time),
+                    fill_halo_regions(fields["v"], self.grid, LOC_CFC,
+                                      self.bcs["v"], time))
+                clock = dict(time=time + dt,
+                             iteration=clock["iteration"] + 1,
+                             last_dt=dt * jnp.ones_like(clock["last_dt"]))
+                return dict(fields=fields, clock=clock, w=w_new, Gm=G)
+
+            return step
+
         chi0 = self.timestepper.chi
 
         if self.prescribed_velocities is not None:

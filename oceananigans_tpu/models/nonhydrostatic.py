@@ -103,8 +103,15 @@ class NonhydrostaticModel:
         required = getattr(advection, "required_halo", 1)
         if closure is not None:
             required = max(required, getattr(closure, "required_halo", 1))
-        halo = tuple(max(h, required) if not grid.is_flat(i) else 0
-                     for i, h in enumerate(grid.H))
+        halo = [max(h, required) if not grid.is_flat(i) else 0
+                for i, h in enumerate(grid.H)]
+        if fused_advection in (True, "auto") and advection is not None \
+                and not grid.is_flat(1):
+            # Mosaic DMA slices must be 8-aligned in the sublane (y) dim:
+            # make the slab width TY + 2·Hy a multiple of 8
+            while (2 * halo[1]) % 8:
+                halo[1] += 1
+        halo = tuple(halo)
         self.grid = grid.with_halo(halo)
 
         if timestepper in ("RungeKutta3", "rk3"):

@@ -1,5 +1,6 @@
-from .steppers import RK3_GAMMAS, RK3_ZETAS, RungeKutta3TimeStepper, \
-    QuasiAdamsBashforth2TimeStepper
+from .steppers import (RK3_GAMMAS, RK3_ZETAS, RungeKutta3TimeStepper,
+                       QuasiAdamsBashforth2TimeStepper,
+                       SplitRungeKutta3TimeStepper)
 
 __all__ = ["RK3_GAMMAS", "RK3_ZETAS", "RungeKutta3TimeStepper",
-           "QuasiAdamsBashforth2TimeStepper"]
+           "QuasiAdamsBashforth2TimeStepper", "SplitRungeKutta3TimeStepper"]

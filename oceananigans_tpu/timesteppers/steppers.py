@@ -48,3 +48,20 @@ class QuasiAdamsBashforth2TimeStepper:
 
     __hash__ = RungeKutta3TimeStepper.__hash__
     __eq__ = RungeKutta3TimeStepper.__eq__
+
+
+class SplitRungeKutta3TimeStepper:
+    """Knoth & Wensch (2014) split RK3: each stage is an Euler step from the
+    CACHED step-start state with Δt/βᵐ, β = (3, 2, 1) (reference:
+    src/TimeSteppers/split_hydrostatic_runge_kutta_3.jl)."""
+
+    name = "SplitRungeKutta3"
+    n_stages = 3
+    needs_previous_tendencies = False
+    betas = (3.0, 2.0, 1.0)
+
+    def _fp(self):
+        return ("SplitRungeKutta3",)
+
+    __hash__ = RungeKutta3TimeStepper.__hash__
+    __eq__ = RungeKutta3TimeStepper.__eq__

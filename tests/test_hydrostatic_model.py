@@ -127,3 +127,18 @@ def test_prescribed_velocity_fields_tracer_only():
     x = grid.xnodes("c")
     peak = x[np.argmax(c)]
     assert abs(peak - 0.5) < 0.05  # advected by u·t = 0.5·0.4 = 0.2
+
+
+def test_split_rk3_stepper():
+    # reference: split_hydrostatic_runge_kutta_3.jl (β = 3, 2, 1)
+    grid = RectilinearGrid(size=(16, 16, 4), extent=(1e4, 1e4, 100.0))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=12),
+        timestepper="SplitRungeKutta3")
+    model.set(eta=lambda x, y, z: 0.1 * jnp.sin(2 * jnp.pi * x / 1e4))
+    v0 = float(model.field("eta").sum())
+    for _ in range(10):
+        model.time_step(30.0)
+    eta = np.asarray(model.field("eta").interior)
+    assert np.all(np.isfinite(eta))
+    assert np.isclose(float(model.field("eta").sum()), v0, atol=1e-9)
