@@ -95,8 +95,8 @@ def build_fused_advection(grid, scheme, tracer_names):
     Hx, Hy, Hz = grid.H
     Nx, Ny, Nz = grid.N
     ZP = grid.padded_shape[2]
-    TX = _pick_tile(Nx, (8, 16, 4, 32, 2))
-    TY = _pick_tile(Ny, (64, 128, 32, 16, 8, 4, 2))
+    TX = _pick_tile(Nx, (8, 4, 16, 2))
+    TY = _pick_tile(Ny, (32, 16, 64, 8, 4, 2))
     if TX is None or TY is None:
         raise ValueError("grid not tileable for the fused kernel")
     tgrid = _TileGrid(grid)
@@ -153,6 +153,8 @@ def build_fused_advection(grid, scheme, tracer_names):
         out_shape=[jax.ShapeDtypeStruct((Nx, Ny, ZP), grid.dtype)] * nf,
         scratch_shapes=([pltpu.VMEM(slab_shape, grid.dtype)] * nf
                         + [pltpu.SemaphoreType.DMA((nf,))]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         # CPU backend (tests): run the kernel in the Pallas interpreter
         interpret=jax.default_backend() == "cpu",
     )
