@@ -122,3 +122,35 @@ def test_nan_checker_aborts():
     except RuntimeError as e:
         raised = "NaN" in str(e)
     assert raised
+
+
+def test_windowed_time_average():
+    from oceananigans_tpu.simulation.output_writers import WindowedTimeAverage
+    m = tiny_model()
+    sim = Simulation(m, dt=0.01, stop_iteration=20)
+    wta = WindowedTimeAverage(lambda model: model.field("u"),
+                              interval=0.1, window=0.1)
+    sim.add_callback(lambda s: wta.collect(s.model), IterationInterval(1))
+    sim.run()
+    result = wta.result()
+    assert result is not None
+    assert result.shape == (8, 8, 4)
+    assert np.all(np.isfinite(result))
+
+
+def test_field_time_series_reader(tmp_path):
+    from oceananigans_tpu.simulation.output_readers import FieldTimeSeries
+    sim = Simulation(tiny_model(), dt=0.01, stop_iteration=6)
+    path = str(tmp_path / "series")
+    w = FieldWriter(sim.model, outputs={"u": "u"}, path=path,
+                    schedule=IterationInterval(2))
+    sim.add_output_writer(w)
+    sim.run()
+    fts = FieldTimeSeries(path, "u")
+    assert len(fts) == 4  # iterations 0, 2, 4, 6
+    assert fts[0].shape == (8, 8, 4)
+    # time interpolation between snapshots
+    mid = fts.at_time(0.03)
+    assert np.all(np.isfinite(mid))
+    lazy = FieldTimeSeries(path, "u", backend="on_disk")
+    assert np.allclose(lazy[2], fts[2])
