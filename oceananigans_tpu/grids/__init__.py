@@ -3,7 +3,10 @@ from .topology import (PERIODIC, BOUNDED, FLAT, CENTER, FACE,
 from .base import AbstractGrid
 from .rectilinear import RectilinearGrid
 from .latlon import LatitudeLongitudeGrid
+from .orthogonal_spherical_shell import (OrthogonalSphericalShellGrid,
+                                         RotatedLatitudeLongitudeGrid)
 
 __all__ = ["PERIODIC", "BOUNDED", "FLAT", "CENTER", "FACE",
            "LOC_CCC", "LOC_FCC", "LOC_CFC", "LOC_CCF", "LOC_FFC",
-           "AbstractGrid", "RectilinearGrid", "LatitudeLongitudeGrid"]
+           "AbstractGrid", "RectilinearGrid", "LatitudeLongitudeGrid",
+           "OrthogonalSphericalShellGrid", "RotatedLatitudeLongitudeGrid"]

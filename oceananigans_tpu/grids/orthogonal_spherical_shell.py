@@ -1,0 +1,260 @@
+"""OrthogonalSphericalShellGrid: general curvilinear horizontal grid on the
+sphere with 2D metric arrays, plus the RotatedLatitudeLongitudeGrid generator.
+
+Reference semantics: src/Grids/orthogonal_spherical_shell_grid.jl (struct :15,
+ctor :368 — 2D coordinate and metric arrays at all four horizontal
+staggerings) and src/OrthogonalSphericalShellGrids/rotated_latitude_longitude_
+grid.jl (a lat-lon grid rotated so its coordinate pole sits at an arbitrary
+geographic location — the building block for tripolar/cubed-sphere panels).
+
+Construction: from 2D arrays of CORNER (ffc-point) longitude/latitude in
+degrees, shape (Nx+1, Ny+1), plus a vertical spec. All metrics are derived
+from great-circle distances between adjacent corner/edge midpoints, padded
+into halos by edge replication. The stencil operator layer consumes them as
+(npx, npy, 1) broadcastable arrays — no operator changes needed."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..defaults import defaults
+from . import topology as topo
+from .base import AbstractGrid
+from .rectilinear import _Coordinate
+
+DEG = np.pi / 180.0
+
+
+def _sph2cart(lam, phi):
+    lam, phi = np.asarray(lam) * DEG, np.asarray(phi) * DEG
+    return np.stack([np.cos(phi) * np.cos(lam), np.cos(phi) * np.sin(lam),
+                     np.sin(phi)], axis=-1)
+
+
+def _cart2sph(xyz):
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    return np.rad2deg(np.arctan2(y, x)), np.rad2deg(
+        np.arcsin(np.clip(z, -1, 1)))
+
+
+def _gc_distance(p1, p2, radius):
+    """Great-circle distance between unit vectors p1, p2."""
+    dots = np.clip(np.sum(p1 * p2, axis=-1), -1.0, 1.0)
+    return radius * np.arccos(dots)
+
+
+def _midpoint(p1, p2):
+    m = p1 + p2
+    return m / np.linalg.norm(m, axis=-1, keepdims=True)
+
+
+class OrthogonalSphericalShellGrid(AbstractGrid):
+    def __init__(self, corner_longitude, corner_latitude, z=None, size=None,
+                 radius=None, topology=None, halo=None, dtype=None):
+        self.radius = float(radius if radius is not None
+                            else defaults.planet_radius)
+        self.dtype = dtype if dtype is not None else defaults.FloatType
+        lamF = np.asarray(corner_longitude, float)
+        phiF = np.asarray(corner_latitude, float)
+        nxp1, nyp1 = lamF.shape
+        Nx, Ny = nxp1 - 1, nyp1 - 1
+        Nz = 1 if z is None else (size[2] if size else None)
+        if z is not None and Nz is None:
+            raise ValueError("pass size=(Nx, Ny, Nz) with a vertical spec")
+
+        if topology is None:
+            topology = (topo.BOUNDED, topo.BOUNDED,
+                        topo.BOUNDED if z is not None else topo.FLAT)
+        self.topology = topo.validate_topology(topology)
+        self.N = (Nx, Ny, Nz if z is not None else 1)
+        if halo is None:
+            halo = tuple(3 if self.topology[i] != topo.FLAT else 0
+                         for i in range(3))
+        elif np.isscalar(halo):
+            halo = tuple(int(halo) if self.topology[i] != topo.FLAT else 0
+                         for i in range(3))
+        self.H = tuple(halo)
+
+        if z is not None:
+            if (isinstance(z, tuple) and len(z) == 2 and np.isscalar(z[0])):
+                self._zc = _Coordinate(self.N[2], self.H[2], self.topology[2],
+                                       interval=z)
+            else:
+                self._zc = _Coordinate(self.N[2], self.H[2], self.topology[2],
+                                       faces=z)
+        else:
+            self._zc = _Coordinate(1, 0, topo.FLAT)
+
+        # corner unit vectors
+        P = _sph2cart(lamF, phiF)                       # (Nx+1, Ny+1, 3)
+        # edge midpoints and cell centers (on the sphere)
+        Pxm = _midpoint(P[:-1, :], P[1:, :])            # x-edge midpoints (Nx, Ny+1)
+        Pym = _midpoint(P[:, :-1], P[:, 1:])            # y-edge midpoints (Nx+1, Ny)
+        Pc = _midpoint(Pxm[:, :-1], Pxm[:, 1:])         # centers (Nx, Ny)
+
+        R = self.radius
+        # metric arrays at the four horizontal staggerings (interior)
+        dx_cc = _gc_distance(Pym[:-1, :], Pym[1:, :], R)   # (Nx, Ny) Δx at (c,c)
+        dx_fc = np.empty((Nx + 1, Ny))
+        dx_fc[1:-1] = _gc_distance(Pc[:-1, :], Pc[1:, :], R)
+        dx_fc[0] = dx_fc[1]
+        dx_fc[-1] = dx_fc[-2]
+        dx_cf = _gc_distance(P[:-1, :], P[1:, :], R)       # corner rows: Δx at (c,f) (Nx, Ny+1)
+        dx_ff = np.empty((Nx + 1, Ny + 1))
+        dx_ff[1:-1] = _gc_distance(Pxm[:-1, :], Pxm[1:, :], R)
+        dx_ff[0] = dx_ff[1]
+        dx_ff[-1] = dx_ff[-2]
+
+        dy_cc = _gc_distance(Pxm[:, :-1], Pxm[:, 1:], R)
+        dy_cf = np.empty((Nx, Ny + 1))
+        dy_cf[:, 1:-1] = _gc_distance(Pc[:, :-1], Pc[:, 1:], R)
+        dy_cf[:, 0] = dy_cf[:, 1]
+        dy_cf[:, -1] = dy_cf[:, -2]
+        dy_fc = _gc_distance(P[:, :-1], P[:, 1:], R)
+        dy_ff = np.empty((Nx + 1, Ny + 1))
+        dy_ff[:, 1:-1] = _gc_distance(Pym[:, :-1], Pym[:, 1:], R)
+        dy_ff[:, 0] = dy_ff[:, 1]
+        dy_ff[:, -1] = dy_ff[:, -2]
+
+        self._dx = {("c", "c"): dx_cc, ("f", "c"): dx_fc,
+                    ("c", "f"): dx_cf[:, :], ("f", "f"): dx_ff}
+        self._dy = {("c", "c"): dy_cc, ("f", "c"): dy_fc[:, :],
+                    ("c", "f"): dy_cf, ("f", "f"): dy_ff}
+
+        lam_c, phi_c = _cart2sph(Pc)
+        self._lam = {("c", "c"): lam_c, ("f", "f"): lamF}
+        self._phi = {("c", "c"): phi_c, ("f", "f"): phiF}
+
+        self._pad_cache = {}
+
+    # -- metric padding -------------------------------------------------------
+
+    def _padded2d(self, table, lx, ly):
+        key = (id(table), lx, ly)
+        if key in self._pad_cache:
+            return self._pad_cache[key]
+        arr = table[(lx, ly)]
+        nx = arr.shape[0]
+        ny = arr.shape[1]
+        # crop the "+1" staggered rows to N entries (uniform padded layout)
+        arr = arr[:self.N[0], :self.N[1]]
+        out = np.pad(arr, [(self.H[0],) * 2, (self.H[1],) * 2], mode="edge")
+        out = out[..., None]
+        self._pad_cache[key] = out
+        return out
+
+    def dx(self, loc):
+        return self._padded2d(self._dx, loc[0], loc[1])
+
+    def dy(self, loc):
+        return self._padded2d(self._dy, loc[0], loc[1])
+
+    def dz(self, loc):
+        s = self._zc.spacing(loc[2])
+        return s if np.isscalar(s) else s.reshape(1, 1, -1)
+
+    # -- nodes ----------------------------------------------------------------
+
+    def coord_padded(self, axis, loc):
+        if axis == 2:
+            return self._zc.coord(loc)
+        # horizontal coordinates are 2D; return the center-line for API parity
+        table = self._lam if axis == 0 else self._phi
+        key = ("c", "c") if loc == "c" else ("f", "f")
+        arr = table.get(key, table[("c", "c")])
+        line = arr[:, arr.shape[1] // 2] if axis == 0 \
+            else arr[arr.shape[0] // 2, :]
+        n = self.N[axis]
+        h = self.H[axis]
+        line = line[:n]
+        return np.pad(line, (h, h), mode="edge")
+
+    def nodes2d(self, loc=("c", "c")):
+        key = tuple(loc[:2])
+        return self._lam.get(key, self._lam[("c", "c")]), \
+            self._phi.get(key, self._phi[("c", "c")])
+
+    def znodes(self, loc="c"):
+        c = self._zc
+        n, h = self.N[2], self.H[2]
+        if loc == topo.FACE and self.topology[2] == topo.BOUNDED:
+            return c.xF[h:h + n + 1]
+        return c.coord(loc)[h:h + n]
+
+    @property
+    def extent(self):
+        # (approximate) angular extents + exact z extent; models use extent[2]
+        lamF = self._lam[("f", "f")]
+        phiF = self._phi[("f", "f")]
+        return (float(lamF.max() - lamF.min()),
+                float(phiF.max() - phiF.min()),
+                self._zc.extent)
+
+    @property
+    def all_regular(self):
+        return False
+
+    @property
+    def stretched_axes(self):
+        return tuple(ax for ax in range(3) if not self.is_flat(ax))
+
+    def regular(self, axis):
+        return axis == 2 and self._zc.regular
+
+    def minimum_spacing(self, axis):
+        if self.is_flat(axis):
+            return np.inf
+        if axis == 2:
+            return float(np.min(np.asarray(self.dz(("c", "c", "c")))))
+        m = (self.dx if axis == 0 else self.dy)(("c", "c", "c"))
+        h0, h1 = self.H[0], self.H[1]
+        return float(np.min(m[h0:h0 + self.N[0], h1:h1 + self.N[1], 0]))
+
+    def with_halo(self, halo):
+        if tuple(halo) == self.H:
+            return self
+        lamF = self._lam[("f", "f")]
+        phiF = self._phi[("f", "f")]
+        zspec = None
+        if not self.is_flat(2):
+            c = self._zc
+            zspec = ((c.origin, c.origin + c.extent) if c.regular
+                     else c.xF[self.H[2]:self.H[2] + self.N[2] + 1].copy())
+        return OrthogonalSphericalShellGrid(
+            lamF, phiF, z=zspec, size=self.N, radius=self.radius,
+            topology=self.topology, halo=halo, dtype=self.dtype)
+
+    def _fingerprint(self):
+        return ("OSSG", self.N, self.H, self.topology, self.radius,
+                self._lam[("f", "f")].tobytes(),
+                self._phi[("f", "f")].tobytes(), self._zc._fp)
+
+    def __repr__(self):
+        return f"OrthogonalSphericalShellGrid(size={self.N})"
+
+
+def RotatedLatitudeLongitudeGrid(size, longitude, latitude, z=None,
+                                 north_pole=(0.0, 90.0), radius=None,
+                                 topology=None, halo=None):
+    """Lat-lon grid whose coordinate north pole is moved to ``north_pole``
+    = (λp, φp) in geographic coordinates (reference:
+    src/OrthogonalSphericalShellGrids/rotated_latitude_longitude_grid.jl)."""
+    Nx, Ny = size[0], size[1]
+    lam1 = np.linspace(longitude[0], longitude[1], Nx + 1)
+    phi1 = np.linspace(latitude[0], latitude[1], Ny + 1)
+    lam2, phi2 = np.meshgrid(lam1, phi1, indexing="ij")
+    P = _sph2cart(lam2, phi2)
+    # rotate the coordinate pole (0,0,1) to north_pole
+    lp, pp = north_pole
+    # Ry(90° - φp) then Rz(λp)
+    a = (90.0 - pp) * DEG
+    b = lp * DEG
+    Ry = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                   [-np.sin(a), 0, np.cos(a)]])
+    Rz = np.array([[np.cos(b), -np.sin(b), 0], [np.sin(b), np.cos(b), 0],
+                   [0, 0, 1]])
+    Pr = P @ (Rz @ Ry).T
+    lamF, phiF = _cart2sph(Pr)
+    return OrthogonalSphericalShellGrid(lamF, phiF, z=z, size=size,
+                                        radius=radius, topology=topology,
+                                        halo=halo)
