@@ -7,10 +7,14 @@ from .vertical_diffusivities import (ConvectiveAdjustmentVerticalDiffusivity,
                                      RiBasedVerticalDiffusivity,
                                      TwoDimensionalLeith)
 from .catke import CATKEVerticalDiffusivity
+from .isopycnal import IsopycnalSkewSymmetricDiffusivity
+from .tke_dissipation import TKEDissipationVerticalDiffusivity
 
 __all__ = ["ScalarDiffusivity", "VerticalScalarDiffusivity",
            "HorizontalScalarDiffusivity", "ScalarBiharmonicDiffusivity",
            "Smagorinsky", "SmagorinskyLilly", "AnisotropicMinimumDissipation",
            "ConvectiveAdjustmentVerticalDiffusivity",
            "RiBasedVerticalDiffusivity", "TwoDimensionalLeith",
-           "CATKEVerticalDiffusivity", "ClosureTuple"]
+           "CATKEVerticalDiffusivity", "ClosureTuple",
+           "IsopycnalSkewSymmetricDiffusivity",
+           "TKEDissipationVerticalDiffusivity"]

@@ -99,3 +99,53 @@ def test_leith_runs_2d():
     for _ in range(5):
         model.time_step(0.002)
     assert np.all(np.isfinite(np.asarray(model.field("u").interior)))
+
+
+def test_gm_redi_flattens_isopycnals():
+    # a tilted buoyancy front with GM: the skew flux slumps the front
+    # (releases APE) while conserving the tracer integral
+    from oceananigans_tpu.closures import IsopycnalSkewSymmetricDiffusivity
+    from oceananigans_tpu.models.hydrostatic import PrescribedVelocityFields
+    grid = RectilinearGrid(size=(32, 1, 16), x=(0, 1e5), y=(0, 1e3),
+                           z=(-1000.0, 0),
+                           topology=("bounded", "periodic", "bounded"))
+    buoyancy = BuoyancyTracer()
+    clo = IsopycnalSkewSymmetricDiffusivity(kappa_redi=500.0, kappa_gm=500.0,
+                                            buoyancy=buoyancy)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, buoyancy=buoyancy, closure=clo,
+        velocities=PrescribedVelocityFields())  # no flow: closure only
+    N2, M2 = 1e-5, 1e-7
+    model.set(b=lambda x, y, z: N2 * z + M2 * (x - 5e4))
+    b0 = np.asarray(model.field("b").interior)
+    tot0 = b0.sum()
+    for _ in range(20):
+        model.time_step(3600.0)
+    b1 = np.asarray(model.field("b").interior)
+    assert np.all(np.isfinite(b1))
+    assert np.isclose(b1.sum(), tot0, rtol=1e-9)     # conservative fluxes
+    # horizontal buoyancy variance at mid depth decreases (front slumps)
+    var0 = b0[:, 0, 8].std()
+    var1 = b1[:, 0, 8].std()
+    assert var1 < var0, (var0, var1)
+
+
+def test_k_epsilon_wind_mixing():
+    from oceananigans_tpu.closures import TKEDissipationVerticalDiffusivity
+    from oceananigans_tpu.boundary_conditions import (FieldBoundaryConditions,
+                                                      FluxBoundaryCondition)
+    grid = RectilinearGrid(size=(4, 4, 32), extent=(200.0, 200.0, 64.0))
+    buoyancy = BuoyancyTracer()
+    closure = TKEDissipationVerticalDiffusivity(buoyancy=buoyancy)
+    u_bcs = FieldBoundaryConditions(top=FluxBoundaryCondition(-1e-4))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=ImplicitFreeSurface(), buoyancy=buoyancy,
+        closure=closure, boundary_conditions={"u": u_bcs})
+    assert set(("e", "eps")).issubset(model.tracer_names)
+    model.set(b=lambda x, y, z: 1e-5 * z, e=1e-7, eps=1e-9)
+    for _ in range(30):
+        model.time_step(60.0)
+    e = np.asarray(model.field("e").interior)
+    assert np.all(np.isfinite(e))
+    prof = e.mean(axis=(0, 1))
+    assert prof[-1] > prof[0]  # TKE near the surface
