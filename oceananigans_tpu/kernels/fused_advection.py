@@ -95,8 +95,8 @@ def build_fused_advection(grid, scheme, tracer_names):
     Hx, Hy, Hz = grid.H
     Nx, Ny, Nz = grid.N
     ZP = grid.padded_shape[2]
-    TX = _pick_tile(Nx, (8, 4, 16, 2))
-    TY = _pick_tile(Ny, (32, 16, 64, 8, 4, 2))
+    TX = _pick_tile(Nx, (16, 8, 4, 32, 2))
+    TY = _pick_tile(Ny, (64, 32, 16, 128, 8, 4, 2))
     if TX is None or TY is None:
         raise ValueError("grid not tileable for the fused kernel")
     tgrid = _TileGrid(grid)

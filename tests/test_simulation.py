@@ -154,3 +154,22 @@ def test_field_time_series_reader(tmp_path):
     assert np.all(np.isfinite(mid))
     lazy = FieldTimeSeries(path, "u", backend="on_disk")
     assert np.allclose(lazy[2], fts[2])
+
+
+def test_variance_dissipation_diagnostic():
+    from oceananigans_tpu.simulation.variance_dissipation import (
+        VarianceDissipation)
+    from oceananigans_tpu.advection import WENO as _W
+    grid = RectilinearGrid(size=(16, 16, 4), extent=(1, 1, 1),
+                           topology=("periodic", "periodic", "periodic"))
+    m = NonhydrostaticModel(grid=grid, advection=_W(5), tracers=("c",))
+    rng2 = np.random.default_rng(3)
+    m.set(u=0.1 * rng2.standard_normal((16, 16, 4)),
+          c=rng2.random((16, 16, 4)))
+    vd = VarianceDissipation(m, "c", kappa=1e-3)
+    out = vd()
+    assert set(out) == {"chi_advection", "variance", "chi_diffusion"}
+    assert out["variance"] > 0
+    # upwind-biased WENO dissipates variance (χ_adv > 0)
+    assert out["chi_advection"] > 0
+    assert out["chi_diffusion"] > 0
