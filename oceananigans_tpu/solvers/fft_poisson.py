@@ -63,21 +63,33 @@ class FFTPoissonSolver:
         φ with zero mean.
 
         Transform order: DCT axes first (real→real), then FFT axes — the axes
-        commute, and this keeps every DCT on REAL data. The inverse takes the
-        real part after the inverse FFTs (exact: φ is real and the remaining
-        inverse DCTs are real-to-real)."""
+        commute, and this keeps every DCT on REAL data. The FIRST FFT axis
+        uses a real FFT (half spectrum: ~2× less transform and eigen-divide
+        work); the inverse takes the real part after the inverse FFTs."""
         bh = b
         for axis in self._dct_axes:
             bh = dct_forward(bh, axis)
-        for axis in self._fft_axes:
+        rfft_axis = self._fft_axes[0] if self._fft_axes else None
+        lam = self.eigenvalues
+        if rfft_axis is not None:
+            n_r = bh.shape[rfft_axis]
+            bh = rfft_along(bh, rfft_axis)
+            sl = [slice(None)] * 3
+            sl[rfft_axis] = slice(0, n_r // 2 + 1)
+            lam = np.broadcast_to(lam, np.broadcast_shapes(
+                lam.shape, tuple(1 if i != rfft_axis else n_r
+                                 for i in range(3))))[tuple(sl)]
+        for axis in self._fft_axes[1:]:
             bh = fft_along(bh, axis)
-        lam = jnp.asarray(self.eigenvalues, b.dtype)
+        lam = jnp.asarray(lam, b.dtype)
         denom = jnp.where(lam == 0, 1.0, lam)
         ph = -bh / denom
         # zero the (singular) volume-mean mode
         ph = jnp.where(lam == 0, 0.0, ph)
-        for axis in reversed(self._fft_axes):
+        for axis in reversed(self._fft_axes[1:]):
             ph = ifft_along(ph, axis)
+        if rfft_axis is not None:
+            ph = irfft_along(ph, rfft_axis, n_r)
         if jnp.iscomplexobj(ph):
             ph = jnp.real(ph)
         for axis in reversed(self._dct_axes):
@@ -128,6 +140,49 @@ def ifft_along(a, axis):
                          a.astype(jnp.result_type(a.dtype, jnp.complex64)))
     else:
         out = jnp.fft.ifft(a, axis=-1)
+    if axis != a.ndim - 1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_matrices(N):
+    k = np.arange(N // 2 + 1)
+    n = np.arange(N)
+    W = np.exp(-2j * np.pi * np.outer(k, n) / N)          # (N//2+1, N)
+    # inverse: x = (1/N) Re( Σ_k w_k conj-symmetric expansion )
+    Wi = np.exp(2j * np.pi * np.outer(n, k) / N)          # (N, N//2+1)
+    scale = np.ones(N // 2 + 1)
+    scale[1:] = 2.0
+    if N % 2 == 0:
+        scale[-1] = 1.0
+    Wi = Wi * scale[None, :] / N
+    return W, Wi
+
+
+def rfft_along(a, axis):
+    """Real FFT along ``axis`` (half spectrum), computed on the last axis."""
+    if axis != a.ndim - 1:
+        a = jnp.moveaxis(a, axis, -1)
+    if _use_matmul_dft():
+        W, _ = _rdft_matrices(a.shape[-1])
+        out = jnp.einsum("kn,...n->...k", jnp.asarray(W),
+                         a.astype(jnp.result_type(a.dtype, jnp.complex64)))
+    else:
+        out = jnp.fft.rfft(a, axis=-1)
+    if axis != a.ndim - 1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
+def irfft_along(a, axis, n):
+    if axis != a.ndim - 1:
+        a = jnp.moveaxis(a, axis, -1)
+    if _use_matmul_dft():
+        _, Wi = _rdft_matrices(n)
+        out = jnp.real(jnp.einsum("nk,...k->...n", jnp.asarray(Wi), a))
+    else:
+        out = jnp.fft.irfft(a, n=n, axis=-1)
     if axis != a.ndim - 1:
         out = jnp.moveaxis(out, -1, axis)
     return out

@@ -68,7 +68,11 @@ def test_sharded_step_matches_serial():
     arch.validate_grid(grid)
 
     def build():
-        m = NonhydrostaticModel(grid=grid, advection=WENO(5))
+        # fused_advection=False: the Pallas megakernel runs per-chip and is
+        # wrapped in shard_map for distributed runs in a later round; the
+        # global-view GSPMD path uses the XLA advection
+        m = NonhydrostaticModel(grid=grid, advection=WENO(5),
+                                fused_advection=False)
         rng = np.random.default_rng(1)
         m.set(u=0.1 * rng.standard_normal((10, 10, 10)),
               v=0.1 * rng.standard_normal((10, 10, 10)))
