@@ -74,7 +74,11 @@ class HydrostaticFreeSurfaceModel:
     def __init__(self, grid, momentum_advection=None, tracer_advection=None,
                  free_surface=None, tracers=(), buoyancy=None, coriolis=None,
                  closure=None, forcing=None, boundary_conditions=None,
-                 velocities=None, timestepper="QuasiAdamsBashforth2"):
+                 velocities=None, timestepper="QuasiAdamsBashforth2",
+                 vertical_coordinate="z"):
+        if vertical_coordinate not in ("z", "zstar"):
+            raise ValueError(vertical_coordinate)
+        self.vertical_coordinate = vertical_coordinate
         self.prescribed_velocities = (velocities if isinstance(
             velocities, PrescribedVelocityFields) else None)
         self.momentum_advection = (momentum_advection if momentum_advection
@@ -289,8 +293,18 @@ class HydrostaticFreeSurfaceModel:
 
     # -- tendencies -----------------------------------------------------------
 
+    def _moving_grid(self, fields):
+        """The (possibly traced) grid used for metric-weighted physics:
+        a σ-scaled proxy under the z* coordinate (reference:
+        z_star_vertical_spacing.jl)."""
+        if self.vertical_coordinate != "zstar":
+            return self.grid
+        from .zstar import ZStarGrid, sigma_from_eta
+        sigma = sigma_from_eta(self.grid, fields["eta"], self._H_fc)
+        return ZStarGrid(self.grid, sigma)
+
     def _compute_tendencies(self, fields, w, time):
-        grid = self.grid
+        grid = self._moving_grid(fields)
         u, v = fields["u"], fields["v"]
         G = {}
 
@@ -540,6 +554,10 @@ class HydrostaticFreeSurfaceModel:
             new = {name: fields[name] + dt * ab2G[name]
                    for name in self.prognostic_3d}
             new = dict(new)
+            zstar = self.vertical_coordinate == "zstar"
+            if zstar:
+                from .zstar import sigma_from_eta
+                sigma_n = sigma_from_eta(self.grid, fields["eta"], self._H_fc)
 
             # implicit vertical diffusion
             if self.closure is not None:
@@ -589,6 +607,16 @@ class HydrostaticFreeSurfaceModel:
                 new.update(u=u, v=v, eta=eta)
             else:
                 raise ValueError(f"unknown free surface {fs}")
+
+            if zstar:
+                # conservative σ-weighted tracer update (reference:
+                # _ab2_step_tracer_field!, hydrostatic_free_surface_ab2_step
+                # .jl:116-130): c ← c* σⁿ/σⁿ⁺¹
+                from .zstar import sigma_from_eta
+                sigma_np1 = sigma_from_eta(self.grid, new["eta"], self._H_fc)
+                ratio = sigma_n / sigma_np1
+                for name in self.tracer_names:
+                    new[name] = new[name] * ratio
 
             w_new = self._w_from_continuity(
                 fill_halo_regions(new["u"], self.grid, LOC_FCC,
