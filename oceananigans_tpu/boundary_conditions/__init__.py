@@ -2,6 +2,7 @@ from .boundary_condition import (
     BoundaryCondition, FieldBoundaryConditions,
     PeriodicBoundaryCondition, FluxBoundaryCondition, ValueBoundaryCondition,
     GradientBoundaryCondition, OpenBoundaryCondition, ImpenetrableBoundaryCondition,
+    ZipperBoundaryCondition,
     regularize_field_boundary_conditions, default_bcs,
 )
 from .fill_halos import fill_halo_regions, apply_flux_bcs
@@ -10,7 +11,7 @@ __all__ = [
     "BoundaryCondition", "FieldBoundaryConditions",
     "PeriodicBoundaryCondition", "FluxBoundaryCondition", "ValueBoundaryCondition",
     "GradientBoundaryCondition", "OpenBoundaryCondition",
-    "ImpenetrableBoundaryCondition",
+    "ImpenetrableBoundaryCondition", "ZipperBoundaryCondition",
     "regularize_field_boundary_conditions", "default_bcs",
     "fill_halo_regions", "apply_flux_bcs",
 ]

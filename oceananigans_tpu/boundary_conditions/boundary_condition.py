@@ -146,10 +146,20 @@ def default_bc(topology_axis, loc_axis):
     return FluxBoundaryCondition(None)           # no-flux for centered fields
 
 
+def ZipperBoundaryCondition(sign=1.0):
+    """Tripolar north-fold BC (reference: fill_halo_regions_zipper.jl);
+    ``sign`` = -1 for velocity-like fields, +1 for tracers."""
+    return BoundaryCondition(ZIPPER, float(sign))
+
+
 def default_bcs(grid, loc):
     kw = {}
     for side, (axis, _) in SIDE_AXIS.items():
         kw[side] = default_bc(grid.topology[axis], loc[axis])
+    if getattr(grid, "zipper_north", False):
+        # tripolar fold: velocity-like (Face in x or y) fields flip sign
+        sign = -1.0 if (loc[0] == FACE or loc[1] == FACE) else 1.0
+        kw["north"] = ZipperBoundaryCondition(sign)
     return FieldBoundaryConditions(**kw)
 
 
@@ -161,6 +171,10 @@ def regularize_field_boundary_conditions(bcs, grid, loc):
     for side, (axis, _) in SIDE_AXIS.items():
         user = bcs.side(side)
         if user is None:
+            if side == "north" and getattr(grid, "zipper_north", False):
+                sign = -1.0 if (loc[0] == FACE or loc[1] == FACE) else 1.0
+                kw[side] = ZipperBoundaryCondition(sign)
+                continue
             kw[side] = default_bc(grid.topology[axis], loc[axis])
         else:
             if grid.topology[axis] == PERIODIC and user.classification != PERIODIC_BC:

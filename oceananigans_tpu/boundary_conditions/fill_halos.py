@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..grids.base import broadcastable_1d
 from ..grids.topology import BOUNDED, CENTER, FACE, PERIODIC
 from .boundary_condition import (FLUX, GRADIENT, OPEN, PERIODIC_BC, VALUE,
-                                 SIDE_AXIS)
+                                 ZIPPER, SIDE_AXIS)
 
 
 def _idx(ndim, axis, sl):
@@ -55,7 +55,7 @@ def eval_bc(bc, grid, loc, axis, time):
     return np.expand_dims(arr, axis)
 
 
-def _fill_axis(a, grid, loc, bcs, axis, time):
+def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False):
     """Build the axis-filled array with ONE jnp.concatenate: slice updates
     (dynamic-update-slice) each copy the whole array on TPU, so the per-slot
     `.at[].set` formulation costs as much as the physics; a single fused
@@ -81,6 +81,19 @@ def _fill_axis(a, grid, loc, bcs, axis, time):
 
     if topo != BOUNDED:
         return a
+
+    if skip_north:
+        # zipper already filled the north halo rows: refresh only the south
+        # side and keep the folded rows (axis == 1 by construction)
+        middle_and_north = a[S(slice(H, N + 2 * H))]
+        cls = left_bc.classification if left_bc is not None else FLUX
+        if loc[axis] == FACE:
+            south = jnp.flip(a[S(slice(H + 1, 2 * H + 1))], axis=axis)
+            if cls in (OPEN, VALUE):
+                south = -south  # odd reflection about a zero boundary face
+        else:
+            south = jnp.flip(a[S(slice(H, 2 * H))], axis=axis)
+        return cat([south, middle_and_north])
 
     face_loc = loc[axis] == FACE
     xC = grid.coord_padded(axis, CENTER)
@@ -149,14 +162,34 @@ def _fill_axis(a, grid, loc, bcs, axis, time):
     return cat([left_halo, left_face, middle, right_face, right_halo])
 
 
-def fill_halo_regions(a, grid, loc, bcs, time=0.0):
-    """Refresh all halos of padded array ``a`` (reference:
-    fill_halo_regions!, src/BoundaryConditions/fill_halo_regions.jl:25-41)."""
-    for axis in range(3):
+def fill_halo_axes(a, grid, loc, bcs, time=0.0, axes=(0, 1, 2)):
+    """Refresh halos along a subset of axes; zipper (tripolar) north folds
+    run BEFORE the x-periodic wrap so the wrap propagates folded rows into
+    the corners."""
+    zipper = (1 in axes and bcs.north is not None
+              and bcs.north.classification == ZIPPER)
+    if zipper:
+        a = _fill_zipper_north(a, grid, loc,
+                               bcs.north.condition
+                               if bcs.north.condition is not None else 1.0)
+        order = [ax for ax in (1, 0, 2) if ax in axes]
+        for axis in order:
+            if grid.is_flat(axis):
+                continue
+            a = _fill_axis(a, grid, loc, bcs, axis, time,
+                           skip_north=axis == 1)
+        return a
+    for axis in axes:
         if grid.is_flat(axis):
             continue
         a = _fill_axis(a, grid, loc, bcs, axis, time)
     return a
+
+
+def fill_halo_regions(a, grid, loc, bcs, time=0.0):
+    """Refresh all halos of padded array ``a`` (reference:
+    fill_halo_regions!, src/BoundaryConditions/fill_halo_regions.jl:25-41)."""
+    return fill_halo_axes(a, grid, loc, bcs, time, (0, 1, 2))
 
 
 def apply_flux_bcs(G, grid, loc, bcs, time=0.0):
@@ -200,3 +233,47 @@ def _boundary_slice(metric, nd, axis, i):
     if m.shape[axis] == 1:
         return m
     return m[_idx(nd, axis, slice(i, i + 1))]
+
+
+def _fill_zipper_north(a, grid, loc, sign):
+    """Tripolar north-fold halo fill (reference:
+    fill_halo_regions_zipper.jl). The north edge folds onto itself: halo row
+    j maps to interior row Ny-j with the x-index reversed (and shifted by one
+    for x-Face fields, with periodic wrap); folded velocities flip sign.
+    Tracer-like fields have a REDUNDANT last row whose western half is
+    substituted from the eastern half for consistency."""
+    hx, hy = grid.H[0], grid.H[1]
+    Nx, Ny = grid.N[0], grid.N[1]
+    xs = slice(hx, hx + Nx)
+    face_x = loc[0] == FACE
+    face_y = loc[1] == FACE
+
+    def fold_x(row):
+        # row: (..., Nx, ...) interior-x strip (padded dims elsewhere)
+        flipped = jnp.flip(row, axis=0)
+        if not face_x:
+            return sign * flipped
+        # Face-x: i′ = Nx - i0 with wrap at i0 = 0 (sign NOT flipped there)
+        rolled = jnp.roll(flipped, 1, axis=0)
+        sgn = jnp.full((Nx,) + (1,) * (row.ndim - 1), float(sign), a.dtype)
+        sgn = sgn.at[0].set(abs(float(sign)))
+        return sgn * rolled
+
+    out = a
+    for m in range(1, hy + 1):
+        if face_y:
+            dst = hy + Ny - 1 + m           # face Ny+m (1-based), incl. the
+            src = hy + Ny - m               # boundary face at m=1
+        else:
+            dst = hy + Ny - 1 + m
+            src = hy + Ny - 1 - m
+        out = out.at[xs, dst].set(fold_x(a[xs, src]))
+
+    if not face_y:
+        # redundant last-row substitution for the eastern half
+        row = hy + Ny - 1
+        folded = fold_x(a[xs, row])
+        i0 = np.arange(Nx).reshape((Nx,) + (1,) * (a.ndim - 2))
+        mask = i0 >= Nx // 2
+        out = out.at[xs, row].set(jnp.where(mask, folded, a[xs, row]))
+    return out

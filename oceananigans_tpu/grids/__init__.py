@@ -5,8 +5,10 @@ from .rectilinear import RectilinearGrid
 from .latlon import LatitudeLongitudeGrid
 from .orthogonal_spherical_shell import (OrthogonalSphericalShellGrid,
                                          RotatedLatitudeLongitudeGrid)
+from .tripolar import TripolarGrid
 
 __all__ = ["PERIODIC", "BOUNDED", "FLAT", "CENTER", "FACE",
            "LOC_CCC", "LOC_FCC", "LOC_CFC", "LOC_CCF", "LOC_FFC",
            "AbstractGrid", "RectilinearGrid", "LatitudeLongitudeGrid",
-           "OrthogonalSphericalShellGrid", "RotatedLatitudeLongitudeGrid"]
+           "OrthogonalSphericalShellGrid", "RotatedLatitudeLongitudeGrid",
+           "TripolarGrid"]

@@ -233,11 +233,9 @@ class HydrostaticFreeSurfaceModel:
     # -- helpers --------------------------------------------------------------
 
     def _fill_xy(self, a, loc, bcs, time):
-        """Horizontal-only halo fill (for 2D surface fields)."""
-        for axis in (0, 1):
-            if not self.grid.is_flat(axis):
-                a = _fill_axis(a, self.grid, loc, bcs, axis, time)
-        return a
+        """Horizontal-only halo fill (for 2D surface fields); zipper-aware."""
+        from ..boundary_conditions.fill_halos import fill_halo_axes
+        return fill_halo_axes(a, self.grid, loc, bcs, time, (0, 1))
 
     def _fill_all(self, fields, time):
         out = {}

@@ -173,3 +173,20 @@ def test_variance_dissipation_diagnostic():
     # upwind-biased WENO dissipates variance (χ_adv > 0)
     assert out["chi_advection"] > 0
     assert out["chi_diffusion"] > 0
+
+
+def test_netcdf_writer(tmp_path):
+    from oceananigans_tpu.simulation.netcdf_writer import NetCDFWriter
+    from scipy.io import netcdf_file
+    sim = Simulation(tiny_model(), dt=0.01, stop_iteration=4)
+    path = str(tmp_path / "out.nc")
+    w = NetCDFWriter(sim.model, outputs={"u": "u", "c": "c"}, filename=path,
+                     schedule=IterationInterval(2))
+    sim.add_output_writer(w)
+    sim.run()
+    w.close()
+    with netcdf_file(path, "r") as f:
+        assert f.variables["u"].shape[0] == 3  # iterations 0, 2, 4
+        assert f.variables["u"].shape[1:] == (8, 8, 4)
+        t = np.asarray(f.variables["time"][:])
+        assert np.allclose(t, [0.0, 0.02, 0.04])

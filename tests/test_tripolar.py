@@ -1,0 +1,76 @@
+"""TripolarGrid + zipper fold tests (reference analogue:
+test/test_tripolar_grid.jl, zipper tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from oceananigans_tpu.grids import TripolarGrid
+from oceananigans_tpu.boundary_conditions import (fill_halo_regions,
+                                                  regularize_field_boundary_conditions)
+from oceananigans_tpu.fields import CenterField, XFaceField, YFaceField
+
+
+def test_tripolar_coordinates():
+    g = TripolarGrid(size=(32, 16), north_poles_latitude=55.0,
+                     first_pole_longitude=70.0)
+    lam, phi = g.nodes2d(("f", "f"))
+    assert np.all(np.isfinite(lam)) and np.all(np.isfinite(phi))
+    assert phi.min() >= -80.1 and phi.max() <= 90.01
+    # two pole rows: the northernmost row reaches ~the pole latitude band
+    assert phi[:, -1].max() <= 90.01
+    # metrics positive (non-degenerate away from the poles)
+    dx = np.asarray(g.dx(("c", "c", "c")))
+    assert np.all(dx >= 0)
+    # southern portion ≈ regular lat-lon (mapping → identity away from poles)
+    south = phi[:, 0]
+    assert np.allclose(south, -80.0, atol=0.2)
+
+
+def test_zipper_fold_tracer():
+    g = TripolarGrid(size=(8, 6), halo=2)
+    bcs = regularize_field_boundary_conditions(None, g, ("c", "c", "c"))
+    assert bcs.north.classification == "zipper"
+    rng = np.random.default_rng(0)
+    c = CenterField(g, bcs).set(rng.normal(size=(8, 6, 1)))
+    d = np.asarray(c.data)
+    h = 2
+    Nx, Ny = 8, 6
+    # halo row m maps to interior row Ny-1-m with x reversed, same sign
+    for m in (1, 2):
+        dst = d[h:h + Nx, h + Ny - 1 + m, 0]
+        src = d[h:h + Nx, h + Ny - 1 - m, 0]
+        assert np.allclose(dst, src[::-1]), m
+
+
+def test_zipper_fold_velocity_sign_flip():
+    g = TripolarGrid(size=(8, 6), halo=2)
+    bcs_u = regularize_field_boundary_conditions(None, g, ("f", "c", "c"))
+    assert bcs_u.north.condition == -1.0
+    rng = np.random.default_rng(1)
+    u = XFaceField(g, bcs_u).set(rng.normal(size=(8, 6, 1)))
+    d = np.asarray(u.data)
+    h, Nx, Ny = 2, 8, 6
+    m = 1
+    dst = d[h:h + Nx, h + Ny - 1 + m, 0]
+    src_row = d[h:h + Nx, h + Ny - 1 - m, 0]
+    # Face-x fold: i′ = roll(flip(i), 1), sign flipped except the wrap element
+    expect = -np.roll(src_row[::-1], 1)
+    expect[0] = -expect[0]
+    assert np.allclose(dst, expect)
+
+
+def test_tripolar_hydrostatic_model_runs():
+    from oceananigans_tpu.models import (HydrostaticFreeSurfaceModel,
+                                         SplitExplicitFreeSurface)
+    from oceananigans_tpu.buoyancy import BuoyancyTracer
+    g = TripolarGrid(size=(24, 12, 4), z=(-1000.0, 0.0))
+    model = HydrostaticFreeSurfaceModel(
+        grid=g, free_surface=SplitExplicitFreeSurface(substeps=20),
+        buoyancy=BuoyancyTracer())
+    model.set(b=lambda lam, phi, z: 1e-6 * z,
+              eta=lambda lam, phi, z: 0.01 * jnp.sin(jnp.deg2rad(lam)))
+    for _ in range(5):
+        model.time_step(120.0)
+    for name in ("u", "v", "eta", "b"):
+        vals = np.asarray(model.field(name).interior)
+        assert np.all(np.isfinite(vals)), name
