@@ -1,7 +1,8 @@
 from .schemes import (AdvectionScheme, Centered, UpwindBiased, WENO,
                       FluxFormAdvection)
 from .fluxes import (div_Uc, div_Uu, div_Uv, div_Uw, cell_advection_timescale)
+from .vector_invariant import VectorInvariant, WENOVectorInvariant
 
 __all__ = ["AdvectionScheme", "Centered", "UpwindBiased", "WENO",
-           "FluxFormAdvection",
+           "FluxFormAdvection", "VectorInvariant", "WENOVectorInvariant",
            "div_Uc", "div_Uu", "div_Uv", "div_Uw", "cell_advection_timescale"]

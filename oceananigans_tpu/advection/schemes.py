@@ -33,6 +33,17 @@ from .reconstruction import (_ShiftCache, eno_coefficients, left_shifts,
 # WENO regularization (reference: weno_interpolants.jl `const ϵ = 1f-8`)
 WENO_EPSILON = 1e-8
 
+# Global smoothness indicator τ coefficients per buffer k (Don & Borges 2013,
+# reference: weno_interpolants.jl:308-313 `global_smoothness_indicator`):
+# τ = |Σ_s t_s β_s| with β ordered from the downwind-most stencil (s=0).
+TAU_COEFFS = {
+    2: (1, -1),
+    3: (1, 0, -1),
+    4: (1, 3, -3, -1),
+    5: (1, 2, -6, 2, 1),
+    6: (1, 36, 135, -135, -36, -1),
+}
+
 
 class AdvectionScheme:
     required_halo = 1
@@ -49,13 +60,21 @@ class AdvectionScheme:
     def __repr__(self):
         return f"{type(self).__name__}(order={self.order})"
 
-    def biased_pair(self, grid, a, axis, beta):
+    def biased_pair(self, grid, a, axis, beta, smooth=None):
+        """(left, right) biased reconstructions. ``smooth`` optionally lists
+        arrays whose summed Jiang–Shu indicators replace the reconstructed
+        variable's own (the reference's VelocityStencil/FunctionStencil,
+        weno_interpolants.jl:340-354,538-545); ignored by linear schemes."""
         sc = _ShiftCache(a, axis)
-        return (self._biased(grid, sc, axis, beta, "left"),
-                self._biased(grid, sc, axis, beta, "right"))
+        scs = ([_ShiftCache(s, axis) for s in smooth]
+               if smooth is not None else None)
+        return (self._biased(grid, sc, axis, beta, "left", scs),
+                self._biased(grid, sc, axis, beta, "right", scs))
 
-    def biased(self, grid, a, axis, beta, side):
-        return self._biased(grid, _ShiftCache(a, axis), axis, beta, side)
+    def biased(self, grid, a, axis, beta, side, smooth=None):
+        scs = ([_ShiftCache(s, axis) for s in smooth]
+               if smooth is not None else None)
+        return self._biased(grid, _ShiftCache(a, axis), axis, beta, side, scs)
 
 
 class Centered(AdvectionScheme):
@@ -79,7 +98,7 @@ class Centered(AdvectionScheme):
         shifts = left_shifts(self.order, self.buffer - 1, beta)
         return stencil_value(sc, shifts, self._coeffs)
 
-    def _biased(self, grid, sc, axis, beta, side):
+    def _biased(self, grid, sc, axis, beta, side, smooth=None):
         # a centered scheme has no bias: both sides get the symmetric value
         shifts = left_shifts(self.order, self.buffer - 1, beta)
         return stencil_value(sc, shifts, self._coeffs)
@@ -104,7 +123,7 @@ class UpwindBiased(AdvectionScheme):
     def symmetric(self, grid, a, axis, beta):
         return self.advecting_velocity_scheme.symmetric(grid, a, axis, beta)
 
-    def _biased(self, grid, sc, axis, beta, side):
+    def _biased(self, grid, sc, axis, beta, side, smooth=None):
         if grid.is_flat(axis):
             return sc(0)
         shifts = left_shifts(self.order, self._s, beta)
@@ -118,9 +137,17 @@ class UpwindBiased(AdvectionScheme):
 
 class WENO(AdvectionScheme):
     """Weighted ENO of odd order 3–11 (reference: weno_reconstruction.jl,
-    weno_interpolants.jl). Nonlinear weights α_s = γ_s/(β_s+ε)²; smoothness
-    computed in ``smoothness_dtype`` (float32 by default — the reference's
-    FT2 low-precision inner-weight path)."""
+    weno_interpolants.jl). WENO-Z nonlinear weights (Don & Borges 2013,
+    matching the reference's `zweno_alpha_loop`, weno_interpolants.jl:290-335):
+
+        α_s = γ_s · (1 + (τ / (β_s + ε))²),   τ = |Σ_s t_s β_s|
+
+    with smoothness math in ``smoothness_dtype`` (float32 by default — the
+    reference's FT2 low-precision inner-weight path, `newton_div(FT2, ...)`).
+    ``smooth`` lets the caller measure smoothness on different arrays than the
+    reconstructed one (summing per-stencil β over them), which implements the
+    reference's VelocityStencil/FunctionStencil used by the vector-invariant
+    WENO momentum advection (weno_interpolants.jl:340-354)."""
 
     def __init__(self, order=5, smoothness_dtype=jnp.float32):
         if order % 2 != 1:
@@ -140,23 +167,41 @@ class WENO(AdvectionScheme):
     def symmetric(self, grid, a, axis, beta):
         return self.advecting_velocity_scheme.symmetric(grid, a, axis, beta)
 
-    def _biased(self, grid, sc, axis, beta, side):
+    def _biased(self, grid, sc, axis, beta, side, smooth=None):
         if grid.is_flat(axis):
             return sc(0)
         k = self.buffer
-        num = None
-        den = None
         out_dtype = sc(0).dtype
+        ps, betas = [], []
         for s in range(k):
             shifts = left_shifts(k, s, beta)
             if side == "right":
                 shifts = mirror(shifts, beta)
-            p = stencil_value(sc, shifts, self._coeffs[s])
-            b = smoothness_value(sc, shifts, self._sfactors[s],
-                                 compute_dtype=self.smoothness_dtype)
-            eps = jnp.asarray(WENO_EPSILON, b.dtype)
-            alpha = (self._gammas[s] / (b + eps) ** 2).astype(out_dtype)
-            nterm = alpha * p
+            ps.append(stencil_value(sc, shifts, self._coeffs[s]))
+            if smooth is None:
+                b = smoothness_value(sc, shifts, self._sfactors[s],
+                                     compute_dtype=self.smoothness_dtype)
+            else:
+                b = None
+                for scm in smooth:
+                    bm = smoothness_value(scm, shifts, self._sfactors[s],
+                                          compute_dtype=self.smoothness_dtype)
+                    b = bm if b is None else b + bm
+            betas.append(b)
+        tau = None
+        for t, b in zip(TAU_COEFFS[k], betas):
+            if t == 0:
+                continue
+            term = t * b
+            tau = term if tau is None else tau + term
+        tau = jnp.abs(tau)
+        num = None
+        den = None
+        for s in range(k):
+            eps = jnp.asarray(WENO_EPSILON, betas[s].dtype)
+            r = tau / (betas[s] + eps)
+            alpha = (self._gammas[s] * (1.0 + r * r)).astype(out_dtype)
+            nterm = alpha * ps[s]
             num = nterm if num is None else num + nterm
             den = alpha if den is None else den + alpha
         return num / den
@@ -178,8 +223,8 @@ class FluxFormAdvection(AdvectionScheme):
     def symmetric(self, grid, a, axis, beta):
         return self.schemes[axis].symmetric(grid, a, axis, beta)
 
-    def biased_pair(self, grid, a, axis, beta):
-        return self.schemes[axis].biased_pair(grid, a, axis, beta)
+    def biased_pair(self, grid, a, axis, beta, smooth=None):
+        return self.schemes[axis].biased_pair(grid, a, axis, beta, smooth)
 
-    def biased(self, grid, a, axis, beta, side):
-        return self.schemes[axis].biased(grid, a, axis, beta, side)
+    def biased(self, grid, a, axis, beta, side, smooth=None):
+        return self.schemes[axis].biased(grid, a, axis, beta, side, smooth)

@@ -1,38 +1,123 @@
 """Vector-invariant (rotational form) momentum advection for hydrostatic
 models.
 
-Reference semantics: src/Advection/vector_invariant_advection.jl (:8, :82) —
-the horizontal momentum advection is split into a vertical-vorticity term, a
-kinetic-energy gradient, and vertical advection:
+Reference semantics: src/Advection/vector_invariant_advection.jl — the
+horizontal momentum advection splits into a vertical-vorticity flux, a
+kinetic-energy (Bernoulli head) gradient, and vertical advection:
 
-    u: -(ζ v̂) + ∂x K + ŵ ∂z u
-    v: +(ζ û) + ∂y K + ŵ ∂z v
+    u: -(ζ v̂) + ∂x K + [w ∂z u]      (at fcc)
+    v: +(ζ û) + ∂y K + [w ∂z v]      (at cfc)
 
-with `EnergyConserving` and `EnstrophyConserving` discretizations of the
-vorticity term (vector_invariant_upwinding.jl and the Coriolis analogues in
-src/Coriolis/hydrostatic_spherical_coriolis.jl). WENO-upwinded vorticity
-(`VelocityStencil`) is a future extension."""
+Four vorticity formulations (vector_invariant_advection.jl:358-390):
+`EnergyConserving`, `EnstrophyConserving` (MITgcm discretizations), and
+upwind-biased/WENO reconstruction of ζ along the transport direction with a
+choice of smoothness stencil (`VelocityStencil` measures smoothness on the
+tangential velocities interpolated to the vorticity location,
+weno_interpolants.jl:340-354,459-462; `DefaultStencil` on ζ itself).
+
+When the vertical/KE schemes are upwind, the vertical term becomes a flux
+divergence plus an upwinded horizontal-divergence correction Φᵟ and the KE
+gradient is split into a self-upwinded part and a centered cross part
+(vector_invariant_self_upwinding.jl, vector_invariant_cross_upwinding.jl;
+`OnlySelfUpwinding` / `CrossAndSelfUpwinding`). The moving-grid ∂t_σ
+contribution to the divergence flux (Az·Δr·∂t_σ) is zero on static grids and
+is not yet added on z-star grids.
+
+`WENOVectorInvariant()` reproduces the reference convenience constructor
+(vector_invariant_advection.jl:204-250): WENO-9 vorticity with
+VelocityStencil, WENO-5 vertical/divergence/KE, OnlySelfUpwinding.
+"""
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..grids.topology import LOC_CFC, LOC_FCC
-from ..operators.operators import (ddx, ddy, ddz, ix_c, ix_f, iy_c, iy_f,
-                                   iz_c, iz_f, zeta3_ffc)
+from ..operators.operators import (LOC_CCC, LOC_CCF, LOC_CFC, LOC_FCC,
+                                   LOC_FFC, X, Y, Z, ddx, ddy, ddz, dx_c,
+                                   dx_f, dy_c, dy_f, dz_c, ix_c, ix_f, iy_c,
+                                   iy_f, iz_c, zeta3_ffc)
+from .schemes import AdvectionScheme, Centered, WENO
 
 ENERGY = "energy_conserving"
 ENSTROPHY = "enstrophy_conserving"
 
+# smoothness stencils for WENO vorticity reconstruction
+VELOCITY_STENCIL = "velocity"
+DEFAULT_STENCIL = "default"
+
+# upwinding treatments for divergence flux / KE gradient
+ONLY_SELF = "only_self"
+CROSS_AND_SELF = "cross_and_self"
+
+LOC_FCF = ("f", "c", "f")
+LOC_CFF = ("c", "f", "f")
+
+
+def _upwind(q, left, right):
+    return jnp.where(q > 0, left, right)
+
+
+def _sym(scheme, grid, a, axis, beta):
+    """Symmetric interpolation by a possibly-upwind scheme's centered
+    counterpart (reference: `extract_centered_scheme`,
+    vector_invariant_upwinding.jl:27-28)."""
+    if scheme is None or not isinstance(scheme, AdvectionScheme):
+        # conserving sentinel → plain 2-point mean
+        scheme = Centered(2)
+    return scheme.symmetric(grid, a, axis, beta)
+
 
 class VectorInvariant:
-    required_halo = 2
+    """Reference: vector_invariant_advection.jl:84-108 (kwargs and defaults).
 
-    def __init__(self, vorticity_scheme=ENSTROPHY):
+    ``vorticity_scheme``/``vertical_advection_scheme``/etc. are either the
+    conserving sentinels (ENERGY/ENSTROPHY strings) or AdvectionScheme
+    instances (UpwindBiased/WENO) for upwinded reconstruction."""
+
+    def __init__(self, vorticity_scheme=ENSTROPHY,
+                 vorticity_stencil=VELOCITY_STENCIL,
+                 vertical_advection_scheme=ENERGY,
+                 divergence_scheme=None,
+                 kinetic_energy_gradient_scheme=None,
+                 upwinding=ONLY_SELF):
+        for nm, s in (("vorticity_scheme", vorticity_scheme),
+                      ("vertical_advection_scheme", vertical_advection_scheme),
+                      ("divergence_scheme", divergence_scheme),
+                      ("kinetic_energy_gradient_scheme",
+                       kinetic_energy_gradient_scheme)):
+            if s is not None and not isinstance(s, AdvectionScheme) \
+                    and s not in (ENERGY, ENSTROPHY):
+                raise ValueError(
+                    f"{nm} must be ENERGY/ENSTROPHY or an AdvectionScheme "
+                    f"(UpwindBiased/WENO), got {s!r}")
         self.vorticity_scheme = vorticity_scheme
+        self.vorticity_stencil = vorticity_stencil
+        self.vertical_advection_scheme = vertical_advection_scheme
+        if divergence_scheme is None:
+            divergence_scheme = vertical_advection_scheme
+        if kinetic_energy_gradient_scheme is None:
+            kinetic_energy_gradient_scheme = divergence_scheme
+        self.divergence_scheme = divergence_scheme
+        self.kinetic_energy_gradient_scheme = kinetic_energy_gradient_scheme
+        self.upwinding = upwinding
+
+        halos = [1]
+        for s in (vorticity_scheme, vertical_advection_scheme,
+                  divergence_scheme, kinetic_energy_gradient_scheme):
+            if isinstance(s, AdvectionScheme):
+                halos.append(s.required_halo)
+        h = max(halos)
+        # vorticity itself needs one halo, so upwind schemes need one more
+        # (reference: required_halo_size_x, vector_invariant_advection.jl:253-258)
+        self.required_halo = h if h == 1 else h + 1
 
     def _fp(self):
-        return ("VectorInvariant", self.vorticity_scheme)
+        def fp(s):
+            return s._fp() if isinstance(s, AdvectionScheme) else s
+        return ("VectorInvariant", fp(self.vorticity_scheme),
+                self.vorticity_stencil, fp(self.vertical_advection_scheme),
+                fp(self.divergence_scheme),
+                fp(self.kinetic_energy_gradient_scheme), self.upwinding)
 
     def __hash__(self):
         return hash(self._fp())
@@ -43,28 +128,169 @@ class VectorInvariant:
     def __repr__(self):
         return f"VectorInvariant({self.vorticity_scheme})"
 
-    def momentum_tendencies(self, grid, u, v, w):
-        """Return the ADVECTION contributions (to be subtracted from G)."""
+    # -- horizontal (vorticity) term ------------------------------------------
+
+    def _horizontal(self, grid, u, v):
         zeta = zeta3_ffc(grid, u, v)
-        KE = 0.5 * (ix_c(grid, u * u) + iy_c(grid, v * v))
+        dx_cfc, dx_fcc = grid.dx(LOC_CFC), grid.dx(LOC_FCC)
+        dy_fcc, dy_cfc = grid.dy(LOC_FCC), grid.dy(LOC_CFC)
+        # metric-weighted transport velocities at the opposite staggering
+        # (reference: ℑxᶠᵃᵃ(ℑyᵃᶜᵃ(Δx_qᶜᶠᶜ v))·Δx⁻¹ᶠᶜᶜ etc.)
+        vhat = ix_f(grid, iy_c(grid, dx_cfc * v)) / dx_fcc   # fcc
+        uhat = iy_f(grid, ix_c(grid, dy_fcc * u)) / dy_cfc   # cfc
 
-        if self.vorticity_scheme == ENSTROPHY:
-            # q̄ʸ · v̄ˣʸ at fcc ;  q̄ˣ · ūˣʸ at cfc
-            zv = iy_c(grid, zeta) * ix_f(grid, iy_c(grid, v))
-            zu = ix_c(grid, zeta) * iy_f(grid, ix_c(grid, u))
+        vs = self.vorticity_scheme
+        if vs == ENSTROPHY:
+            adv_u = -iy_c(grid, zeta) * vhat
+            adv_v = +ix_c(grid, zeta) * uhat
+        elif vs == ENERGY:
+            adv_u = -iy_c(grid, zeta * ix_f(grid, dx_cfc * v)) / dx_fcc
+            adv_v = +ix_c(grid, zeta * iy_f(grid, dy_fcc * u)) / dy_cfc
         else:
-            # energy conserving: ℑy(ζ · v̄ˣ), ℑx(ζ · ūʸ)
-            zv = iy_c(grid, zeta * ix_f(grid, v))
-            zu = ix_c(grid, zeta * iy_f(grid, u))
-
-        # vertical advection (advective form): ŵ ∂z u at fcc / ŵ ∂z v at cfc
-        if grid.is_flat(2):
-            wdzu = 0.0
-            wdzv = 0.0
-        else:
-            wdzu = iz_c(grid, ix_f(grid, w) * ddz(grid, u, ("f", "c", "f")))
-            wdzv = iz_c(grid, iy_f(grid, w) * ddz(grid, v, ("c", "f", "f")))
-
-        adv_u = -zv + ddx(grid, KE, LOC_FCC) + wdzu
-        adv_v = zu + ddy(grid, KE, LOC_CFC) + wdzv
+            # upwinded vorticity (reference: horizontal_advection_U/V for
+            # VectorInvariantUpwindVorticity, vector_invariant_advection.jl:377-396)
+            if self.vorticity_stencil == VELOCITY_STENCIL and isinstance(vs, WENO):
+                smooth = [iy_f(grid, u), ix_f(grid, v)]   # both at ffc
+            else:
+                smooth = None
+            zl, zr = vs.biased_pair(grid, zeta, Y, 1, smooth=smooth)
+            adv_u = -vhat * _upwind(vhat, zl, zr)
+            zl, zr = vs.biased_pair(grid, zeta, X, 1, smooth=smooth)
+            adv_v = +uhat * _upwind(uhat, zl, zr)
         return adv_u, adv_v
+
+    # -- Bernoulli head (kinetic-energy gradient) -----------------------------
+
+    def _bernoulli(self, grid, u, v):
+        ks = self.kinetic_energy_gradient_scheme
+        if not isinstance(ks, AdvectionScheme):
+            # energy-conserving: ∂(K)/∂x with K = (ℑx(u²)+ℑy(v²))/2
+            # (reference: Khᶜᶜᶜ + bernoulli_head_U/V,
+            # vector_invariant_advection.jl:315-319)
+            K = 0.5 * (ix_c(grid, u * u) + iy_c(grid, v * v))
+            return ddx(grid, K, LOC_FCC), ddy(grid, K, LOC_CFC)
+
+        # self-upwinded KE gradient (vector_invariant_self_upwinding.jl:48-90)
+        cross = self.upwinding_cross_scheme
+        du2 = dx_c(grid, 0.5 * u * u)     # δx_u² at ccc
+        dv2 = dy_c(grid, 0.5 * v * v)     # δy_v² at ccc
+        du2y = dy_f(grid, 0.5 * u * u)    # δy_u² at ffc
+        dv2x = dx_f(grid, 0.5 * v * v)    # δx_v² at ffc
+
+        dKvs = _sym(cross, grid, dv2x, Y, 1)                # ffc → fcc
+        l, r = ks.biased_pair(grid, du2, X, 0,
+                              smooth=[ix_c(grid, u)])       # u_smoothness
+        dKur = _upwind(u, l, r)
+        bern_u = (dKur + dKvs) / grid.dx(LOC_FCC)
+
+        dKus = _sym(cross, grid, du2y, X, 1)                # ffc → cfc
+        l, r = ks.biased_pair(grid, dv2, Y, 0,
+                              smooth=[iy_c(grid, v)])       # v_smoothness
+        dKvr = _upwind(v, l, r)
+        bern_v = (dKvr + dKus) / grid.dy(LOC_CFC)
+        return bern_u, bern_v
+
+    @property
+    def upwinding_cross_scheme(self):
+        ds = self.divergence_scheme
+        if isinstance(ds, AdvectionScheme):
+            return getattr(ds, "advecting_velocity_scheme", ds)
+        return Centered(2)
+
+    # -- vertical advection + divergence correction ---------------------------
+
+    def _vertical(self, grid, u, v, w):
+        vas = self.vertical_advection_scheme
+        if grid.is_flat(Z):
+            zero_u, zero_v = jnp.zeros_like(u), jnp.zeros_like(v)
+            if not isinstance(vas, AdvectionScheme):
+                return zero_u, zero_v
+            adv_u, adv_v = self._divergence_flux(grid, u, v)
+            return adv_u / grid.V(LOC_FCC), adv_v / grid.V(LOC_CFC)
+
+        Az_w = grid.Az(LOC_CCF) * w
+        if not isinstance(vas, AdvectionScheme):
+            # energy-conserving: ℑz(ℑx(Az w) ∂z u)/Az (reference:
+            # ζ₂wᶠᶜᶠ/ζ₁wᶜᶠᶠ + vertical_advection_U/V,
+            # vector_invariant_advection.jl:325-330)
+            adv_u = iz_c(grid, ix_f(grid, Az_w)
+                         * ddz(grid, u, LOC_FCF)) / grid.Az(LOC_FCC)
+            adv_v = iz_c(grid, iy_f(grid, Az_w)
+                         * ddz(grid, v, LOC_CFF)) / grid.Az(LOC_CFC)
+            return adv_u, adv_v
+
+        # upwind: Φᵟ + δz(Az ŵ û) all divided by V
+        # (reference: vertical_advection_U/V, vector_invariant_advection.jl:336-350)
+        phi_u, phi_v = self._divergence_flux(grid, u, v)
+        what_u = _sym(vas, grid, Az_w, X, 0)     # ccf → fcf
+        l, r = vas.biased_pair(grid, u, Z, 0)
+        az_u = dz_c(grid, what_u * _upwind(what_u, l, r))
+        what_v = _sym(vas, grid, Az_w, Y, 0)     # ccf → cff
+        l, r = vas.biased_pair(grid, v, Z, 0)
+        az_v = dz_c(grid, what_v * _upwind(what_v, l, r))
+        return ((phi_u + az_u) / grid.V(LOC_FCC),
+                (phi_v + az_v) / grid.V(LOC_CFC))
+
+    def _divergence_flux(self, grid, u, v):
+        """Upwinded horizontal-divergence flux Φᵟ at fcc/cfc (reference:
+        upwinded_divergence_flux_U/V in vector_invariant_self_upwinding.jl:20-44
+        and vector_invariant_cross_upwinding.jl:36-56)."""
+        ds = self.divergence_scheme
+        cross = self.upwinding_cross_scheme
+        dU = dx_c(grid, grid.Ax(LOC_FCC) * u)    # δx(Ax u) at ccc
+        dV = dy_c(grid, grid.Ay(LOC_CFC) * v)    # δy(Ay v) at ccc
+        if self.upwinding == CROSS_AND_SELF:
+            div = dU + dV
+            l, r = ds.biased_pair(grid, div, X, 0)
+            phi_u = u * _upwind(u, l, r)
+            l, r = ds.biased_pair(grid, div, Y, 0)
+            phi_v = v * _upwind(v, l, r)
+        else:
+            div_smooth = [dU + dV]               # divergence_smoothness
+            dvs = _sym(cross, grid, dV, X, 0)
+            l, r = ds.biased_pair(grid, dU, X, 0, smooth=div_smooth)
+            phi_u = u * (dvs + _upwind(u, l, r))
+            dus = _sym(cross, grid, dU, Y, 0)
+            l, r = ds.biased_pair(grid, dV, Y, 0, smooth=div_smooth)
+            phi_v = v * (dus + _upwind(v, l, r))
+        return phi_u, phi_v
+
+    # -- assembly --------------------------------------------------------------
+
+    def momentum_tendencies(self, grid, u, v, w):
+        """Return (U·∇u, U·∇v) — the advection contributions to be SUBTRACTED
+        from the tendencies (reference: U_dot_∇u/U_dot_∇v,
+        vector_invariant_advection.jl:279-285)."""
+        h_u, h_v = self._horizontal(grid, u, v)
+        b_u, b_v = self._bernoulli(grid, u, v)
+        z_u, z_v = self._vertical(grid, u, v, w)
+        return h_u + b_u + z_u, h_v + b_v + z_v
+
+
+def WENOVectorInvariant(order=None, vorticity_order=None, vertical_order=None,
+                        divergence_order=None,
+                        kinetic_energy_gradient_order=None,
+                        vorticity_stencil=VELOCITY_STENCIL,
+                        upwinding=ONLY_SELF, **weno_kw):
+    """Reference: WENOVectorInvariant convenience constructor
+    (vector_invariant_advection.jl:204-250): defaults to WENO-9 vorticity
+    (VelocityStencil smoothness) + WENO-5 vertical/divergence/KE gradient with
+    OnlySelfUpwinding."""
+    if order is None:
+        vorticity_order = vorticity_order or 9
+        vertical_order = vertical_order or 5
+        divergence_order = divergence_order or 5
+        kinetic_energy_gradient_order = kinetic_energy_gradient_order or 5
+    else:
+        vorticity_order = vorticity_order or order
+        vertical_order = vertical_order or order
+        divergence_order = divergence_order or order
+        kinetic_energy_gradient_order = kinetic_energy_gradient_order or order
+    return VectorInvariant(
+        vorticity_scheme=WENO(vorticity_order, **weno_kw),
+        vorticity_stencil=vorticity_stencil,
+        vertical_advection_scheme=WENO(vertical_order, **weno_kw),
+        divergence_scheme=WENO(divergence_order, **weno_kw),
+        kinetic_energy_gradient_scheme=WENO(kinetic_energy_gradient_order,
+                                            **weno_kw),
+        upwinding=upwinding)

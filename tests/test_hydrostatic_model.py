@@ -174,3 +174,52 @@ def test_zstar_vertical_coordinate():
     # eta actually moved (the seiche oscillates)
     eta = np.asarray(model.field("eta").interior)
     assert np.abs(eta).max() > 0.1
+
+
+def test_weno_vector_invariant_runs_and_uniform_flow_invariant():
+    """WENOVectorInvariant (reference: vector_invariant_advection.jl:204-250)
+    must leave a uniform flow exactly unchanged (all advection terms vanish
+    for constant u, v with w = 0) and run stably on a stratified problem."""
+    from oceananigans_tpu.advection.vector_invariant import (
+        WENOVectorInvariant, VectorInvariant, CROSS_AND_SELF)
+    from oceananigans_tpu.advection import UpwindBiased
+
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    for scheme in (WENOVectorInvariant(),
+                   WENOVectorInvariant(order=5, upwinding=CROSS_AND_SELF),
+                   VectorInvariant(vorticity_scheme=UpwindBiased(3))):
+        model = HydrostaticFreeSurfaceModel(
+            grid=grid, momentum_advection=scheme,
+            free_surface=ExplicitFreeSurface(gravitational_acceleration=0.1))
+        model.set(u=0.3, v=-0.2)
+        u0 = np.asarray(model.field("u").interior).copy()
+        for _ in range(3):
+            model.time_step(1e-3)
+        u1 = np.asarray(model.field("u").interior)
+        assert np.allclose(u0, u1, atol=1e-10), scheme
+        assert np.isfinite(np.asarray(model.field("v").interior)).all()
+
+
+def test_weno_vector_invariant_vortex_stability():
+    """A sheared jet advected by WENOVectorInvariant stays bounded (the
+    upwinded vorticity/divergence/KE path exercises VelocityStencil and
+    OnlySelfUpwinding)."""
+    from oceananigans_tpu.advection.vector_invariant import WENOVectorInvariant
+
+    grid = RectilinearGrid(size=(32, 32, 1), extent=(2 * np.pi, 2 * np.pi, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, momentum_advection=WENOVectorInvariant(),
+        free_surface=SplitExplicitFreeSurface(substeps=8))
+    model.set(u=lambda x, y, z: np.tanh(10 * (y - np.pi)) + 0.05 * np.sin(x),
+              v=lambda x, y, z: 0.05 * np.sin(x))
+    ke0 = float(np.sum(np.asarray(model.field("u").interior) ** 2
+                       + np.asarray(model.field("v").interior) ** 2))
+    for _ in range(10):
+        model.time_step(5e-3)
+    u = np.asarray(model.field("u").interior)
+    v = np.asarray(model.field("v").interior)
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+    ke1 = float(np.sum(u ** 2 + v ** 2))
+    assert ke1 < 1.5 * ke0  # upwinding must not inject energy
