@@ -43,10 +43,22 @@ def idct2_matrix(N):
     return np.linalg.inv(dct2_matrix(N))
 
 
+# Contract along any axis of a 3D array WITHOUT a physical transpose — XLA
+# feeds the MXU directly from either layout. precision="float32" selects the
+# bf16x3 MXU passes: ~1e-7 relative error (measured, same as 6-pass) at ~2×
+# the speed of "highest"; the 1-pass default would give only ~2e-3.
+_EINSUM_3D = {0: "kn,nij->kij", 1: "kn,inj->ikj", 2: "kn,ijn->ijk"}
+MATMUL_PRECISION = "float32"
+
+
 def _apply_matrix_along(a, M, axis):
     """Apply matrix M (acting on vectors along ``axis``): out = M @ a."""
+    M = jnp.asarray(M, a.dtype)
+    if a.ndim == 3:
+        return jnp.einsum(_EINSUM_3D[axis], M, a,
+                          precision=MATMUL_PRECISION)
     a = jnp.moveaxis(a, axis, -1)
-    out = jnp.einsum("kn,...n->...k", jnp.asarray(M, a.dtype), a)
+    out = jnp.einsum("kn,...n->...k", M, a, precision=MATMUL_PRECISION)
     return jnp.moveaxis(out, -1, axis)
 
 
