@@ -51,7 +51,9 @@ def eval_bc(bc, grid, loc, axis, time):
     arr = np.asarray(cond)
     exp = tuple(grid.N[ax] for ax in t_axes)
     if arr.shape == exp:
-        arr = np.pad(arr, [(grid.H[ax], grid.H[ax]) for ax in t_axes], mode="edge")
+        arr = np.pad(arr, [(grid.H[ax],
+                            grid.H[ax] + (grid.lane_tail if ax == 2 else 0))
+                           for ax in t_axes], mode="edge")
     return np.expand_dims(arr, axis)
 
 
@@ -71,13 +73,23 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False):
     def flip(x):
         return jnp.flip(x, axis=axis)
 
+    # lane-tail slots past the right halo (see grids/base.py lane_tail) are
+    # carried through unchanged
+    tail = a.shape[axis] - (N + 2 * H)
+
     def cat(parts):
         return jnp.concatenate(parts, axis=axis)
 
+    def cat_full(parts):
+        # full-axis assembly: carry the lane-tail slots through unchanged
+        if tail > 0:
+            parts = list(parts) + [a[S(slice(N + 2 * H, None))]]
+        return jnp.concatenate(parts, axis=axis)
+
     if topo == PERIODIC:
-        return cat([a[S(slice(N, N + H))],
-                    a[S(slice(H, H + N))],
-                    a[S(slice(H, 2 * H))]])
+        return cat_full([a[S(slice(N, N + H))],
+                         a[S(slice(H, H + N))],
+                         a[S(slice(H, 2 * H))]])
 
     if topo != BOUNDED:
         return a
@@ -93,7 +105,7 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False):
                 south = -south  # odd reflection about a zero boundary face
         else:
             south = jnp.flip(a[S(slice(H, 2 * H))], axis=axis)
-        return cat([south, middle_and_north])
+        return cat_full([south, middle_and_north])
 
     face_loc = loc[axis] == FACE
     xC = grid.coord_padded(axis, CENTER)
@@ -127,8 +139,8 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False):
                 return cat([cN + grad * d for d in dists])
             raise ValueError(f"unsupported BC {cls} for centered location")
 
-        return cat([halo_strip(left_bc, True), middle,
-                    halo_strip(right_bc, False)])
+        return cat_full([halo_strip(left_bc, True), middle,
+                         halo_strip(right_bc, False)])
 
     # Face location in its bounded direction: slot H is the left boundary
     # face, slot H+N the right boundary face (uniform padded layout,
@@ -159,7 +171,7 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False):
         right_halo = flip(a[S(slice(H + N - (H - 1), H + N))])
 
     middle = a[S(slice(H + 1, H + N))]
-    return cat([left_halo, left_face, middle, right_face, right_halo])
+    return cat_full([left_halo, left_face, middle, right_face, right_halo])
 
 
 def fill_halo_axes(a, grid, loc, bcs, time=0.0, axes=(0, 1, 2)):
@@ -186,9 +198,29 @@ def fill_halo_axes(a, grid, loc, bcs, time=0.0, axes=(0, 1, 2)):
     return a
 
 
+def _pallas_fill_enabled():
+    from ..defaults import defaults
+    enabled = getattr(defaults, "pallas_fill", None)
+    if enabled is None:
+        import jax
+        return jax.default_backend() not in ("cpu", "gpu")
+    return enabled
+
+
 def fill_halo_regions(a, grid, loc, bcs, time=0.0):
     """Refresh all halos of padded array ``a`` (reference:
-    fill_halo_regions!, src/BoundaryConditions/fill_halo_regions.jl:25-41)."""
+    fill_halo_regions!, src/BoundaryConditions/fill_halo_regions.jl:25-41).
+
+    On TPU (lane-aligned layouts, supported BC subset) this dispatches to the
+    in-place Pallas DMA fill (kernels/pallas_fill.py) — strip copies instead
+    of whole-array concats."""
+    if _pallas_fill_enabled():
+        from ..kernels.pallas_fill import get_pallas_fill
+        import jax
+        fast = get_pallas_fill(grid, loc, bcs,
+                               interpret=jax.default_backend() == "cpu")
+        if fast is not None:
+            return fast(a)
     return fill_halo_axes(a, grid, loc, bcs, time, (0, 1, 2))
 
 

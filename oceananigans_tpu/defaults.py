@@ -29,5 +29,16 @@ class Defaults:
     # Earth rotation rate [s⁻¹] (reference: Ω_Earth).
     rotation_rate: float = 7.292115e-5
 
+    # Visible lane-tile (128) padding of the minor (z) array dimension so
+    # Mosaic DMA kernels can address tile-aligned slices. None = auto (on for
+    # TPU backends, off for CPU/GPU); True/False forces it. See
+    # grids/base.py::AbstractGrid.lane_tail.
+    lane_align: bool | None = None
+
+    # In-place Pallas DMA halo fill (kernels/pallas_fill.py). None = auto
+    # (on for TPU backends — requires lane_align layouts); True forces it
+    # (interpret mode on CPU, used by tests); False disables.
+    pallas_fill: bool | None = None
+
 
 defaults = Defaults()

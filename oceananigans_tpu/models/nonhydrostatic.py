@@ -108,8 +108,10 @@ class NonhydrostaticModel:
         if fused_advection in (True, "auto") and advection is not None \
                 and not grid.is_flat(1):
             # Mosaic DMA slices must be 8-aligned in the sublane (y) dim:
-            # make the slab width TY + 2·Hy a multiple of 8
-            while (2 * halo[1]) % 8:
+            # round Hy itself to a multiple of 8 so both the megakernel slab
+            # (TY + 2·Hy) and the Pallas halo-fill y strips (size Hy,
+            # kernels/pallas_fill.py) are tile-aligned
+            while halo[1] % 8:
                 halo[1] += 1
         halo = tuple(halo)
         self.grid = grid.with_halo(halo)

@@ -52,6 +52,11 @@ class Distributed:
     """
 
     def __init__(self, partition=None, devices=None):
+        # the single-chip Pallas fast paths (halo fill, megakernel) don't
+        # partition under GSPMD yet — sharded global-view runs stay pure XLA
+        # (shard_map wrapping of the Pallas kernels is future work)
+        from ..defaults import defaults
+        defaults.pallas_fill = False
         if devices is None:
             devices = jax.devices()
         n = len(devices)

@@ -114,7 +114,9 @@ def test_time_step_wizard():
 
 def test_nan_checker_aborts():
     m = tiny_model()
-    m.state["fields"]["u"] = m.state["fields"]["u"].at[5, 5, 4].set(np.nan)
+    ints = m.grid.interior_slices
+    iidx = (ints[0].start + 2, ints[1].start + 2, ints[2].start + 1)
+    m.state["fields"]["u"] = m.state["fields"]["u"].at[iidx].set(np.nan)
     sim = Simulation(m, dt=0.01, stop_iteration=200)
     try:
         sim.run()
