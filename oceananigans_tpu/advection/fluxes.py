@@ -30,8 +30,7 @@ def _upwind(q, left, right):
 
 
 def _biased_by(scheme, grid, a, axis, beta, q):
-    l, r = scheme.biased_pair(grid, a, axis, beta)
-    return _upwind(q, l, r)
+    return scheme.biased_by(grid, a, axis, beta, q)
 
 
 # -- tracer advection ----------------------------------------------------------

@@ -29,6 +29,23 @@ import numpy as np
 from .reconstruction import (_ShiftCache, eno_coefficients, left_shifts,
                              mirror, optimal_weights, smoothness_factors,
                              smoothness_value, stencil_value)
+from ..operators.shifts import shift
+
+
+class _SelectedShiftCache:
+    """Shift reader returning ``where(pos, a[o], a[mirror(o)])`` — the
+    upwind-selected cell for offset ``o`` (see AdvectionScheme.biased_by)."""
+
+    def __init__(self, a, axis, pos, beta):
+        self.a, self.axis, self.pos, self.beta = a, axis, pos, beta
+        self.cache = {}
+
+    def __call__(self, off):
+        if off not in self.cache:
+            l = shift(self.a, off, self.axis)
+            r = shift(self.a, 2 * self.beta - 1 - off, self.axis)
+            self.cache[off] = jnp.where(self.pos, l, r)
+        return self.cache[off]
 
 # WENO regularization (reference: weno_interpolants.jl `const ϵ = 1f-8`)
 WENO_EPSILON = 1e-8
@@ -75,6 +92,24 @@ class AdvectionScheme:
         scs = ([_ShiftCache(s, axis) for s in smooth]
                if smooth is not None else None)
         return self._biased(grid, _ShiftCache(a, axis), axis, beta, side, scs)
+
+    def biased_by(self, grid, a, axis, beta, q, smooth=None):
+        """Upwind reconstruction selected by the sign of ``q``: equals
+        ``where(q > 0, biased 'left', biased 'right')`` but computed with ONE
+        reconstruction pass over sign-selected stencil cells. The left- and
+        right-biased stencils are mirror images sharing the same coefficients
+        and smoothness factors, so selecting each cell read first —
+        ``where(q > 0, a[shift], a[mirror(shift)])`` — and reconstructing once
+        is exact, at ~half the VPU flops (the TPU replacement for the
+        reference's scalar branchy `upwind_biased_product`,
+        upwind_biased_advective_fluxes.jl)."""
+        if grid.is_flat(axis):
+            return a
+        pos = q > 0
+        sel = _SelectedShiftCache(a, axis, pos, beta)
+        scs = ([_SelectedShiftCache(s, axis, pos, beta) for s in smooth]
+               if smooth is not None else None)
+        return self._biased(grid, sel, axis, beta, "left", scs)
 
 
 class Centered(AdvectionScheme):
@@ -228,3 +263,6 @@ class FluxFormAdvection(AdvectionScheme):
 
     def biased(self, grid, a, axis, beta, side, smooth=None):
         return self.schemes[axis].biased(grid, a, axis, beta, side, smooth)
+
+    def biased_by(self, grid, a, axis, beta, q, smooth=None):
+        return self.schemes[axis].biased_by(grid, a, axis, beta, q, smooth)

@@ -153,10 +153,8 @@ class VectorInvariant:
                 smooth = [iy_f(grid, u), ix_f(grid, v)]   # both at ffc
             else:
                 smooth = None
-            zl, zr = vs.biased_pair(grid, zeta, Y, 1, smooth=smooth)
-            adv_u = -vhat * _upwind(vhat, zl, zr)
-            zl, zr = vs.biased_pair(grid, zeta, X, 1, smooth=smooth)
-            adv_v = +uhat * _upwind(uhat, zl, zr)
+            adv_u = -vhat * vs.biased_by(grid, zeta, Y, 1, vhat, smooth=smooth)
+            adv_v = +uhat * vs.biased_by(grid, zeta, X, 1, uhat, smooth=smooth)
         return adv_u, adv_v
 
     # -- Bernoulli head (kinetic-energy gradient) -----------------------------
@@ -178,15 +176,13 @@ class VectorInvariant:
         dv2x = dx_f(grid, 0.5 * v * v)    # δx_v² at ffc
 
         dKvs = _sym(cross, grid, dv2x, Y, 1)                # ffc → fcc
-        l, r = ks.biased_pair(grid, du2, X, 0,
-                              smooth=[ix_c(grid, u)])       # u_smoothness
-        dKur = _upwind(u, l, r)
+        dKur = ks.biased_by(grid, du2, X, 0, u,
+                            smooth=[ix_c(grid, u)])         # u_smoothness
         bern_u = (dKur + dKvs) / grid.dx(LOC_FCC)
 
         dKus = _sym(cross, grid, du2y, X, 1)                # ffc → cfc
-        l, r = ks.biased_pair(grid, dv2, Y, 0,
-                              smooth=[iy_c(grid, v)])       # v_smoothness
-        dKvr = _upwind(v, l, r)
+        dKvr = ks.biased_by(grid, dv2, Y, 0, v,
+                            smooth=[iy_c(grid, v)])         # v_smoothness
         bern_v = (dKvr + dKus) / grid.dy(LOC_CFC)
         return bern_u, bern_v
 
@@ -223,11 +219,9 @@ class VectorInvariant:
         # (reference: vertical_advection_U/V, vector_invariant_advection.jl:336-350)
         phi_u, phi_v = self._divergence_flux(grid, u, v)
         what_u = _sym(vas, grid, Az_w, X, 0)     # ccf → fcf
-        l, r = vas.biased_pair(grid, u, Z, 0)
-        az_u = dz_c(grid, what_u * _upwind(what_u, l, r))
+        az_u = dz_c(grid, what_u * vas.biased_by(grid, u, Z, 0, what_u))
         what_v = _sym(vas, grid, Az_w, Y, 0)     # ccf → cff
-        l, r = vas.biased_pair(grid, v, Z, 0)
-        az_v = dz_c(grid, what_v * _upwind(what_v, l, r))
+        az_v = dz_c(grid, what_v * vas.biased_by(grid, v, Z, 0, what_v))
         return ((phi_u + az_u) / grid.V(LOC_FCC),
                 (phi_v + az_v) / grid.V(LOC_CFC))
 
@@ -241,18 +235,16 @@ class VectorInvariant:
         dV = dy_c(grid, grid.Ay(LOC_CFC) * v)    # δy(Ay v) at ccc
         if self.upwinding == CROSS_AND_SELF:
             div = dU + dV
-            l, r = ds.biased_pair(grid, div, X, 0)
-            phi_u = u * _upwind(u, l, r)
-            l, r = ds.biased_pair(grid, div, Y, 0)
-            phi_v = v * _upwind(v, l, r)
+            phi_u = u * ds.biased_by(grid, div, X, 0, u)
+            phi_v = v * ds.biased_by(grid, div, Y, 0, v)
         else:
             div_smooth = [dU + dV]               # divergence_smoothness
             dvs = _sym(cross, grid, dV, X, 0)
-            l, r = ds.biased_pair(grid, dU, X, 0, smooth=div_smooth)
-            phi_u = u * (dvs + _upwind(u, l, r))
+            phi_u = u * (dvs + ds.biased_by(grid, dU, X, 0, u,
+                                            smooth=div_smooth))
             dus = _sym(cross, grid, dU, Y, 0)
-            l, r = ds.biased_pair(grid, dV, Y, 0, smooth=div_smooth)
-            phi_v = v * (dus + _upwind(v, l, r))
+            phi_v = v * (dus + ds.biased_by(grid, dV, Y, 0, v,
+                                            smooth=div_smooth))
         return phi_u, phi_v
 
     # -- assembly --------------------------------------------------------------
