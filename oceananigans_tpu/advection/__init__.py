@@ -1,8 +1,9 @@
 from .schemes import (AdvectionScheme, Centered, UpwindBiased, WENO,
-                      FluxFormAdvection)
+                      FluxFormAdvection, adapt_advection_order)
 from .fluxes import (div_Uc, div_Uu, div_Uv, div_Uw, cell_advection_timescale)
 from .vector_invariant import VectorInvariant, WENOVectorInvariant
 
 __all__ = ["AdvectionScheme", "Centered", "UpwindBiased", "WENO",
-           "FluxFormAdvection", "VectorInvariant", "WENOVectorInvariant",
+           "FluxFormAdvection", "adapt_advection_order",
+           "VectorInvariant", "WENOVectorInvariant",
            "div_Uc", "div_Uu", "div_Uv", "div_Uw", "cell_advection_timescale"]

@@ -40,6 +40,8 @@ def div_Uc(grid, scheme, u, v, w, c):
     tracer_advection_operators.jl: div_Uc = V⁻¹[δxᶜ(Ax u ĉ) + …])."""
     if scheme is None:
         return jnp.zeros_like(c)
+    if getattr(scheme, "bounds", None) is not None:
+        return _div_Uc_bounded(grid, scheme, u, v, w, c)
     total = None
     for axis, vel, A in ((X, u, grid.Ax(LOC_FCC)),
                          (Y, v, grid.Ay(LOC_CFC)),
@@ -48,6 +50,53 @@ def div_Uc(grid, scheme, u, v, w, c):
             continue
         chat = _biased_by(scheme, grid, c, axis, 0, vel)
         flux = A * vel * chat
+        term = _delta_c(grid, flux, axis)
+        total = term if total is None else total + term
+    if total is None:
+        return jnp.zeros_like(c)
+    return total / grid.V(LOC_CCC)
+
+
+# Bounds-preserving limiter constants (reference:
+# bounds_preserving_tracer_advection_operators.jl: _ω̂₁ = _ω̂ₙ = 5/18, ε₂)
+_OMEGA_HAT = 5.0 / 18.0
+_EPS2 = 1e-20
+
+
+def _div_Uc_bounded(grid, scheme, u, v, w, c):
+    """Bounds-preserving WENO tracer flux divergence (reference:
+    bounds_preserving_tracer_advection_operators.jl): per cell, a limiter
+    factor θ scales the outward face reconstructions back toward the cell
+    mean so the updated tracer stays inside ``scheme.bounds``."""
+    from ..operators.shifts import shift
+
+    lo, hi = scheme.bounds
+    total = None
+    for axis, vel, A in ((X, u, grid.Ax(LOC_FCC)),
+                         (Y, v, grid.Ay(LOC_CFC)),
+                         (Z, w, grid.Az(LOC_CCF))):
+        if grid.is_flat(axis):
+            continue
+        # biased reconstructions at every face (face i = left face of cell i)
+        cl, cr = scheme.biased_pair(grid, c, axis, 0)
+        # cell i's outward reconstructions: right-biased at its left face,
+        # left-biased at its right face (= face i+1)
+        c_minus_R = cr
+        c_plus_L = shift(cl, +1, axis)
+        p_tilde = (c - _OMEGA_HAT * c_minus_R - _OMEGA_HAT * c_plus_L) \
+            / (1 - 2 * _OMEGA_HAT)
+        M = jnp.maximum(jnp.maximum(p_tilde, c_plus_L), c_minus_R)
+        m = jnp.minimum(jnp.minimum(p_tilde, c_plus_L), c_minus_R)
+        theta = jnp.minimum(
+            jnp.minimum(jnp.abs((hi - c) / (M - c + _EPS2)),
+                        jnp.abs((lo - c) / (m - c + _EPS2))),
+            jnp.ones_like(c))
+        # limited face values: at face i the left-biased value belongs to
+        # cell i-1, the right-biased value to cell i
+        theta_left = shift(theta, -1, axis)
+        c_left_lim = theta_left * (cl - shift(c, -1, axis)) + shift(c, -1, axis)
+        c_right_lim = theta * (cr - c) + c
+        flux = A * vel * _upwind(vel, c_left_lim, c_right_lim)
         term = _delta_c(grid, flux, axis)
         total = term if total is None else total + term
     if total is None:

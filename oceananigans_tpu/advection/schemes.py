@@ -184,20 +184,26 @@ class WENO(AdvectionScheme):
     reference's VelocityStencil/FunctionStencil used by the vector-invariant
     WENO momentum advection (weno_interpolants.jl:340-354)."""
 
-    def __init__(self, order=5, smoothness_dtype=jnp.float32):
+    def __init__(self, order=5, smoothness_dtype=jnp.float32, bounds=None):
         if order % 2 != 1:
             raise ValueError("WENO order must be odd (3, 5, 7, 9, 11)")
         self.order = order
         self.buffer = k = (order + 1) // 2
         self.required_halo = self.buffer
         self.smoothness_dtype = smoothness_dtype
+        # bounds-preserving limiter range (reference: WENO(bounds=(0, 1)),
+        # bounds_preserving_tracer_advection_operators.jl) — activates the
+        # positivity/bounds limiter in div_Uc
+        self.bounds = tuple(float(b) for b in bounds) if bounds is not None \
+            else None
         self._gammas = optimal_weights(k)
         self._coeffs = [eno_coefficients(k, s) for s in range(k)]
         self._sfactors = [smoothness_factors(k, s) for s in range(k)]
         self.advecting_velocity_scheme = Centered(order=order - 1)
 
     def _fp(self):
-        return (type(self).__name__, self.order, str(self.smoothness_dtype))
+        return (type(self).__name__, self.order, str(self.smoothness_dtype),
+                self.bounds)
 
     def symmetric(self, grid, a, axis, beta):
         return self.advecting_velocity_scheme.symmetric(grid, a, axis, beta)
@@ -240,6 +246,36 @@ class WENO(AdvectionScheme):
             num = nterm if num is None else num + nterm
             den = alpha if den is None else den + alpha
         return num / den
+
+
+def adapt_advection_order(advection, grid):
+    """Shrink the advection order per direction to fit small grids
+    (reference: src/Advection/adapt_advection_order.jl — a scheme of buffer B
+    needs N ≥ B points; otherwise Centered drops to order 2N, upwind/WENO to
+    2N-1). Returns a FluxFormAdvection when any direction changed."""
+    if advection is None or not isinstance(advection, AdvectionScheme):
+        return advection  # VectorInvariant & friends are not adapted
+
+    def adapt_one(scheme, N):
+        if N >= scheme.buffer:
+            return scheme
+        if isinstance(scheme, Centered):
+            return Centered(order=max(2, 2 * N))
+        if isinstance(scheme, WENO) and 2 * N - 1 >= 3:
+            return WENO(order=2 * N - 1,
+                        smoothness_dtype=scheme.smoothness_dtype,
+                        bounds=scheme.bounds)
+        if isinstance(scheme, (WENO, UpwindBiased)):
+            return UpwindBiased(order=max(1, 2 * N - 1))
+        return scheme
+
+    per_axis = (advection.schemes if isinstance(advection, FluxFormAdvection)
+                else (advection,) * 3)
+    new = tuple(s if grid.is_flat(ax) else adapt_one(s, grid.N[ax])
+                for ax, s in enumerate(per_axis))
+    if all(n is o for n, o in zip(new, per_axis)):
+        return advection
+    return FluxFormAdvection(*new)
 
 
 class FluxFormAdvection(AdvectionScheme):

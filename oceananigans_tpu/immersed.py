@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .grids.base import AbstractGrid, broadcastable_1d
+from .grids.base import AbstractGrid, _mul, broadcastable_1d
 from .grids.topology import CENTER, FACE, LOC_CCC, LOC_CCF, LOC_CFC, LOC_FCC
 
 
@@ -56,6 +56,101 @@ class GridFittedBottom:
         return ("GridFittedBottom", key)
 
 
+class PartialCellBottom:
+    """Fractional bottom cells: the bottommost fluid cell of each column
+    shrinks so its lower face sits on the bottom height, but never below
+    ``minimum_fractional_cell_height·Δz`` (reference:
+    src/ImmersedBoundaries/partial_cell_bottom.jl — immersed criterion
+    `z⁺ - ϵΔz < zb` :143-150, numerical bottom capping :79-104, effective
+    Δz at all 8 staggered locations :159-186)."""
+
+    def __init__(self, bottom_height, minimum_fractional_cell_height=0.2):
+        self.bottom_height = bottom_height
+        self.epsilon = float(minimum_fractional_cell_height)
+
+    def _zb_padded(self, grid):
+        b = self.bottom_height
+        if callable(b):
+            x = broadcastable_1d(grid.coord_padded(0, CENTER), 0)
+            y = broadcastable_1d(grid.coord_padded(1, CENTER), 1)
+            zb = np.broadcast_to(np.asarray(b(x, y), np.float64),
+                                 grid.padded_shape[:2] + (1,)).copy()
+        elif np.isscalar(b):
+            zb = np.full(grid.padded_shape[:2] + (1,), float(b))
+        else:
+            zb = np.asarray(b, np.float64)
+            if zb.shape == (grid.N[0], grid.N[1]):
+                zb = np.pad(zb, [(grid.H[0],) * 2, (grid.H[1],) * 2],
+                            mode="edge")
+            zb = zb[..., None] if zb.ndim == 2 else zb
+        return zb
+
+    def _geometry(self, grid):
+        """(zb_adjusted, solid, dz_ccc_eff, dz_ccf_eff) padded numpy arrays."""
+        h, n = grid.H[2], grid.N[2]
+        npz = grid.padded_shape[2]
+        zf = np.asarray(grid.coord_padded(2, FACE), np.float64)     # bottom faces
+        zc = np.asarray(grid.coord_padded(2, CENTER), np.float64)
+        dzc = np.broadcast_to(
+            np.asarray(grid.dz((CENTER,) * 3), np.float64).reshape(-1), (npz,))
+        ztop = zf + dzc                                             # top faces
+
+        zb = np.clip(self._zb_padded(grid), zf[h], ztop[h + n - 1])
+        # numerical bottom: cap so the partial cell is ≥ ϵΔz tall
+        bottom_cell = (zf[None, None, :] <= zb) & (ztop[None, None, :] >= zb)
+        capped = np.minimum(ztop[None, None, :] - self.epsilon * dzc, zb)
+        zb = np.where(bottom_cell.any(axis=2, keepdims=True),
+                      np.max(np.where(bottom_cell, capped, -np.inf), axis=2,
+                             keepdims=True), zb)
+
+        solid = (ztop[None, None, :] - self.epsilon * dzc) < zb
+        fluid = ~solid
+        below_solid = np.concatenate(
+            [np.ones_like(solid[..., :1]), solid[..., :-1]], axis=2)
+        bottommost = fluid & below_solid
+        dz_ccc = np.where(bottommost, ztop[None, None, :] - zb, dzc)
+        # face k just above a partial bottom cell k-1: Δzᶜᶜᶠ = zc[k] - zf[k]
+        # + Δzᶜᶜᶜ(k-1)/2 (partial_cell_bottom.jl:169-178)
+        just_above = np.concatenate(
+            [np.zeros_like(bottommost[..., :1]), bottommost[..., :-1]], axis=2)
+        dz_ccf_full = np.broadcast_to(
+            np.asarray(grid.dz((CENTER, CENTER, FACE)),
+                       np.float64).reshape(1, 1, -1), solid.shape)
+        dz_prev = np.concatenate([dz_ccc[..., :1], dz_ccc[..., :-1]], axis=2)
+        dz_ccf = np.where(just_above,
+                          (zc - zf)[None, None, :] + dz_prev / 2, dz_ccf_full)
+        return zb, solid, dz_ccc, dz_ccf
+
+    def solid_centers(self, grid):
+        return self._geometry(grid)[1]
+
+    def effective_dz(self, grid):
+        """{(lx_face, ly_face, lz_face): padded 3D Δz array} for all 8
+        staggered locations (horizontal staggers take the MIN of adjacent
+        columns — partial_cell_bottom.jl:180-186)."""
+        _, _, dz_ccc, dz_ccf = self._geometry(grid)
+
+        def minx(a):
+            return a if grid.is_flat(0) else np.minimum(a, np.roll(a, 1, 0))
+
+        def miny(a):
+            return a if grid.is_flat(1) else np.minimum(a, np.roll(a, 1, 1))
+
+        out = {}
+        for lz_face, base in ((False, dz_ccc), (True, dz_ccf)):
+            out[(False, False, lz_face)] = base
+            out[(True, False, lz_face)] = minx(base)
+            out[(False, True, lz_face)] = miny(base)
+            out[(True, True, lz_face)] = miny(minx(base))
+        return out
+
+    def _fp(self):
+        b = self.bottom_height
+        key = (id(b) if callable(b)
+               else (b if np.isscalar(b) else np.asarray(b).tobytes()))
+        return ("PartialCellBottom", key, self.epsilon)
+
+
 class GridFittedBoundary:
     """General mask: solid where mask(x, y, z) is True (reference:
     grid_fitted_boundary.jl)."""
@@ -79,6 +174,10 @@ class ImmersedBoundaryGrid(AbstractGrid):
         self._underlying = grid
         self.immersed_boundary = immersed_boundary
 
+        # PartialCellBottom carries effective (shrunken) Δz metric arrays
+        self._dz_eff = (immersed_boundary.effective_dz(grid)
+                        if hasattr(immersed_boundary, "effective_dz")
+                        else None)
         solid_c = immersed_boundary.solid_centers(grid)
         self.solid_ccc = solid_c
         # a face is solid (no transport) if EITHER adjacent center is solid
@@ -121,18 +220,28 @@ class ImmersedBoundaryGrid(AbstractGrid):
         return self._underlying.dy(loc)
 
     def dz(self, loc):
+        if self._dz_eff is not None:
+            return self._dz_eff[(loc[0] == FACE, loc[1] == FACE,
+                                 loc[2] == FACE)]
         return self._underlying.dz(loc)
 
     def Ax(self, loc):
+        if self._dz_eff is not None:
+            return _mul(self.dy(loc), self.dz(loc))
         return self._underlying.Ax(loc)
 
     def Ay(self, loc):
+        if self._dz_eff is not None:
+            return _mul(self.dx(loc), self.dz(loc))
         return self._underlying.Ay(loc)
 
     def Az(self, loc):
+        # z-normal areas are untouched by partial cells
         return self._underlying.Az(loc)
 
     def V(self, loc):
+        if self._dz_eff is not None:
+            return _mul(self.Az(loc), self.dz(loc))
         return self._underlying.V(loc)
 
     def with_halo(self, halo):

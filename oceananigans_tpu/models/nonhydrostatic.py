@@ -98,8 +98,11 @@ class NonhydrostaticModel:
                 _F.bind(_name)
         self.background_fields = dict(background_fields or {})
 
-        # halo inflation (reference: nonhydrostatic_model.jl:179-184 +
-        # automatic_halo_sizing.jl)
+        # adapt the advection order to small grids, then inflate halos
+        # (reference: nonhydrostatic_model.jl:179-184 + automatic_halo_sizing.jl)
+        from ..advection.schemes import adapt_advection_order
+        advection = adapt_advection_order(advection, grid)
+        self.advection = advection
         required = getattr(advection, "required_halo", 1)
         if closure is not None:
             required = max(required, getattr(closure, "required_halo", 1))

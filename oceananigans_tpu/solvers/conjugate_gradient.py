@@ -97,6 +97,12 @@ def make_immersed_poisson_solver(grid, fill_p, fft_solver=None, reltol=1e-7,
     solid = jnp.asarray(grid.solid_ccc)
     ii = grid.interior_slices
 
+    # The operator is kept in FLUX form (no 1/V): -Σ δ(A·m·∂p) is symmetric
+    # in the plain dot product even when V varies in space (partial bottom
+    # cells) — dividing by V would make it self-adjoint only in the
+    # V-weighted inner product and break CG. The rhs is scaled by V to match.
+    V3 = jnp.broadcast_to(jnp.asarray(grid.V(LOC_CCC)), grid.padded_shape)
+
     def masked_neg_laplacian(p_int):
         p = jnp.zeros(grid.padded_shape, p_int.dtype)
         p = p.at[ii].set(p_int)
@@ -108,18 +114,21 @@ def make_immersed_poisson_solver(grid, fill_p, fft_solver=None, reltol=1e-7,
             terms.append(_delta_c(grid, grid.Ay(ly) * my * ddy(grid, p, ly), 1))
         if not grid.is_flat(2):
             terms.append(_delta_c(grid, grid.Az(lz) * mz * ddz(grid, p, lz), 2))
-        lap = sum(terms) / grid.V(LOC_CCC)
+        lap = sum(terms)
         out = jnp.where(solid, p, -lap)   # identity rows on solid cells
         return out[ii]
 
     precond = None
     if fft_solver is not None:
+        # the FFT solver inverts ∇² (with the regular 1/V); undo the V scale
+        Vr = fft_solver.grid.V(LOC_CCC)
+
         def precond(r):
-            return -fft_solver.solve(r)
+            return -fft_solver.solve(r / Vr)
 
     class _Solver:
         def solve(self, b):
-            bm = jnp.where(solid[ii], 0.0, -b)
+            bm = jnp.where(solid[ii], 0.0, -b * V3[ii])
             x, it, res = conjugate_gradient(
                 masked_neg_laplacian, bm, preconditioner=precond,
                 reltol=reltol, maxiter=maxiter)

@@ -147,3 +147,48 @@ def test_advection_translation_accuracy():
         c = rk4_step(c, dt)
     err = np.max(np.abs(np.asarray(g.interior(c) - g.interior(c0.data))))
     assert err < 0.05, err
+
+
+def test_adapt_advection_order():
+    """Reference: src/Advection/adapt_advection_order.jl — schemes shrink to
+    fit grids with fewer points than the stencil buffer."""
+    from oceananigans_tpu.advection import (FluxFormAdvection, WENO,
+                                            adapt_advection_order)
+    from oceananigans_tpu import RectilinearGrid
+
+    grid = RectilinearGrid(size=(64, 64, 2), extent=(1, 1, 1))
+    adapted = adapt_advection_order(WENO(9), grid)
+    assert isinstance(adapted, FluxFormAdvection)
+    assert adapted.schemes[0].order == 9
+    assert adapted.schemes[2].order == 3      # Nz=2 -> WENO(3)
+
+    big = RectilinearGrid(size=(64, 64, 64), extent=(1, 1, 1))
+    same = adapt_advection_order(WENO(9), big)
+    assert same.order == 9 and not isinstance(same, FluxFormAdvection)
+
+
+def test_bounds_preserving_weno_tracer():
+    """WENO(bounds=(0,1)) keeps a step-function tracer inside its bounds
+    (reference: bounds_preserving_tracer_advection_operators.jl); plain WENO
+    overshoots."""
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu import RectilinearGrid
+
+    def run(scheme):
+        grid = RectilinearGrid(size=(64,), extent=(1.0,),
+                               topology=("periodic", "flat", "flat"))
+        m = NonhydrostaticModel(grid=grid, advection=scheme, tracers=("c",))
+        m.set(u=1.0, c=lambda x, y, z: np.where((x > 0.25) & (x < 0.5), 1.0, 0.0),
+              enforce_incompressibility=False)
+        for _ in range(100):
+            m.time_step(1e-3)
+        return np.asarray(m.field("c").interior)
+
+    c_plain = run(WENO(5))
+    c_lim = run(WENO(5, bounds=(0.0, 1.0)))
+    eps = 1e-10
+    assert c_lim.min() >= -eps and c_lim.max() <= 1 + eps, \
+        (c_lim.min(), c_lim.max())
+    # limiter must not destroy the profile
+    assert abs(c_lim.sum() - c_plain.sum()) < 1e-6  # conservative
+    assert c_lim.max() > 0.9

@@ -85,3 +85,49 @@ def test_abstract_operations_basics():
     av = Average(u * u)
     m = float(np.asarray(av.materialize()).ravel()[0])
     assert abs(m - 0.5) < 0.05  # mean of sin² over a period = 1/2
+
+
+def test_partial_cell_bottom_geometry():
+    """PartialCellBottom: effective Δz of the bottommost fluid cell equals
+    z⁺ - z_b, floored at ϵΔz (reference: partial_cell_bottom.jl:143-167)."""
+    from oceananigans_tpu.immersed import PartialCellBottom, ImmersedBoundaryGrid
+
+    grid = RectilinearGrid(size=(4, 4, 10), extent=(1.0, 1.0, 1.0))
+    dz = 0.1
+    # bottom at z = -0.525: cell k=4 spans [-0.6, -0.5], fluid part 0.025
+    pcb = PartialCellBottom(-0.525, minimum_fractional_cell_height=0.2)
+    ibg = ImmersedBoundaryGrid(grid, pcb)
+
+    h = grid.H[2]
+    dzc = np.asarray(ibg.dz(("c", "c", "c")))
+    solid = ibg.solid_ccc
+    i, j = grid.H[0] + 1, grid.H[1] + 1
+    # cells k=0..3 (z < -0.6... interior index) are solid, k=4 partial
+    col_solid = solid[i, j, h:h + 10]
+    assert col_solid[:4].all() and not col_solid[4:].any()
+    assert np.isclose(dzc[i, j, h + 4], 0.025)
+    assert np.isclose(dzc[i, j, h + 5], dz)
+
+    # epsilon floor: bottom at -0.501 leaves a sliver 0.001 < 0.2·Δz; the
+    # numerical bottom is capped so the cell stays FLUID at exactly ϵΔz
+    # (reference: capped_zb = min(z⁺ - ϵΔz, zb), partial_cell_bottom.jl:96-100)
+    pcb2 = PartialCellBottom(-0.501, minimum_fractional_cell_height=0.2)
+    ibg2 = ImmersedBoundaryGrid(grid, pcb2)
+    col2 = ibg2.solid_ccc[i, j, h:h + 10]
+    assert col2[:4].all() and not col2[4:].any()
+    dzc2 = np.asarray(ibg2.dz(("c", "c", "c")))
+    assert np.isclose(dzc2[i, j, h + 4], 0.02)
+
+    # a model runs on the partial-cell grid and conserves tracer mass
+    from oceananigans_tpu.abstract_operations import Integral
+    from oceananigans_tpu.advection import Centered
+    model = NonhydrostaticModel(grid=ibg, advection=Centered(2), tracers=("c",))
+    model.set(c=lambda x, y, z: 1.0 + 0.1 * np.sin(2 * np.pi * x),
+              u=lambda x, y, z: 0.05 * np.cos(2 * np.pi * x))
+    model.time_step(0.01)  # first step masks c inside the topography
+    m0 = float(np.asarray(Integral(model.field("c")).compute()).squeeze())
+    for _ in range(5):
+        model.time_step(0.01)
+    m1 = float(np.asarray(Integral(model.field("c")).compute()).squeeze())
+    assert np.isfinite(m1)
+    assert abs(m1 - m0) / abs(m0) < 5e-4
