@@ -1,7 +1,8 @@
 from .scalar_diffusivity import (ScalarDiffusivity, VerticalScalarDiffusivity,
                                  HorizontalScalarDiffusivity,
                                  ScalarBiharmonicDiffusivity, ClosureTuple)
-from .smagorinsky import Smagorinsky, SmagorinskyLilly
+from .smagorinsky import (Smagorinsky, SmagorinskyLilly, DynamicCoefficient,
+                          DynamicSmagorinsky)
 from .amd import AnisotropicMinimumDissipation
 from .vertical_diffusivities import (ConvectiveAdjustmentVerticalDiffusivity,
                                      RiBasedVerticalDiffusivity,
@@ -12,7 +13,8 @@ from .tke_dissipation import TKEDissipationVerticalDiffusivity
 
 __all__ = ["ScalarDiffusivity", "VerticalScalarDiffusivity",
            "HorizontalScalarDiffusivity", "ScalarBiharmonicDiffusivity",
-           "Smagorinsky", "SmagorinskyLilly", "AnisotropicMinimumDissipation",
+           "Smagorinsky", "SmagorinskyLilly", "DynamicCoefficient",
+           "DynamicSmagorinsky", "AnisotropicMinimumDissipation",
            "ConvectiveAdjustmentVerticalDiffusivity",
            "RiBasedVerticalDiffusivity", "TwoDimensionalLeith",
            "CATKEVerticalDiffusivity", "ClosureTuple",

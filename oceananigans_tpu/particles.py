@@ -69,13 +69,15 @@ class LagrangianParticles:
     """Particle configuration + advection logic. Positions live in the model
     state under ``state["particles"]``."""
 
-    def __init__(self, x, y, z, restitution=1.0, tracked_fields=()):
+    def __init__(self, x, y, z, restitution=1.0, tracked_fields=(),
+                 dynamics=None):
         self.n = len(np.atleast_1d(x))
         self.initial = dict(x=jnp.asarray(np.atleast_1d(x)),
                             y=jnp.asarray(np.atleast_1d(y)),
                             z=jnp.asarray(np.atleast_1d(z)))
         self.restitution = float(restitution)
         self.tracked_fields = tuple(tracked_fields)
+        self.dynamics = dynamics
 
     def _bounce(self, grid, axis, pos):
         """Periodic wrap or wall bounce with restitution (reference:
@@ -96,20 +98,25 @@ class LagrangianParticles:
 
     def advect(self, grid, u, v, w, particles, dt):
         """Forward-Euler advection (the reference's scheme) of all particles,
-        vectorized."""
+        vectorized. With `DroguedParticleDynamics`, velocities are sampled at
+        the drogue depths and z stays fixed (reference:
+        LagrangianParticleTracking/drogued_dynamics.jl)."""
         x, y, z = particles["x"], particles["y"], particles["z"]
-        up = interpolate_field(grid, u, LOC_FCC, x, y, z)
-        vp = interpolate_field(grid, v, LOC_CFC, x, y, z)
-        wp = interpolate_field(grid, w, LOC_CCF, x, y, z)
+        drogued = isinstance(self.dynamics, DroguedParticleDynamics)
+        zs = self.dynamics.depths if drogued else z
+        up = interpolate_field(grid, u, LOC_FCC, x, y, zs)
+        vp = interpolate_field(grid, v, LOC_CFC, x, y, zs)
         x = x + dt * up
         y = y + dt * vp
-        z = z + dt * wp
+        if not drogued:
+            wp = interpolate_field(grid, w, LOC_CCF, x, y, z)
+            z = z + dt * wp
+            if not grid.is_flat(2):
+                z = self._bounce(grid, 2, z)
         if not grid.is_flat(0):
             x = self._bounce(grid, 0, x)
         if not grid.is_flat(1):
             y = self._bounce(grid, 1, y)
-        if not grid.is_flat(2):
-            z = self._bounce(grid, 2, z)
         return dict(particles, x=x, y=y, z=z)
 
     def track(self, grid, fields, particles):
@@ -121,3 +128,12 @@ class LagrangianParticles:
                                           particles["x"], particles["y"],
                                           particles["z"])
         return out
+
+
+class DroguedParticleDynamics:
+    """Buoy-like particles drogued at fixed ``depths``: advected horizontally
+    by the velocity at the drogue depth, z position unchanged (reference:
+    src/Models/LagrangianParticleTracking/drogued_dynamics.jl)."""
+
+    def __init__(self, depths):
+        self.depths = jnp.asarray(np.atleast_1d(depths))

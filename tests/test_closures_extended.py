@@ -149,3 +149,43 @@ def test_k_epsilon_wind_mixing():
     assert np.all(np.isfinite(e))
     prof = e.mean(axis=(0, 1))
     assert prof[-1] > prof[0]  # TKE near the surface
+
+
+def test_dynamic_smagorinsky():
+    """DynamicCoefficient (reference: Smagorinskys/dynamic_coefficient.jl):
+    c² from the Germano identity. For pure solid-body-like uniform shear the
+    resolved Leonard stress vanishes, so c² → 0; for a turbulent-like field
+    c² is finite and the closure runs stably."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.closures.smagorinsky import (
+        DynamicSmagorinsky, dynamic_coefficient_sq)
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.advection import Centered
+
+    grid = RectilinearGrid(size=(16, 16, 16), extent=(1, 1, 1))
+    rng = np.random.default_rng(8)
+
+    # linear velocity field: filters are exact for linear fields => L = 0
+    model = NonhydrostaticModel(grid=grid, closure=DynamicSmagorinsky())
+    model.set(u=lambda x, y, z: 0.3 * z, enforce_incompressibility=False)
+    f = model._fill_all(model.state["fields"], 0.0)
+    csq = np.asarray(dynamic_coefficient_sq(
+        grid.with_halo(model.grid.H), f["u"], f["v"], f["w"],
+        (0, 1, 2), 1e-32))
+    ii = model.grid.interior_slices
+    assert np.abs(csq[ii]).max() < 1e-3, csq[ii].max()
+
+    # turbulent-like field: finite coefficient, stable stepping
+    model2 = NonhydrostaticModel(grid=grid, closure=DynamicSmagorinsky(),
+                                 advection=Centered(2))
+    model2.set(u=0.1 * rng.standard_normal((16, 16, 16)),
+               v=0.1 * rng.standard_normal((16, 16, 16)))
+    for _ in range(3):
+        model2.time_step(1e-3)
+    u = np.asarray(model2.field("u").interior)
+    assert np.isfinite(u).all()
+    aux = model2.closure.compute_diffusivities(
+        model2.grid, model2._fill_all(model2.state["fields"], 0.0), 0.0)
+    nu = np.asarray(aux["nu_e"])[model2.grid.interior_slices]
+    assert np.isfinite(nu).all() and nu.max() > 0

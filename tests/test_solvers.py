@@ -127,3 +127,76 @@ def test_fourier_tridiagonal_stretched_z(rng):
     b = jnp.asarray(b)
     phi = FourierTridiagonalPoissonSolver(g).solve(b)
     assert _laplacian_residual(g, phi, b) < 1e-8
+
+
+def test_krylov_solver_gmres_bicgstab():
+    """KrylovSolver (reference: src/Solvers/krylov_solver.jl) solves a
+    nonsymmetric system matrix-free via jax.scipy.sparse.linalg."""
+    import jax.numpy as jnp
+    from oceananigans_tpu.solvers.krylov import KrylovSolver
+
+    rng = np.random.default_rng(11)
+    n = 24
+    A = np.eye(n) * 4 + 0.3 * rng.standard_normal((n, n))
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.standard_normal(n))
+    x_true = np.linalg.solve(A, np.asarray(b))
+    for method in ("gmres", "bicgstab"):
+        solver = KrylovSolver(lambda x: Aj @ x, method=method, reltol=1e-10,
+                              maxiter=200)
+        x = np.asarray(solver.solve(b))
+        assert np.allclose(x, x_true, atol=1e-6), (method,
+                                                   np.abs(x - x_true).max())
+
+
+def test_stokes_drift_general_wavepacket():
+    """General StokesDrift (reference: src/StokesDrifts.jl:180-384): a
+    horizontally-varying wave packet forces the vortex terms; uniform-profile
+    limit must agree with UniformStokesDrift."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.stokes_drift import StokesDrift, UniformStokesDrift
+
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1, 1, 1))
+    rng = np.random.default_rng(5)
+    shape = grid.padded_shape
+    u = jnp.asarray(rng.standard_normal(shape))
+    v = jnp.asarray(rng.standard_normal(shape))
+    w = jnp.asarray(rng.standard_normal(shape))
+
+    dzus = lambda z, t: 2.0 * np.exp(4 * z)
+    gen = StokesDrift(dz_us=lambda x, y, z, t: 2.0 * np.exp(4 * z),
+                      dt_us=lambda x, y, z, t: 0.1 * np.ones_like(z))
+    uni = UniformStokesDrift(grad_z_us=dzus,
+                             grad_t_us=lambda z, t: 0.1 * np.ones_like(z))
+    for meth in ("x_tendency", "y_tendency", "z_tendency"):
+        a = np.asarray(getattr(gen, meth)(grid, u, v, w, 0.0))
+        b = np.asarray(getattr(uni, meth)(grid, u, v, w, 0.0))
+        ii = grid.interior_slices
+        assert np.allclose(a[ii], np.broadcast_to(b, a.shape)[ii]), meth
+
+
+def test_drogued_particles_stay_at_depth():
+    """DroguedParticleDynamics: z fixed, advected by u at the drogue depth
+    (reference: drogued_dynamics.jl)."""
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.particles import (DroguedParticleDynamics,
+                                            LagrangianParticles)
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    grid = RectilinearGrid(size=(16, 4, 8), extent=(1, 1, 1))
+    depths = np.asarray([-0.9375, -0.0625])  # cell-center depths
+    particles = LagrangianParticles(x=[0.5, 0.5], y=[0.5, 0.5],
+                                    z=[-0.5, -0.5],
+                                    dynamics=DroguedParticleDynamics(depths))
+    model = NonhydrostaticModel(grid=grid, particles=particles)
+    # sheared flow: u = 0 at depth, 0.5 near surface
+    model.set(u=lambda x, y, z: 0.5 * (1 + z / 1.0) ** 2,
+              enforce_incompressibility=False)
+    for _ in range(10):
+        model.time_step(0.01)
+    p = model.state["particles"]
+    z = np.asarray(p["z"])
+    x = np.asarray(p["x"])
+    assert np.allclose(z, [-0.5, -0.5])          # z unchanged
+    assert x[1] > x[0] + 0.01                    # surface drogue moves faster
