@@ -2,6 +2,7 @@ from .boundary_condition import (
     BoundaryCondition, FieldBoundaryConditions,
     PeriodicBoundaryCondition, FluxBoundaryCondition, ValueBoundaryCondition,
     GradientBoundaryCondition, OpenBoundaryCondition, ImpenetrableBoundaryCondition,
+    PerturbationAdvection,
     ZipperBoundaryCondition,
     regularize_field_boundary_conditions, default_bcs,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "PeriodicBoundaryCondition", "FluxBoundaryCondition", "ValueBoundaryCondition",
     "GradientBoundaryCondition", "OpenBoundaryCondition",
     "ImpenetrableBoundaryCondition", "ZipperBoundaryCondition",
+    "PerturbationAdvection",
     "regularize_field_boundary_conditions", "default_bcs",
     "fill_halo_regions", "apply_flux_bcs",
 ]

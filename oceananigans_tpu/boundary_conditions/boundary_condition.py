@@ -34,12 +34,30 @@ OPEN = "open"
 ZIPPER = "zipper"  # tripolar north fold (fill implemented with grid support)
 
 
-class BoundaryCondition:
-    __slots__ = ("classification", "condition")
+class PerturbationAdvection:
+    """Open-boundary scheme: nudge the boundary-normal velocity toward the
+    exterior value with an upwind perturbation-advection update (reference:
+    src/BoundaryConditions/perturbation_advection.jl — backward-Euler
+    boundary step with inflow/outflow relaxation timescales)."""
 
-    def __init__(self, classification, condition=None):
+    __slots__ = ("inflow_timescale", "outflow_timescale")
+
+    def __init__(self, inflow_timescale=0.0, outflow_timescale=np.inf):
+        self.inflow_timescale = float(inflow_timescale)
+        self.outflow_timescale = float(outflow_timescale)
+
+    def _fp(self):
+        return ("PerturbationAdvection", self.inflow_timescale,
+                self.outflow_timescale)
+
+
+class BoundaryCondition:
+    __slots__ = ("classification", "condition", "scheme")
+
+    def __init__(self, classification, condition=None, scheme=None):
         self.classification = classification
         self.condition = condition
+        self.scheme = scheme
 
     def _fp(self):
         c = self.condition
@@ -49,7 +67,8 @@ class BoundaryCondition:
             cf = id(c)
         else:
             cf = np.asarray(c).tobytes()
-        return (self.classification, cf)
+        sf = self.scheme._fp() if self.scheme is not None else None
+        return (self.classification, cf, sf)
 
     def __hash__(self):
         return hash(self._fp())
@@ -78,8 +97,11 @@ def GradientBoundaryCondition(condition=None):
     return BoundaryCondition(GRADIENT, condition)
 
 
-def OpenBoundaryCondition(condition=None):
-    return BoundaryCondition(OPEN, condition)
+def OpenBoundaryCondition(condition=None, scheme=None):
+    """Open (cross-boundary flow) BC; ``scheme=PerturbationAdvection(...)``
+    activates the relaxed upwind boundary update (reference:
+    boundary_condition_classifications.jl Open{scheme})."""
+    return BoundaryCondition(OPEN, condition, scheme)
 
 
 def ImpenetrableBoundaryCondition():

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..grids.base import broadcastable_1d
 from ..grids.topology import BOUNDED, CENTER, FACE, PERIODIC
 from .boundary_condition import (FLUX, GRADIENT, OPEN, PERIODIC_BC, VALUE,
-                                 ZIPPER, SIDE_AXIS)
+                                 ZIPPER, SIDE_AXIS, PerturbationAdvection)
 
 
 def _idx(ndim, axis, sl):
@@ -57,7 +57,7 @@ def eval_bc(bc, grid, loc, axis, time):
     return np.expand_dims(arr, axis)
 
 
-def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False):
+def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False, dt=None):
     """Build the axis-filled array with ONE jnp.concatenate: slice updates
     (dynamic-update-slice) each copy the whole array on TPU, so the per-slot
     `.at[].set` formulation costs as much as the physics; a single fused
@@ -153,8 +153,50 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False):
         return 0.0 if v is None else v
 
     ones = jnp.ones_like(a[S(slice(H, H + 1))])
+
+    def pa_face(bc, is_left):
+        """Perturbation-advection open-boundary face update (reference:
+        perturbation_advection.jl step_left/right_boundary!): backward-Euler
+        upwind step toward the exterior value with inflow/outflow
+        relaxation."""
+        pa = bc.scheme
+        ubar = bval(bc) * ones
+        dX = _boundary_slice(
+            (grid.dx, grid.dy, grid.dz)[axis](loc), nd, axis,
+            H if is_left else H + N)
+        if is_left:
+            uB = a[S(slice(H, H + 1))]
+            uA = a[S(slice(H + 1, H + 2))]
+            U = jnp.minimum(0.0, jnp.maximum(-1.0, dt / dX * ubar))
+            outflowing = ubar <= 0
+            num = uB - U * uA
+            den = 1.0 - U
+        else:
+            uB = a[S(slice(H + N, H + N + 1))]
+            uA = a[S(slice(H + N - 1, H + N))]
+            U = jnp.maximum(0.0, jnp.minimum(1.0, dt / dX * ubar))
+            outflowing = ubar >= 0
+            num = uB + U * uA
+            den = 1.0 + U
+        tin, tout = pa.inflow_timescale, pa.outflow_timescale
+        inv_in = 0.0 if (tin == 0 or np.isinf(tin)) else 1.0 / tin
+        inv_out = 0.0 if (tout == 0 or np.isinf(tout)) else 1.0 / tout
+        taut = dt * jnp.where(outflowing, inv_out, inv_in)
+        relaxed = (num + ubar * taut) / (den + taut)
+        pin = jnp.where(outflowing, tout == 0, tin == 0)
+        return jnp.where(pin, ubar, relaxed)
+
+    def pa_active(bc):
+        return (bc is not None and bc.classification == OPEN
+                and isinstance(getattr(bc, "scheme", None),
+                               PerturbationAdvection) and dt is not None)
+
     # left side
-    if cls_l in (OPEN, VALUE):
+    if pa_active(left_bc):
+        left_face = pa_face(left_bc, True)
+        left_halo = jnp.broadcast_to(left_face,
+                                     a[S(slice(0, H))].shape)
+    elif cls_l in (OPEN, VALUE):
         vL = bval(left_bc)
         left_halo = 2 * vL - flip(a[S(slice(H + 1, 2 * H + 1))])
         left_face = vL * ones
@@ -162,7 +204,11 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False):
         left_halo = flip(a[S(slice(H + 1, 2 * H + 1))])
         left_face = a[S(slice(H, H + 1))]
     # right side
-    if cls_r in (OPEN, VALUE):
+    if pa_active(right_bc):
+        right_face = pa_face(right_bc, False)
+        right_halo = jnp.broadcast_to(right_face,
+                                      a[S(slice(H + N + 1, 2 * H + N))].shape)
+    elif cls_r in (OPEN, VALUE):
         vR = bval(right_bc)
         right_face = vR * ones
         right_halo = 2 * vR - flip(a[S(slice(H + N - (H - 1), H + N))])
@@ -174,7 +220,7 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False):
     return cat_full([left_halo, left_face, middle, right_face, right_halo])
 
 
-def fill_halo_axes(a, grid, loc, bcs, time=0.0, axes=(0, 1, 2)):
+def fill_halo_axes(a, grid, loc, bcs, time=0.0, axes=(0, 1, 2), dt=None):
     """Refresh halos along a subset of axes; zipper (tripolar) north folds
     run BEFORE the x-periodic wrap so the wrap propagates folded rows into
     the corners."""
@@ -189,12 +235,12 @@ def fill_halo_axes(a, grid, loc, bcs, time=0.0, axes=(0, 1, 2)):
             if grid.is_flat(axis):
                 continue
             a = _fill_axis(a, grid, loc, bcs, axis, time,
-                           skip_north=axis == 1)
+                           skip_north=axis == 1, dt=dt)
         return a
     for axis in axes:
         if grid.is_flat(axis):
             continue
-        a = _fill_axis(a, grid, loc, bcs, axis, time)
+        a = _fill_axis(a, grid, loc, bcs, axis, time, dt=dt)
     return a
 
 
@@ -207,7 +253,7 @@ def _pallas_fill_enabled():
     return enabled
 
 
-def fill_halo_regions(a, grid, loc, bcs, time=0.0):
+def fill_halo_regions(a, grid, loc, bcs, time=0.0, dt=None):
     """Refresh all halos of padded array ``a`` (reference:
     fill_halo_regions!, src/BoundaryConditions/fill_halo_regions.jl:25-41).
 
@@ -221,7 +267,7 @@ def fill_halo_regions(a, grid, loc, bcs, time=0.0):
                                interpret=jax.default_backend() == "cpu")
         if fast is not None:
             return fast(a)
-    return fill_halo_axes(a, grid, loc, bcs, time, (0, 1, 2))
+    return fill_halo_axes(a, grid, loc, bcs, time, (0, 1, 2), dt=dt)
 
 
 def apply_flux_bcs(G, grid, loc, bcs, time=0.0):

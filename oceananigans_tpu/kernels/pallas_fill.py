@@ -43,6 +43,8 @@ def _scalar_cond(bc):
     """(classification, scalar value) if statically supported, else None."""
     if bc is None:
         return (FLUX, 0.0)
+    if getattr(bc, "scheme", None) is not None:
+        return None  # PerturbationAdvection needs dt; XLA path handles it
     cond = bc.condition
     if cond is None:
         return (bc.classification, 0.0)

@@ -238,7 +238,7 @@ class NonhydrostaticModel:
 
     # -- step construction ----------------------------------------------------
 
-    def _fill_all(self, fields, time):
+    def _fill_all(self, fields, time, dt=None):
         out = {}
         for name, data in fields.items():
             if self.immersed:
@@ -247,7 +247,69 @@ class NonhydrostaticModel:
                 # update_nonhydrostatic_model_state.jl:23-25)
                 data = self.grid.mask_immersed(data, self.loc(name))
             out[name] = fill_halo_regions(data, self.grid, self.loc(name),
-                                          self.bcs[name], time)
+                                          self.bcs[name], time, dt=dt)
+        return out
+
+    @property
+    def _open_sides(self):
+        """All OPEN boundaries on the boundary-normal velocities:
+        (name, axis, is_left, has_scheme). Fluxes are measured through every
+        open boundary; only scheme-carrying (PerturbationAdvection) ones
+        receive the mass correction (reference: boundary_mass_fluxes.jl —
+        needs_mass_flux_correction(::IOBC) = false)."""
+        from ..boundary_conditions.boundary_condition import (
+            OPEN, PerturbationAdvection)
+        sides = []
+        for name, axis in (("u", 0), ("v", 1), ("w", 2)):
+            if self.grid.topology[axis] != "bounded":
+                continue
+            bcs = self.bcs[name]
+            for bc, is_left in ((bcs.pair(axis)[0], True),
+                                (bcs.pair(axis)[1], False)):
+                if bc is not None and bc.classification == OPEN:
+                    scheme = isinstance(getattr(bc, "scheme", None),
+                                        PerturbationAdvection)
+                    # zero-imposed (condition None, no scheme) boundaries
+                    # carry no flux by construction
+                    if scheme or bc.condition is not None:
+                        sides.append((name, axis, is_left, scheme))
+        return sides
+
+    @property
+    def _pa_open_sides(self):
+        return [s for s in self._open_sides if s[3]]
+
+    def _balance_open_mass(self, vel):
+        """Enforce zero NET mass flux through scheme-carrying open boundaries
+        by shifting their boundary-normal velocity uniformly (reference:
+        enforce_open_boundary_mass_conservation!, boundary_mass_fluxes.jl:
+        223-239) — required for Poisson solvability."""
+        sides = self._open_sides
+        if not any(s[3] for s in sides):
+            return vel
+        grid = self.grid
+        areas = (grid.Ax(LOC_FCC), grid.Ay(LOC_CFC), grid.Az(LOC_CCF))
+        ii = grid.interior_slices
+        total_flux = 0.0
+        total_area = 0.0
+        planes = []
+        for name, axis, is_left, scheme in sides:
+            H, N = grid.H[axis], grid.N[axis]
+            fidx = H if is_left else H + N
+            sl = list(ii)
+            sl[axis] = slice(fidx, fidx + 1)
+            sl = tuple(sl)
+            A = jnp.broadcast_to(jnp.asarray(areas[axis], grid.dtype),
+                                 grid.padded_shape)[sl]
+            flux = jnp.sum(vel[name][sl] * A)
+            total_flux = total_flux + (flux if is_left else -flux)
+            if scheme:
+                total_area = total_area + jnp.sum(A)
+                planes.append((name, sl, is_left))
+        corr = total_flux / total_area
+        out = dict(vel)
+        for name, sl, is_left in planes:
+            out[name] = out[name].at[sl].add(-corr if is_left else corr)
         return out
 
     def _total_velocities(self, fields, time):
@@ -339,9 +401,12 @@ class NonhydrostaticModel:
             u = grid.mask_immersed(u, LOC_FCC)
             v = grid.mask_immersed(v, LOC_CFC)
             w = grid.mask_immersed(w, LOC_CCF)
-        u = fill_halo_regions(u, grid, LOC_FCC, self.bcs["u"], time)
-        v = fill_halo_regions(v, grid, LOC_CFC, self.bcs["v"], time)
-        w = fill_halo_regions(w, grid, LOC_CCF, self.bcs["w"], time)
+        u = fill_halo_regions(u, grid, LOC_FCC, self.bcs["u"], time, dt=dtt)
+        v = fill_halo_regions(v, grid, LOC_CFC, self.bcs["v"], time, dt=dtt)
+        w = fill_halo_regions(w, grid, LOC_CCF, self.bcs["w"], time, dt=dtt)
+        if self._pa_open_sides:
+            vel = self._balance_open_mass(dict(u=u, v=v, w=w))
+            u, v, w = vel["u"], vel["v"], vel["w"]
         rhs = grid.interior(div_ccc(grid, u, v, w)) / dtt
         p_int = self.pressure_solver.solve(rhs)
         p = jnp.zeros(grid.padded_shape, grid.dtype)
@@ -390,7 +455,8 @@ class NonhydrostaticModel:
                 Gm = None
                 p = state["pressure"]
                 for gamma, zeta in zip(RK3_GAMMAS, RK3_ZETAS):
-                    fields = self._fill_all(fields, time)
+                    fields = self._fill_all(fields, time,
+                                            dt=(gamma + zeta) * dt)
                     G, aux = self._compute_tendencies(fields, time)
                     stage_dt = (gamma + zeta) * dt
                     new = {}
@@ -433,7 +499,7 @@ class NonhydrostaticModel:
                                        clock["last_dt"] != dt)
                 chi = jnp.where(euler, -0.5, chi0)
                 not_euler = jnp.where(euler, 0.0, 1.0)
-                fields = self._fill_all(fields, time)
+                fields = self._fill_all(fields, time, dt=dt)
                 G, aux = self._compute_tendencies(fields, time)
                 new = {}
                 for name in fields:

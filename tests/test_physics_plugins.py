@@ -143,3 +143,34 @@ def test_smagorinsky_and_amd_stable():
         # LES closures dissipate small-scale KE
         ke1 = float(np.sum(u ** 2))
         assert ke1 < ke0 * 1.05, closure
+
+
+def test_perturbation_advection_open_channel():
+    """Channel with imposed inflow + PerturbationAdvection outflow (reference:
+    perturbation_advection.jl + boundary_mass_fluxes.jl): uniform flow passes
+    through unchanged and a tracer blob advects out without reflection."""
+    from oceananigans_tpu import (RectilinearGrid, FieldBoundaryConditions,
+                                  OpenBoundaryCondition)
+    from oceananigans_tpu.boundary_conditions import PerturbationAdvection
+    from oceananigans_tpu.advection import Centered
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    U0 = 0.3
+    grid = RectilinearGrid(size=(32, 1, 8), x=(0, 4.0), z=(-1.0, 0.0),
+                           topology=("bounded", "flat", "bounded"))
+    u_bcs = FieldBoundaryConditions(
+        west=OpenBoundaryCondition(U0),
+        east=OpenBoundaryCondition(U0, scheme=PerturbationAdvection(
+            inflow_timescale=0.1)))
+    model = NonhydrostaticModel(grid=grid, advection=Centered(2),
+                                boundary_conditions={"u": u_bcs},
+                                tracers=("c",))
+    model.set(u=U0, c=lambda x, y, z: np.exp(-(x - 1.0) ** 2 / 0.05))
+    for _ in range(100):
+        model.time_step(0.01)
+    u = np.asarray(model.field("u").interior)
+    c = np.asarray(model.field("c").interior)
+    assert np.isfinite(u).all() and np.isfinite(c).all()
+    assert np.abs(u - U0).max() < 1e-10          # no reflection/distortion
+    peak = np.unravel_index(c.argmax(), c.shape)[0]
+    assert 9 <= peak <= 14                       # advected by ~U0·t
