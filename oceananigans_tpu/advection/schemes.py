@@ -23,13 +23,62 @@ computes smoothness indicators in reduced precision by default on TPU
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
-from .reconstruction import (_ShiftCache, eno_coefficients, left_shifts,
-                             mirror, optimal_weights, smoothness_factors,
-                             smoothness_value, stencil_value)
+from .reconstruction import (_ShiftCache, eno_coefficients,
+                             eno_coefficients_nonuniform, left_shifts, mirror,
+                             optimal_weights, optimal_weights_nonuniform,
+                             smoothness_factors, smoothness_value,
+                             stencil_value)
 from ..operators.shifts import shift
+
+
+def _is_stretched(grid, axis):
+    reg = getattr(grid, "regular", None)
+    if reg is None or grid.is_flat(axis):
+        return False
+    return not reg(axis)
+
+
+def _padded_faces(grid, axis):
+    """npad+1 face positions along ``axis`` (the last one extrapolated)."""
+    f = np.asarray(grid.coord_padded(axis, "f"), np.float64)
+    d = f[-1] - f[-2] if len(f) > 1 else 1.0
+    return np.append(f, f[-1] + d)
+
+
+@functools.lru_cache(maxsize=None)
+def _nonuniform_eno(grid, axis, beta, k, s, mirrored):
+    """Per-index ENO coefficient arrays (broadcastable along ``axis``) for a
+    stretched grid direction (reference: the grid-aware coefficient tables of
+    reconstruction_coefficients.jl; here derived exactly from the face
+    positions — and, unlike the reference where this is opt-in via
+    WENO(grid=...), applied automatically on stretched axes).
+
+    ``mirrored``: coefficients for the right-biased stencil, whose cells are
+    the mirror o ↦ 2β-1-o of the left stencil — on a nonuniform grid the
+    mirrored coefficients differ and must be derived for the actual cells
+    (listed in REVERSED order to pair with mirror(left_shifts(...)))."""
+    from ..grids.base import broadcastable_1d
+    npad = grid.padded_shape[axis]
+    faces = _padded_faces(grid, axis)
+    if not mirrored:
+        cs = eno_coefficients_nonuniform(faces, k, s, beta, npad)
+        return tuple(broadcastable_1d(c, axis) for c in cs)
+    # right-biased stencil s covers cells at shifts mirror(left) =
+    # (β+s-j for j), i.e. absolute cells i+β-1 - (s'...) reflected: derive by
+    # evaluating a reconstruction whose cells are exactly those shifts.
+    shifts = mirror(left_shifts(k, s, beta), beta)
+    lo_shift = min(shifts)
+    s_equiv = beta - 1 - lo_shift  # cells span lo_shift..lo_shift+k-1
+    cs = eno_coefficients_nonuniform(faces, k, s_equiv, beta, npad)
+    # cells ascend from lo_shift; shifts list descends — reverse pairing
+    return tuple(broadcastable_1d(c, axis) for c in reversed(cs))
+
+
 
 
 class _SelectedShiftCache:
@@ -105,6 +154,12 @@ class AdvectionScheme:
         upwind_biased_advective_fluxes.jl)."""
         if grid.is_flat(axis):
             return a
+        if _is_stretched(grid, axis):
+            # nonuniform coefficients are not mirror-symmetric: compute both
+            # sides explicitly (stretched axes are usually the short vertical
+            # direction, so the extra flops are minor)
+            l, r = self.biased_pair(grid, a, axis, beta, smooth=smooth)
+            return jnp.where(q > 0, l, r)
         pos = q > 0
         sel = _SelectedShiftCache(a, axis, pos, beta)
         scs = ([_SelectedShiftCache(s, axis, pos, beta) for s in smooth]
@@ -126,17 +181,23 @@ class Centered(AdvectionScheme):
         # interface ⇒ k = order, s = buffer - 1 relative to the left cell
         self._coeffs = eno_coefficients(order, self.buffer - 1)
 
+    def _coeffs_for(self, grid, axis, beta):
+        if _is_stretched(grid, axis):
+            return _nonuniform_eno(grid, axis, beta, self.order,
+                                   self.buffer - 1, False)
+        return self._coeffs
+
     def symmetric(self, grid, a, axis, beta):
         if grid.is_flat(axis):
             return a
         sc = _ShiftCache(a, axis)
         shifts = left_shifts(self.order, self.buffer - 1, beta)
-        return stencil_value(sc, shifts, self._coeffs)
+        return stencil_value(sc, shifts, self._coeffs_for(grid, axis, beta))
 
     def _biased(self, grid, sc, axis, beta, side, smooth=None):
         # a centered scheme has no bias: both sides get the symmetric value
         shifts = left_shifts(self.order, self.buffer - 1, beta)
-        return stencil_value(sc, shifts, self._coeffs)
+        return stencil_value(sc, shifts, self._coeffs_for(grid, axis, beta))
 
 
 class UpwindBiased(AdvectionScheme):
@@ -161,12 +222,17 @@ class UpwindBiased(AdvectionScheme):
     def _biased(self, grid, sc, axis, beta, side, smooth=None):
         if grid.is_flat(axis):
             return sc(0)
+        stretched = _is_stretched(grid, axis)
         shifts = left_shifts(self.order, self._s, beta)
         if side == "right":
             shifts = mirror(shifts, beta)
-            coeffs = self._coeffs  # mirror symmetry: same coefficients
+            # uniform: mirror symmetry reuses the same coefficients;
+            # stretched: derive the mirrored-stencil coefficients exactly
+            coeffs = (_nonuniform_eno(grid, axis, beta, self.order, self._s,
+                                      True) if stretched else self._coeffs)
         else:
-            coeffs = self._coeffs
+            coeffs = (_nonuniform_eno(grid, axis, beta, self.order, self._s,
+                                      False) if stretched else self._coeffs)
         return stencil_value(sc, shifts, coeffs)
 
 
@@ -213,12 +279,18 @@ class WENO(AdvectionScheme):
             return sc(0)
         k = self.buffer
         out_dtype = sc(0).dtype
+        stretched = _is_stretched(grid, axis)
         ps, betas = [], []
         for s in range(k):
             shifts = left_shifts(k, s, beta)
+            cs = self._coeffs[s]
             if side == "right":
                 shifts = mirror(shifts, beta)
-            ps.append(stencil_value(sc, shifts, self._coeffs[s]))
+                if stretched:
+                    cs = _nonuniform_eno(grid, axis, beta, k, s, True)
+            elif stretched:
+                cs = _nonuniform_eno(grid, axis, beta, k, s, False)
+            ps.append(stencil_value(sc, shifts, cs))
             if smooth is None:
                 b = smoothness_value(sc, shifts, self._sfactors[s],
                                      compute_dtype=self.smoothness_dtype)

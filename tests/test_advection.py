@@ -192,3 +192,44 @@ def test_bounds_preserving_weno_tracer():
     # limiter must not destroy the profile
     assert abs(c_lim.sum() - c_plain.sum()) < 1e-6  # conservative
     assert c_lim.max() > 0.9
+
+
+def test_stretched_grid_reconstruction_exact():
+    """On stretched axes the schemes automatically use exact nonuniform ENO
+    coefficients (reference analogue: grid-aware tables of
+    reconstruction_coefficients.jl): cell-average reconstructions of a degree
+    ≤ k-1 polynomial are exact at the faces."""
+    from oceananigans_tpu import RectilinearGrid
+
+    N = 32
+    zf = -1.0 + (np.linspace(0, 1, N + 1)) ** 2.2
+    grid = RectilinearGrid(size=(4, 4, N), x=(0, 1), y=(0, 1), z=zf,
+                           halo=(3, 3, 3))
+    polys = {
+        2: (lambda z: 1.0 + 2 * z + 3 * z ** 2,
+            lambda z: z + z ** 2 + z ** 3),
+        3: (lambda z: 1.0 + 2 * z + 3 * z ** 2 + 0.5 * z ** 3,
+            lambda z: z + z ** 2 + z ** 3 + 0.125 * z ** 4),
+    }
+    h = grid.H[2]
+    zf_pad = np.asarray(grid.coord_padded(2, "f"))
+    zf_all = np.append(zf_pad, zf_pad[-1] + (zf_pad[-1] - zf_pad[-2]))
+
+    for scheme, deg in ((UpwindBiased(3), 2),
+                        (WENO(5, smoothness_dtype=jnp.float64), 2),
+                        (Centered(4), 3)):
+        f, F = polys[deg]
+        avg = (F(zf_all[1:]) - F(zf_all[:-1])) / (zf_all[1:] - zf_all[:-1])
+        a = jnp.asarray(np.broadcast_to(avg[None, None, :],
+                                        grid.padded_shape).copy())
+        l, r = scheme.biased_pair(grid, a, 2, 0)
+        want = f(zf_pad)
+        ii = slice(h + 3, h + N - 3)
+        assert np.abs(np.asarray(l)[2, 2, ii] - want[ii]).max() < 1e-12
+        assert np.abs(np.asarray(r)[2, 2, ii] - want[ii]).max() < 1e-12
+        # biased_by must agree with the explicit two-sided select
+        q = jnp.asarray(np.random.default_rng(0).standard_normal(
+            grid.padded_shape))
+        got = np.asarray(scheme.biased_by(grid, a, 2, 0, q))
+        sel = np.where(np.asarray(q) > 0, np.asarray(l), np.asarray(r))
+        assert np.abs(got - sel)[grid.interior_slices].max() < 1e-14
