@@ -189,3 +189,36 @@ def test_dynamic_smagorinsky():
         model2.grid, model2._fill_all(model2.state["fields"], 0.0), 0.0)
     nu = np.asarray(aux["nu_e"])[model2.grid.interior_slices]
     assert np.isfinite(nu).all() and nu.max() > 0
+
+
+def test_catke_convective_boundary_layer():
+    """Surface buoyancy LOSS (Jᵇ > 0) drives convective mixing: the CATKE
+    convective length (Deardorff scaling, catke_mixing_length.jl:96-145)
+    activates and deepens a mixed layer faster than without the flux."""
+    from oceananigans_tpu.boundary_conditions import (FieldBoundaryConditions,
+                                                      FluxBoundaryCondition)
+
+    def run(Jb):
+        grid = RectilinearGrid(size=(4, 4, 32), extent=(200.0, 200.0, 64.0))
+        buoyancy = BuoyancyTracer()
+        closure = CATKEVerticalDiffusivity(buoyancy=buoyancy,
+                                           surface_buoyancy_flux=Jb)
+        b_bcs = FieldBoundaryConditions(top=FluxBoundaryCondition(Jb))
+        model = HydrostaticFreeSurfaceModel(
+            grid=grid, free_surface=ImplicitFreeSurface(), buoyancy=buoyancy,
+            closure=closure, boundary_conditions={"b": b_bcs})
+        model.set(b=lambda x, y, z: 1e-5 * z, e=1e-7)
+        for _ in range(30):
+            model.time_step(60.0)
+        return (np.asarray(model.field("e").interior),
+                np.asarray(model.field("b").interior))
+
+    e_conv, b_conv = run(5e-8)
+    e_none, b_none = run(0.0)
+    assert np.isfinite(e_conv).all() and np.isfinite(b_conv).all()
+    # convective forcing must produce much more TKE
+    assert e_conv.max() > 5 * max(e_none.max(), 1e-9)
+    # and a deeper (more homogenized) near-surface buoyancy profile
+    prof = b_conv.mean(axis=(0, 1))
+    top_strat = prof[-1] - prof[-6]
+    assert top_strat < 0.8 * 1e-5 * (64.0 / 32 * 5)
