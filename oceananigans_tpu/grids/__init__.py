@@ -6,9 +6,12 @@ from .latlon import LatitudeLongitudeGrid
 from .orthogonal_spherical_shell import (OrthogonalSphericalShellGrid,
                                          RotatedLatitudeLongitudeGrid)
 from .tripolar import TripolarGrid
+from .cubed_sphere import (ConformalCubedSpherePanel, ConformalCubedSphereGrid,
+                           fill_cubed_sphere_halos)
 
 __all__ = ["PERIODIC", "BOUNDED", "FLAT", "CENTER", "FACE",
            "LOC_CCC", "LOC_FCC", "LOC_CFC", "LOC_CCF", "LOC_FFC",
            "AbstractGrid", "RectilinearGrid", "LatitudeLongitudeGrid",
            "OrthogonalSphericalShellGrid", "RotatedLatitudeLongitudeGrid",
-           "TripolarGrid"]
+           "TripolarGrid", "ConformalCubedSpherePanel",
+           "ConformalCubedSphereGrid", "fill_cubed_sphere_halos"]

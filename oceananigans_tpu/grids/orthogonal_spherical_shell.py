@@ -48,6 +48,22 @@ def _midpoint(p1, p2):
     return m / np.linalg.norm(m, axis=-1, keepdims=True)
 
 
+def _spherical_triangle_excess(a, b, c):
+    """Solid angle of the triangle of unit vectors (a, b, c):
+    E = 2 atan2(|a·(b×c)|, 1 + a·b + b·c + c·a)."""
+    num = np.abs(np.einsum("...i,...i->...", a, np.cross(b, c)))
+    den = (1.0 + np.einsum("...i,...i->...", a, b)
+           + np.einsum("...i,...i->...", b, c)
+           + np.einsum("...i,...i->...", c, a))
+    return 2.0 * np.arctan2(num, den)
+
+
+def _spherical_quad_area(p00, p10, p11, p01):
+    """Unit-sphere area of the quad (two triangle excesses)."""
+    return (_spherical_triangle_excess(p00, p10, p11)
+            + _spherical_triangle_excess(p00, p11, p01))
+
+
 class OrthogonalSphericalShellGrid(AbstractGrid):
     def __init__(self, corner_longitude, corner_latitude, z=None, size=None,
                  radius=None, topology=None, halo=None, dtype=None):
@@ -125,6 +141,25 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
         self._lam = {("c", "c"): lam_c, ("f", "f"): lamF}
         self._phi = {("c", "c"): phi_c, ("f", "f"): phiF}
 
+        # z-normal areas from the SPHERICAL QUADRILATERAL excess — exact for
+        # any (even non-orthogonal) quad mesh on the sphere, unlike the
+        # Δx·Δy product which carries a sin(θ) bias on skewed panels
+        # (reference: the spherical_area_quadrilateral computation of
+        # orthogonal_spherical_shell_grid.jl)
+        az_cc = _spherical_quad_area(P[:-1, :-1], P[1:, :-1],
+                                     P[1:, 1:], P[:-1, 1:]) * R * R
+        az_fc = np.empty((Nx + 1, Ny))
+        az_fc[1:-1] = 0.5 * (az_cc[:-1] + az_cc[1:])
+        az_fc[0], az_fc[-1] = az_cc[0], az_cc[-1]
+        az_cf = np.empty((Nx, Ny + 1))
+        az_cf[:, 1:-1] = 0.5 * (az_cc[:, :-1] + az_cc[:, 1:])
+        az_cf[:, 0], az_cf[:, -1] = az_cc[:, 0], az_cc[:, -1]
+        az_ff = np.empty((Nx + 1, Ny + 1))
+        az_ff[1:-1, :] = 0.5 * (az_cf[:-1, :] + az_cf[1:, :])
+        az_ff[0, :], az_ff[-1, :] = az_cf[0, :], az_cf[-1, :]
+        self._az = {("c", "c"): az_cc, ("f", "c"): az_fc,
+                    ("c", "f"): az_cf, ("f", "f"): az_ff}
+
         self._pad_cache = {}
 
     # -- metric padding -------------------------------------------------------
@@ -154,6 +189,13 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
     def dz(self, loc):
         s = self._zc.spacing(loc[2])
         return s if np.isscalar(s) else s.reshape(1, 1, -1)
+
+    def Az(self, loc):
+        return self._padded2d(self._az, loc[0], loc[1])
+
+    def V(self, loc):
+        from .base import _mul
+        return _mul(self.Az(loc), self.dz(loc))
 
     # -- nodes ----------------------------------------------------------------
 

@@ -98,3 +98,39 @@ def test_size_topology_errors():
         RectilinearGrid(size=(4, 4), extent=(1, 1, 1))
     with pytest.raises(ValueError):
         RectilinearGrid(size=(4, 4, 4), x=(0, 1), y=(0, 1))  # missing z
+
+
+def test_conservative_regridding():
+    """regrid (reference: src/Fields/regridding_fields.jl) conserves the
+    integral and reproduces means exactly for piecewise-constant data."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.fields.regridding import regrid
+
+    src = RectilinearGrid(size=(4, 4, 32), extent=(1.0, 1.0, 1.0))
+    # stretched destination with half the resolution
+    zf = -1.0 + np.linspace(0, 1, 17) ** 1.4
+    dst = RectilinearGrid(size=(4, 4, 16), x=(0, 1), y=(0, 1), z=zf)
+
+    rng = np.random.default_rng(2)
+    c = jnp.asarray(rng.standard_normal((4, 4, 32)))
+    out = regrid(c, src, dst, axes=(2,))
+    assert out.shape == (4, 4, 16)
+
+    # integral conservation: Σ c·Δz_src == Σ out·Δz_dst
+    dz_src = 1.0 / 32
+    dz_dst = np.diff(zf)
+    lhs = np.asarray(c).sum(axis=2) * dz_src
+    rhs = (np.asarray(out) * dz_dst[None, None, :]).sum(axis=2)
+    assert np.allclose(lhs, rhs, atol=1e-12)
+
+    # constant fields map to the same constant
+    ones = regrid(jnp.ones((4, 4, 32)), src, dst, axes=(2,))
+    assert np.allclose(np.asarray(ones), 1.0, atol=1e-12)
+
+    # horizontal (periodic) regridding composes
+    dst_x = RectilinearGrid(size=(8, 4, 32), extent=(1.0, 1.0, 1.0))
+    up = regrid(c, src, dst_x, axes=(0,))
+    assert up.shape == (8, 4, 32)
+    assert np.allclose(np.asarray(up).mean(axis=0), np.asarray(c).mean(axis=0),
+                       atol=1e-12)
