@@ -2,7 +2,7 @@ from .boundary_condition import (
     BoundaryCondition, FieldBoundaryConditions,
     PeriodicBoundaryCondition, FluxBoundaryCondition, ValueBoundaryCondition,
     GradientBoundaryCondition, OpenBoundaryCondition, ImpenetrableBoundaryCondition,
-    PerturbationAdvection,
+    PerturbationAdvection, ImmersedBoundaryCondition,
     ZipperBoundaryCondition,
     regularize_field_boundary_conditions, default_bcs,
 )
@@ -13,7 +13,7 @@ __all__ = [
     "PeriodicBoundaryCondition", "FluxBoundaryCondition", "ValueBoundaryCondition",
     "GradientBoundaryCondition", "OpenBoundaryCondition",
     "ImpenetrableBoundaryCondition", "ZipperBoundaryCondition",
-    "PerturbationAdvection",
+    "PerturbationAdvection", "ImmersedBoundaryCondition",
     "regularize_field_boundary_conditions", "default_bcs",
     "fill_halo_regions", "apply_flux_bcs",
 ]

@@ -97,6 +97,42 @@ def GradientBoundaryCondition(condition=None):
     return BoundaryCondition(GRADIENT, condition)
 
 
+class ImmersedBoundaryCondition:
+    """Per-side boundary conditions applied at IMMERSED faces (reference:
+    src/ImmersedBoundaries/immersed_boundary_condition.jl): goes in the
+    ``immersed`` slot of FieldBoundaryConditions; each side holds a
+    FluxBoundaryCondition applied wherever a fluid cell touches the
+    topography from that side (e.g. bottom drag, geothermal flux)."""
+
+    __slots__ = ("west", "east", "south", "north", "bottom", "top")
+
+    def __init__(self, west=None, east=None, south=None, north=None,
+                 bottom=None, top=None):
+        for name, bc in (("west", west), ("east", east), ("south", south),
+                         ("north", north), ("bottom", bottom), ("top", top)):
+            if bc is not None and bc.classification != FLUX:
+                raise NotImplementedError(
+                    "only Flux immersed boundary conditions are implemented "
+                    f"(got {bc.classification!r} on {name}); Value/Gradient "
+                    "immersed conditions are future work")
+            setattr(self, name, bc)
+
+    def side(self, name):
+        return getattr(self, name)
+
+    def _fp(self):
+        return ("ImmersedBoundaryCondition",) + tuple(
+            getattr(self, s)._fp() if getattr(self, s) is not None else None
+            for s in self.__slots__)
+
+    def __hash__(self):
+        return hash(self._fp())
+
+    def __eq__(self, o):
+        return (isinstance(o, ImmersedBoundaryCondition)
+                and self._fp() == o._fp())
+
+
 def OpenBoundaryCondition(condition=None, scheme=None):
     """Open (cross-boundary flow) BC; ``scheme=PerturbationAdvection(...)``
     activates the relaxed upwind boundary update (reference:

@@ -355,3 +355,37 @@ def _fill_zipper_north(a, grid, loc, sign):
         mask = i0 >= Nx // 2
         out = out.at[xs, row].set(jnp.where(mask, folded, a[xs, row]))
     return out
+
+
+def apply_immersed_flux_bcs(G, grid, loc, ibc, time=0.0):
+    """Add immersed-boundary flux divergences to a tendency (reference:
+    immersed_boundary_condition.jl — `immersed_∂ⱼ_τᵢⱼ` contributions): for
+    each side, the flux is deposited into fluid cells whose neighbor in that
+    direction is solid. Sign convention matches apply_flux_bcs (a positive
+    flux through the fluid cell's west/south/bottom immersed face increases
+    the tendency)."""
+    from ..operators.shifts import shift
+
+    solid = np.asarray(grid.solid_ccc)
+    fluid = ~solid
+    nd = G.ndim
+    for side, (axis, is_left) in SIDE_AXIS.items():
+        bc = ibc.side(side)
+        if bc is None or bc.condition is None:
+            continue
+        q = eval_bc(bc, grid, loc, axis, time)
+        if q is None:
+            continue
+        # fluid cell with a solid neighbor on this side: that neighbor is at
+        # shift -1 (west/south/bottom) or +1 (east/north/top)
+        off = -1 if is_left else +1
+        neighbor_solid = np.roll(solid, -off, axis=axis)
+        mask = fluid & neighbor_solid
+        floc = list(loc)
+        floc[axis] = FACE if loc[axis] == CENTER else CENTER
+        A = (grid.Ax, grid.Ay, grid.Az)[axis](tuple(floc))
+        V = grid.V(loc)
+        sgn = 1.0 if is_left else -1.0
+        AoV = jnp.broadcast_to(jnp.asarray(A / V, G.dtype), G.shape)
+        G = G + jnp.where(jnp.asarray(mask), sgn * q * AoV, 0.0)
+    return G

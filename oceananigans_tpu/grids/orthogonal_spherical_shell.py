@@ -15,6 +15,7 @@ into halos by edge replication. The stencil operator layer consumes them as
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..defaults import defaults
@@ -302,3 +303,49 @@ def RotatedLatitudeLongitudeGrid(size, longitude, latitude, z=None,
     return OrthogonalSphericalShellGrid(lamF, phiF, z=z, size=size,
                                         radius=radius, topology=topology,
                                         halo=halo)
+
+
+def rotation_angle_ccc(grid):
+    """(cos θ, sin θ) padded broadcastables of the angle between the grid's
+    local x-direction and geographic EAST at cell centers (reference:
+    src/Operators/vector_rotation_operators.jl — the basis rotation used to
+    convert intrinsic (grid-aligned) vectors to extrinsic (east/north)
+    components on curvilinear grids)."""
+    lamF, phiF = grid._lam[("f", "f")], grid._phi[("f", "f")]
+    P = _sph2cart(lamF, phiF)
+    # cell-center position and local +x direction (mean of the two x-edges)
+    Pc = _midpoint(_midpoint(P[:-1, :-1], P[:-1, 1:]),
+                   _midpoint(P[1:, :-1], P[1:, 1:]))
+    ex = (_midpoint(P[1:, :-1], P[1:, 1:]) - _midpoint(P[:-1, :-1], P[:-1, 1:]))
+    # project onto the tangent plane and normalize
+    ex = ex - np.sum(ex * Pc, axis=-1, keepdims=True) * Pc
+    ex = ex / np.maximum(np.linalg.norm(ex, axis=-1, keepdims=True), 1e-30)
+    zhat = np.array([0.0, 0.0, 1.0])
+    east = np.cross(zhat, Pc)
+    east = east / np.maximum(np.linalg.norm(east, axis=-1, keepdims=True),
+                             1e-30)
+    north = np.cross(Pc, east)
+    cos = np.sum(ex * east, axis=-1)
+    sin = np.sum(ex * north, axis=-1)
+    pad = [(grid.H[0],) * 2, (grid.H[1],) * 2]
+    cos = np.pad(cos, pad, mode="edge")[..., None]
+    sin = np.pad(sin, pad, mode="edge")[..., None]
+    return cos, sin
+
+
+def rotate_to_geographic(grid, u_ccc, v_ccc):
+    """(u_east, v_north) from intrinsic center-located velocity components
+    (reference: intrinsic_vector/extrinsic_vector,
+    vector_rotation_operators.jl)."""
+    cos, sin = rotation_angle_ccc(grid)
+    cos = jnp.asarray(cos, u_ccc.dtype)
+    sin = jnp.asarray(sin, u_ccc.dtype)
+    return cos * u_ccc - sin * v_ccc, sin * u_ccc + cos * v_ccc
+
+
+def rotate_from_geographic(grid, ue_ccc, vn_ccc):
+    """Inverse of :func:`rotate_to_geographic` (geographic → intrinsic)."""
+    cos, sin = rotation_angle_ccc(grid)
+    cos = jnp.asarray(cos, ue_ccc.dtype)
+    sin = jnp.asarray(sin, ue_ccc.dtype)
+    return cos * ue_ccc + sin * vn_ccc, -sin * ue_ccc + cos * vn_ccc

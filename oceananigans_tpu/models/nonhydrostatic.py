@@ -388,9 +388,14 @@ class NonhydrostaticModel:
             G[name] = G[name] + (F(grid, fields, time) if callable(F) else F)
 
         # boundary flux divergences (reference: compute_flux_bc_tendencies!)
+        from ..boundary_conditions.fill_halos import apply_immersed_flux_bcs
         for name in G:
             G[name] = apply_flux_bcs(G[name], grid, self.loc(name),
                                      self.bcs[name], time)
+            ibc = getattr(self.bcs[name], "immersed", None)
+            if self.immersed and ibc is not None:
+                G[name] = apply_immersed_flux_bcs(G[name], grid,
+                                                  self.loc(name), ibc, time)
         return G, aux
 
     def _project(self, u, v, w, dtt, time):

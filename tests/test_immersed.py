@@ -131,3 +131,39 @@ def test_partial_cell_bottom_geometry():
     m1 = float(np.asarray(Integral(model.field("c")).compute()).squeeze())
     assert np.isfinite(m1)
     assert abs(m1 - m0) / abs(m0) < 5e-4
+
+
+def test_immersed_boundary_flux_condition():
+    """ImmersedBoundaryCondition (reference: immersed_boundary_condition.jl):
+    a top-side immersed flux deposits tracer into fluid cells sitting on the
+    topography, conserving the injected total."""
+    from oceananigans_tpu.boundary_conditions import (
+        FieldBoundaryConditions, FluxBoundaryCondition,
+        ImmersedBoundaryCondition)
+    from oceananigans_tpu.immersed import GridFittedBottom, ImmersedBoundaryGrid
+    from oceananigans_tpu.advection import Centered
+
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1.0, 1.0, 1.0))
+    ibg = ImmersedBoundaryGrid(grid, GridFittedBottom(-0.55))
+    q = 2e-3  # tracer flux out of the seafloor (geothermal-style)
+    c_bcs = FieldBoundaryConditions(
+        immersed=ImmersedBoundaryCondition(bottom=FluxBoundaryCondition(q)))
+    model = NonhydrostaticModel(grid=ibg, advection=Centered(2),
+                                tracers=("c",),
+                                boundary_conditions={"c": c_bcs})
+    model.set(c=0.0)
+    nsteps, dt = 10, 0.05
+    for _ in range(nsteps):
+        model.time_step(dt)
+    c = np.asarray(model.field("c").interior)
+    assert np.isfinite(c).all()
+    h = model.grid.H[2]
+    solid = model.grid.solid_ccc[model.grid.interior_slices]
+    # tracer appears only in the first fluid layer above the bottom
+    kbot = solid[0, 0].sum()          # first fluid k index
+    assert c[:, :, kbot].min() > 0
+    assert np.abs(c[:, :, kbot + 2:]).max() < 1e-12
+    # injected mass = q * A * t (per column: q * dx*dy * t / V = q*t/dz)
+    dz = 1.0 / 8
+    expect = q * nsteps * dt / dz
+    assert np.allclose(c[:, :, kbot], expect, rtol=1e-6)

@@ -53,3 +53,35 @@ def test_ossg_runs_in_hydrostatic_model():
         model.time_step(60.0)
     for name in ("u", "v", "eta"):
         assert np.all(np.isfinite(np.asarray(model.field(name).interior))), name
+
+
+def test_vector_rotation_operators():
+    """rotate_to/from_geographic (reference: vector_rotation_operators.jl):
+    identity on an unrotated grid, exact round-trip on a rotated one."""
+    import jax.numpy as jnp
+    from oceananigans_tpu.grids import RotatedLatitudeLongitudeGrid
+    from oceananigans_tpu.grids.orthogonal_spherical_shell import (
+        rotate_from_geographic, rotate_to_geographic)
+
+    plain = RotatedLatitudeLongitudeGrid(
+        size=(16, 16), longitude=(-20, 20), latitude=(-20, 20),
+        north_pole=(0.0, 90.0))
+    u = jnp.ones(plain.padded_shape)
+    v = jnp.zeros(plain.padded_shape)
+    ue, vn = rotate_to_geographic(plain, u, v)
+    ii = plain.interior_slices
+    assert np.allclose(np.asarray(ue)[ii], 1.0, atol=1e-6)
+    assert np.allclose(np.asarray(vn)[ii], 0.0, atol=1e-6)
+
+    rot = RotatedLatitudeLongitudeGrid(
+        size=(16, 16), longitude=(-20, 20), latitude=(-20, 20),
+        north_pole=(0.0, 0.0))
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.standard_normal(rot.padded_shape))
+    v = jnp.asarray(rng.standard_normal(rot.padded_shape))
+    ue, vn = rotate_to_geographic(rot, u, v)
+    ub, vb = rotate_from_geographic(rot, ue, vn)
+    assert np.allclose(np.asarray(ub)[ii], np.asarray(u)[ii], atol=1e-10)
+    assert np.allclose(np.asarray(vb)[ii], np.asarray(v)[ii], atol=1e-10)
+    # the 90°-rotated grid's x-direction is (anti)parallel to geographic north
+    cosr, sinr = np.asarray(ue)[ii].std(), None  # placeholder not used
