@@ -4,6 +4,10 @@ from .hydrostatic import HydrostaticFreeSurfaceModel
 from .free_surfaces import (ExplicitFreeSurface, ImplicitFreeSurface,
                             SplitExplicitFreeSurface)
 
+from .ensemble import EnsembleModel
+
 __all__ = ["NonhydrostaticModel", "ShallowWaterModel",
            "HydrostaticFreeSurfaceModel", "ExplicitFreeSurface",
-           "ImplicitFreeSurface", "SplitExplicitFreeSurface"]
+           "ImplicitFreeSurface", "SplitExplicitFreeSurface",
+           "EnsembleModel"]
+

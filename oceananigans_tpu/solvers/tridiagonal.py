@@ -53,7 +53,9 @@ def solve_batched_tridiagonal(a, b, c, d):
         dp = (dk - ak * dp_prev) / denom
         return (cp, dp), (cp, dp)
 
-    zero = jnp.zeros(plane, dz.dtype)
+    # derive from dz so the carry matches its sharding/varying type under
+    # shard_map (jax vma typing)
+    zero = jnp.zeros_like(dz[0])
     (_, _), (cps, dps) = jax.lax.scan(fwd, (zero, zero), (az, bz, cz, dz))
 
     # back substitution: φ[N-1] = d'[N-1]; φ[k] = d'[k] - c'[k] φ[k+1]

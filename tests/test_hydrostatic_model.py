@@ -223,3 +223,33 @@ def test_weno_vector_invariant_vortex_stability():
     assert np.isfinite(u).all() and np.isfinite(v).all()
     ke1 = float(np.sum(u ** 2 + v ** 2))
     assert ke1 < 1.5 * ke0  # upwinding must not inject energy
+
+
+def test_ensemble_model_vmap():
+    """EnsembleModel (reference analogue: slice_ensemble_model_mode.jl):
+    vmapped members evolve independently and identically to solo runs."""
+    from oceananigans_tpu.models.ensemble import EnsembleModel
+
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1, 1, 1))
+
+    def make():
+        m = HydrostaticFreeSurfaceModel(
+            grid=grid, free_surface=ExplicitFreeSurface(
+                gravitational_acceleration=0.5))
+        return m
+
+    ens = EnsembleModel(make(), n=3)
+    amps = [0.01, 0.02, 0.03]
+    ens.set_all(lambda i: dict(
+        eta=lambda x, y, z, a=amps[i]: a * np.cos(2 * np.pi * x)))
+    for _ in range(5):
+        ens.time_step(1e-3)
+
+    for i, a in enumerate(amps):
+        solo = make()
+        solo.set(eta=lambda x, y, z, a=a: a * np.cos(2 * np.pi * x))
+        for _ in range(5):
+            solo.time_step(1e-3)
+        want = np.asarray(solo.field("eta").interior)
+        got = np.asarray(ens.field(i, "eta").interior)
+        assert np.allclose(got, want, atol=1e-12), i

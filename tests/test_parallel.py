@@ -110,3 +110,42 @@ def test_partition_validation():
     bad = RectilinearGrid(size=(9, 9, 4), extent=(1, 1, 1))
     with pytest.raises(ValueError):
         arch.validate_grid(bad)
+
+
+def test_distributed_pencil_bounded_and_stretched_z():
+    """Pencil solver with bounded-z DCT and stretched-z tridiagonal paths
+    (reference: distributed_fft_tridiagonal_solver.jl): the 8-device sharded
+    solve matches the serial solver."""
+    import jax
+    from jax.sharding import Mesh
+    from oceananigans_tpu.solvers.fft_poisson import FFTPoissonSolver
+    from oceananigans_tpu.solvers.fourier_tridiagonal import (
+        FourierTridiagonalPoissonSolver)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    rng = np.random.default_rng(9)
+
+    # bounded regular z -> local DCT pencil path
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    b = rng.standard_normal(grid.N)
+    b -= b.mean()
+    serial = np.asarray(FFTPoissonSolver(grid).solve(jnp.asarray(b)))
+    dist = np.asarray(DistributedFFTPoissonSolver(grid, mesh).solve(
+        jnp.asarray(b)))
+    assert np.abs(dist - serial).max() < 1e-8
+
+    # stretched z -> local tridiagonal pencil path
+    zf = -1.0 + np.linspace(0, 1, 9) ** 1.5
+    sgrid = RectilinearGrid(size=(16, 16, 8), x=(0, 1), y=(0, 1), z=zf,
+                            topology=("periodic", "periodic", "bounded"))
+    b2 = rng.standard_normal(sgrid.N)
+    b2 -= b2.mean()
+    serial2 = np.asarray(FourierTridiagonalPoissonSolver(sgrid).solve(
+        jnp.asarray(b2)))
+    dist2 = np.asarray(DistributedFFTPoissonSolver(sgrid, mesh).solve(
+        jnp.asarray(b2)))
+    # solutions are defined up to a constant on the singular mode
+    dist2 = dist2 - dist2.mean()
+    serial2 = serial2 - serial2.mean()
+    assert np.abs(dist2 - serial2).max() < 1e-8
