@@ -247,15 +247,22 @@ class HydrostaticFreeSurfaceModel:
                     data, self.grid, self.loc(name), self.bcs[name], time)
         return out
 
-    def _w_from_continuity(self, u, v):
-        """Diagnose w by integrating continuity upward from the bottom
-        (reference: compute_w_from_continuity.jl:16-19)."""
+    def _w_from_continuity(self, u, v, dt_sigma=None):
+        """Diagnose the (grid-relative) vertical velocity by integrating
+        continuity upward from the bottom (reference:
+        compute_w_from_continuity.jl:16-19). On a moving z* grid the
+        grid-motion term enters: ω accumulates -Δr·∂t_σ per layer
+        (reference: the Az·Δr·∂t_σ contribution of
+        z_star_vertical_spacing.jl / vector_invariant_self_upwinding.jl
+        Az_Δr_∂t_σ)."""
         grid = self.grid
         h, n = grid.H[2], grid.N[2]
         dzc, _ = _vertical_spacings(grid)
         div_h = div_xy_ccc(grid, u, v)
         sx, sy = grid.interior_slices[0], grid.interior_slices[1]
         d = div_h[sx, sy, h:h + n] * jnp.asarray(dzc, div_h.dtype)
+        if dt_sigma is not None:
+            d = d + dt_sigma[sx, sy] * jnp.asarray(dzc, div_h.dtype)
         w_faces = -jnp.cumsum(d, axis=2)  # w at faces 1..n (w[0] = 0)
         w = jnp.zeros(grid.padded_shape, u.dtype)
         w = w.at[sx, sy, h + 1:h + n + 1].set(w_faces)
@@ -616,11 +623,13 @@ class HydrostaticFreeSurfaceModel:
                 for name in self.tracer_names:
                     new[name] = new[name] * ratio
 
+            dt_sigma = ((sigma_np1 - sigma_n) / dt) if zstar else None
             w_new = self._w_from_continuity(
                 fill_halo_regions(new["u"], self.grid, LOC_FCC,
                                   self.bcs["u"], time),
                 fill_halo_regions(new["v"], self.grid, LOC_CFC,
-                                  self.bcs["v"], time))
+                                  self.bcs["v"], time),
+                dt_sigma=dt_sigma)
             clock = dict(time=time + dt, iteration=clock["iteration"] + 1,
                          last_dt=dt * jnp.ones_like(clock["last_dt"]))
             return dict(fields=new, clock=clock, w=w_new, Gm=G)

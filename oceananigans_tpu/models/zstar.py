@@ -9,8 +9,10 @@ src/Models/HydrostaticFreeSurfaceModels/z_star_vertical_spacing.jl (σ =
 TPU-first: the static grid never changes; a lightweight TRACED proxy wraps it
 with the σ(x, y, t) scale factor, and the operator layer — which only ever
 asks for broadcastable metric factors — consumes the traced metrics
-unchanged. The grid-motion contribution to w (∂t σ term) is not yet included
-in the diagnostic w (documented first-order deviation)."""
+unchanged. The grid-motion contribution to the diagnostic vertical velocity
+(the ∂t_σ term) is included in HydrostaticFreeSurfaceModel._w_from_continuity;
+the ∂t_σ contribution inside the UPWINDED vector-invariant divergence flux is
+still pending (zero on static grids)."""
 
 from __future__ import annotations
 
