@@ -1,0 +1,95 @@
+"""HDF5 output writer — the direct analogue of the reference's JLD2Writer
+(JLD2 is an HDF5-compatible container).
+
+Reference semantics: src/OutputWriters/jld2_writer.jl (:9, :142) — outputs
+(fields or arbitrary callables of the model) serialized under
+``timeseries/<name>/<iteration>`` with times at ``timeseries/t/<iteration>``,
+grid/init metadata written once, schedule-driven, optional file-size
+splitting (`FileSizeLimit`, output_writer_utils.jl)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:
+    import h5py
+    HAVE_H5PY = True
+except Exception:              # pragma: no cover
+    HAVE_H5PY = False
+
+from .output_writers import fetch_output
+
+
+class HDF5Writer:
+    """Schedule-driven HDF5 serializer (JLD2Writer analogue).
+
+    outputs: {name: field-name string | callable(model) -> array}
+    """
+
+    def __init__(self, model, outputs, filename, schedule=None,
+                 overwrite=True, max_filesize=None, with_grid_metadata=True):
+        if not HAVE_H5PY:
+            raise ImportError("h5py is not available")
+        self.model = model
+        self.outputs = dict(outputs)
+        self.filename = filename
+        self.schedule = schedule
+        self.max_filesize = max_filesize
+        self.part = 0
+        self._count = 0
+        if overwrite and os.path.exists(filename):
+            os.remove(filename)
+        if with_grid_metadata:
+            self._write_metadata()
+
+    # -- file management (FileSizeLimit splitting: jld2_writer.jl /
+    #    output_writer_utils.jl) ------------------------------------------------
+
+    def _current_path(self):
+        if self.part == 0:
+            return self.filename
+        base, ext = os.path.splitext(self.filename)
+        return f"{base}_part{self.part}{ext}"
+
+    def _maybe_split(self):
+        path = self._current_path()
+        if (self.max_filesize is not None and os.path.exists(path)
+                and os.path.getsize(path) > self.max_filesize):
+            self.part += 1
+            self._write_metadata()
+
+    def _write_metadata(self):
+        grid = self.model.grid
+        with h5py.File(self._current_path(), "a") as f:
+            g = f.require_group("grid")
+            for k, v in (("Nx", grid.N[0]), ("Ny", grid.N[1]),
+                         ("Nz", grid.N[2]), ("Hx", grid.H[0]),
+                         ("Hy", grid.H[1]), ("Hz", grid.H[2])):
+                g.attrs[k] = v
+            g.attrs["topology"] = ",".join(grid.topology)
+            for ax, nm in enumerate("xyz"):
+                if not grid.is_flat(ax):
+                    key = f"{nm}_faces"
+                    if key not in g:
+                        g[key] = np.asarray(grid.nodes1d(ax, "f"))
+
+    # -- writing -----------------------------------------------------------------
+
+    def write(self, sim):
+        model = sim.model if hasattr(sim, "model") else sim
+        self._maybe_split()
+        it = model.iteration
+        with h5py.File(self._current_path(), "a") as f:
+            f.require_group("timeseries/t")[str(it)] = float(model.time)
+            for name, spec in self.outputs.items():
+                if isinstance(spec, str):
+                    spec = model.field(spec)
+                grp = f.require_group(f"timeseries/{name}")
+                grp[str(it)] = np.asarray(fetch_output(spec, model))
+        self._count += 1
+
+    def maybe_write(self, sim, force=False):
+        if force or self.schedule is None or self.schedule(sim.model):
+            self.write(sim)

@@ -192,3 +192,29 @@ def test_netcdf_writer(tmp_path):
         assert f.variables["u"].shape[1:] == (8, 8, 4)
         t = np.asarray(f.variables["time"][:])
         assert np.allclose(t, [0.0, 0.02, 0.04])
+
+
+def test_hdf5_writer(tmp_path):
+    """HDF5Writer (JLD2 analogue, reference: jld2_writer.jl): timeseries
+    layout, grid metadata, file splitting."""
+    import h5py
+    from oceananigans_tpu.simulation.hdf5_writer import HDF5Writer
+    from oceananigans_tpu.utils.schedules import IterationInterval
+
+    sim = Simulation(tiny_model(), dt=0.01, stop_iteration=6)
+    path = str(tmp_path / "out.h5")
+    w = HDF5Writer(sim.model, outputs={"u": "u", "mean_c": lambda m:
+                                       np.asarray(m.field("c").interior).mean()},
+                   filename=path, schedule=IterationInterval(2))
+    sim.output_writers["h5"] = w
+    sim.run()
+    with h5py.File(path, "r") as f:
+        assert f["grid"].attrs["Nx"] == 8
+        assert "x_faces" in f["grid"]
+        its = sorted(int(k) for k in f["timeseries/u"].keys())
+        assert its == [0, 2, 4, 6]  # iteration-0 init output + schedule
+        u = f["timeseries/u/4"][...]
+        assert u.shape[0] == 9 or u.shape == (9, 8, 4) or u.shape == (8, 8, 4)
+        assert "timeseries/mean_c/6" in f
+        t6 = float(f["timeseries/t/6"][...])
+        assert abs(t6 - 0.06) < 1e-9
