@@ -14,9 +14,10 @@ gravity-direction `BuoyancyForce` is a later extension)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .defaults import defaults
-from .operators.operators import iz_f
+from .operators.operators import ix_f, iy_f, iz_f
 
 
 class BuoyancyTracer:
@@ -160,3 +161,49 @@ def seawater_density(model, eos=None):
 
     return KernelFunctionOperation(rho, model.grid, model.field("T"),
                                    model.field("S"))
+
+
+class BuoyancyForce:
+    """Buoyancy with an arbitrary gravity direction (reference:
+    src/BuoyancyFormulations/buoyancy.jl — `BuoyancyForce(formulation;
+    gravity_unit_vector)`; the tendency terms are x_dot_g_bᶠᶜᶜ etc.).
+
+    ``gravity_unit_vector`` points in the direction gravity ACTS (default
+    (0, 0, -1)), so the buoyancy force is -ĝ·b along each axis."""
+
+    def __init__(self, formulation, gravity_unit_vector=(0.0, 0.0, -1.0)):
+        g = np.asarray(gravity_unit_vector, float)
+        self.formulation = formulation
+        self.g_unit = tuple(g / np.linalg.norm(g))
+
+    @property
+    def required_tracers(self):
+        return self.formulation.required_tracers
+
+    def _fp(self):
+        return ("BuoyancyForce", self.formulation._fp(), self.g_unit)
+
+    def __hash__(self):
+        return hash(self._fp())
+
+    def __eq__(self, o):
+        return hasattr(o, "_fp") and self._fp() == o._fp()
+
+    def buoyancy_ccc(self, grid, tracers):
+        return self.formulation.buoyancy_ccc(grid, tracers)
+
+    def x_buoyancy(self, grid, tracers):
+        """-ĝ_x · b at (f,c,c); zero when gravity is vertical."""
+        if self.g_unit[0] == 0.0:
+            return None
+        return -self.g_unit[0] * ix_f(grid, self.buoyancy_ccc(grid, tracers))
+
+    def y_buoyancy(self, grid, tracers):
+        if self.g_unit[1] == 0.0:
+            return None
+        return -self.g_unit[1] * iy_f(grid, self.buoyancy_ccc(grid, tracers))
+
+    def z_buoyancy(self, grid, tracers):
+        if self.g_unit[2] == 0.0:
+            return None
+        return -self.g_unit[2] * iz_f(grid, self.buoyancy_ccc(grid, tracers))

@@ -351,7 +351,14 @@ class NonhydrostaticModel:
             G["w"] = G["w"] - self.coriolis.z_f_cross_U(grid, u, v, w)
 
         if self.buoyancy is not None:
-            G["w"] = G["w"] + self.buoyancy.z_buoyancy(grid, fields)
+            # arbitrary gravity direction (reference: BuoyancyForce with
+            # gravity_unit_vector; x_dot_g_bᶠᶜᶜ terms)
+            for comp, getter in (("u", "x_buoyancy"), ("v", "y_buoyancy"),
+                                 ("w", "z_buoyancy")):
+                term = getattr(self.buoyancy, getter, lambda g, f: None)(
+                    grid, fields)
+                if term is not None:
+                    G[comp] = G[comp] + term
 
         if self.stokes_drift is not None:
             # Craik-Leibovich vortex force + ∂t uˢ (reference:

@@ -174,3 +174,30 @@ def test_perturbation_advection_open_channel():
     assert np.abs(u - U0).max() < 1e-10          # no reflection/distortion
     peak = np.unravel_index(c.argmax(), c.shape)[0]
     assert 9 <= peak <= 14                       # advected by ~U0·t
+
+
+def test_buoyancy_force_tilted_gravity():
+    """BuoyancyForce with a tilted gravity_unit_vector (reference:
+    BuoyancyFormulations/buoyancy.jl): a buoyant blob accelerates along the
+    negative gravity direction."""
+    from oceananigans_tpu.buoyancy import BuoyancyForce, BuoyancyTracer
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.advection import Centered
+
+    g = np.asarray([-np.sin(0.3), 0.0, -np.cos(0.3)])
+    grid = RectilinearGrid(size=(16, 4, 16), extent=(1.0, 1.0, 1.0))
+    model = NonhydrostaticModel(
+        grid=grid, advection=Centered(2),
+        buoyancy=BuoyancyForce(BuoyancyTracer(), gravity_unit_vector=g))
+    model.set(b=lambda x, y, z: 0.1 * np.exp(
+        -((x - 0.5) ** 2 + (z + 0.5) ** 2) / 0.01))
+    for _ in range(10):
+        model.time_step(0.01)
+    u = np.asarray(model.field("u").interior)
+    w = np.asarray(model.field("w").interior)
+    # buoyant fluid accelerates opposite to gravity: +x and +z here
+    assert u.mean() >= 0 and u.max() > 1e-4
+    assert w.max() > 1e-4
+    # the momentum ratio follows the tilt direction
+    ratio = u.max() / w.max()
+    assert 0.1 < ratio < 1.0   # sin(0.3)/cos(0.3) ≈ 0.31
