@@ -90,7 +90,9 @@ class Simulation:
         for cb in self.callbacks.values():
             dt = cb.schedule.aligned_time_step(self.model, dt)
         if self.stop_time is not None:
-            dt = min(dt, max(self.stop_time - self.model.time, 1e-12))
+            remaining = self.stop_time - float(self.model.time)
+            if remaining > 1e-6 * self.dt:
+                dt = min(dt, remaining)
         return dt
 
     def _stop_criteria(self):
@@ -98,7 +100,10 @@ class Simulation:
                 and self.model.iteration >= self.stop_iteration:
             return "stop_iteration"
         if self.stop_time is not None \
-                and self.model.time >= self.stop_time - 1e-12:
+                and self.model.time >= self.stop_time - 1e-6 * self.dt:
+            # tolerance relative to Δt: the model clock may be float32, so an
+            # absolute 1e-12 margin can never be met and Δt would collapse to
+            # ~0 (and 1/Δt in the pressure projection to NaN)
             return "stop_time"
         if self.wall_time_limit is not None \
                 and self.run_wall_time >= self.wall_time_limit:

@@ -218,3 +218,26 @@ def test_hdf5_writer(tmp_path):
         assert "timeseries/mean_c/6" in f
         t6 = float(f["timeseries/t/6"][...])
         assert abs(t6 - 0.06) < 1e-9
+
+
+def test_stop_time_not_representable_in_f32_clock():
+    """A stop_time that is not exactly representable by the float32 model
+    clock must still terminate the run (regression: Δt used to collapse to
+    1e-12 and 1/Δt in the projection produced NaN)."""
+    import jax.numpy as jnp
+    from oceananigans_tpu.defaults import defaults
+    saved = defaults.FloatType
+    defaults.FloatType = jnp.float32
+    try:
+        grid = RectilinearGrid(size=(8, 8, 4), extent=(1, 1, 1),
+                               dtype=jnp.float32)
+        m = NonhydrostaticModel(grid=grid)
+        m.set(u=lambda x, y, z: 0.01 * jnp.sin(2 * jnp.pi * x))
+        stop = 0.3 * 2 * np.pi / 1.4e-3 * 1e-3   # awkward f64 value
+        sim = Simulation(m, dt=0.05, stop_time=stop)
+        sim.run()
+        assert sim.model.iteration < 1000
+        u = np.asarray(m.field("u").interior)
+        assert np.isfinite(u).all()
+    finally:
+        defaults.FloatType = saved
