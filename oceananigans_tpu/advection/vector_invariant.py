@@ -79,7 +79,9 @@ class VectorInvariant:
                  vertical_advection_scheme=ENERGY,
                  divergence_scheme=None,
                  kinetic_energy_gradient_scheme=None,
-                 upwinding=ONLY_SELF):
+                 upwinding=ONLY_SELF,
+                 multi_dimensional_stencil=False):
+        self.multi_dimensional_stencil = bool(multi_dimensional_stencil)
         for nm, s in (("vorticity_scheme", vorticity_scheme),
                       ("vertical_advection_scheme", vertical_advection_scheme),
                       ("divergence_scheme", divergence_scheme),
@@ -110,6 +112,8 @@ class VectorInvariant:
         # vorticity itself needs one halo, so upwind schemes need one more
         # (reference: required_halo_size_x, vector_invariant_advection.jl:253-258)
         self.required_halo = h if h == 1 else h + 1
+        if self.multi_dimensional_stencil:
+            self.required_halo += 2   # the tangential 5-point filter
 
     def _fp(self):
         def fp(s):
@@ -117,7 +121,8 @@ class VectorInvariant:
         return ("VectorInvariant", fp(self.vorticity_scheme),
                 self.vorticity_stencil, fp(self.vertical_advection_scheme),
                 fp(self.divergence_scheme),
-                fp(self.kinetic_energy_gradient_scheme), self.upwinding)
+                fp(self.kinetic_energy_gradient_scheme), self.upwinding,
+                self.multi_dimensional_stencil)
 
     def __hash__(self):
         return hash(self._fp())
@@ -127,6 +132,16 @@ class VectorInvariant:
 
     def __repr__(self):
         return f"VectorInvariant({self.vorticity_scheme})"
+
+    def _md(self, a, interp_axis):
+        """Tangential 2D-WENO filter (reference:
+        multi_dimensional_reconstruction.jl via MultiDimensionalVectorInvariant,
+        vector_invariant_advection.jl:288-301): an interpolation along
+        ``interp_axis`` is filtered along the OTHER horizontal axis."""
+        if not self.multi_dimensional_stencil:
+            return a
+        from .multidimensional import centered_weno5_filter
+        return centered_weno5_filter(a, 1 - interp_axis)
 
     # -- horizontal (vorticity) term ------------------------------------------
 
@@ -153,8 +168,10 @@ class VectorInvariant:
                 smooth = [iy_f(grid, u), ix_f(grid, v)]   # both at ffc
             else:
                 smooth = None
-            adv_u = -vhat * vs.biased_by(grid, zeta, Y, 1, vhat, smooth=smooth)
-            adv_v = +uhat * vs.biased_by(grid, zeta, X, 1, uhat, smooth=smooth)
+            adv_u = -vhat * self._md(
+                vs.biased_by(grid, zeta, Y, 1, vhat, smooth=smooth), Y)
+            adv_v = +uhat * self._md(
+                vs.biased_by(grid, zeta, X, 1, uhat, smooth=smooth), X)
         return adv_u, adv_v
 
     # -- Bernoulli head (kinetic-energy gradient) -----------------------------
@@ -175,14 +192,14 @@ class VectorInvariant:
         du2y = dy_f(grid, 0.5 * u * u)    # δy_u² at ffc
         dv2x = dx_f(grid, 0.5 * v * v)    # δx_v² at ffc
 
-        dKvs = _sym(cross, grid, dv2x, Y, 1)                # ffc → fcc
-        dKur = ks.biased_by(grid, du2, X, 0, u,
-                            smooth=[ix_c(grid, u)])         # u_smoothness
+        dKvs = self._md(_sym(cross, grid, dv2x, Y, 1), Y)   # ffc → fcc
+        dKur = self._md(ks.biased_by(grid, du2, X, 0, u,
+                                     smooth=[ix_c(grid, u)]), X)
         bern_u = (dKur + dKvs) / grid.dx(LOC_FCC)
 
-        dKus = _sym(cross, grid, du2y, X, 1)                # ffc → cfc
-        dKvr = ks.biased_by(grid, dv2, Y, 0, v,
-                            smooth=[iy_c(grid, v)])         # v_smoothness
+        dKus = self._md(_sym(cross, grid, du2y, X, 1), X)   # ffc → cfc
+        dKvr = self._md(ks.biased_by(grid, dv2, Y, 0, v,
+                                     smooth=[iy_c(grid, v)]), Y)
         bern_v = (dKvr + dKus) / grid.dy(LOC_CFC)
         return bern_u, bern_v
 
@@ -240,11 +257,11 @@ class VectorInvariant:
         else:
             div_smooth = [dU + dV]               # divergence_smoothness
             dvs = _sym(cross, grid, dV, X, 0)
-            phi_u = u * (dvs + ds.biased_by(grid, dU, X, 0, u,
-                                            smooth=div_smooth))
+            phi_u = u * self._md(dvs + ds.biased_by(grid, dU, X, 0, u,
+                                                    smooth=div_smooth), X)
             dus = _sym(cross, grid, dU, Y, 0)
-            phi_v = v * (dus + ds.biased_by(grid, dV, Y, 0, v,
-                                            smooth=div_smooth))
+            phi_v = v * self._md(dus + ds.biased_by(grid, dV, Y, 0, v,
+                                                    smooth=div_smooth), Y)
         return phi_u, phi_v
 
     # -- assembly --------------------------------------------------------------

@@ -253,3 +253,44 @@ def test_ensemble_model_vmap():
         want = np.asarray(solo.field("eta").interior)
         got = np.asarray(ens.field(i, "eta").interior)
         assert np.allclose(got, want, atol=1e-12), i
+
+
+def test_multi_dimensional_weno_vector_invariant():
+    """multi_dimensional_stencil=True (reference:
+    multi_dimensional_reconstruction.jl): the tangential 5th-order centered
+    WENO filter preserves constants exactly and runs stably."""
+    from oceananigans_tpu.advection.multidimensional import (
+        centered_weno5_filter)
+    from oceananigans_tpu.advection.vector_invariant import (
+        WENOVectorInvariant)
+    import jax.numpy as jnp
+
+    # constant preservation (consistency: Σ weights·coeffs == 1)
+    a = jnp.full((12, 12, 4), 3.7)
+    out = np.asarray(centered_weno5_filter(a, 0))
+    assert np.allclose(out[3:-3, :, :], 3.7, atol=1e-12)
+
+    # smooth field: the filter is an average→point reconstruction, so it
+    # deviates from identity at O(Δ²) on point samples and converges
+    x = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    f = jnp.asarray(np.broadcast_to(np.sin(x)[:, None, None], (32, 4, 4)))
+    filt = np.asarray(centered_weno5_filter(f, 0))
+    e32 = np.abs(filt[3:-3] - np.asarray(f)[3:-3]).max()
+    x2 = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    f2 = jnp.asarray(np.broadcast_to(np.sin(x2)[:, None, None], (64, 4, 4)))
+    e64 = np.abs(np.asarray(centered_weno5_filter(f2, 0))[3:-3]
+                 - np.asarray(f2)[3:-3]).max()
+    assert e32 < 2e-3 and e64 < 0.3 * e32
+
+    grid = RectilinearGrid(size=(24, 24, 2), extent=(1, 1, 1),
+                           topology=("periodic", "periodic", "bounded"))
+    adv = WENOVectorInvariant(order=5, multi_dimensional_stencil=True)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, momentum_advection=adv,
+        free_surface=ExplicitFreeSurface(gravitational_acceleration=0.1))
+    model.set(u=lambda x, y, z: np.tanh(8 * (y - 0.5)) + 0.05 * np.sin(
+        2 * np.pi * x))
+    for _ in range(5):
+        model.time_step(2e-3)
+    u = np.asarray(model.field("u").interior)
+    assert np.isfinite(u).all()
