@@ -280,7 +280,8 @@ def WENOVectorInvariant(order=None, vorticity_order=None, vertical_order=None,
                         divergence_order=None,
                         kinetic_energy_gradient_order=None,
                         vorticity_stencil=VELOCITY_STENCIL,
-                        upwinding=ONLY_SELF, **weno_kw):
+                        upwinding=ONLY_SELF, multi_dimensional_stencil=False,
+                        **weno_kw):
     """Reference: WENOVectorInvariant convenience constructor
     (vector_invariant_advection.jl:204-250): defaults to WENO-9 vorticity
     (VelocityStencil smoothness) + WENO-5 vertical/divergence/KE gradient with
@@ -302,4 +303,5 @@ def WENOVectorInvariant(order=None, vorticity_order=None, vertical_order=None,
         divergence_scheme=WENO(divergence_order, **weno_kw),
         kinetic_energy_gradient_scheme=WENO(kinetic_energy_gradient_order,
                                             **weno_kw),
-        upwinding=upwinding)
+        upwinding=upwinding,
+        multi_dimensional_stencil=multi_dimensional_stencil)
