@@ -238,14 +238,42 @@ class NonhydrostaticModel:
 
     # -- step construction ----------------------------------------------------
 
-    def _fill_all(self, fields, time, dt=None):
+    def _fill_all(self, fields, time, dt=None, skip=()):
+        """``skip``: fields whose halos are already valid. NOTE: skipping
+        velocity fills after a projection is NOT valid in general — the
+        pressure gradient is undefined in the OUTERMOST halo ring (∂x p at
+        slot 0 has no left neighbor), and high-order stencils consume that
+        ring."""
         out = {}
+        pending = {}
         for name, data in fields.items():
+            if name in skip:
+                out[name] = data
+                continue
             if self.immersed:
                 # zero prognostic fields inside the topography before the
                 # halo fill (reference: mask_immersed_field! in
                 # update_nonhydrostatic_model_state.jl:23-25)
                 data = self.grid.mask_immersed(data, self.loc(name))
+            pending[name] = data
+        if not pending:
+            return out
+        # one batched Pallas fill for all supported fields (strip DMAs for
+        # every field in a single kernel), XLA fallback per field otherwise
+        from ..boundary_conditions.fill_halos import _pallas_fill_enabled
+        if _pallas_fill_enabled():
+            import jax as _jax
+            from ..kernels.pallas_fill import get_batched_fill
+            names = list(pending)
+            fast = get_batched_fill(
+                self.grid,
+                tuple((tuple(self.loc(n)), self.bcs[n]) for n in names),
+                interpret=_jax.default_backend() == "cpu")
+            if fast is not None:
+                filled = fast(*[pending[n] for n in names])
+                out.update(dict(zip(names, filled)))
+                return out
+        for name, data in pending.items():
             out[name] = fill_halo_regions(data, self.grid, self.loc(name),
                                           self.bcs[name], time, dt=dt)
         return out
