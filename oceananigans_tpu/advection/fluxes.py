@@ -29,15 +29,20 @@ def _upwind(q, left, right):
     return jnp.where(q > 0, left, right)
 
 
-def _biased_by(scheme, grid, a, axis, beta, q):
-    return scheme.biased_by(grid, a, axis, beta, q)
+def _biased_by(scheme, grid, a, axis, beta, q, zbc=None):
+    return scheme.biased_by(grid, a, axis, beta, q, zbc=zbc)
 
 
 # -- tracer advection ----------------------------------------------------------
 
-def div_Uc(grid, scheme, u, v, w, c):
+def div_Uc(grid, scheme, u, v, w, c, zbc=None):
     """Tracer advective flux divergence at ccc (reference:
-    tracer_advection_operators.jl: div_Uc = V⁻¹[δxᶜ(Ax u ĉ) + …])."""
+    tracer_advection_operators.jl: div_Uc = V⁻¹[δxᶜ(Ax u ĉ) + …]).
+
+    ``zbc``: halo-free z-boundary mode (kernels/fused_advection.py z-compact
+    path) — the dict gives each variable's z-mirror parity; the flux deltas
+    need no fix-ups because boundary-face fluxes vanish (w = 0 faces) and
+    the out-of-range shift zero-fill reproduces exactly that."""
     if scheme is None:
         return jnp.zeros_like(c)
     if getattr(scheme, "bounds", None) is not None:
@@ -48,7 +53,8 @@ def div_Uc(grid, scheme, u, v, w, c):
                          (Z, w, grid.Az(LOC_CCF))):
         if grid.is_flat(axis):
             continue
-        chat = _biased_by(scheme, grid, c, axis, 0, vel)
+        kind = zbc["c"] if (zbc is not None and axis == Z) else None
+        chat = _biased_by(scheme, grid, c, axis, 0, vel, zbc=kind)
         flux = A * vel * chat
         term = _delta_c(grid, flux, axis)
         total = term if total is None else total + term
@@ -106,7 +112,7 @@ def _div_Uc_bounded(grid, scheme, u, v, w, c):
 
 # -- momentum advection (flux form) --------------------------------------------
 
-def div_Uu(grid, scheme, u, v, w):
+def div_Uu(grid, scheme, u, v, w, zbc=None):
     """∇·(𝐯 u) at fcc (reference: momentum_advection_operators.jl div_𝐯u)."""
     if scheme is None:
         return jnp.zeros_like(u)
@@ -124,14 +130,15 @@ def div_Uu(grid, scheme, u, v, w):
         terms.append(_delta_c(grid, vt * uhat, Y))       # ffc → fcc
     if not grid.is_flat(Z):
         wt = scheme.symmetric(grid, Az_w, X, 0)          # ccf → fcf
-        uhat = _biased_by(scheme, grid, u, Z, 0, wt)
+        uhat = _biased_by(scheme, grid, u, Z, 0, wt,
+                          zbc=zbc["u"] if zbc else None)
         terms.append(_delta_c(grid, wt * uhat, Z))       # fcf → fcc
     if not terms:
         return jnp.zeros_like(u)
     return sum(terms) / grid.V(LOC_FCC)
 
 
-def div_Uv(grid, scheme, u, v, w):
+def div_Uv(grid, scheme, u, v, w, zbc=None):
     """∇·(𝐯 v) at cfc."""
     if scheme is None:
         return jnp.zeros_like(v)
@@ -149,14 +156,15 @@ def div_Uv(grid, scheme, u, v, w):
         terms.append(_delta_f(grid, vt * vhat, Y))       # ccc → cfc
     if not grid.is_flat(Z):
         wt = scheme.symmetric(grid, Az_w, Y, 0)          # ccf → cff
-        vhat = _biased_by(scheme, grid, v, Z, 0, wt)
+        vhat = _biased_by(scheme, grid, v, Z, 0, wt,
+                          zbc=zbc["v"] if zbc else None)
         terms.append(_delta_c(grid, wt * vhat, Z))       # cff → cfc
     if not terms:
         return jnp.zeros_like(v)
     return sum(terms) / grid.V(LOC_CFC)
 
 
-def div_Uw(grid, scheme, u, v, w):
+def div_Uw(grid, scheme, u, v, w, zbc=None):
     """∇·(𝐯 w) at ccf."""
     if scheme is None:
         return jnp.zeros_like(w)
@@ -164,17 +172,22 @@ def div_Uw(grid, scheme, u, v, w):
     Ay_v = grid.Ay(LOC_CFC) * v
     Az_w = grid.Az(LOC_CCF) * w
     terms = []
+    zw = zbc["w"] if zbc else None
     if not grid.is_flat(X):
-        ut = scheme.symmetric(grid, Ax_u, Z, 0)          # fcc → fcf
+        # NOTE the advected quantity here is w but the z-INTERPOLATED
+        # advecting velocity is u (z-centered, even parity)
+        ut = scheme.symmetric(grid, Ax_u, Z, 0,
+                              zbc=zbc["u"] if zbc else None)  # fcc → fcf
         what = _biased_by(scheme, grid, w, X, 0, ut)
         terms.append(_delta_c(grid, ut * what, X))       # fcf → ccf
     if not grid.is_flat(Y):
-        vt = scheme.symmetric(grid, Ay_v, Z, 0)          # cfc → cff
+        vt = scheme.symmetric(grid, Ay_v, Z, 0,
+                              zbc=zbc["v"] if zbc else None)  # cfc → cff
         what = _biased_by(scheme, grid, w, Y, 0, vt)
         terms.append(_delta_c(grid, vt * what, Y))       # cff → ccf
     if not grid.is_flat(Z):
-        wt = scheme.symmetric(grid, Az_w, Z, 1)          # ccf → ccc
-        what = _biased_by(scheme, grid, w, Z, 1, wt)
+        wt = scheme.symmetric(grid, Az_w, Z, 1, zbc=zw)  # ccf → ccc
+        what = _biased_by(scheme, grid, w, Z, 1, wt, zbc=zw)
         terms.append(_delta_f(grid, wt * what, Z))       # ccc → ccf
     if not terms:
         return jnp.zeros_like(w)

@@ -105,15 +105,21 @@ def smoothness_matrix(k, s):
 
 class _ShiftCache:
     """Cache shifted views of one array so each distinct offset is sliced once
-    (XLA would CSE anyway; this keeps the emitted graph small)."""
+    (XLA would CSE anyway; this keeps the emitted graph small). ``zbc``
+    activates halo-free boundary-aware reads (operators/shifts.py
+    shift_zbc)."""
 
-    def __init__(self, a, axis):
-        self.a, self.axis = a, axis
+    def __init__(self, a, axis, zbc=None):
+        self.a, self.axis, self.zbc = a, axis, zbc
         self.cache = {}
 
     def __call__(self, off):
         if off not in self.cache:
-            self.cache[off] = shift(self.a, off, self.axis)
+            if self.zbc is not None:
+                from ..operators.shifts import shift_zbc
+                self.cache[off] = shift_zbc(self.a, off, self.axis, self.zbc)
+            else:
+                self.cache[off] = shift(self.a, off, self.axis)
         return self.cache[off]
 
 

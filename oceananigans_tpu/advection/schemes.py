@@ -83,16 +83,24 @@ def _nonuniform_eno(grid, axis, beta, k, s, mirrored):
 
 class _SelectedShiftCache:
     """Shift reader returning ``where(pos, a[o], a[mirror(o)])`` — the
-    upwind-selected cell for offset ``o`` (see AdvectionScheme.biased_by)."""
+    upwind-selected cell for offset ``o`` (see AdvectionScheme.biased_by).
+    ``zbc`` activates halo-free boundary-aware reads."""
 
-    def __init__(self, a, axis, pos, beta):
+    def __init__(self, a, axis, pos, beta, zbc=None):
         self.a, self.axis, self.pos, self.beta = a, axis, pos, beta
+        self.zbc = zbc
         self.cache = {}
+
+    def _shift(self, off):
+        if self.zbc is not None:
+            from ..operators.shifts import shift_zbc
+            return shift_zbc(self.a, off, self.axis, self.zbc)
+        return shift(self.a, off, self.axis)
 
     def __call__(self, off):
         if off not in self.cache:
-            l = shift(self.a, off, self.axis)
-            r = shift(self.a, 2 * self.beta - 1 - off, self.axis)
+            l = self._shift(off)
+            r = self._shift(2 * self.beta - 1 - off)
             self.cache[off] = jnp.where(self.pos, l, r)
         return self.cache[off]
 
@@ -126,23 +134,25 @@ class AdvectionScheme:
     def __repr__(self):
         return f"{type(self).__name__}(order={self.order})"
 
-    def biased_pair(self, grid, a, axis, beta, smooth=None):
+    def biased_pair(self, grid, a, axis, beta, smooth=None, zbc=None):
         """(left, right) biased reconstructions. ``smooth`` optionally lists
         arrays whose summed Jiang–Shu indicators replace the reconstructed
         variable's own (the reference's VelocityStencil/FunctionStencil,
-        weno_interpolants.jl:340-354,538-545); ignored by linear schemes."""
-        sc = _ShiftCache(a, axis)
-        scs = ([_ShiftCache(s, axis) for s in smooth]
+        weno_interpolants.jl:340-354,538-545); ignored by linear schemes.
+        ``zbc`` activates halo-free boundary-aware reads along ``axis``."""
+        sc = _ShiftCache(a, axis, zbc)
+        scs = ([_ShiftCache(s, axis, zbc) for s in smooth]
                if smooth is not None else None)
         return (self._biased(grid, sc, axis, beta, "left", scs),
                 self._biased(grid, sc, axis, beta, "right", scs))
 
-    def biased(self, grid, a, axis, beta, side, smooth=None):
-        scs = ([_ShiftCache(s, axis) for s in smooth]
+    def biased(self, grid, a, axis, beta, side, smooth=None, zbc=None):
+        scs = ([_ShiftCache(s, axis, zbc) for s in smooth]
                if smooth is not None else None)
-        return self._biased(grid, _ShiftCache(a, axis), axis, beta, side, scs)
+        return self._biased(grid, _ShiftCache(a, axis, zbc), axis, beta,
+                            side, scs)
 
-    def biased_by(self, grid, a, axis, beta, q, smooth=None):
+    def biased_by(self, grid, a, axis, beta, q, smooth=None, zbc=None):
         """Upwind reconstruction selected by the sign of ``q``: equals
         ``where(q > 0, biased 'left', biased 'right')`` but computed with ONE
         reconstruction pass over sign-selected stencil cells. The left- and
@@ -158,11 +168,12 @@ class AdvectionScheme:
             # nonuniform coefficients are not mirror-symmetric: compute both
             # sides explicitly (stretched axes are usually the short vertical
             # direction, so the extra flops are minor)
-            l, r = self.biased_pair(grid, a, axis, beta, smooth=smooth)
+            l, r = self.biased_pair(grid, a, axis, beta, smooth=smooth,
+                                    zbc=zbc)
             return jnp.where(q > 0, l, r)
         pos = q > 0
-        sel = _SelectedShiftCache(a, axis, pos, beta)
-        scs = ([_SelectedShiftCache(s, axis, pos, beta) for s in smooth]
+        sel = _SelectedShiftCache(a, axis, pos, beta, zbc)
+        scs = ([_SelectedShiftCache(s, axis, pos, beta, zbc) for s in smooth]
                if smooth is not None else None)
         return self._biased(grid, sel, axis, beta, "left", scs)
 
@@ -187,10 +198,10 @@ class Centered(AdvectionScheme):
                                    self.buffer - 1, False)
         return self._coeffs
 
-    def symmetric(self, grid, a, axis, beta):
+    def symmetric(self, grid, a, axis, beta, zbc=None):
         if grid.is_flat(axis):
             return a
-        sc = _ShiftCache(a, axis)
+        sc = _ShiftCache(a, axis, zbc)
         shifts = left_shifts(self.order, self.buffer - 1, beta)
         return stencil_value(sc, shifts, self._coeffs_for(grid, axis, beta))
 
@@ -216,8 +227,9 @@ class UpwindBiased(AdvectionScheme):
         self._coeffs = eno_coefficients(order, self._s)
         self.advecting_velocity_scheme = Centered(order=order - 1)
 
-    def symmetric(self, grid, a, axis, beta):
-        return self.advecting_velocity_scheme.symmetric(grid, a, axis, beta)
+    def symmetric(self, grid, a, axis, beta, zbc=None):
+        return self.advecting_velocity_scheme.symmetric(grid, a, axis, beta,
+                                                        zbc)
 
     def _biased(self, grid, sc, axis, beta, side, smooth=None):
         if grid.is_flat(axis):
@@ -271,8 +283,9 @@ class WENO(AdvectionScheme):
         return (type(self).__name__, self.order, str(self.smoothness_dtype),
                 self.bounds)
 
-    def symmetric(self, grid, a, axis, beta):
-        return self.advecting_velocity_scheme.symmetric(grid, a, axis, beta)
+    def symmetric(self, grid, a, axis, beta, zbc=None):
+        return self.advecting_velocity_scheme.symmetric(grid, a, axis, beta,
+                                                        zbc)
 
     def _biased(self, grid, sc, axis, beta, side, smooth=None):
         if grid.is_flat(axis):
@@ -363,14 +376,17 @@ class FluxFormAdvection(AdvectionScheme):
     def _fp(self):
         return ("FluxFormAdvection",) + tuple(s._fp() for s in self.schemes)
 
-    def symmetric(self, grid, a, axis, beta):
-        return self.schemes[axis].symmetric(grid, a, axis, beta)
+    def symmetric(self, grid, a, axis, beta, zbc=None):
+        return self.schemes[axis].symmetric(grid, a, axis, beta, zbc)
 
-    def biased_pair(self, grid, a, axis, beta, smooth=None):
-        return self.schemes[axis].biased_pair(grid, a, axis, beta, smooth)
+    def biased_pair(self, grid, a, axis, beta, smooth=None, zbc=None):
+        return self.schemes[axis].biased_pair(grid, a, axis, beta, smooth,
+                                              zbc)
 
-    def biased(self, grid, a, axis, beta, side, smooth=None):
-        return self.schemes[axis].biased(grid, a, axis, beta, side, smooth)
+    def biased(self, grid, a, axis, beta, side, smooth=None, zbc=None):
+        return self.schemes[axis].biased(grid, a, axis, beta, side, smooth,
+                                         zbc)
 
-    def biased_by(self, grid, a, axis, beta, q, smooth=None):
-        return self.schemes[axis].biased_by(grid, a, axis, beta, q, smooth)
+    def biased_by(self, grid, a, axis, beta, q, smooth=None, zbc=None):
+        return self.schemes[axis].biased_by(grid, a, axis, beta, q, smooth,
+                                            zbc)

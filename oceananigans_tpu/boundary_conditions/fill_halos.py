@@ -238,7 +238,9 @@ def fill_halo_axes(a, grid, loc, bcs, time=0.0, axes=(0, 1, 2), dt=None):
                            skip_north=axis == 1, dt=dt)
         return a
     for axis in axes:
-        if grid.is_flat(axis):
+        if grid.is_flat(axis) or grid.H[axis] == 0:
+            # halo-free axis (z-compact mode): boundary values are applied
+            # inside the stencil reads (operators/shifts.py shift_zbc)
             continue
         a = _fill_axis(a, grid, loc, bcs, axis, time, dt=dt)
     return a

@@ -91,8 +91,21 @@ def eligible(grid, n_tile_candidates=((32, 16, 8, 4, 2), (64, 128, 32, 16, 8, 4,
 def build_fused_advection(grid, scheme, tracer_names):
     """Return fn(u, v, w, tracers_dict) -> (Gu, Gv, Gw, {name: Gc}) of
     PADDED-shape arrays whose interior holds -∇·(𝐯 q); halo slots are
-    garbage."""
+    garbage.
+
+    When the grid is z-halo-free (H[2] == 0, the z-compact fast layout:
+    padded z = Nz = a whole number of 128-lane tiles, so the VMEM slabs and
+    all VPU stencil arithmetic shrink from 3 lane-tiles to 2 — measured −26%
+    tendency cost), the z boundary conditions are applied INSIDE the stencil
+    reads (shift_zbc): even mirror for u/v/tracers, odd-face (pinned w=0
+    faces) for w; flux deltas need no fixes because boundary-face fluxes
+    vanish and the out-of-range zero-fill reproduces exactly that."""
     Hx, Hy, Hz = grid.H
+    z_compact = (Hz == 0 and not grid.is_flat(2))
+    zbc = None
+    if z_compact:
+        zbc = {"u": "even", "v": "even", "w": "odd_face"}
+        zbc["c"] = "even"
     Nx, Ny, Nz = grid.N
     ZP = grid.padded_shape[2]
     # tile sweep on v5e at 256^3: TX=32/TY=64 fastest (10.44 ms vs
@@ -139,12 +152,13 @@ def build_fused_advection(grid, scheme, tracer_names):
         def out_tile(a):
             return a[Hx:Hx + TX, Hy:Hy + TY, :ZP]
 
-        outs[0][:] = out_tile(-div_Uu(tgrid, scheme, u, v, w))
-        outs[1][:] = out_tile(-div_Uv(tgrid, scheme, u, v, w))
-        outs[2][:] = out_tile(-div_Uw(tgrid, scheme, u, v, w))
+        outs[0][:] = out_tile(-div_Uu(tgrid, scheme, u, v, w, zbc=zbc))
+        outs[1][:] = out_tile(-div_Uv(tgrid, scheme, u, v, w, zbc=zbc))
+        outs[2][:] = out_tile(-div_Uw(tgrid, scheme, u, v, w, zbc=zbc))
         for t, name in enumerate(names):
             c = slabs[3 + t][:]
-            outs[3 + t][:] = out_tile(-div_Uc(tgrid, scheme, u, v, w, c))
+            outs[3 + t][:] = out_tile(-div_Uc(tgrid, scheme, u, v, w, c,
+                                              zbc=zbc))
 
     call = pl.pallas_call(
         kernel,

@@ -55,11 +55,18 @@ def _scalar_cond(bc):
 
 def supported_zb(grid, loc, bcs):
     """The bounded-z (classification, value) pair if this (grid, loc, bcs)
-    combination is kernel-supported, else None."""
+    combination is kernel-supported; "compact" when the grid is z-halo-free
+    (boundary handling lives in the stencils); None if unsupported."""
     tx, ty, tz = grid.topology
-    if tz != BOUNDED or grid.lane_tail == 0:
-        return None
     if grid.padded_shape[2] % 128 or grid.padded_shape[1] % 8:
+        return None
+    if tz == BOUNDED and grid.H[2] == 0:
+        if tx not in (PERIODIC, FLAT) or ty not in (PERIODIC, FLAT):
+            return None
+        if ty == PERIODIC and grid.H[1] % 8:
+            return None
+        return "compact"
+    if tz != BOUNDED or grid.lane_tail == 0:
         return None
     if tx not in (PERIODIC, FLAT) or ty not in (PERIODIC, FLAT):
         return None
@@ -84,7 +91,9 @@ def _build(grid, loc, zb, interpret):
     Nx, Ny, Nz = grid.N
     x_periodic = grid.topology[0] == PERIODIC
     y_periodic = grid.topology[1] == PERIODIC
-    dz = float(np.asarray(grid.dz((CENTER,) * 3)).reshape(()))
+    compact = zb == "compact"
+    dz = (1.0 if compact
+          else float(np.asarray(grid.dz((CENTER,) * 3)).reshape(())))
 
     # ---- kernel 1: periodic wraps (pure strip DMAs, in place) -------------
     def wrap_kernel(in_ref, out_ref, sem):
@@ -114,6 +123,12 @@ def _build(grid, loc, zb, interpret):
         input_output_aliases={0: 0},
         interpret=interpret,
     )
+
+    if compact:
+        # z-halo-free: the wrap strips are the whole fill
+        wrap_call.zfix = lambda a: a
+        wrap_call.wrap = wrap_call
+        return wrap_call
 
     # ---- kernel 2: bounded-z boundary fill in the two 128-lane windows ----
     (cls_b, v_b), (cls_t, v_t) = zb

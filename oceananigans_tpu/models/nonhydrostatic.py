@@ -66,7 +66,7 @@ class NonhydrostaticModel:
                  boundary_conditions=None, timestepper="RungeKutta3",
                  pressure_solver=None, background_fields=None,
                  stokes_drift=None, biogeochemistry=None, particles=None,
-                 fused_advection="auto"):
+                 fused_advection="auto", z_compact="auto"):
         if advection is None:
             advection = Centered(order=2)
         self.advection = advection
@@ -116,8 +116,45 @@ class NonhydrostaticModel:
             # kernels/pallas_fill.py) are tile-aligned
             while halo[1] % 8:
                 halo[1] += 1
+        # z-compact fast layout (TPU): drop the z halos entirely so the
+        # padded minor dimension is a whole number of 128-lane tiles
+        # (kernels/fused_advection.py docstring). Boundary conditions along z
+        # are applied inside the stencils; eligible only for the default
+        # (no-flux / no-penetration) z BCs with no closure/forcing/etc. that
+        # would consume z halos.
+        self._z_compact = False
+        if z_compact in (True, "auto"):
+            from ..grids.topology import BOUNDED, PERIODIC
+            bcs_probe = dict(boundary_conditions or {})
+            default_zbcs = not any(
+                getattr(b, s, None) is not None
+                for b in bcs_probe.values() for s in ("bottom", "top"))
+            eligible_zc = (
+                getattr(grid, "all_regular", False)
+                and not grid.is_flat(2)
+                and grid.topology[2] == BOUNDED
+                and grid.topology[0] in (PERIODIC,)
+                and grid.topology[1] in (PERIODIC,)
+                and grid.N[2] % 128 == 0
+                and closure is None and not (forcing or {})
+                and stokes_drift is None and biogeochemistry is None
+                and particles is None and not (background_fields or {})
+                and default_zbcs
+                and getattr(advection, "bounds", None) is None)
+            if eligible_zc:
+                halo[2] = 0
+                self._z_compact = True
+            elif z_compact is True:
+                raise ValueError("model configuration is not eligible for "
+                                 "the z-compact layout")
         halo = tuple(halo)
         self.grid = grid.with_halo(halo)
+        if self._z_compact:
+            # w's bottom boundary face (z slot 0) is pinned to 0 after every
+            # update (the fill would have done it in the padded layout)
+            m = np.ones((1, 1, self.grid.padded_shape[2]), np.float32)
+            m[..., 0] = 0.0
+            self._w_face_mask = jnp.asarray(m, self.grid.dtype)
 
         if timestepper in ("RungeKutta3", "rk3"):
             self.timestepper = RungeKutta3TimeStepper()
@@ -363,15 +400,17 @@ class NonhydrostaticModel:
         ua, va, wa = self._total_velocities(fields, time)
         adv = self.advection
 
+        zbc = ({"u": "even", "v": "even", "w": "odd_face", "c": "even"}
+               if self._z_compact else None)
         G = {}
         Gc_fused = None
         if self._fused_advection is not None:
             G["u"], G["v"], G["w"], Gc_fused = self._fused_advection(
                 ua, va, wa, {n: fields[n] for n in self.tracer_names})
         else:
-            G["u"] = -div_Uu(grid, adv, ua, va, wa)
-            G["v"] = -div_Uv(grid, adv, ua, va, wa)
-            G["w"] = -div_Uw(grid, adv, ua, va, wa)
+            G["u"] = -div_Uu(grid, adv, ua, va, wa, zbc=zbc)
+            G["v"] = -div_Uv(grid, adv, ua, va, wa, zbc=zbc)
+            G["w"] = -div_Uw(grid, adv, ua, va, wa, zbc=zbc)
 
         if self.coriolis is not None:
             G["u"] = G["u"] - self.coriolis.x_f_cross_U(grid, u, v, w)
@@ -404,7 +443,7 @@ class NonhydrostaticModel:
 
         for name in self.tracer_names:
             Gc = (Gc_fused[name] if Gc_fused is not None
-                  else -div_Uc(grid, adv, ua, va, wa, fields[name]))
+                  else -div_Uc(grid, adv, ua, va, wa, fields[name], zbc=zbc))
             if self.closure is not None:
                 Gc = Gc + self.closure.tracer_tendency(grid, name, fields, aux)
             if self.biogeochemistry is not None:
@@ -455,6 +494,9 @@ class NonhydrostaticModel:
         u = u - dtt * ddx(grid, p, LOC_FCC)
         v = v - dtt * ddy(grid, p, LOC_CFC)
         w = w - dtt * ddz(grid, p, LOC_CCF)
+        if self._z_compact:
+            # re-pin w's bottom boundary face (∂z p is undefined there)
+            w = w * self._w_face_mask
         if self.immersed:
             u = grid.mask_immersed(u, LOC_FCC)
             v = grid.mask_immersed(v, LOC_CFC)
@@ -505,6 +547,8 @@ class NonhydrostaticModel:
                         if zeta != 0.0:
                             inc = inc + zeta * Gm[name]
                         new[name] = fields[name] + dt * inc
+                    if self._z_compact:
+                        new["w"] = new["w"] * self._w_face_mask
                     new = self._implicit_step(new, aux, stage_dt)
                     u, v, w, p = self._project(new["u"], new["v"], new["w"],
                                                stage_dt, time)
@@ -546,6 +590,8 @@ class NonhydrostaticModel:
                     inc = (1.5 + chi) * G[name] \
                         - (0.5 + chi) * Gm[name] * not_euler
                     new[name] = fields[name] + dt * inc
+                if self._z_compact:
+                    new["w"] = new["w"] * self._w_face_mask
                 new = self._implicit_step(new, aux, dt)
                 u, v, w, p = self._project(new["u"], new["v"], new["w"],
                                            dt, time)
