@@ -118,8 +118,14 @@ class HydrostaticFreeSurfaceModel:
                        getattr(self.momentum_advection, "required_halo", 1))
         if closure is not None:
             required = max(required, getattr(closure, "required_halo", 1))
-        halo = tuple(max(h, required) if not grid.is_flat(i) else 0
-                     for i, h in enumerate(grid.H))
+        halo = [max(h, required) if not grid.is_flat(i) else 0
+                for i, h in enumerate(grid.H)]
+        if not grid.is_flat(1) and hasattr(grid, "with_halo"):
+            # Mosaic tile alignment so the Pallas halo-fill fast path engages
+            # (kernels/pallas_fill.py): Hy a multiple of 8
+            while halo[1] % 8:
+                halo[1] += 1
+        halo = tuple(halo)
         self.grid = grid.with_halo(halo)
         if not self.grid.is_bounded(2):
             raise ValueError("HydrostaticFreeSurfaceModel needs a Bounded "
