@@ -163,7 +163,7 @@ def build_fused_advection(grid, scheme, tracer_names):
     call = pl.pallas_call(
         kernel,
         grid=(Nx // TX, Ny // TY),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nf,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nf,
         out_specs=[pl.BlockSpec((TX, TY, ZP), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)] * nf,
         out_shape=[jax.ShapeDtypeStruct((Nx, Ny, ZP), grid.dtype)] * nf,

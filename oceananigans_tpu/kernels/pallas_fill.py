@@ -116,8 +116,8 @@ def _build(grid, loc, zb, interpret):
 
     wrap_call = pl.pallas_call(
         wrap_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((NPX, NPY, ZP), grid.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
         input_output_aliases={0: 0},
@@ -230,8 +230,8 @@ def _build(grid, loc, zb, interpret):
     zfix_call = pl.pallas_call(
         zfix_kernel,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((NPX, NPY, ZP), grid.dtype),
         scratch_shapes=[pltpu.VMEM((CX, NPY, 128), grid.dtype)] * nw
                        + [pltpu.SemaphoreType.DMA((nw,))],
@@ -309,8 +309,8 @@ def _build_batched(grid, locs, zbs, interpret):
 
     wrap_call = pl.pallas_call(
         wrap_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nf,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nf,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nf,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nf,
         out_shape=[jax.ShapeDtypeStruct((NPX, NPY, ZP), grid.dtype)] * nf,
         scratch_shapes=[pltpu.SemaphoreType.DMA((2 * nf,))],
         input_output_aliases={i: i for i in range(nf)},
