@@ -7,11 +7,14 @@ from .orthogonal_spherical_shell import (OrthogonalSphericalShellGrid,
                                          RotatedLatitudeLongitudeGrid)
 from .tripolar import TripolarGrid
 from .cubed_sphere import (ConformalCubedSpherePanel, ConformalCubedSphereGrid,
-                           fill_cubed_sphere_halos)
+                           fill_cubed_sphere_halos,
+                           fill_cubed_sphere_velocity_halos,
+                           elliptic_cubed_sphere_nodes)
 
 __all__ = ["PERIODIC", "BOUNDED", "FLAT", "CENTER", "FACE",
            "LOC_CCC", "LOC_FCC", "LOC_CFC", "LOC_CCF", "LOC_FFC",
            "AbstractGrid", "RectilinearGrid", "LatitudeLongitudeGrid",
            "OrthogonalSphericalShellGrid", "RotatedLatitudeLongitudeGrid",
            "TripolarGrid", "ConformalCubedSpherePanel",
-           "ConformalCubedSphereGrid", "fill_cubed_sphere_halos"]
+           "ConformalCubedSphereGrid", "fill_cubed_sphere_halos",
+           "fill_cubed_sphere_velocity_halos", "elliptic_cubed_sphere_nodes"]

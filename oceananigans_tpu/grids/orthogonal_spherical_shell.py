@@ -67,14 +67,24 @@ def _spherical_quad_area(p00, p10, p11, p01):
 
 class OrthogonalSphericalShellGrid(AbstractGrid):
     def __init__(self, corner_longitude, corner_latitude, z=None, size=None,
-                 radius=None, topology=None, halo=None, dtype=None):
+                 radius=None, topology=None, halo=None, dtype=None,
+                 corner_halo=0):
+        """``corner_halo=h`` marks the corner arrays as EXTENDED: they cover
+        the full padded horizontal extent (interior nodes plus ``h`` halo
+        node rows per side taken from the true surrounding mesh, e.g.
+        neighboring cubed-sphere panels). All metrics — lengths AND areas, at
+        every staggering — are then exact in the halos instead of
+        edge-replicated (the analogue of the reference's inter-panel metric
+        halo fill in src/MultiRegion/cubed_sphere_grid.jl)."""
         self.radius = float(radius if radius is not None
                             else defaults.planet_radius)
         self.dtype = dtype if dtype is not None else defaults.FloatType
         lamF = np.asarray(corner_longitude, float)
         phiF = np.asarray(corner_latitude, float)
+        ch = int(corner_halo)
+        self._corner_halo = ch
         nxp1, nyp1 = lamF.shape
-        Nx, Ny = nxp1 - 1, nyp1 - 1
+        Nx, Ny = nxp1 - 1 - 2 * ch, nyp1 - 1 - 2 * ch
         Nz = 1 if z is None else (size[2] if size else None)
         if z is not None and Nz is None:
             raise ValueError("pass size=(Nx, Ny, Nz) with a vertical spec")
@@ -91,6 +101,8 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
             halo = tuple(int(halo) if self.topology[i] != topo.FLAT else 0
                          for i in range(3))
         self.H = tuple(halo)
+        if ch and (self.H[0] != ch or self.H[1] != ch):
+            raise ValueError("corner_halo must equal the horizontal halos")
 
         if z is not None:
             if (isinstance(z, tuple) and len(z) == 2 and np.isscalar(z[0])):
@@ -110,25 +122,27 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
         Pc = _midpoint(Pxm[:, :-1], Pxm[:, 1:])         # centers (Nx, Ny)
 
         R = self.radius
-        # metric arrays at the four horizontal staggerings (interior)
-        dx_cc = _gc_distance(Pym[:-1, :], Pym[1:, :], R)   # (Nx, Ny) Δx at (c,c)
-        dx_fc = np.empty((Nx + 1, Ny))
+        # metric arrays at the four horizontal staggerings over the full
+        # corner-array extent (= interior, or padded extent if corner_halo)
+        mx, my = nxp1 - 1, nyp1 - 1
+        dx_cc = _gc_distance(Pym[:-1, :], Pym[1:, :], R)   # (mx, my) Δx at (c,c)
+        dx_fc = np.empty((mx + 1, my))
         dx_fc[1:-1] = _gc_distance(Pc[:-1, :], Pc[1:, :], R)
         dx_fc[0] = dx_fc[1]
         dx_fc[-1] = dx_fc[-2]
-        dx_cf = _gc_distance(P[:-1, :], P[1:, :], R)       # corner rows: Δx at (c,f) (Nx, Ny+1)
-        dx_ff = np.empty((Nx + 1, Ny + 1))
+        dx_cf = _gc_distance(P[:-1, :], P[1:, :], R)       # corner rows: Δx at (c,f) (mx, my+1)
+        dx_ff = np.empty((mx + 1, my + 1))
         dx_ff[1:-1] = _gc_distance(Pxm[:-1, :], Pxm[1:, :], R)
         dx_ff[0] = dx_ff[1]
         dx_ff[-1] = dx_ff[-2]
 
         dy_cc = _gc_distance(Pxm[:, :-1], Pxm[:, 1:], R)
-        dy_cf = np.empty((Nx, Ny + 1))
+        dy_cf = np.empty((mx, my + 1))
         dy_cf[:, 1:-1] = _gc_distance(Pc[:, :-1], Pc[:, 1:], R)
         dy_cf[:, 0] = dy_cf[:, 1]
         dy_cf[:, -1] = dy_cf[:, -2]
         dy_fc = _gc_distance(P[:, :-1], P[:, 1:], R)
-        dy_ff = np.empty((Nx + 1, Ny + 1))
+        dy_ff = np.empty((mx + 1, my + 1))
         dy_ff[:, 1:-1] = _gc_distance(Pym[:, :-1], Pym[:, 1:], R)
         dy_ff[:, 0] = dy_ff[:, 1]
         dy_ff[:, -1] = dy_ff[:, -2]
@@ -139,8 +153,17 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
                     ("c", "f"): dy_cf, ("f", "f"): dy_ff}
 
         lam_c, phi_c = _cart2sph(Pc)
-        self._lam = {("c", "c"): lam_c, ("f", "f"): lamF}
-        self._phi = {("c", "c"): phi_c, ("f", "f"): phiF}
+        if ch:
+            # coordinate tables stay INTERIOR-extent for API parity
+            self._lam = {("c", "c"): lam_c[ch:ch + Nx, ch:ch + Ny],
+                         ("f", "f"): lamF[ch:ch + Nx + 1, ch:ch + Ny + 1]}
+            self._phi = {("c", "c"): phi_c[ch:ch + Nx, ch:ch + Ny],
+                         ("f", "f"): phiF[ch:ch + Nx + 1, ch:ch + Ny + 1]}
+            self._ext_corners = (lamF, phiF)
+        else:
+            self._lam = {("c", "c"): lam_c, ("f", "f"): lamF}
+            self._phi = {("c", "c"): phi_c, ("f", "f"): phiF}
+            self._ext_corners = None
 
         # z-normal areas from the SPHERICAL QUADRILATERAL excess — exact for
         # any (even non-orthogonal) quad mesh on the sphere, unlike the
@@ -149,13 +172,13 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
         # orthogonal_spherical_shell_grid.jl)
         az_cc = _spherical_quad_area(P[:-1, :-1], P[1:, :-1],
                                      P[1:, 1:], P[:-1, 1:]) * R * R
-        az_fc = np.empty((Nx + 1, Ny))
+        az_fc = np.empty((mx + 1, my))
         az_fc[1:-1] = 0.5 * (az_cc[:-1] + az_cc[1:])
         az_fc[0], az_fc[-1] = az_cc[0], az_cc[-1]
-        az_cf = np.empty((Nx, Ny + 1))
+        az_cf = np.empty((mx, my + 1))
         az_cf[:, 1:-1] = 0.5 * (az_cc[:, :-1] + az_cc[:, 1:])
         az_cf[:, 0], az_cf[:, -1] = az_cc[:, 0], az_cc[:, -1]
-        az_ff = np.empty((Nx + 1, Ny + 1))
+        az_ff = np.empty((mx + 1, my + 1))
         az_ff[1:-1, :] = 0.5 * (az_cf[:-1, :] + az_cf[1:, :])
         az_ff[0, :], az_ff[-1, :] = az_cf[0, :], az_cf[-1, :]
         self._az = {("c", "c"): az_cc, ("f", "c"): az_fc,
@@ -170,14 +193,19 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
         if key in self._pad_cache:
             return self._pad_cache[key]
         arr = table[(lx, ly)]
-        nx = arr.shape[0]
-        ny = arr.shape[1]
-        # crop the "+1" staggered rows to N entries (uniform padded layout)
-        arr = arr[:self.N[0], :self.N[1]]
-        mode_x = "wrap" if self.topology[0] == topo.PERIODIC else "edge"
-        out = np.pad(arr, [(self.H[0],) * 2, (0, 0)], mode=mode_x)
-        out = np.pad(out, [(0, 0), (self.H[1],) * 2], mode="edge")
-        out = out[..., None]
+        if self._corner_halo:
+            # extended arrays already span the padded extent; crop the "+1"
+            # staggered rows to the uniform padded layout
+            npx = self.N[0] + 2 * self.H[0]
+            npy = self.N[1] + 2 * self.H[1]
+            out = arr[:npx, :npy, None]
+        else:
+            # crop the "+1" staggered rows to N entries (uniform padded layout)
+            arr = arr[:self.N[0], :self.N[1]]
+            mode_x = "wrap" if self.topology[0] == topo.PERIODIC else "edge"
+            out = np.pad(arr, [(self.H[0],) * 2, (0, 0)], mode=mode_x)
+            out = np.pad(out, [(0, 0), (self.H[1],) * 2], mode="edge")
+            out = out[..., None]
         self._pad_cache[key] = out
         return out
 
@@ -258,6 +286,10 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
     def with_halo(self, halo):
         if tuple(halo) == self.H:
             return self
+        if self._corner_halo:
+            raise ValueError("panels with exchanged (corner_halo) metrics "
+                             "cannot re-halo in isolation; rebuild the "
+                             "composed grid with halo=" + repr(halo))
         lamF = self._lam[("f", "f")]
         phiF = self._phi[("f", "f")]
         zspec = None
@@ -270,9 +302,10 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
             topology=self.topology, halo=halo, dtype=self.dtype)
 
     def _fingerprint(self):
+        lam, phi = (self._ext_corners if self._corner_halo
+                    else (self._lam[("f", "f")], self._phi[("f", "f")]))
         return ("OSSG", self.N, self.H, self.topology, self.radius,
-                self._lam[("f", "f")].tobytes(),
-                self._phi[("f", "f")].tobytes(), self._zc._fp)
+                self._corner_halo, lam.tobytes(), phi.tobytes(), self._zc._fp)
 
     def __repr__(self):
         return f"OrthogonalSphericalShellGrid(size={self.N})"
