@@ -355,6 +355,7 @@ class ConformalCubedSphereGrid:
         base = (elliptic_cubed_sphere_nodes(N) if mesh == "elliptic"
                 else None)
         ext = _extended_corner_nodes(N, H, self.connectivity, base=base)
+        self.extended_nodes = ext
         zh = 3 if z is not None else 0
         self.panel_grids = [
             OrthogonalSphericalShellGrid(*_cart2sph(ext[p]), z=z,
@@ -534,4 +535,36 @@ def fill_cubed_sphere_velocity_halos(u, v, csgrid, passes=2):
                     pu = pu.at[idx].set(sgn_t * blk)
             u = u.at[p].set(pu)
             v = v.at[p].set(pv)
+    return u, v
+
+
+def sync_shared_velocity_faces(u, v, csgrid):
+    """Make the duplicated shared-edge NORMAL-velocity faces bitwise
+    consistent: the lower-numbered panel owns each edge; the other copy is
+    overwritten through the edge rotation. With synced faces (and exchanged
+    h/metrics) both panels compute bitwise-identical mass fluxes through a
+    shared face, so global mass conservation holds to summation roundoff."""
+    grid = csgrid.panel_grids[0]
+    H, N = grid.H[0], grid.N[0]
+    NP = N + 2 * H
+    for (p, s), (q, t, rev) in csgrid.connectivity.items():
+        if p >= q:
+            continue
+        na_p, na_q = _NORMAL_AXIS[s], _NORMAL_AXIS[t]
+        sgn = csgrid.edge_rotations[(q, t)][na_q, na_p]
+        pi = H if _LOW_SIDE[s] else H + N
+        qi = H if _LOW_SIDE[t] else H + N
+        src_field = u if na_p == 0 else v
+        row = jnp.take(src_field[p], pi, axis=na_p)          # (NP, ...)
+        # normal velocity lives on tangential CENTERS: mirror is NP-1-j
+        jmap = np.arange(NP) if not rev else (NP - 1 - np.arange(NP))
+        row = jnp.take(row, jnp.asarray(jmap), axis=0) * sgn
+        if na_q == 0:
+            idx = (q, qi, slice(None))
+        else:
+            idx = (q, slice(None), qi)
+        if na_q == 0:
+            u = u.at[idx].set(row)
+        else:
+            v = v.at[idx].set(row)
     return u, v
