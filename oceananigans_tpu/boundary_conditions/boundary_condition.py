@@ -100,9 +100,13 @@ def GradientBoundaryCondition(condition=None):
 class ImmersedBoundaryCondition:
     """Per-side boundary conditions applied at IMMERSED faces (reference:
     src/ImmersedBoundaries/immersed_boundary_condition.jl): goes in the
-    ``immersed`` slot of FieldBoundaryConditions; each side holds a
-    FluxBoundaryCondition applied wherever a fluid cell touches the
-    topography from that side (e.g. bottom drag, geothermal flux)."""
+    ``immersed`` slot of FieldBoundaryConditions; each side holds a Flux,
+    Value, or Gradient condition applied wherever a fluid cell touches the
+    topography from that side (e.g. bottom drag, geothermal flux, heated
+    walls). Value/Gradient produce one-sided diffusive fluxes -κ∇c with
+    ∇c = ±2(c_b - c)/Δ or the given gradient (reference:
+    src/TurbulenceClosures/immersed_diffusive_fluxes.jl left/right_gradient)
+    using the model closure's scalar diffusivity."""
 
     __slots__ = ("west", "east", "south", "north", "bottom", "top")
 
@@ -110,11 +114,11 @@ class ImmersedBoundaryCondition:
                  bottom=None, top=None):
         for name, bc in (("west", west), ("east", east), ("south", south),
                          ("north", north), ("bottom", bottom), ("top", top)):
-            if bc is not None and bc.classification != FLUX:
+            if bc is not None and bc.classification not in (FLUX, VALUE,
+                                                            GRADIENT):
                 raise NotImplementedError(
-                    "only Flux immersed boundary conditions are implemented "
-                    f"(got {bc.classification!r} on {name}); Value/Gradient "
-                    "immersed conditions are future work")
+                    "immersed boundary conditions must be Flux, Value, or "
+                    f"Gradient (got {bc.classification!r} on {name})")
             setattr(self, name, bc)
 
     def side(self, name):

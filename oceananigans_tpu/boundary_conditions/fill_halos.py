@@ -359,13 +359,45 @@ def _fill_zipper_north(a, grid, loc, sign):
     return out
 
 
-def apply_immersed_flux_bcs(G, grid, loc, ibc, time=0.0):
+def immersed_diffusivity(closure, name):
+    """Scalar diffusivity used by Value/Gradient immersed BCs for field
+    ``name`` (u/v/w → ν, tracers → κ), summed over closure tuples. The
+    reference evaluates the full closure diffusivity at the face
+    (immersed_diffusive_fluxes.jl h_diffusivity/z_diffusivity); scalar
+    closures cover the common cases, non-scalar diffusivities contribute 0
+    here."""
+    total = 0.0
+    for cl in (closure if isinstance(closure, tuple) else (closure,)):
+        if cl is None:
+            continue
+        if name in ("u", "v", "w"):
+            nu = getattr(cl, "nu", 0.0)
+            if np.isscalar(nu):
+                total += float(nu)
+        else:
+            k = getattr(cl, "kappa", 0.0)
+            if isinstance(k, dict):
+                k = k.get(name, 0.0)
+            if np.isscalar(k):
+                total += float(k)
+    return total
+
+
+def apply_immersed_flux_bcs(G, grid, loc, ibc, time=0.0, c=None, kappa=0.0):
     """Add immersed-boundary flux divergences to a tendency (reference:
     immersed_boundary_condition.jl — `immersed_∂ⱼ_τᵢⱼ` contributions): for
     each side, the flux is deposited into fluid cells whose neighbor in that
     direction is solid. Sign convention matches apply_flux_bcs (a positive
     flux through the fluid cell's west/south/bottom immersed face increases
-    the tendency)."""
+    the tendency).
+
+    Flux conditions deposit the given flux directly. Value/Gradient
+    conditions produce one-sided diffusive fluxes q = -κ∇c (reference:
+    src/TurbulenceClosures/immersed_diffusive_fluxes.jl): Gradient uses the
+    prescribed ∇c on every side; Value uses ∇c = 2(c - c_b)/Δ on
+    west/south/bottom faces and 2(c_b - c)/Δ on east/north/top (the
+    boundary sits half a cell from the center). ``c`` is the field's padded
+    array, ``kappa`` the (scalar) closure diffusivity for this field."""
     from ..operators.shifts import shift
 
     solid = np.asarray(grid.solid_ccc)
@@ -375,9 +407,21 @@ def apply_immersed_flux_bcs(G, grid, loc, ibc, time=0.0):
         bc = ibc.side(side)
         if bc is None or bc.condition is None:
             continue
-        q = eval_bc(bc, grid, loc, axis, time)
-        if q is None:
-            continue
+        if bc.classification in (VALUE, GRADIENT):
+            val = eval_bc(bc, grid, loc, axis, time)
+            if bc.classification == GRADIENT:
+                grad = val
+            else:
+                if c is None:
+                    raise ValueError("Value immersed BCs need the field")
+                D = (grid.dx, grid.dy, grid.dz)[axis](loc)
+                grad = (2.0 * (c - val) / D) if is_left \
+                    else (2.0 * (val - c) / D)
+            q = -kappa * grad
+        else:
+            q = eval_bc(bc, grid, loc, axis, time)
+            if q is None:
+                continue
         # fluid cell with a solid neighbor on this side: that neighbor is at
         # shift -1 (west/south/bottom) or +1 (east/north/top)
         off = -1 if is_left else +1

@@ -196,6 +196,14 @@ class ImmersedBoundaryGrid(AbstractGrid):
     def underlying_grid(self):
         return self._underlying
 
+    @property
+    def lane_tail(self):
+        # properties bypass __getattr__ delegation: without this override the
+        # AbstractGrid default (_supports_lane_tail = False) would make the
+        # immersed grid report an untailed padded_shape while its masks and
+        # the underlying metrics are built lane-tailed (TPU layout mismatch)
+        return self._underlying.lane_tail
+
     def fluid_mask(self, loc, dtype=None):
         m = self.mask.get(tuple(loc), ~self.solid_ccc)
         return jnp.asarray(m, dtype or self.dtype)

@@ -462,14 +462,17 @@ class NonhydrostaticModel:
             G[name] = G[name] + (F(grid, fields, time) if callable(F) else F)
 
         # boundary flux divergences (reference: compute_flux_bc_tendencies!)
-        from ..boundary_conditions.fill_halos import apply_immersed_flux_bcs
+        from ..boundary_conditions.fill_halos import (apply_immersed_flux_bcs,
+                                                      immersed_diffusivity)
         for name in G:
             G[name] = apply_flux_bcs(G[name], grid, self.loc(name),
                                      self.bcs[name], time)
             ibc = getattr(self.bcs[name], "immersed", None)
             if self.immersed and ibc is not None:
-                G[name] = apply_immersed_flux_bcs(G[name], grid,
-                                                  self.loc(name), ibc, time)
+                G[name] = apply_immersed_flux_bcs(
+                    G[name], grid, self.loc(name), ibc, time,
+                    c=fields[name],
+                    kappa=immersed_diffusivity(self.closure, name))
         return G, aux
 
     def _project(self, u, v, w, dtt, time):

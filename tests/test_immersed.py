@@ -167,3 +167,59 @@ def test_immersed_boundary_flux_condition():
     dz = 1.0 / 8
     expect = q * nsteps * dt / dz
     assert np.allclose(c[:, :, kbot], expect, rtol=1e-6)
+
+
+def test_immersed_value_and_gradient_conditions():
+    """Value/Gradient immersed BCs (reference: immersed_diffusive_fluxes.jl):
+    a heated immersed bottom (Value c_b) injects -κ·2(c - c_b)/Δ through the
+    immersed face; a Gradient side injects -κ·g. Checked against the
+    hand-computed first-step deposit and relaxation toward c_b."""
+    from oceananigans_tpu.boundary_conditions import (
+        FieldBoundaryConditions, GradientBoundaryCondition,
+        ImmersedBoundaryCondition, ValueBoundaryCondition)
+    from oceananigans_tpu.closures import ScalarDiffusivity
+    from oceananigans_tpu.immersed import GridFittedBottom, ImmersedBoundaryGrid
+    from oceananigans_tpu.advection import Centered
+
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1.0, 1.0, 1.0))
+    ibg = ImmersedBoundaryGrid(grid, GridFittedBottom(-0.55))
+    kappa, cb = 1e-2, 2.0
+    c_bcs = FieldBoundaryConditions(
+        immersed=ImmersedBoundaryCondition(bottom=ValueBoundaryCondition(cb)))
+    model = NonhydrostaticModel(grid=ibg, advection=None, tracers=("c",),
+                                closure=ScalarDiffusivity(kappa=kappa),
+                                boundary_conditions={"c": c_bcs})
+    model.set(c=0.0)
+    dz = 1.0 / 8
+    dt = 1e-3
+    model.time_step(dt)
+    c = np.asarray(model.field("c").interior)
+    solid = model.grid.solid_ccc[model.grid.interior_slices]
+    kbot = solid[0, 0].sum()
+    # first-step deposit (Euler first step): q·A·dt/V = 2κ(cb-0)/dz·dt/dz
+    expect = 2 * kappa * cb / dz * dt / dz
+    # rtol absorbs the RK3 multi-stage feedback (flux shrinks as c rises)
+    assert np.allclose(c[:, :, kbot], expect, rtol=5e-3), \
+        (c[0, 0, kbot], expect)
+    # relaxation: bottom-layer c keeps rising toward cb, stays bounded by it
+    for _ in range(200):
+        model.time_step(0.05)
+    c = np.asarray(model.field("c").interior)
+    assert np.isfinite(c).all()
+    assert (c[:, :, kbot] > 0.5).all() and (c[:, :, kbot] < cb + 1e-6).all()
+
+    # Gradient condition: constant prescribed gradient g -> flux -κ g through
+    # the immersed bottom face (deposit sign: lowers c for positive g)
+    g = 3.0
+    c_bcs2 = FieldBoundaryConditions(
+        immersed=ImmersedBoundaryCondition(
+            bottom=GradientBoundaryCondition(g)))
+    model2 = NonhydrostaticModel(grid=ibg, advection=None, tracers=("c",),
+                                 closure=ScalarDiffusivity(kappa=kappa),
+                                 boundary_conditions={"c": c_bcs2})
+    model2.set(c=0.0)
+    model2.time_step(dt)
+    c2 = np.asarray(model2.field("c").interior)
+    expect2 = -kappa * g * dt / dz
+    assert np.allclose(c2[:, :, kbot], expect2, rtol=5e-3), \
+        (c2[0, 0, kbot], expect2)

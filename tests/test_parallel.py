@@ -105,6 +105,40 @@ def test_distributed_pencil_fft_matches_serial():
     assert np.allclose(serial, dist, atol=1e-10), np.abs(serial - dist).max()
 
 
+def test_sharded_immersed_step_matches_serial():
+    """Distributed immersed boundaries (reference: the distributed active
+    map in src/DistributedComputations + ImmersedBoundaries): immersed masks
+    are dense global arrays in this design, so the GSPMD-sharded step must
+    match serial bitwise-close with no special casing."""
+    need_devices(8)
+    from oceananigans_tpu.immersed import GridFittedBottom, ImmersedBoundaryGrid
+
+    arch = Distributed(Partition(x=2, y=4))
+    base = RectilinearGrid(size=(10, 10, 10), extent=(1, 1, 1),
+                           topology=("periodic", "periodic", "bounded"))
+    grid = ImmersedBoundaryGrid(base, GridFittedBottom(
+        lambda x, y: -0.8 + 0.3 * np.sin(2 * np.pi * x)))
+    arch.validate_grid(base)
+
+    def build():
+        m = NonhydrostaticModel(grid=grid, advection=WENO(5),
+                                fused_advection=False)
+        rng = np.random.default_rng(7)
+        m.set(u=0.1 * rng.standard_normal((10, 10, 10)),
+              v=0.1 * rng.standard_normal((10, 10, 10)))
+        return m
+
+    m_serial = build()
+    m_shard = build()
+    m_shard.state = arch.shard(m_shard.state)
+    for _ in range(2):
+        m_serial.time_step(1e-3)
+        m_shard.time_step(1e-3)
+    u1 = np.asarray(m_serial.state["fields"]["u"])
+    u2 = np.asarray(m_shard.state["fields"]["u"])
+    assert np.allclose(u1, u2, atol=1e-10), np.abs(u1 - u2).max()
+
+
 def test_partition_validation():
     arch = Distributed(Partition(x=2, y=2), devices=jax.devices()[:4])
     bad = RectilinearGrid(size=(9, 9, 4), extent=(1, 1, 1))
