@@ -48,6 +48,16 @@ def _interp_kappa(grid, kappa, axis, floc):
     return interp(grid, kappa, axis, floc[axis])
 
 
+def _fm(grid, floc, flux):
+    """Zero the flux at immersed faces (the dense-mask analogue of the
+    reference's conditional fluxes, conditional_differences.jl): no diffusive
+    transport through or inside the topography."""
+    fmat = getattr(grid, "fluid_mask_at", None)
+    if fmat is None:
+        return flux
+    return flux * fmat(floc, getattr(flux, "dtype", None))
+
+
 def div_kappa_grad(grid, q, loc, kappa, axes=(0, 1, 2)):
     """∇·(κ ∇q) at ``loc`` over the selected axes (the tendency contribution
     of a gradient-diffusion closure; sign: this is ADDED to G)."""
@@ -58,7 +68,7 @@ def div_kappa_grad(grid, q, loc, kappa, axes=(0, 1, 2)):
         floc = _flip(loc, axis)
         grad = _dd(grid, q, axis, floc)
         k = _interp_kappa(grid, kappa, axis, floc)
-        flux = _area(grid, floc, axis) * k * grad
+        flux = _fm(grid, floc, _area(grid, floc, axis) * k * grad)
         term = delta(grid, flux, axis, loc[axis])
         total = term if total is None else total + term
     if total is None:
@@ -96,13 +106,13 @@ def div_2nu_strain_u(grid, u, v, w, nu_ccc, nu_ffc, nu_fcf, axes=(0, 1, 2)):
     """-∂ⱼτ₁ⱼ with τ₁ⱼ = -2νΣ₁ⱼ: the isotropic viscous tendency for u at fcc."""
     terms = []
     if X in axes and not grid.is_flat(X):
-        flux = grid.Ax(LOC_CCC) * 2 * nu_ccc * Sxx_ccc(grid, u)
+        flux = _fm(grid, LOC_CCC, grid.Ax(LOC_CCC) * 2 * nu_ccc * Sxx_ccc(grid, u))
         terms.append(_delta_f(grid, flux, X))
     if Y in axes and not grid.is_flat(Y):
-        flux = grid.Ay(LOC_FFC) * 2 * nu_ffc * Sxy_ffc(grid, u, v)
+        flux = _fm(grid, LOC_FFC, grid.Ay(LOC_FFC) * 2 * nu_ffc * Sxy_ffc(grid, u, v))
         terms.append(_delta_c(grid, flux, Y))
     if Z in axes and not grid.is_flat(Z):
-        flux = grid.Az(LOC_FCF) * 2 * nu_fcf * Sxz_fcf(grid, u, w)
+        flux = _fm(grid, LOC_FCF, grid.Az(LOC_FCF) * 2 * nu_fcf * Sxz_fcf(grid, u, w))
         terms.append(_delta_c(grid, flux, Z))
     if not terms:
         return jnp.zeros_like(u)
@@ -112,13 +122,13 @@ def div_2nu_strain_u(grid, u, v, w, nu_ccc, nu_ffc, nu_fcf, axes=(0, 1, 2)):
 def div_2nu_strain_v(grid, u, v, w, nu_ccc, nu_ffc, nu_cff, axes=(0, 1, 2)):
     terms = []
     if X in axes and not grid.is_flat(X):
-        flux = grid.Ax(LOC_FFC) * 2 * nu_ffc * Sxy_ffc(grid, u, v)
+        flux = _fm(grid, LOC_FFC, grid.Ax(LOC_FFC) * 2 * nu_ffc * Sxy_ffc(grid, u, v))
         terms.append(_delta_c(grid, flux, X))
     if Y in axes and not grid.is_flat(Y):
-        flux = grid.Ay(LOC_CCC) * 2 * nu_ccc * Syy_ccc(grid, v)
+        flux = _fm(grid, LOC_CCC, grid.Ay(LOC_CCC) * 2 * nu_ccc * Syy_ccc(grid, v))
         terms.append(_delta_f(grid, flux, Y))
     if Z in axes and not grid.is_flat(Z):
-        flux = grid.Az(LOC_CFF) * 2 * nu_cff * Syz_cff(grid, v, w)
+        flux = _fm(grid, LOC_CFF, grid.Az(LOC_CFF) * 2 * nu_cff * Syz_cff(grid, v, w))
         terms.append(_delta_c(grid, flux, Z))
     if not terms:
         return jnp.zeros_like(v)
@@ -128,13 +138,13 @@ def div_2nu_strain_v(grid, u, v, w, nu_ccc, nu_ffc, nu_cff, axes=(0, 1, 2)):
 def div_2nu_strain_w(grid, u, v, w, nu_ccc, nu_fcf, nu_cff, axes=(0, 1, 2)):
     terms = []
     if X in axes and not grid.is_flat(X):
-        flux = grid.Ax(LOC_FCF) * 2 * nu_fcf * Sxz_fcf(grid, u, w)
+        flux = _fm(grid, LOC_FCF, grid.Ax(LOC_FCF) * 2 * nu_fcf * Sxz_fcf(grid, u, w))
         terms.append(_delta_c(grid, flux, X))
     if Y in axes and not grid.is_flat(Y):
-        flux = grid.Ay(LOC_CFF) * 2 * nu_cff * Syz_cff(grid, v, w)
+        flux = _fm(grid, LOC_CFF, grid.Ay(LOC_CFF) * 2 * nu_cff * Syz_cff(grid, v, w))
         terms.append(_delta_c(grid, flux, Y))
     if Z in axes and not grid.is_flat(Z):
-        flux = grid.Az(LOC_CCC) * 2 * nu_ccc * Szz_ccc(grid, w)
+        flux = _fm(grid, LOC_CCC, grid.Az(LOC_CCC) * 2 * nu_ccc * Szz_ccc(grid, w))
         terms.append(_delta_f(grid, flux, Z))
     if not terms:
         return jnp.zeros_like(w)

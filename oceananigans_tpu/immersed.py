@@ -208,6 +208,23 @@ class ImmersedBoundaryGrid(AbstractGrid):
         m = self.mask.get(tuple(loc), ~self.solid_ccc)
         return jnp.asarray(m, dtype or self.dtype)
 
+    def fluid_mask_at(self, loc, dtype=None):
+        """Fluid mask at ANY staggered location: a point is solid if any of
+        the 2^f adjacent cell centers (f = number of face-located axes) is
+        solid — the dense-mask analogue of the reference's
+        immersed_peripheral_node used to zero conditional fluxes
+        (src/ImmersedBoundaries/conditional_differences.jl)."""
+        key = ("at",) + tuple(loc)
+        m = self.mask.get(key)
+        if m is None:
+            solid = self.solid_ccc
+            for axis in range(3):
+                if loc[axis] == FACE:
+                    solid = solid | np.roll(solid, 1, axis)
+            m = ~solid
+            self.mask[key] = m
+        return jnp.asarray(m, dtype or self.dtype)
+
     def mask_immersed(self, a, loc, value=0.0):
         """Zero (or set) a field inside the solid (reference:
         mask_immersed_field.jl)."""

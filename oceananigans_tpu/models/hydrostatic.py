@@ -160,11 +160,48 @@ class HydrostaticFreeSurfaceModel:
         self.state = dict(fields=fields, clock=clock, w=zeros(),
                           Gm={n: zeros() for n in self.prognostic_3d})
 
+        # immersed boundaries: velocities/tracers masked in the solid, depth
+        # integrals over the FLUID column, per-column depths in the
+        # barotropic mode (reference: column_depthᶠᶜᵃ on immersed grids +
+        # mask_immersed_field in update_hydrostatic_free_surface_model_state)
+        from ..immersed import ImmersedBoundaryGrid
+        self._immersed = isinstance(self.grid, ImmersedBoundaryGrid)
+        if self._immersed and vertical_coordinate == "zstar":
+            raise NotImplementedError("zstar + immersed boundaries is "
+                                      "future work")
+        if self._immersed and isinstance(self.free_surface,
+                                         ImplicitFreeSurface):
+            raise NotImplementedError(
+                "the FFT implicit free-surface solver assumes constant "
+                "depth; use SplitExplicitFreeSurface (default) or "
+                "ExplicitFreeSurface with immersed boundaries")
+
         # column depth (static z coordinate: H = depth of the water column;
-        # reference column_depthᶠᶜᵃ — constant for ZCoordinate grids)
+        # reference column_depthᶠᶜᵃ — constant for ZCoordinate grids,
+        # per-column fluid thickness on immersed grids)
         Lz = self.grid.extent[2]
-        self._H_fc = Lz
-        self._H_cf = Lz
+        if self._immersed:
+            h, n = self.grid.H[2], self.grid.N[2]
+            dz3 = np.broadcast_to(
+                np.asarray(self.grid.dz(LOC_CCC), float),
+                self.grid.padded_shape)
+
+            def coldepth(solid):
+                d = (dz3 * ~solid)[:, :, h:h + n].sum(2, keepdims=True)
+                # land columns: clamp to avoid 0/0 in the barotropic
+                # corrector (their velocities are masked to 0 anyway)
+                return np.maximum(d, 1e-12 * Lz)
+
+            self._H_fc = coldepth(self.grid.solid_fcc)
+            self._H_cf = coldepth(self.grid.solid_cfc)
+            sl = (slice(None), slice(None), slice(h, h + n))
+            self._fluid_int = {
+                LOC_FCC: jnp.asarray((~self.grid.solid_fcc)[sl], dtype),
+                LOC_CFC: jnp.asarray((~self.grid.solid_cfc)[sl], dtype),
+                LOC_CCC: jnp.asarray((~self.grid.solid_ccc)[sl], dtype)}
+        else:
+            self._H_fc = Lz
+            self._H_cf = Lz
 
         # implicit free-surface FFT plan (2D horizontal Helmholtz)
         if isinstance(self.free_surface, ImplicitFreeSurface):
@@ -249,6 +286,8 @@ class HydrostaticFreeSurfaceModel:
             if name == "eta":
                 out[name] = self._fill_xy(data, LOC_CCC, self.bcs["eta"], time)
             else:
+                if self._immersed and name in self.prognostic_3d:
+                    data = self.grid.mask_immersed(data, self.loc(name))
                 out[name] = fill_halo_regions(
                     data, self.grid, self.loc(name), self.bcs[name], time)
         return out
@@ -294,13 +333,35 @@ class HydrostaticFreeSurfaceModel:
         p = p.at[sx, sy, h:h + n].set(p_int)
         return self._fill_xy(p, LOC_CCC, self.bcs["ph"], time)
 
+    def _mask_state(self, new):
+        """Zero prognostic fields inside the topography at update time so the
+        stored state is user-consistent (reference: mask_immersed_field! in
+        update_state)."""
+        if not self._immersed:
+            return new
+        for n in self.prognostic_3d:
+            if n in new:
+                new[n] = self.grid.mask_immersed(new[n], self.loc(n))
+        return new
+
+    def _mask_kz(self, kz):
+        """Zero the implicit vertical diffusivity at faces adjacent to solid
+        cells (no diffusive flux through the immersed bottom; solid rows
+        decouple in the tridiagonal solve)."""
+        if not self._immersed:
+            return kz
+        return kz * self.grid.fluid_mask(LOC_CCF, self.grid.dtype)
+
     def _depth_integral(self, q, loc):
-        """∫ q dz as a padded 2D (…,1) array."""
+        """∫ q dz over the fluid column as a padded 2D (…,1) array."""
         grid = self.grid
         h, n = grid.H[2], grid.N[2]
         dzc, _ = _vertical_spacings(grid)
-        return jnp.sum(q[:, :, h:h + n] * jnp.asarray(dzc, q.dtype),
-                       axis=2, keepdims=True)
+        integrand = q[:, :, h:h + n] * jnp.asarray(dzc, q.dtype)
+        if self._immersed:
+            integrand = integrand * self._fluid_int[tuple(loc)].astype(
+                q.dtype)
+        return jnp.sum(integrand, axis=2, keepdims=True)
 
     # -- tendencies -----------------------------------------------------------
 
@@ -361,9 +422,17 @@ class HydrostaticFreeSurfaceModel:
 
         for name, F in self.forcing.items():
             G[name] = G[name] + (F(grid, fields, time) if callable(F) else F)
+        from ..boundary_conditions.fill_halos import (apply_immersed_flux_bcs,
+                                                      immersed_diffusivity)
         for name in list(G):
             G[name] = apply_flux_bcs(G[name], grid, self.loc(name),
                                      self.bcs[name], time)
+            ibc = getattr(self.bcs[name], "immersed", None)
+            if self._immersed and ibc is not None:
+                G[name] = apply_immersed_flux_bcs(
+                    G[name], grid, self.loc(name), ibc, time,
+                    c=fields[name],
+                    kappa=immersed_diffusivity(self.closure, name))
         return G, aux
 
     # -- free surface steps ---------------------------------------------------
@@ -470,12 +539,13 @@ class HydrostaticFreeSurfaceModel:
                         for name, kz in kappas.items():
                             if name in new:
                                 new[name] = implicit_vertical_diffusion(
-                                    self.grid, new[name], kz, sdt,
+                                    self.grid, new[name],
+                                    self._mask_kz(kz), sdt,
                                     damping=dampings.get(name))
                         if hasattr(self.closure, "clip_fields"):
                             new = self.closure.clip_fields(new)
                     new = self._stage_free_surface(fields0, new, G, sdt, time)
-                    fields = new
+                    fields = self._mask_state(new)
                 w_new = self._w_from_continuity(
                     fill_halo_regions(fields["u"], self.grid, LOC_FCC,
                                       self.bcs["u"], time),
@@ -529,13 +599,15 @@ class HydrostaticFreeSurfaceModel:
                        - (0.5 + chi) * Gm[name] * not_euler)
                        for name in self.tracer_names}
                 new["eta"] = fields["eta"]
+                new = self._mask_state(new)
                 if self.closure is not None:
                     kappas = self.closure.vertical_implicit_kappas(
                         self.grid, new, aux)
                     for name, kz in kappas.items():
                         if name in new and name != "eta":
                             new[name] = implicit_vertical_diffusion(
-                                self.grid, new[name], kz, dt)
+                                self.grid, new[name],
+                                self._mask_kz(kz), dt)
                 clock = dict(time=time + dt,
                              iteration=clock["iteration"] + 1,
                              last_dt=dt * jnp.ones_like(clock["last_dt"]))
@@ -581,7 +653,7 @@ class HydrostaticFreeSurfaceModel:
                 for name, kz in kappas.items():
                     if name in new:
                         new[name] = implicit_vertical_diffusion(
-                            self.grid, new[name], kz, dt,
+                            self.grid, new[name], self._mask_kz(kz), dt,
                             damping=dampings.get(name))
                 if hasattr(self.closure, "clip_fields"):
                     new = self.closure.clip_fields(new)
@@ -629,6 +701,7 @@ class HydrostaticFreeSurfaceModel:
                 for name in self.tracer_names:
                     new[name] = new[name] * ratio
 
+            new = self._mask_state(new)
             dt_sigma = ((sigma_np1 - sigma_n) / dt) if zstar else None
             w_new = self._w_from_continuity(
                 fill_halo_regions(new["u"], self.grid, LOC_FCC,

@@ -294,3 +294,84 @@ def test_multi_dimensional_weno_vector_invariant():
         model.time_step(2e-3)
     u = np.asarray(model.field("u").interior)
     assert np.isfinite(u).all()
+
+
+def test_hydrostatic_immersed_ridge():
+    """Hydrostatic model over immersed bathymetry (reference: hydrostatic
+    models on ImmersedBoundaryGrid): stratified rest state stays at rest,
+    flow over a ridge stays finite, free-surface volume is conserved with
+    per-column fluid depths, and solid cells stay masked."""
+    from oceananigans_tpu.immersed import (GridFittedBottom,
+                                           ImmersedBoundaryGrid)
+
+    base = RectilinearGrid(size=(24, 1, 8), x=(0, 1e4), y=(0, 1e4),
+                           z=(-100.0, 0.0),
+                           topology=("periodic", "flat", "bounded"))
+    ridge = lambda x, y: -100.0 + 60.0 * np.exp(-((x - 5e3) / 1.5e3) ** 2)
+    grid = ImmersedBoundaryGrid(base, GridFittedBottom(ridge))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, buoyancy=BuoyancyTracer(), tracers=("b",),
+        free_surface=SplitExplicitFreeSurface(substeps=12),
+        closure=ScalarDiffusivity(nu=1e-3))   # kappa=0: b is exactly steady
+    # stratified rest state: with grid-fitted (full-cell) bathymetry the
+    # discrete pressure gradient of b = N² z is exactly zonal-symmetric,
+    # so the state stays at rest to roundoff (a nonzero tracer kappa would
+    # legitimately disturb it: no-flux diffusion of linear b is unsteady)
+    model.set(b=lambda x, y, z: 1e-5 * z)
+    for _ in range(10):
+        model.time_step(60.0)
+    u = np.asarray(model.field("u").interior)
+    assert np.isfinite(u).all()
+    assert np.abs(u).max() < 1e-10, np.abs(u).max()
+
+    # now drive a barotropic flow over the ridge
+    model2 = HydrostaticFreeSurfaceModel(
+        grid=grid, buoyancy=BuoyancyTracer(), tracers=("b",),
+        free_surface=SplitExplicitFreeSurface(substeps=12),
+        closure=ScalarDiffusivity(nu=1e-2, kappa=1e-2))
+    model2.set(u=0.1, b=lambda x, y, z: 1e-5 * z)
+    eta0 = float(model2.field("eta").sum())
+    for _ in range(30):
+        model2.time_step(30.0)
+    u = np.asarray(model2.field("u").interior)
+    w = np.asarray(model2.state["w"])
+    assert np.isfinite(u).all() and np.isfinite(w).all()
+    assert np.abs(u).max() < 1.0          # no blow-up
+    # vertical motion is generated over the ridge
+    assert np.abs(w).max() > 1e-5
+    # volume conservation (eta sums to its initial value)
+    eta1 = float(model2.field("eta").sum())
+    assert abs(eta1 - eta0) < 1e-6
+    # solid cells stay masked to zero
+    solid = model2.grid.solid_ccc[model2.grid.interior_slices]
+    b = np.asarray(model2.field("b").interior)
+    assert np.abs(b[solid]).max() == 0.0
+
+
+def test_hydrostatic_immersed_value_bc():
+    """Immersed Value BC in the hydrostatic model: heated bathymetry warms
+    the bottom-adjacent fluid cells."""
+    from oceananigans_tpu.boundary_conditions import (
+        FieldBoundaryConditions, ImmersedBoundaryCondition,
+        ValueBoundaryCondition)
+    from oceananigans_tpu.immersed import (GridFittedBottom,
+                                           ImmersedBoundaryGrid)
+
+    base = RectilinearGrid(size=(8, 1, 8), x=(0, 1e3), y=(0, 1e3),
+                           z=(-100.0, 0.0),
+                           topology=("periodic", "flat", "bounded"))
+    grid = ImmersedBoundaryGrid(base, GridFittedBottom(-55.0))
+    bcs = FieldBoundaryConditions(immersed=ImmersedBoundaryCondition(
+        bottom=ValueBoundaryCondition(1.0)))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("c",), closure=ScalarDiffusivity(kappa=1e-3),
+        boundary_conditions={"c": bcs})
+    model.set(c=0.0)
+    for _ in range(50):
+        model.time_step(50.0)
+    c = np.asarray(model.field("c").interior)
+    solid = model.grid.solid_ccc[model.grid.interior_slices]
+    kbot = solid[0, 0].sum()
+    assert np.isfinite(c).all()
+    assert (c[:, :, kbot] > 0.01).all()
+    assert c.max() <= 1.0 + 1e-6
