@@ -2,7 +2,7 @@ from .scalar_diffusivity import (ScalarDiffusivity, VerticalScalarDiffusivity,
                                  HorizontalScalarDiffusivity,
                                  ScalarBiharmonicDiffusivity, ClosureTuple)
 from .smagorinsky import (Smagorinsky, SmagorinskyLilly, DynamicCoefficient,
-                          DynamicSmagorinsky)
+                          DynamicSmagorinsky, LagrangianAveraging)
 from .amd import AnisotropicMinimumDissipation
 from .vertical_diffusivities import (ConvectiveAdjustmentVerticalDiffusivity,
                                      RiBasedVerticalDiffusivity,
@@ -14,7 +14,8 @@ from .tke_dissipation import TKEDissipationVerticalDiffusivity
 __all__ = ["ScalarDiffusivity", "VerticalScalarDiffusivity",
            "HorizontalScalarDiffusivity", "ScalarBiharmonicDiffusivity",
            "Smagorinsky", "SmagorinskyLilly", "DynamicCoefficient",
-           "DynamicSmagorinsky", "AnisotropicMinimumDissipation",
+           "DynamicSmagorinsky", "LagrangianAveraging",
+           "AnisotropicMinimumDissipation",
            "ConvectiveAdjustmentVerticalDiffusivity",
            "RiBasedVerticalDiffusivity", "TwoDimensionalLeith",
            "CATKEVerticalDiffusivity", "ClosureTuple",

@@ -86,12 +86,57 @@ class Smagorinsky(_ClosureBase):
             zeta2 = jnp.maximum(0.0, 1.0 - N2 / (pr * jnp.maximum(S2, 1e-20)))
             S2 = S2 * zeta2
         if isinstance(self.C, DynamicCoefficient):
-            csq = dynamic_coefficient_sq(grid, u, v, w, self.C.averaging,
-                                         self.C.minimum_numerator)
+            if self.C.lagrangian:
+                # c² from the trajectory-relaxed JLM/JMM state fields (zero
+                # until the first update: the closure spins up over one step)
+                JLM, JMM = fields["JLM"], fields["JMM"]
+                csq = jnp.where(
+                    JMM > 0,
+                    jnp.maximum(JLM, self.C.minimum_numerator)
+                    / jnp.where(JMM == 0, 1.0, JMM), 0.0)
+            else:
+                csq = dynamic_coefficient_sq(grid, u, v, w, self.C.averaging,
+                                             self.C.minimum_numerator)
         else:
             csq = self.C ** 2
         nu_e = csq * filter_width_sq(grid) * jnp.sqrt(S2)
         return {"nu_e": nu_e}
+
+    @property
+    def state_fields(self):
+        """Closure-owned prognostic state (reference: the 𝒥ᴸᴹ/𝒥ᴹᴹ
+        diffusivity fields of the Lagrangian-averaged dynamic closure)."""
+        if isinstance(self.C, DynamicCoefficient) and self.C.lagrangian:
+            return ("JLM", "JMM")
+        return ()
+
+    def update_state_fields(self, grid, fields, dt, iteration):
+        """Bou-Zeid et al. (2005) Lagrangian relaxation of the Germano
+        contractions (reference: _lagrangian_average_LM_MM!,
+        dynamic_coefficient.jl:241-291): J ← ε·new + (1-ε)·J(X - UΔt) with
+        ε = (Δt/T)/(1 + Δt/T), T = 1.5Δ/(JLM·JMM)^(1/8); first step
+        initializes from the spatial means."""
+        u, v, w = fields["u"], fields["v"], fields["w"]
+        LM, MM = germano_LM_MM(grid, u, v, w)
+        jmin = self.C.minimum_numerator
+        JLMp, JMMp = fields["JLM"], fields["JMM"]
+        ii = grid.interior_slices
+        first = iteration == 0
+        initL = jnp.maximum(jnp.mean(LM[ii]), jmin)
+        initM = jnp.mean(MM[ii])
+        itpL = _upstream_interp(grid, JLMp, u, v, w, dt)
+        itpM = _upstream_interp(grid, JMMp, u, v, w, dt)
+        delta = jnp.sqrt(filter_width_sq(grid))
+        prod = jnp.maximum(JLMp, jmin) * jnp.maximum(JMMp, 0.0)
+        T = 1.5 * delta / jnp.maximum(prod, 1e-38) ** 0.125
+        tau = dt / T
+        eps = tau / (1.0 + tau)
+        newM = eps * MM + (1 - eps) * itpM
+        newL = jnp.maximum(eps * LM + (1 - eps) * jnp.maximum(itpL, jmin),
+                           jmin)
+        JLM = jnp.where(first, jnp.broadcast_to(initL, newL.shape), newL)
+        JMM = jnp.where(first, jnp.broadcast_to(initM, newM.shape), newM)
+        return {"JLM": JLM, "JMM": JMM}
 
     def momentum_tendencies(self, grid, fields, aux):
         u, v, w = fields["u"], fields["v"], fields["w"]
@@ -129,12 +174,21 @@ class DynamicCoefficient:
     """
 
     def __init__(self, averaging=(0, 1, 2), minimum_numerator=1e-32):
-        self.averaging = (tuple(averaging) if np.iterable(averaging)
-                          else (int(averaging),))
+        if isinstance(averaging, LagrangianAveraging) \
+                or averaging is LagrangianAveraging:
+            self.averaging = LagrangianAveraging()
+        else:
+            self.averaging = (tuple(averaging) if np.iterable(averaging)
+                              else (int(averaging),))
         self.minimum_numerator = float(minimum_numerator)
 
+    @property
+    def lagrangian(self):
+        return isinstance(self.averaging, LagrangianAveraging)
+
     def _fp(self):
-        return ("DynamicCoefficient", self.averaging, self.minimum_numerator)
+        avg = "lagrangian" if self.lagrangian else self.averaging
+        return ("DynamicCoefficient", avg, self.minimum_numerator)
 
 
 def test_filter(grid, a):
@@ -162,9 +216,9 @@ def _strain_components_ccc(grid, u, v, w):
     return S11, S22, S33, S12, S13, S23
 
 
-def dynamic_coefficient_sq(grid, u, v, w, averaging, minimum_numerator):
-    """c² = ⟨LM⟩/⟨MM⟩ padded field (reference: square_smagorinsky_coefficient
-    + LM_and_MM, dynamic_coefficient.jl:129-187). ᾱ²β = 4 (test/grid filter
+def germano_LM_MM(grid, u, v, w):
+    """Padded (LM, MM) Germano-identity contractions at ccc (reference:
+    LM_and_MM, dynamic_coefficient.jl:129-187). ᾱ²β = 4 (test/grid filter
     scale ratio squared)."""
     fu, fv, fw = test_filter(grid, u), test_filter(grid, v), test_filter(grid, w)
 
@@ -189,6 +243,13 @@ def dynamic_coefficient_sq(grid, u, v, w, averaging, minimum_numerator):
     weights = (1, 1, 1, 2, 2, 2)
     LM = sum(wgt * l * m for wgt, l, m in zip(weights, L, M))
     MM = sum(wgt * m * m for wgt, m, _ in zip(weights, M, M))
+    return LM, MM
+
+
+def dynamic_coefficient_sq(grid, u, v, w, averaging, minimum_numerator):
+    """c² = ⟨LM⟩/⟨MM⟩ padded field with directional averaging (reference:
+    square_smagorinsky_coefficient, dynamic_coefficient.jl)."""
+    LM, MM = germano_LM_MM(grid, u, v, w)
 
     # directional averaging over the INTERIOR, edge-padded back
     ii = grid.interior_slices
@@ -205,6 +266,40 @@ def dynamic_coefficient_sq(grid, u, v, w, averaging, minimum_numerator):
 
 def DynamicSmagorinsky(averaging=(0, 1, 2), Pr=1.0,
                        minimum_numerator=1e-32):
-    """Reference convenience constructor (dynamic_coefficient.jl:20-28)."""
+    """Reference convenience constructor (dynamic_coefficient.jl:20-28).
+    ``averaging`` may be directional dims or :class:`LagrangianAveraging`."""
     return Smagorinsky(coefficient=DynamicCoefficient(
         averaging=averaging, minimum_numerator=minimum_numerator), Pr=Pr)
+
+
+# -- Lagrangian-averaged dynamic coefficient ------------------------------------
+# reference: dynamic_coefficient.jl:233-330 (_lagrangian_average_LM_MM!),
+# Bou-Zeid, Meneveau & Parlange (2005): the LM/MM Germano contractions are
+# relaxed along fluid trajectories with timescale T = 1.5Δ/(JLM·JMM)^(1/8)
+# and a semi-Lagrangian (one-cell-clamped upstream trilinear) advection.
+
+class LagrangianAveraging:
+    """Sentinel selecting Lagrangian (along-trajectory) averaging for
+    :class:`DynamicCoefficient`."""
+
+    def __repr__(self):
+        return "LagrangianAveraging()"
+
+
+def _upstream_interp(grid, J, u, v, w, dt):
+    """Trilinear interpolation of ``J`` at the upstream point X - U·Δt
+    (displacement clamped to one cell, as in the reference) — expressed as
+    shift/where blends per axis: no gathers on TPU."""
+    from ..operators.shifts import shift
+    vels = (ix_c(grid, u), iy_c(grid, v), iz_c(grid, w))
+    spac = (grid.dx(LOC_CCC), grid.dy(LOC_CCC), grid.dz(LOC_CCC))
+    out = J
+    for ax in range(3):
+        if grid.is_flat(ax):
+            continue
+        alpha = jnp.clip(vels[ax] * dt / jnp.asarray(spac[ax], J.dtype),
+                         -1.0, 1.0)
+        a = jnp.abs(alpha)
+        upw = jnp.where(alpha > 0, shift(out, -1, ax), shift(out, +1, ax))
+        out = (1 - a) * out + a * upw
+    return out

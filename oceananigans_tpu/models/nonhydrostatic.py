@@ -190,12 +190,22 @@ class NonhydrostaticModel:
         dtype = self.grid.dtype
         zeros = lambda: jnp.zeros(shape, dtype)
         fields = {n: zeros() for n in self.prognostic_names}
+        # closure-owned state fields (e.g. the Lagrangian-averaged dynamic
+        # Smagorinsky JLM/JMM): carried in the state, stepped by the closure
+        self._closure_state = tuple(getattr(self.closure, "state_fields",
+                                            ()) or ())
+        for name in self._closure_state:
+            fields[name] = zeros()
+            self.bcs[name] = regularize_field_boundary_conditions(
+                None, self.grid, LOC_CCC)
         clock = dict(time=jnp.zeros((), dtype),
                      iteration=jnp.zeros((), jnp.int32),
                      last_dt=jnp.full((), np.inf, dtype))
         self.state = dict(fields=fields, clock=clock, pressure=zeros())
         if self.timestepper.needs_previous_tendencies:
-            self.state["Gm"] = {n: zeros() for n in self.prognostic_names}
+            self.state["Gm"] = {n: zeros()
+                                for n in (self.prognostic_names
+                                          + self._closure_state)}
         if self.particles is not None:
             self.state["particles"] = dict(self.particles.initial)
 
@@ -461,6 +471,11 @@ class NonhydrostaticModel:
         for name, F in self.forcing.items():
             G[name] = G[name] + (F(grid, fields, time) if callable(F) else F)
 
+        # closure-owned state fields advance via update_state_fields at the
+        # end of the step, not through the tendency machinery
+        for name in self._closure_state:
+            G[name] = jnp.zeros_like(fields[name])
+
         # boundary flux divergences (reference: compute_flux_bc_tendencies!)
         from ..boundary_conditions.fill_halos import (apply_immersed_flux_bcs,
                                                       immersed_diffusivity)
@@ -559,6 +574,11 @@ class NonhydrostaticModel:
                     fields = new
                     Gm = G
                     time = time + stage_dt
+                if self._closure_state:
+                    ffin = self._fill_all(fields, time)
+                    fields = dict(fields)
+                    fields.update(self.closure.update_state_fields(
+                        self.grid, ffin, dt, clock["iteration"]))
                 clock = dict(time=time, iteration=clock["iteration"] + 1,
                              last_dt=dt * jnp.ones_like(clock["last_dt"]))
                 out = dict(fields=fields, clock=clock, pressure=p)
@@ -599,6 +619,11 @@ class NonhydrostaticModel:
                 u, v, w, p = self._project(new["u"], new["v"], new["w"],
                                            dt, time)
                 new.update(u=u, v=v, w=w)
+                if self._closure_state:
+                    ffin = self._fill_all(new, time)
+                    new = dict(new)
+                    new.update(self.closure.update_state_fields(
+                        self.grid, ffin, dt, clock["iteration"]))
                 clock = dict(time=time + dt, iteration=clock["iteration"] + 1,
                              last_dt=dt * jnp.ones_like(clock["last_dt"]))
                 out = dict(fields=new, clock=clock, pressure=p, Gm=G)

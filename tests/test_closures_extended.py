@@ -222,3 +222,60 @@ def test_catke_convective_boundary_layer():
     prof = b_conv.mean(axis=(0, 1))
     top_strat = prof[-1] - prof[-6]
     assert top_strat < 0.8 * 1e-5 * (64.0 / 32 * 5)
+
+
+def test_lagrangian_averaged_dynamic_smagorinsky():
+    """Lagrangian-averaged dynamic Smagorinsky (reference:
+    dynamic_coefficient.jl:233-330, Bou-Zeid et al. 2005): the JLM/JMM state
+    fields spin up from spatial means, relax along trajectories, and produce
+    a bounded positive eddy viscosity comparable to the volume-averaged
+    dynamic coefficient."""
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.closures import (DynamicSmagorinsky,
+                                           LagrangianAveraging)
+    from oceananigans_tpu.advection import Centered
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    rng = np.random.default_rng(11)
+    grid = RectilinearGrid(size=(16, 16, 16), extent=(1.0, 1.0, 1.0))
+    u0 = 0.2 * rng.standard_normal((16, 16, 16))
+    v0 = 0.2 * rng.standard_normal((16, 16, 16))
+
+    model = NonhydrostaticModel(
+        grid=grid, advection=Centered(2),
+        closure=DynamicSmagorinsky(averaging=LagrangianAveraging()))
+    assert model.closure.state_fields == ("JLM", "JMM")
+    model.set(u=u0, v=v0)
+    model.time_step(1e-3)
+    JLM = np.asarray(model.state["fields"]["JLM"])
+    JMM = np.asarray(model.state["fields"]["JMM"])
+    ii = model.grid.interior_slices
+    # first step: initialized to the (positive) spatial means
+    assert JMM[ii].min() > 0
+    assert np.allclose(JLM[ii], JLM[ii].flat[0])
+    for _ in range(10):
+        model.time_step(1e-3)
+    JLM = np.asarray(model.state["fields"]["JLM"])[ii]
+    JMM = np.asarray(model.state["fields"]["JMM"])[ii]
+    assert np.isfinite(JLM).all() and np.isfinite(JMM).all()
+    # after relaxation the fields have developed spatial structure
+    assert JLM.std() > 0 and JMM.std() > 0
+    u = np.asarray(model.field("u").interior)
+    assert np.isfinite(u).all() and np.abs(u).max() < 1.0
+    # eddy viscosity: positive, same order as the volume-averaged variant
+    from oceananigans_tpu.closures.smagorinsky import filter_width_sq
+    ff = model._fill_all(model.state["fields"], 0.0)
+    aux = model.closure.compute_diffusivities(model.grid, ff, 0.0)
+    nu = np.asarray(aux["nu_e"])[ii]
+    assert (nu >= 0).all() and np.isfinite(nu).all()
+
+    mvol = NonhydrostaticModel(grid=grid, advection=Centered(2),
+                               closure=DynamicSmagorinsky())
+    mvol.set(u=u0, v=v0)
+    for _ in range(11):
+        mvol.time_step(1e-3)
+    ffv = mvol._fill_all(mvol.state["fields"], 0.0)
+    nuv = np.asarray(mvol.closure.compute_diffusivities(
+        mvol.grid, ffv, 0.0)["nu_e"])[ii]
+    assert nu.mean() < 50 * max(nuv.mean(), 1e-10)
+    assert nu.mean() > 0.02 * nuv.mean()
