@@ -212,13 +212,13 @@ class VectorInvariant:
 
     # -- vertical advection + divergence correction ---------------------------
 
-    def _vertical(self, grid, u, v, w):
+    def _vertical(self, grid, u, v, w, grid_motion=None):
         vas = self.vertical_advection_scheme
         if grid.is_flat(Z):
             zero_u, zero_v = jnp.zeros_like(u), jnp.zeros_like(v)
             if not isinstance(vas, AdvectionScheme):
                 return zero_u, zero_v
-            adv_u, adv_v = self._divergence_flux(grid, u, v)
+            adv_u, adv_v = self._divergence_flux(grid, u, v, grid_motion)
             return adv_u / grid.V(LOC_FCC), adv_v / grid.V(LOC_CFC)
 
         Az_w = grid.Az(LOC_CCF) * w
@@ -234,7 +234,7 @@ class VectorInvariant:
 
         # upwind: Φᵟ + δz(Az ŵ û) all divided by V
         # (reference: vertical_advection_U/V, vector_invariant_advection.jl:336-350)
-        phi_u, phi_v = self._divergence_flux(grid, u, v)
+        phi_u, phi_v = self._divergence_flux(grid, u, v, grid_motion)
         what_u = _sym(vas, grid, Az_w, X, 0)     # ccf → fcf
         az_u = dz_c(grid, what_u * vas.biased_by(grid, u, Z, 0, what_u))
         what_v = _sym(vas, grid, Az_w, Y, 0)     # ccf → cff
@@ -242,37 +242,43 @@ class VectorInvariant:
         return ((phi_u + az_u) / grid.V(LOC_FCC),
                 (phi_v + az_v) / grid.V(LOC_CFC))
 
-    def _divergence_flux(self, grid, u, v):
+    def _divergence_flux(self, grid, u, v, grid_motion=None):
         """Upwinded horizontal-divergence flux Φᵟ at fcc/cfc (reference:
         upwinded_divergence_flux_U/V in vector_invariant_self_upwinding.jl:20-44
-        and vector_invariant_cross_upwinding.jl:36-56)."""
+        and vector_invariant_cross_upwinding.jl:36-56). ``grid_motion`` is the
+        moving-grid contribution Az·Δr·∂t_σ at ccc (zero on static grids): it
+        enters the SYMMETRIC (cross) part of the divergence in self-upwinding
+        (δy_V_plus_∂t_σ / δx_U_plus_∂t_σ) and the whole upwinded divergence
+        in cross-upwinding."""
         ds = self.divergence_scheme
         cross = self.upwinding_cross_scheme
         dU = dx_c(grid, grid.Ax(LOC_FCC) * u)    # δx(Ax u) at ccc
         dV = dy_c(grid, grid.Ay(LOC_CFC) * v)    # δy(Ay v) at ccc
+        gm = 0.0 if grid_motion is None else grid_motion
         if self.upwinding == CROSS_AND_SELF:
-            div = dU + dV
+            div = dU + dV + gm
             phi_u = u * ds.biased_by(grid, div, X, 0, u)
             phi_v = v * ds.biased_by(grid, div, Y, 0, v)
         else:
             div_smooth = [dU + dV]               # divergence_smoothness
-            dvs = _sym(cross, grid, dV, X, 0)
+            dvs = _sym(cross, grid, dV + gm, X, 0)
             phi_u = u * self._md(dvs + ds.biased_by(grid, dU, X, 0, u,
                                                     smooth=div_smooth), X)
-            dus = _sym(cross, grid, dU, Y, 0)
+            dus = _sym(cross, grid, dU + gm, Y, 0)
             phi_v = v * self._md(dus + ds.biased_by(grid, dV, Y, 0, v,
                                                     smooth=div_smooth), Y)
         return phi_u, phi_v
 
     # -- assembly --------------------------------------------------------------
 
-    def momentum_tendencies(self, grid, u, v, w):
+    def momentum_tendencies(self, grid, u, v, w, grid_motion=None):
         """Return (U·∇u, U·∇v) — the advection contributions to be SUBTRACTED
         from the tendencies (reference: U_dot_∇u/U_dot_∇v,
-        vector_invariant_advection.jl:279-285)."""
+        vector_invariant_advection.jl:279-285). ``grid_motion`` = Az·Δr·∂t_σ
+        at ccc on moving (z-star) grids."""
         h_u, h_v = self._horizontal(grid, u, v)
         b_u, b_v = self._bernoulli(grid, u, v)
-        z_u, z_v = self._vertical(grid, u, v, w)
+        z_u, z_v = self._vertical(grid, u, v, w, grid_motion)
         return h_u + b_u + z_u, h_v + b_v + z_v
 
 

@@ -159,6 +159,10 @@ class HydrostaticFreeSurfaceModel:
                      last_dt=jnp.full((), np.inf, dtype))
         self.state = dict(fields=fields, clock=clock, w=zeros(),
                           Gm={n: zeros() for n in self.prognostic_3d})
+        if vertical_coordinate == "zstar":
+            # lagged grid-motion rate ∂t_σ (enters the upwinded vector-
+            # invariant divergence flux; reference: Az_Δr_∂t_σ)
+            self.state["dt_sigma"] = jnp.zeros(shape2d, dtype)
 
         # immersed boundaries: velocities/tracers masked in the solid, depth
         # integrals over the FLUID column, per-column depths in the
@@ -375,14 +379,22 @@ class HydrostaticFreeSurfaceModel:
         sigma = sigma_from_eta(self.grid, fields["eta"], self._H_fc)
         return ZStarGrid(self.grid, sigma)
 
-    def _compute_tendencies(self, fields, w, time):
+    def _compute_tendencies(self, fields, w, time, dt_sigma=None):
         grid = self._moving_grid(fields)
         u, v = fields["u"], fields["v"]
         G = {}
 
         if isinstance(self.momentum_advection, VectorInvariant):
+            gm = None
+            if dt_sigma is not None:
+                # Az·Δr·∂t_σ at ccc (Δr = the static reference spacing)
+                dzr = jnp.asarray(np.broadcast_to(
+                    np.asarray(self.grid.dz(LOC_CCC)),
+                    self.grid.padded_shape), u.dtype)
+                gm = jnp.asarray(self.grid.Az(LOC_CCC), u.dtype) * dzr \
+                    * dt_sigma
             adv_u, adv_v = self.momentum_advection.momentum_tendencies(
-                grid, u, v, w)
+                grid, u, v, w, grid_motion=gm)
         else:
             adv_u = div_Uu(grid, self.momentum_advection, u, v, w)
             adv_v = div_Uv(grid, self.momentum_advection, u, v, w)
@@ -628,7 +640,8 @@ class HydrostaticFreeSurfaceModel:
 
             fields = self._fill_all(fields, time)
             w = self._w_from_continuity(fields["u"], fields["v"])
-            G, aux = self._compute_tendencies(fields, w, time)
+            G, aux = self._compute_tendencies(
+                fields, w, time, dt_sigma=state.get("dt_sigma"))
 
             ab2G = {name: (1.5 + chi) * G[name]
                     - (0.5 + chi) * Gm[name] * not_euler
@@ -711,7 +724,10 @@ class HydrostaticFreeSurfaceModel:
                 dt_sigma=dt_sigma)
             clock = dict(time=time + dt, iteration=clock["iteration"] + 1,
                          last_dt=dt * jnp.ones_like(clock["last_dt"]))
-            return dict(fields=new, clock=clock, w=w_new, Gm=G)
+            out = dict(fields=new, clock=clock, w=w_new, Gm=G)
+            if zstar:
+                out["dt_sigma"] = dt_sigma
+            return out
 
         return step
 

@@ -375,3 +375,35 @@ def test_hydrostatic_immersed_value_bc():
     assert np.isfinite(c).all()
     assert (c[:, :, kbot] > 0.01).all()
     assert c.max() <= 1.0 + 1e-6
+
+
+def test_zstar_grid_motion_in_upwinded_divergence():
+    """The Az·Δr·∂t_σ grid-motion contribution enters the upwinded
+    vector-invariant divergence flux on z-star grids (reference:
+    vector_invariant_self_upwinding.jl δx_U_plus_∂t_σ): a z-star seiche with
+    WENOVectorInvariant runs stable, and the grid-motion term measurably
+    changes the momentum tendency once the free surface is moving."""
+    from oceananigans_tpu.advection.vector_invariant import \
+        WENOVectorInvariant
+
+    grid = RectilinearGrid(size=(32, 1, 8), x=(0, 1e4), y=(0, 1e3),
+                           z=(-100.0, 0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=20),
+        momentum_advection=WENOVectorInvariant(),
+        tracers=("c",), vertical_coordinate="zstar")
+    model.set(eta=lambda x, y, z: 1.0 * jnp.sin(2 * jnp.pi * x / 1e4), c=1.0)
+    for _ in range(10):
+        model.time_step(5.0)
+    u = np.asarray(model.field("u").interior)
+    assert np.isfinite(u).all() and np.abs(u).max() < 1.0
+    # with the surface moving, dt_sigma is nonzero and alters the tendency
+    dts = model.state["dt_sigma"]
+    assert float(jnp.abs(dts).max()) > 0
+    ff = model._fill_all(model.state["fields"], 0.0)
+    w = model._w_from_continuity(ff["u"], ff["v"])
+    G1, _ = model._compute_tendencies(ff, w, 0.0, dt_sigma=dts)
+    G0, _ = model._compute_tendencies(ff, w, 0.0, dt_sigma=None)
+    du = np.abs(np.asarray(G1["u"] - G0["u"])[model.grid.interior_slices])
+    assert du.max() > 0, "grid-motion term had no effect"
