@@ -50,6 +50,13 @@ class Field:
 
     # -- views ----------------------------------------------------------------
 
+    def view(self, indices):
+        """Windowed interior view (reference: Field ``indices`` kwarg —
+        e.g. ``f.view((slice(None), slice(None), -1))`` for the surface
+        slice). ``indices`` is a 3-tuple of slices/ints over the interior."""
+        return self.interior[tuple(indices)]
+
+
     @property
     def interior(self):
         """Interior values: N points per direction, N+1 for a Face location in

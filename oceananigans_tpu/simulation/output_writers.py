@@ -38,12 +38,17 @@ class FieldWriter:
     outputs: dict name → Field / callable(model) / prognostic name."""
 
     def __init__(self, model, outputs, path, schedule=None, overwrite=True,
-                 with_halos=False):
+                 with_halos=False, indices=None):
+        """``indices``: windowed output view (reference: the Field
+        ``indices`` kwarg of the JLD2/NetCDF writers, e.g.
+        ``indices=(slice(None), slice(None), -1)`` for a surface slice) —
+        a 3-tuple of slices/ints applied to each output's interior."""
         self.model = model
         self.outputs = dict(outputs)
         self.path = path
         self.schedule = schedule or IterationInterval(1)
         self.with_halos = with_halos
+        self.indices = tuple(indices) if indices is not None else None
         os.makedirs(path, exist_ok=True)
         self.index_file = os.path.join(path, "series.json")
         if overwrite or not os.path.exists(self.index_file):
@@ -70,6 +75,8 @@ class FieldWriter:
         it = model.iteration
         for name, spec in self.outputs.items():
             arr = fetch_output(self._resolve(spec), model)
+            if self.indices is not None and arr.ndim >= 3:
+                arr = arr[self.indices]
             np.save(os.path.join(self.path, f"{name}_{it}.npy"), arr)
         self.index["times"].append(model.time)
         self.index["iterations"].append(it)

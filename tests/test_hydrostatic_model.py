@@ -407,3 +407,25 @@ def test_zstar_grid_motion_in_upwinded_divergence():
     G0, _ = model._compute_tendencies(ff, w, 0.0, dt_sigma=None)
     du = np.abs(np.asarray(G1["u"] - G0["u"])[model.grid.interior_slices])
     assert du.max() > 0, "grid-motion term had no effect"
+
+
+def test_single_column_mode_catke():
+    """Single-column mode (reference: SingleColumnGrid usage for CATKE
+    calibration): (1, 1, Nz) doubly-Flat grid runs the full CATKE column
+    physics."""
+    from oceananigans_tpu.closures.catke import CATKEVerticalDiffusivity
+
+    grid = RectilinearGrid(size=(1, 1, 32), z=(-100.0, 0.0),
+                           topology=("flat", "flat", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+        closure=CATKEVerticalDiffusivity(buoyancy=BuoyancyTracer()))
+    model.set(b=lambda x, y, z: 1e-5 * z)
+    for _ in range(20):
+        model.time_step(60.0)
+    b = np.asarray(model.field("b").interior)
+    e = np.asarray(model.field("e").interior)
+    assert b.shape == (1, 1, 32)
+    assert np.isfinite(b).all() and (e >= 0).all()
+    # stratification is preserved (monotone b)
+    assert (np.diff(b[0, 0]) > -1e-9).all()

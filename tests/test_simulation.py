@@ -241,3 +241,28 @@ def test_stop_time_not_representable_in_f32_clock():
         assert np.isfinite(u).all()
     finally:
         defaults.FloatType = saved
+
+
+def test_windowed_output_and_field_view(tmp_path):
+    """Windowed (sliced) outputs (reference: the writers' Field `indices`
+    kwarg): FieldWriter(indices=...) writes only the surface slice;
+    Field.view gives the same window interactively."""
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.simulation import Simulation
+    from oceananigans_tpu.simulation.output_writers import FieldWriter
+
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1, 1, 1))
+    model = NonhydrostaticModel(grid=grid, tracers=("c",))
+    model.set(c=lambda x, y, z: z)
+    sim = Simulation(model, dt=1e-3, stop_iteration=2)
+    w = FieldWriter(model, {"c": "c"}, str(tmp_path / "out"),
+                    indices=(slice(None), slice(None), -1))
+    sim.output_writers["fields"] = w
+    sim.run()
+    import glob
+    f = sorted(glob.glob(str(tmp_path / "out" / "c_*.npy")))[-1]
+    arr = np.load(f)
+    assert arr.shape == (8, 8)               # surface slice only
+    v = model.field("c").view((slice(None), slice(None), -1))
+    assert np.allclose(arr, np.asarray(v))
