@@ -195,3 +195,148 @@ def build_fused_advection(grid, scheme, tracer_names):
         return Gu, Gv, Gw, Gc
 
     return fused
+
+
+def build_fused_advection_update(grid, scheme, tracer_names):
+    """Advection megakernel with the RK3 stage update FUSED in: one Pallas
+    call computes G = -∇·(𝐯 q) AND new = q + γΔt·G + ζΔt·G⁻ for every
+    prognostic field. This removes the separate elementwise update pass
+    (reads of q, G, G⁻ + write of new through HBM each stage ≈ 10% of the
+    256³ step). Eligible when advection is the ONLY tendency (the z-compact
+    gate already excludes closures/forcing/etc.; the model additionally
+    requires no coriolis/buoyancy).
+
+    Returns fn(u, v, w, tracers, Gm, gamma_dt, zeta_dt) ->
+    (G_int list [interior-shaped, pass back as next stage's Gm],
+    new dict {u, v, w, *tracers} padded with ZERO halos — the projection
+    and the next stage's fill re-derive halos).
+    ``Gm=None`` selects the first-stage variant (ζ = 0)."""
+    Hx, Hy, Hz = grid.H
+    z_compact = (Hz == 0 and not grid.is_flat(2))
+    zbc = None
+    if z_compact:
+        zbc = {"u": "even", "v": "even", "w": "odd_face", "c": "even"}
+    Nx, Ny, Nz = grid.N
+    ZP = grid.padded_shape[2]
+    TX = _pick_tile(Nx, (32, 16, 8, 4, 2))
+    TY = _pick_tile(Ny, (64, 32, 16, 128, 8, 4, 2))
+    if TX is None or TY is None:
+        raise ValueError("grid not tileable for the fused kernel")
+    tgrid = _TileGrid(grid)
+    names = tuple(tracer_names)
+    nf = 3 + len(names)
+    if (2 * Hy) % 8:
+        raise ValueError("fused kernel needs 2*Hy % 8 == 0")
+    ZPAD = -(-ZP // 128) * 128
+    slab_shape = (TX + 2 * Hx, TY + 2 * Hy, ZPAD)
+
+    def make_call(with_gm):
+        def kernel(*refs):
+            k0 = 0
+            ins = refs[k0:k0 + nf]; k0 += nf
+            gms = refs[k0:k0 + (nf if with_gm else 0)]
+            k0 += nf if with_gm else 0
+            gdt_ref = refs[k0]; k0 += 1
+            zdt_ref = None
+            if with_gm:
+                zdt_ref = refs[k0]; k0 += 1
+            outs = refs[k0:k0 + 2 * nf]; k0 += 2 * nf
+            slabs = refs[k0:k0 + nf]; k0 += nf
+            newslabs = refs[k0:k0 + nf]; k0 += nf
+            sems = refs[k0]
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            x0, y0 = i * TX, j * TY
+            copies = []
+            for k in range(nf):
+                dma = pltpu.make_async_copy(
+                    ins[k].at[pl.ds(x0, TX + 2 * Hx),
+                              pl.ds(y0, TY + 2 * Hy), :],
+                    slabs[k], sems.at[k])
+                dma.start()
+                copies.append(dma)
+            for dma in copies:
+                dma.wait()
+            u = slabs[0][:]
+            v = slabs[1][:]
+            w = slabs[2][:]
+            gdt = gdt_ref[0, 0]
+
+            def out_tile(a):
+                return a[Hx:Hx + TX, Hy:Hy + TY, :ZP]
+
+            Gs = [out_tile(-div_Uu(tgrid, scheme, u, v, w, zbc=zbc)),
+                  out_tile(-div_Uv(tgrid, scheme, u, v, w, zbc=zbc)),
+                  out_tile(-div_Uw(tgrid, scheme, u, v, w, zbc=zbc))]
+            for t in range(len(names)):
+                c = slabs[3 + t][:]
+                Gs.append(out_tile(-div_Uc(tgrid, scheme, u, v, w, c,
+                                           zbc=zbc)))
+            wcopies = []
+            for k in range(nf):
+                outs[k][:] = Gs[k]
+                inc = gdt * Gs[k]
+                if with_gm:
+                    inc = inc + zdt_ref[0, 0] * gms[k][:]
+                newslabs[k][:] = out_tile(slabs[k][:]) + inc
+                dma = pltpu.make_async_copy(
+                    newslabs[k],
+                    outs[nf + k].at[pl.ds(x0 + Hx, TX),
+                                    pl.ds(y0 + Hy, TY), :],
+                    sems.at[k])
+                dma.start()
+                wcopies.append(dma)
+            for dma in wcopies:
+                dma.wait()
+
+        n_in = nf + (nf if with_gm else 0)
+        n_scal = 2 if with_gm else 1
+        tile_spec = pl.BlockSpec((TX, TY, ZP), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+        smem_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * nf
+        if with_gm:
+            in_specs += [tile_spec] * nf
+        in_specs += [smem_spec] * n_scal
+        NP = grid.padded_shape
+        return pl.pallas_call(
+            kernel,
+            grid=(Nx // TX, Ny // TY),
+            in_specs=in_specs,
+            # G: interior tiles (consumed as next stage's Gm); new: written
+            # straight into PADDED HBM buffers by DMA (halo slots garbage —
+            # the projection/next fill re-derive them), no embed pass
+            out_specs=[tile_spec] * nf
+            + [pl.BlockSpec(memory_space=pl.ANY)] * nf,
+            out_shape=[jax.ShapeDtypeStruct((Nx, Ny, ZP), grid.dtype)] * nf
+            + [jax.ShapeDtypeStruct(NP, grid.dtype)] * nf,
+            scratch_shapes=([pltpu.VMEM(slab_shape, grid.dtype)] * nf
+                            + [pltpu.VMEM((TX, TY, ZP), grid.dtype)] * nf
+                            + [pltpu.SemaphoreType.DMA((nf,))]),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=jax.default_backend() == "cpu",
+        )
+
+    call0 = make_call(False)
+    call1 = make_call(True)
+    sx, sy = slice(Hx, Hx + Nx), slice(Hy, Hy + Ny)
+    zpad = [(0, 0), (0, 0), (0, ZPAD - ZP)]
+
+    def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt):
+        args = [jnp.pad(a, zpad) for a in
+                [u, v, w] + [tracers[n] for n in names]]
+        g = jnp.asarray(gamma_dt, grid.dtype).reshape(1, 1)
+        if Gm is None:
+            outs = call0(*args, g)
+        else:
+            z = jnp.asarray(zeta_dt, grid.dtype).reshape(1, 1)
+            outs = call1(*args, *Gm, g, z)
+        G_int = list(outs[:nf])
+        new = {"u": outs[nf], "v": outs[nf + 1], "w": outs[nf + 2]}
+        for t, n in enumerate(names):
+            new[n] = outs[nf + 3 + t]
+        return G_int, new
+
+    return fused_update

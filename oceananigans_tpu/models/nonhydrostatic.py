@@ -221,6 +221,18 @@ class NonhydrostaticModel:
             elif fused_advection is True:
                 raise ValueError("grid is not eligible for fused advection")
 
+        # fully-fused RK3 path: when advection is the ONLY tendency (the
+        # z-compact gate already excludes closure/forcing/stokes/bgc/
+        # particles/backgrounds) the stage update q + γΔt·G + ζΔt·G⁻ fuses
+        # INTO the megakernel, removing a full elementwise HBM pass per stage
+        self._fused_update = None
+        if (self._fused_advection is not None and self._z_compact
+                and self.coriolis is None and self.buoyancy is None
+                and isinstance(self.timestepper, RungeKutta3TimeStepper)):
+            from ..kernels.fused_advection import build_fused_advection_update
+            self._fused_update = build_fused_advection_update(
+                self.grid, self.advection, self.tracer_names)
+
         self._step = jax.jit(self._build_step())
 
     # -- basic properties -----------------------------------------------------
@@ -546,6 +558,33 @@ class NonhydrostaticModel:
 
     def _build_step(self):
         ts = self.timestepper
+
+        if isinstance(ts, RungeKutta3TimeStepper) \
+                and self._fused_update is not None:
+            def step(state, dt):
+                fields = state["fields"]
+                clock = state["clock"]
+                time = clock["time"]
+                p = state["pressure"]
+                Gm = None
+                for gamma, zeta in zip(RK3_GAMMAS, RK3_ZETAS):
+                    stage_dt = (gamma + zeta) * dt
+                    fields = self._fill_all(fields, time, dt=stage_dt)
+                    Gm, new = self._fused_update(
+                        fields["u"], fields["v"], fields["w"],
+                        {n: fields[n] for n in self.tracer_names},
+                        Gm, gamma * dt, zeta * dt)
+                    new["w"] = new["w"] * self._w_face_mask
+                    u, v, w, p = self._project(new["u"], new["v"], new["w"],
+                                               stage_dt, time)
+                    new.update(u=u, v=v, w=w)
+                    fields = new
+                    time = time + stage_dt
+                clock = dict(time=time, iteration=clock["iteration"] + 1,
+                             last_dt=dt * jnp.ones_like(clock["last_dt"]))
+                return dict(fields=fields, clock=clock, pressure=p)
+
+            return step
 
         if isinstance(ts, RungeKutta3TimeStepper):
             def step(state, dt):
