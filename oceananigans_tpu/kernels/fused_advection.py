@@ -340,3 +340,76 @@ def build_fused_advection_update(grid, scheme, tracer_names):
         return G_int, new
 
     return fused_update
+
+
+def build_sharded_fused_advection(grid, scheme, tracer_names, mesh):
+    """The advection megakernel under an (x, y) device mesh: the GLOBAL-VIEW
+    padded fields are re-blocked into per-shard locally-padded slabs inside a
+    ``shard_map``; ppermute strips fill the local halos
+    (parallel/halo_exchange.py) and the per-shard Pallas kernel runs on its
+    local block — the multi-chip continuation of the fused fast path (the
+    pure-GSPMD alternative would fall back to the XLA advection because
+    Pallas calls are opaque to the partitioner).
+
+    Returns fn(u, v, w, tracers) -> (Gu, Gv, Gw, {name: Gc}) padded
+    global-view arrays (halo slots zero)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.halo_exchange import halo_exchange_local
+
+    names = tuple(tracer_names)
+    nf = 3 + len(names)
+    Nx, Ny, Nz = grid.N
+    Hx, Hy, Hz = grid.H
+    axn = mesh.axis_names
+    Sx, Sy = mesh.devices.shape
+    if Nx % Sx or Ny % Sy:
+        raise ValueError("interior must divide the mesh")
+    nlx, nly = Nx // Sx, Ny // Sy
+    ZP = grid.padded_shape[2]
+
+    from ..grids.rectilinear import RectilinearGrid
+    ext = grid.extent
+    lgrid = RectilinearGrid(
+        size=(nlx, nly, Nz),
+        extent=(ext[0] * nlx / Nx, ext[1] * nly / Ny, ext[2]),
+        topology=grid.topology, halo=(Hx, Hy, Hz), dtype=grid.dtype)
+    fused_local = build_fused_advection(lgrid, scheme, names)
+
+    spec = P(axn[0], axn[1], None)
+    gsx = slice(Hx, Hx + Nx)
+    gsy = slice(Hy, Hy + Ny)
+    lsx = slice(Hx, Hx + nlx)
+    lsy = slice(Hy, Hy + nly)
+
+    def body(*locs):
+        padded = [jnp.pad(a, [(Hx, Hx), (Hy, Hy), (0, 0)]) for a in locs]
+        padded = [halo_exchange_local(a, (Hx, Hy, 0), (nlx, nly, ZP),
+                                      axis_names=axn) for a in padded]
+        Gu, Gv, Gw, Gc = fused_local(
+            padded[0], padded[1], padded[2],
+            {n: padded[3 + t] for t, n in enumerate(names)})
+        outs = [Gu[lsx, lsy, :], Gv[lsx, lsy, :], Gw[lsx, lsy, :]]
+        outs += [Gc[n][lsx, lsy, :] for n in names]
+        return tuple(outs)
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation; the outputs are trivially per-shard local
+    smapped = shard_map(body, mesh=mesh, in_specs=(spec,) * nf,
+                        out_specs=(spec,) * nf, check_vma=False)
+
+    def sharded(u, v, w, tracers):
+        ins = [a[gsx, gsy, :] for a in
+               [u, v, w] + [tracers[n] for n in names]]
+        outs = smapped(*ins)
+        shape = grid.padded_shape
+
+        def embed(o):
+            return jnp.zeros(shape, o.dtype).at[gsx, gsy, :].set(o)
+
+        Gu, Gv, Gw = embed(outs[0]), embed(outs[1]), embed(outs[2])
+        Gc = {n: embed(outs[3 + t]) for t, n in enumerate(names)}
+        return Gu, Gv, Gw, Gc
+
+    return sharded

@@ -66,7 +66,7 @@ class NonhydrostaticModel:
                  boundary_conditions=None, timestepper="RungeKutta3",
                  pressure_solver=None, background_fields=None,
                  stokes_drift=None, biogeochemistry=None, particles=None,
-                 fused_advection="auto", z_compact="auto"):
+                 fused_advection="auto", z_compact="auto", architecture=None):
         if advection is None:
             advection = Centered(order=2)
         self.advection = advection
@@ -210,12 +210,27 @@ class NonhydrostaticModel:
             self.state["particles"] = dict(self.particles.initial)
 
         # Pallas fused advection megakernel (regular grids): the WENO/upwind
-        # flux assembly runs in VMEM with one HBM read per field per stage
+        # flux assembly runs in VMEM with one HBM read per field per stage.
+        # Under a Distributed architecture the kernel is shard_map-wrapped
+        # (per-shard blocks + ppermute halo strips) since Pallas calls are
+        # opaque to the GSPMD partitioner.
+        self.architecture = architecture
         self._fused_advection = None
         if fused_advection in (True, "auto") and not self.immersed \
                 and self.advection is not None:
-            from ..kernels.fused_advection import build_fused_advection, eligible
-            if eligible(self.grid):
+            from ..kernels.fused_advection import (
+                build_fused_advection, build_sharded_fused_advection,
+                eligible)
+            if architecture is not None and getattr(architecture, "mesh",
+                                                    None) is not None:
+                try:
+                    self._fused_advection = build_sharded_fused_advection(
+                        self.grid, self.advection, self.tracer_names,
+                        architecture.mesh)
+                except ValueError:
+                    if fused_advection is True:
+                        raise
+            elif eligible(self.grid):
                 self._fused_advection = build_fused_advection(
                     self.grid, self.advection, self.tracer_names)
             elif fused_advection is True:
@@ -227,6 +242,7 @@ class NonhydrostaticModel:
         # INTO the megakernel, removing a full elementwise HBM pass per stage
         self._fused_update = None
         if (self._fused_advection is not None and self._z_compact
+                and architecture is None
                 and self.coriolis is None and self.buoyancy is None
                 and isinstance(self.timestepper, RungeKutta3TimeStepper)):
             from ..kernels.fused_advection import build_fused_advection_update

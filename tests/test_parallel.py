@@ -68,9 +68,9 @@ def test_sharded_step_matches_serial():
     arch.validate_grid(grid)
 
     def build():
-        # fused_advection=False: the Pallas megakernel runs per-chip and is
-        # wrapped in shard_map for distributed runs in a later round; the
-        # global-view GSPMD path uses the XLA advection
+        # fused_advection=False exercises the pure-GSPMD XLA advection path
+        # (the shard_map-wrapped megakernel is covered by
+        # test_sharded_fused_advection_matches_serial)
         m = NonhydrostaticModel(grid=grid, advection=WENO(5),
                                 fused_advection=False)
         rng = np.random.default_rng(1)
@@ -183,3 +183,33 @@ def test_distributed_pencil_bounded_and_stretched_z():
     dist2 = dist2 - dist2.mean()
     serial2 = serial2 - serial2.mean()
     assert np.abs(dist2 - serial2).max() < 1e-8
+
+
+def test_sharded_fused_advection_matches_serial():
+    """The shard_map-wrapped Pallas megakernel (per-shard blocks + ppermute
+    halo strips) matches the serial fused model."""
+    need_devices(8)
+    arch = Distributed(Partition(x=2, y=4))
+    grid = RectilinearGrid(size=(16, 16, 128), extent=(1, 1, 1))
+    rng = np.random.default_rng(3)
+    u0 = 0.1 * rng.standard_normal((16, 16, 128))
+    v0 = 0.1 * rng.standard_normal((16, 16, 128))
+
+    m_serial = NonhydrostaticModel(grid=grid, advection=WENO(5),
+                                   fused_advection=True, z_compact=True)
+    m_serial.set(u=u0, v=v0)
+    m_shard = NonhydrostaticModel(grid=grid, advection=WENO(5),
+                                  fused_advection=True, z_compact=True,
+                                  architecture=arch)
+    assert m_shard._fused_advection is not None
+    assert m_shard._fused_update is None      # sharded path uses plain RK3
+    m_shard.set(u=u0, v=v0)
+    m_shard.state = arch.shard(m_shard.state)
+    for _ in range(2):
+        m_serial.time_step(1e-3)
+        m_shard.time_step(1e-3)
+    for n in ("u", "v", "w"):
+        a = np.asarray(m_serial.state["fields"][n])
+        b = np.asarray(m_shard.state["fields"][n])
+        sl = m_serial.grid.interior_slices
+        assert np.abs(a[sl] - b[sl]).max() < 1e-9, n
