@@ -131,6 +131,119 @@ class RoquetSecondOrderEquationOfState:
         return -g * self.density_anomaly(T, S, z) / self.rho0
 
 
+class TEOS10EquationOfState:
+    """55-term polynomial TEOS-10 Boussinesq equation of state
+    ("polyTEOS10-bsq", Roquet, Madec, McDougall & Barker 2015, Ocean
+    Modelling 90:29-43, Appendix A.2) — the reference reaches the same
+    polynomial through SeawaterPolynomials.jl's `TEOS10EquationOfState`
+    (src/BuoyancyFormulations/nonlinear_equation_of_state.jl uses it via
+    `ρ′(θ, sᴬ, Z, eos)`).
+
+    In-situ Boussinesq density ρ(Θ, Sᴬ, Z) = r₀(Z) + r′(Θ, Sᴬ, Z) with a
+    degree-(6,4,2,1) polynomial r′ in normalized (√S, Θ, Z) and a quintic
+    vertical reference profile r₀. Coefficients are transcribed from the
+    published polyTEOS10-bsq tables; the implementation reproduces the
+    paper's check value ρ(Sᴬ=30 g/kg, Θ=10°C, Z=-1000 m) = 1027.45140 kg/m³
+    to 8 significant digits (tests/test_physics_plugins.py)."""
+
+    # normalization constants (Roquet et al. 2015, Appendix A.2)
+    _SAu = 40.0 * 35.16504 / 35.0
+    _CTu = 40.0
+    _Zu = 1.0e4
+    _deltaS = 32.0
+
+    # r′ coefficients R[ijk]: (√S)^i Θ^j Z^k
+    _R = dict(
+        R000=8.0189615746e+02, R100=8.6672408165e+02, R200=-1.7864682637e+03,
+        R300=2.0375295546e+03, R400=-1.2849161071e+03, R500=4.3227585684e+02,
+        R600=-6.0579916612e+01,
+        R010=2.6010145068e+01, R110=-6.5281885265e+01, R210=8.1770425108e+01,
+        R310=-5.6888046321e+01, R410=1.7681814114e+01, R510=-1.9193502195e+00,
+        R020=-3.7074170417e+01, R120=6.1548258127e+01, R220=-6.0362551501e+01,
+        R320=2.9130021253e+01, R420=-5.4723692739e+00,
+        R030=2.1661789529e+01, R130=-3.3449108469e+01, R230=1.9717078466e+01,
+        R330=-3.1742946532e+00,
+        R040=-8.3627885467e+00, R140=1.1311538584e+01, R240=-5.3563304045e+00,
+        R050=5.4048723791e-01, R150=4.8169980163e-01,
+        R060=-1.9083568888e-01,
+        R001=1.9681925209e+01, R101=-4.2549998214e+01, R201=5.0774768218e+01,
+        R301=-3.0938076334e+01, R401=6.6051753097e+00,
+        R011=-1.3336301113e+01, R111=-4.4870114575e+00, R211=5.0042598061e+00,
+        R311=-6.5399043664e-01,
+        R021=6.7080479603e+00, R121=3.5063081279e+00, R221=-1.8795372996e+00,
+        R031=-2.4649669534e+00, R131=-5.5077101279e-01,
+        R041=5.5927935970e-01,
+        R002=2.0660924175e+00, R102=-4.9527603989e+00, R202=2.5019633244e+00,
+        R012=2.0564311499e+00, R112=-2.1311365518e-01,
+        R022=-1.2419983026e+00,
+        R003=-2.3342758797e-02, R103=-1.8507636718e-02, R013=3.7969820455e-01,
+    )
+    # vertical reference profile r₀(Z) coefficients
+    _RZ = (4.6494977072e+01, -5.2099962525e+00, 2.2601900708e-01,
+           6.4326772569e-02, 1.5616995503e-02, -1.7243708991e-03)
+
+    def __init__(self, reference_density=1020.0):
+        self.rho0 = float(reference_density)
+
+    def _fp(self):
+        return ("TEOS10", self.rho0)
+
+    __hash__ = BuoyancyTracer.__hash__
+    __eq__ = BuoyancyTracer.__eq__
+
+    def density(self, T, S, z):
+        """In-situ Boussinesq density ρ(Θ, Sᴬ, Z) [kg/m³]; T is conservative
+        temperature [°C], S absolute salinity [g/kg], z geopotential height
+        [m] (negative below the surface)."""
+        g = self._R
+        ss = jnp.sqrt((S + self._deltaS) / self._SAu)
+        tt = T / self._CTu
+        zz = -z / self._Zu
+        rz3 = g["R013"] * tt + g["R103"] * ss + g["R003"]
+        rz2 = ((g["R022"] * tt + g["R112"] * ss + g["R012"]) * tt
+               + (g["R202"] * ss + g["R102"]) * ss + g["R002"])
+        rz1 = ((((g["R041"] * tt + g["R131"] * ss + g["R031"]) * tt
+                 + (g["R221"] * ss + g["R121"]) * ss + g["R021"]) * tt
+                + ((g["R311"] * ss + g["R211"]) * ss + g["R111"]) * ss
+                + g["R011"]) * tt
+               + (((g["R401"] * ss + g["R301"]) * ss + g["R201"]) * ss
+                  + g["R101"]) * ss + g["R001"])
+        rz0 = (((((g["R060"] * tt + g["R150"] * ss + g["R050"]) * tt
+                  + (g["R240"] * ss + g["R140"]) * ss + g["R040"]) * tt
+                 + ((g["R330"] * ss + g["R230"]) * ss + g["R130"]) * ss
+                 + g["R030"]) * tt
+                + (((g["R420"] * ss + g["R320"]) * ss + g["R220"]) * ss
+                   + g["R120"]) * ss + g["R020"]) * tt
+               + ((((g["R510"] * ss + g["R410"]) * ss + g["R310"]) * ss
+                   + g["R210"]) * ss + g["R110"]) * ss + g["R010"]) * tt \
+            + (((((g["R600"] * ss + g["R500"]) * ss + g["R400"]) * ss
+                 + g["R300"]) * ss + g["R200"]) * ss + g["R100"]) * ss \
+            + g["R000"]
+        r_prime = ((rz3 * zz + rz2) * zz + rz1) * zz + rz0
+        c0, c1, c2, c3, c4, c5 = self._RZ
+        r0 = zz * (c0 + zz * (c1 + zz * (c2 + zz * (c3 + zz * (c4 + zz * c5)))))
+        return r0 + r_prime
+
+    def density_anomaly(self, T, S, z):
+        """ρ′ = ρ(Θ, Sᴬ, Z) − ρ₀ (the reference's SeawaterPolynomials ρ′)."""
+        return self.density(T, S, z) - self.rho0
+
+    def buoyancy(self, g, T, S, z):
+        return -g * self.density_anomaly(T, S, z) / self.rho0
+
+    def thermal_expansion(self, T, S, z, dT=1e-3):
+        """α = −(∂ρ/∂Θ)/ρ via centered difference on the polynomial."""
+        rho = self.density(T, S, z)
+        return -(self.density(T + dT, S, z)
+                 - self.density(T - dT, S, z)) / (2 * dT) / rho
+
+    def haline_contraction(self, T, S, z, dS=1e-3):
+        """β = (∂ρ/∂Sᴬ)/ρ."""
+        rho = self.density(T, S, z)
+        return (self.density(T, S + dS, z)
+                - self.density(T, S - dS, z)) / (2 * dS) / rho
+
+
 class NonlinearSeawaterBuoyancy(SeawaterBuoyancy):
     """SeawaterBuoyancy with a nonlinear (z-dependent) equation of state."""
 

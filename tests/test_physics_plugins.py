@@ -201,3 +201,45 @@ def test_buoyancy_force_tilted_gravity():
     # the momentum ratio follows the tilt direction
     ratio = u.max() / w.max()
     assert 0.1 < ratio < 1.0   # sin(0.3)/cos(0.3) ≈ 0.31
+
+
+def test_teos10_polynomial_check_value():
+    """polyTEOS10-bsq published check value (Roquet et al. 2015, App. A.2):
+    ρ(Sᴬ=30 g/kg, Θ=10°C, Z=-1000 m) = 1027.45140 kg/m³."""
+    from oceananigans_tpu.buoyancy import TEOS10EquationOfState
+    import jax.numpy as jnp
+    eos = TEOS10EquationOfState()
+    rho = float(eos.density(jnp.float64(10.0) if jnp.zeros(1).dtype == jnp.float64
+                            else 10.0, 30.0, -1000.0))
+    assert abs(rho - 1027.45140) < 2e-4
+    # physical anchors: standard-ocean surface density, expansion coefficients
+    assert abs(float(eos.density(0.0, 35.16504, 0.0)) - 1028.107) < 5e-2
+    alpha = float(eos.thermal_expansion(15.0, 35.0, 0.0))
+    beta = float(eos.haline_contraction(15.0, 35.0, 0.0))
+    assert 1.9e-4 < alpha < 2.3e-4
+    assert 7.0e-4 < beta < 7.9e-4
+
+
+def test_teos10_buoyancy_in_model():
+    """TEOS-10 EOS drives convection: cold water above warm sinks."""
+    import numpy as np
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.advection import Centered
+    from oceananigans_tpu.buoyancy import (NonlinearSeawaterBuoyancy,
+                                           TEOS10EquationOfState)
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    grid = RectilinearGrid(size=(16, 4, 16), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = NonhydrostaticModel(
+        grid=grid, advection=Centered(2),
+        buoyancy=NonlinearSeawaterBuoyancy(
+            equation_of_state=TEOS10EquationOfState()))
+    # warm blob at the bottom in an otherwise cold, uniform-salinity ocean
+    model.set(T=lambda x, y, z: 10.0 + 5.0 * np.exp(
+        -((x - 0.5) ** 2 + (z + 0.8) ** 2) / 0.02), S=35.0)
+    for _ in range(10):
+        model.time_step(0.005)
+    w = np.asarray(model.field("w").interior)
+    assert np.isfinite(w).all()
+    assert w.max() > 1e-5   # warm (light) water rises
