@@ -249,6 +249,20 @@ class NonhydrostaticModel:
             self._fused_update = build_fused_advection_update(
                 self.grid, self.advection, self.tracer_names)
 
+        # fused projection kernels (z-compact + regular + FFT solver): the
+        # divergence source and the pressure-gradient correction each become
+        # ONE Pallas pass instead of a chain of XLA elementwise sweeps
+        self._fused_div = self._fused_correct = None
+        if (self._z_compact and architecture is None and not self.immersed
+                and isinstance(self.pressure_solver, FFTPoissonSolver)):
+            try:
+                from ..kernels.fused_projection import (build_fused_correct,
+                                                        build_fused_divergence)
+                self._fused_div = build_fused_divergence(self.grid)
+                self._fused_correct = build_fused_correct(self.grid)
+            except ValueError:
+                pass
+
         self._step = jax.jit(self._build_step())
 
     # -- basic properties -----------------------------------------------------
@@ -522,6 +536,19 @@ class NonhydrostaticModel:
         """Pressure projection (reference: pressure_correction.jl:8-53,
         solve_for_pressure.jl:12-108)."""
         grid = self.grid
+        if self._fused_div is not None:
+            # fast path: Pallas div-source + Pallas grad-correction around
+            # the solve (one HBM read per field per pass; w's boundary-face
+            # pin folded into both kernels)
+            filled = self._fill_all(dict(u=u, v=v, w=w), time, dt=dtt)
+            u, v, w = filled["u"], filled["v"], filled["w"]
+            rhs = self._fused_div(u, v, w, 1.0 / dtt)
+            p_int = self.pressure_solver.solve(rhs)
+            p = jnp.zeros(grid.padded_shape, grid.dtype)
+            p = p.at[grid.interior_slices].set(p_int)
+            p = fill_halo_regions(p, grid, LOC_CCC, self.bcs["p"], time)
+            u, v, w = self._fused_correct(p, u, v, w, dtt)
+            return u, v, w, p
         if self.immersed:
             u = grid.mask_immersed(u, LOC_FCC)
             v = grid.mask_immersed(v, LOC_CFC)
@@ -590,7 +617,9 @@ class NonhydrostaticModel:
                         fields["u"], fields["v"], fields["w"],
                         {n: fields[n] for n in self.tracer_names},
                         Gm, gamma * dt, zeta * dt)
-                    new["w"] = new["w"] * self._w_face_mask
+                    if self._fused_div is None:
+                        # fast projection pins w's boundary face in-kernel
+                        new["w"] = new["w"] * self._w_face_mask
                     u, v, w, p = self._project(new["u"], new["v"], new["w"],
                                                stage_dt, time)
                     new.update(u=u, v=v, w=w)
