@@ -3,7 +3,7 @@ from .boundary_condition import (
     PeriodicBoundaryCondition, FluxBoundaryCondition, ValueBoundaryCondition,
     GradientBoundaryCondition, OpenBoundaryCondition, ImpenetrableBoundaryCondition,
     PerturbationAdvection, ImmersedBoundaryCondition,
-    ZipperBoundaryCondition,
+    ZipperBoundaryCondition, PolarBoundaryCondition, PolarValue,
     regularize_field_boundary_conditions, default_bcs,
 )
 from .fill_halos import fill_halo_regions, apply_flux_bcs
@@ -13,6 +13,7 @@ __all__ = [
     "PeriodicBoundaryCondition", "FluxBoundaryCondition", "ValueBoundaryCondition",
     "GradientBoundaryCondition", "OpenBoundaryCondition",
     "ImpenetrableBoundaryCondition", "ZipperBoundaryCondition",
+    "PolarBoundaryCondition", "PolarValue",
     "PerturbationAdvection", "ImmersedBoundaryCondition",
     "regularize_field_boundary_conditions", "default_bcs",
     "fill_halo_regions", "apply_flux_bcs",

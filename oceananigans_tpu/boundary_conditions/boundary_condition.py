@@ -51,6 +51,23 @@ class PerturbationAdvection:
                 self.outflow_timescale)
 
 
+class PolarValue:
+    """Pole-cap condition: the boundary value is the zonal mean of the
+    boundary row of the field itself, recomputed at every halo fill
+    (reference: src/BoundaryConditions/polar_boundary_condition.jl
+    ``PolarValue`` + ``update_pole_value!`` — there the row average is
+    launched into a side buffer before each fill; here it is a traced
+    reduction inside the fill)."""
+
+    __slots__ = ("side",)
+
+    def __init__(self, side):
+        self.side = side
+
+    def _fp(self):
+        return ("PolarValue", self.side)
+
+
 class BoundaryCondition:
     __slots__ = ("classification", "condition", "scheme")
 
@@ -63,6 +80,8 @@ class BoundaryCondition:
         c = self.condition
         if c is None or np.isscalar(c):
             cf = c
+        elif hasattr(c, "_fp"):
+            cf = c._fp()
         elif callable(c):
             cf = id(c)
         else:
@@ -214,6 +233,17 @@ def ZipperBoundaryCondition(sign=1.0):
     return BoundaryCondition(ZIPPER, float(sign))
 
 
+def PolarBoundaryCondition(side, loc_y):
+    """Pole-touching lat-lon boundary (reference:
+    polar_boundary_condition.jl maybe_polar_boundary_condition): Value with
+    the recomputed zonal-mean pole value for center-located fields, Open
+    (boundary face set to the zonal mean) for y-face fields like ``v``."""
+    cond = PolarValue(side)
+    if loc_y == FACE:
+        return BoundaryCondition(OPEN, cond)
+    return BoundaryCondition(VALUE, cond)
+
+
 def default_bcs(grid, loc):
     kw = {}
     for side, (axis, _) in SIDE_AXIS.items():
@@ -222,6 +252,9 @@ def default_bcs(grid, loc):
         # tripolar fold: velocity-like (Face in x or y) fields flip sign
         sign = -1.0 if (loc[0] == FACE or loc[1] == FACE) else 1.0
         kw["north"] = ZipperBoundaryCondition(sign)
+    for side in ("south", "north"):
+        if getattr(grid, f"polar_{side}", False):
+            kw[side] = PolarBoundaryCondition(side, loc[1])
     return FieldBoundaryConditions(**kw)
 
 
@@ -236,6 +269,10 @@ def regularize_field_boundary_conditions(bcs, grid, loc):
             if side == "north" and getattr(grid, "zipper_north", False):
                 sign = -1.0 if (loc[0] == FACE or loc[1] == FACE) else 1.0
                 kw[side] = ZipperBoundaryCondition(sign)
+                continue
+            if side in ("south", "north") and getattr(
+                    grid, f"polar_{side}", False):
+                kw[side] = PolarBoundaryCondition(side, loc[1])
                 continue
             kw[side] = default_bc(grid.topology[axis], loc[axis])
         else:

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..grids.base import broadcastable_1d
 from ..grids.topology import BOUNDED, CENTER, FACE, PERIODIC
 from .boundary_condition import (FLUX, GRADIENT, OPEN, PERIODIC_BC, VALUE,
-                                 ZIPPER, SIDE_AXIS, PerturbationAdvection)
+                                 ZIPPER, SIDE_AXIS, PerturbationAdvection,
+                                 PolarValue)
 
 
 def _idx(ndim, axis, sl):
@@ -55,6 +56,19 @@ def eval_bc(bc, grid, loc, axis, time):
                             grid.H[ax] + (grid.lane_tail if ax == 2 else 0))
                            for ax in t_axes], mode="edge")
     return np.expand_dims(arr, axis)
+
+
+def _polar_row_mean(a, grid, nd, axis, H, N, is_left):
+    """Zonal (x-interior) mean of the boundary row — the pole-cap value
+    (reference: polar_boundary_condition.jl _average_pole_value!). For face
+    locations the averaged row mirrors the reference's ``j = 1`` (south,
+    the boundary face itself — a zonal-mean projection) and ``j = Ny``
+    (north, one face inside)."""
+    row_i = H if is_left else H + N - 1
+    row = a[_idx(nd, axis, slice(row_i, row_i + 1))]
+    H0, N0 = grid.H[0], grid.N[0]
+    row = row[_idx(nd, 0, slice(H0, H0 + N0))]
+    return jnp.mean(row, axis=0, keepdims=True)
 
 
 def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False, dt=None):
@@ -115,7 +129,10 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False, dt=None):
 
         def halo_strip(bc, is_left):
             cls = bc.classification
-            v = eval_bc(bc, grid, loc, axis, time)
+            if isinstance(bc.condition, PolarValue):
+                v = _polar_row_mean(a, grid, nd, axis, H, N, is_left)
+            else:
+                v = eval_bc(bc, grid, loc, axis, time)
             if cls in (FLUX, OPEN):
                 # mirror copy (no-flux fill; flux applied to tendencies)
                 return (flip(a[S(slice(H, 2 * H))]) if is_left
@@ -148,7 +165,9 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False, dt=None):
     cls_l = left_bc.classification if left_bc is not None else FLUX
     cls_r = right_bc.classification if right_bc is not None else FLUX
 
-    def bval(bc):
+    def bval(bc, is_left):
+        if bc is not None and isinstance(bc.condition, PolarValue):
+            return _polar_row_mean(a, grid, nd, axis, H, N, is_left)
         v = eval_bc(bc, grid, loc, axis, time) if bc is not None else None
         return 0.0 if v is None else v
 
@@ -160,7 +179,7 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False, dt=None):
         upwind step toward the exterior value with inflow/outflow
         relaxation."""
         pa = bc.scheme
-        ubar = bval(bc) * ones
+        ubar = bval(bc, is_left) * ones
         dX = _boundary_slice(
             (grid.dx, grid.dy, grid.dz)[axis](loc), nd, axis,
             H if is_left else H + N)
@@ -197,7 +216,7 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False, dt=None):
         left_halo = jnp.broadcast_to(left_face,
                                      a[S(slice(0, H))].shape)
     elif cls_l in (OPEN, VALUE):
-        vL = bval(left_bc)
+        vL = bval(left_bc, True)
         left_halo = 2 * vL - flip(a[S(slice(H + 1, 2 * H + 1))])
         left_face = vL * ones
     else:  # even reflection (free-slip)
@@ -209,7 +228,7 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False, dt=None):
         right_halo = jnp.broadcast_to(right_face,
                                       a[S(slice(H + N + 1, 2 * H + N))].shape)
     elif cls_r in (OPEN, VALUE):
-        vR = bval(right_bc)
+        vR = bval(right_bc, False)
         right_face = vR * ones
         right_halo = 2 * vR - flip(a[S(slice(H + N - (H - 1), H + N))])
     else:

@@ -1,7 +1,9 @@
 from .forcings import (Forcing, ContinuousForcing, DiscreteForcing,
                        Relaxation, AdvectiveForcing, MultipleForcings,
+                       FieldTimeSeriesForcing,
                        GaussianMask, LinearTarget)
 
 __all__ = ["Forcing", "ContinuousForcing", "DiscreteForcing", "Relaxation",
-           "AdvectiveForcing", "MultipleForcings", "GaussianMask",
+           "AdvectiveForcing", "MultipleForcings", "FieldTimeSeriesForcing",
+           "GaussianMask",
            "LinearTarget"]

@@ -144,6 +144,24 @@ class AdvectiveForcing(Forcing):
                        vel(self.w), q)
 
 
+class FieldTimeSeriesForcing(Forcing):
+    """Forcing from a saved FieldTimeSeries, linearly interpolated in time
+    INSIDE the jitted step (reference: FieldTimeSeries used directly as
+    forcing/BCs, refreshed by update_model_field_time_series! —
+    src/Models/Models.jl:48; here the interpolation is a traced gather so no
+    host refresh is needed). ``fts`` is an
+    ``oceananigans_tpu.simulation.output_readers.FieldTimeSeries`` (or any
+    object with a traceable ``traced(t) -> interior array``)."""
+
+    def __init__(self, fts, loc=LOC_CCC):
+        self.fts = fts
+        self.loc = tuple(loc)
+
+    def __call__(self, grid, fields, time):
+        from ..fields.field import set_on_padded
+        return set_on_padded(grid, self.loc, self.fts.traced(time))
+
+
 class MultipleForcings(Forcing):
     """Sum of forcings (reference: multiple_forcings.jl)."""
 

@@ -81,6 +81,16 @@ class LatitudeLongitudeGrid(AbstractGrid):
             # halos may extend past the poles; clamp cosine there
             pass
 
+        # pole-touching grids get polar boundary conditions (reference:
+        # polar_boundary_condition.jl): the halo value is the recomputed
+        # zonal mean of the boundary row
+        self.polar_south = self.polar_north = False
+        if self.topology[1] == topo.BOUNDED:
+            H1, N1 = self.H[1], self.N[1]
+            phi_f = self._phi.coord(topo.FACE)
+            self.polar_south = bool(np.isclose(phi_f[H1], -90.0))
+            self.polar_north = bool(np.isclose(phi_f[H1 + N1], 90.0))
+
     # -- coordinate access (degrees for λ/φ) ---------------------------------
 
     def coord_padded(self, axis, loc):

@@ -67,3 +67,28 @@ class FieldTimeSeries:
 
     def __call__(self, t):
         return self.at_time(t)
+
+    def traced(self, t):
+        """Traceable linear-in-time interpolation — usable INSIDE the jitted
+        step, so a FieldTimeSeries can drive time-dependent forcing and
+        boundary conditions (the analogue of the reference's
+        ``update_model_field_time_series!`` hook, src/Models/Models.jl:48;
+        there the interpolant is refreshed host-side each step, here it is a
+        traced gather). Requires the ``in_memory`` backend."""
+        import jax.numpy as jnp
+
+        if self._data is None:
+            # one-time full load (OnDisk backend used inside jit)
+            self._data = np.stack([self._load(i)
+                                   for i in range(len(self.iterations))])
+        data = jnp.asarray(self._data)
+        times = jnp.asarray(self.times)
+        nt = data.shape[0]
+        t = jnp.clip(t, times[0], times[-1])
+        j = jnp.clip(jnp.searchsorted(times, t), 1, nt - 1)
+        i = j - 1
+        ti = times[i]
+        w = (t - ti) / (times[j] - ti)
+        lo = jnp.take(data, i, axis=0)
+        hi = jnp.take(data, j, axis=0)
+        return (1 - w) * lo + w * hi

@@ -266,3 +266,45 @@ def test_windowed_output_and_field_view(tmp_path):
     assert arr.shape == (8, 8)               # surface slice only
     v = model.field("c").view((slice(None), slice(None), -1))
     assert np.allclose(arr, np.asarray(v))
+
+
+def test_field_time_series_traced_matches_host(tmp_path):
+    from oceananigans_tpu.simulation.output_readers import FieldTimeSeries
+    sim = Simulation(tiny_model(), dt=0.01, stop_iteration=6)
+    path = str(tmp_path / "series_tr")
+    w = FieldWriter(sim.model, outputs={"u": "u"}, path=path,
+                    schedule=IterationInterval(2))
+    sim.add_output_writer(w)
+    sim.run()
+    fts = FieldTimeSeries(path, "u")
+    import jax
+    f = jax.jit(fts.traced)
+    for t in (-1.0, 0.0, 0.013, 0.03, 0.047, 0.06, 99.0):
+        a = np.asarray(f(jnp.asarray(t)))
+        b = fts.at_time(t)
+        assert np.abs(a - b).max() < 1e-6, t
+
+
+def test_field_time_series_forcing_drives_tracer(tmp_path):
+    """A saved series used as tracer forcing inside the jitted step
+    (reference: FieldTimeSeries as forcing via
+    update_model_field_time_series!)."""
+    from oceananigans_tpu.forcings import FieldTimeSeriesForcing
+    from oceananigans_tpu.simulation.output_readers import FieldTimeSeries
+    sim = Simulation(tiny_model(), dt=0.01, stop_iteration=4)
+    path = str(tmp_path / "series_f")
+    w = FieldWriter(sim.model, outputs={"c": "c"}, path=path,
+                    schedule=IterationInterval(1))
+    # constant-in-time source of 1.0 everywhere: overwrite snapshots below
+    sim.add_output_writer(w)
+    sim.run()
+    fts = FieldTimeSeries(path, "c")
+    fts._data = np.ones_like(fts._data)
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1, 1, 1))
+    m = NonhydrostaticModel(grid=grid, tracers=("c",),
+                            forcing={"c": FieldTimeSeriesForcing(fts)})
+    for _ in range(10):
+        m.time_step(0.01)
+    c = np.asarray(m.field("c").interior)
+    # dc/dt = 1 -> c = t = 0.1 (no advection: velocities are zero)
+    assert np.abs(c - 0.1).max() < 1e-6
