@@ -1,0 +1,110 @@
+"""Secondary headline benchmarks mirroring the reference's published tables
+(BASELINE.md):
+
+* shallow water WENO (reference: 16384² F64 → 681 ms/step ≈ 394 M cu/s,
+  8192² F64 → 166.8 ms ≈ 402 M cu/s on a V100-32GB —
+  docs/src/appendix/benchmarks.md:35-75). TPUs have no native F64 (and this
+  framework is F32/bf16-first by design), so the TPU rows are F32 compared
+  against the V100's F64 anchor — flagged in the metric name.
+* tracer-cost scaling (reference: 256³ GPU 12.8 ms @ 0 → 27.2 ms @ 12
+  tracers — benchmarks.md:540-570), reported as the 12-vs-0 step-time ratio.
+
+Prints one JSON line per benchmark."""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def bench_steps(step_fn, state, dt, steps, fetch):
+    state = step_fn(state, dt)
+    fetch(state)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = step_fn(state, dt)
+    fetch(state)
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.advection import WENO
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.models.shallow_water import ShallowWaterModel
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the container's sitecustomize pins the axon TPU tunnel before env
+        # vars apply; force the platform before the backend initializes
+        jax.config.update("jax_platforms", "cpu")
+    on_cpu = jax.devices()[0].platform == "cpu"
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    rng = np.random.default_rng(0)
+
+    # -- shallow water ------------------------------------------------------
+    for n, dtype, v100_cups in (((256 if on_cpu else 8192), jnp.float32,
+                                 8192 ** 2 / 0.1668),
+                                ((256 if on_cpu else 16384), jnp.float32,
+                                 16384 ** 2 / 0.681)):
+        grid = RectilinearGrid(size=(n, n), extent=(1.0, 1.0),
+                               topology=("periodic", "periodic", "flat"),
+                               dtype=dtype)
+        m = ShallowWaterModel(grid=grid, advection=WENO(5),
+                              gravitational_acceleration=9.81)
+        h0 = 1.0 + 0.01 * rng.standard_normal((n, n))
+        m.set(h=h0, uh=0.01 * rng.standard_normal((n, n)),
+              vh=0.01 * rng.standard_normal((n, n)))
+        dt = jnp.asarray(1e-5, dtype)
+
+        def fetch(state):
+            return float(jnp.sum(state["fields"]["h"][0, :8]))
+
+        el = bench_steps(m._step, m.state, dt, steps, fetch)
+        cups = n * n / el
+        out = {"metric": f"shallow_water_{n}^2_weno5_f32_cell_updates_per_s"
+                         "_vs_v100_f64",
+               "value": cups, "unit": "cell-updates/s",
+               "vs_baseline": cups / v100_cups}
+        print(json.dumps(out), flush=True)
+
+    # -- tracer scaling -----------------------------------------------------
+    n = 64 if on_cpu else 256
+    times = {}
+    for ntr in (0, 12):
+        grid = RectilinearGrid(size=(n, n, n), extent=(1.0, 1.0, 1.0),
+                               topology=("periodic", "periodic", "bounded"),
+                               dtype=jnp.float32)
+        names = tuple(f"c{i}" for i in range(ntr))
+        m = NonhydrostaticModel(grid=grid, advection=WENO(5), tracers=names)
+        m.set(u=0.1 * rng.standard_normal((n, n, n)).astype(np.float32),
+              **{nm: rng.random((n, n, n), dtype=np.float32)
+                 for nm in names})
+        dt = jnp.asarray(1e-4, jnp.float32)
+
+        def fetch(state):
+            return float(jnp.sum(state["fields"]["u"][0, :8]))
+
+        times[ntr] = bench_steps(m._step, m.state, dt, steps, fetch)
+    ratio = times[12] / times[0]
+    print(json.dumps({
+        "metric": f"tracer_scaling_{n}^3_step_ratio_12_vs_0",
+        "value": ratio, "unit": "x",
+        "vs_baseline": (27.2 / 12.8) / ratio,  # >1 = scales better than V100
+        "step_ms_0": times[0] * 1e3, "step_ms_12": times[12] * 1e3,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

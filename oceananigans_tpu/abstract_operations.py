@@ -300,3 +300,36 @@ Field.__truediv__ = _field_binop(jnp.divide)
 Field.__rtruediv__ = _field_rbinop(jnp.divide)
 Field.__pow__ = _field_binop(jnp.power)
 Field.__neg__ = lambda self: UnaryOperation(jnp.negative, self)
+
+
+class ComputedField:
+    """An operation materialized on demand with time-stamped caching
+    (reference: src/AbstractOperations/computed_field.jl — ``Field(op)``
+    whose ``compute!(f, t)`` is a no-op when ``f.status.time == t``).
+
+    ``compute(time)`` re-evaluates only when ``time`` differs from the
+    cached stamp, so several writers/diagnostics sharing one diagnostic at
+    the same model time pay for a single evaluation. ``compute()`` with no
+    argument always re-evaluates."""
+
+    def __init__(self, op):
+        self.op = op
+        self.grid = op.grid
+        self.loc = op.loc
+        self._time = None
+        self._cached = None
+
+    def compute(self, time=None):
+        if (time is None or self._cached is None
+                or self._time is None or time != self._time):
+            self._cached = self.op.compute()
+            self._time = time
+        return self._cached
+
+    @property
+    def interior(self):
+        return self.compute().interior
+
+    def __call__(self, model=None):
+        # writer-protocol: fetch at the model's current time (cached)
+        return self.compute(None if model is None else model.time)

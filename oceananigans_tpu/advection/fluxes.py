@@ -33,33 +33,71 @@ def _biased_by(scheme, grid, a, axis, beta, q, zbc=None):
     return scheme.biased_by(grid, a, axis, beta, q, zbc=zbc)
 
 
+def _term_trims(tile, axis):
+    """Window/output trims for one directional flux term when assembling on
+    a halo-extended VMEM slab (kernels/fused_advection.py).
+
+    ``tile = (slice_x, slice_y)`` selects the output tile inside the slab.
+    A term's stencils only shift along its flux axis, so its *transverse*
+    extents can be trimmed to the tile BEFORE the expensive reconstruction
+    (the halo rows there would be dead work); the flux-axis trim must wait
+    until after the delta. Only valid on scalar-metric (regular) grids —
+    the trimmed arrays no longer align with broadcastable metric arrays."""
+    if tile is None:
+        return (lambda a: a), (lambda a: a)
+    sx, sy = tile
+
+    def tx(a):
+        return a[sx]
+
+    def ty(a):
+        return a[:, sy]
+
+    if axis == X:
+        return ty, tx
+    if axis == Y:
+        return tx, ty
+    return (lambda a: a[sx, sy]), (lambda a: a)
+
+
 # -- tracer advection ----------------------------------------------------------
 
-def div_Uc(grid, scheme, u, v, w, c, zbc=None):
+def _zeros_tiled(a, tile):
+    if tile is None:
+        return jnp.zeros_like(a)
+    return jnp.zeros_like(a[tile[0], tile[1]])
+
+
+def div_Uc(grid, scheme, u, v, w, c, zbc=None, tile=None):
     """Tracer advective flux divergence at ccc (reference:
     tracer_advection_operators.jl: div_Uc = V⁻¹[δxᶜ(Ax u ĉ) + …]).
 
     ``zbc``: halo-free z-boundary mode (kernels/fused_advection.py z-compact
     path) — the dict gives each variable's z-mirror parity; the flux deltas
     need no fix-ups because boundary-face fluxes vanish (w = 0 faces) and
-    the out-of-range shift zero-fill reproduces exactly that."""
+    the out-of-range shift zero-fill reproduces exactly that.
+
+    ``tile``: slab-tile trimming (see _term_trims) — the result is the
+    output tile only; requires scalar metrics."""
     if scheme is None:
-        return jnp.zeros_like(c)
+        return _zeros_tiled(c, tile)
     if getattr(scheme, "bounds", None) is not None:
-        return _div_Uc_bounded(grid, scheme, u, v, w, c)
+        return _div_Uc_bounded(grid, scheme, u, v, w, c, tile=tile)
     total = None
     for axis, vel, A in ((X, u, grid.Ax(LOC_FCC)),
                          (Y, v, grid.Ay(LOC_CFC)),
                          (Z, w, grid.Az(LOC_CCF))):
         if grid.is_flat(axis):
             continue
+        wtrim, otrim = _term_trims(tile, axis)
         kind = zbc["c"] if (zbc is not None and axis == Z) else None
-        chat = _biased_by(scheme, grid, c, axis, 0, vel, zbc=kind)
-        flux = A * vel * chat
-        term = _delta_c(grid, flux, axis)
+        velt = wtrim(vel)
+        chat = _biased_by(scheme, grid, wtrim(c), axis, 0, velt, zbc=kind)
+        flux = A * velt * chat
+        term = otrim(_delta_c(grid, flux, axis))
         total = term if total is None else total + term
     if total is None:
-        return jnp.zeros_like(c)
+        return _zeros_tiled(c, tile)
     return total / grid.V(LOC_CCC)
 
 
@@ -69,7 +107,7 @@ _OMEGA_HAT = 5.0 / 18.0
 _EPS2 = 1e-20
 
 
-def _div_Uc_bounded(grid, scheme, u, v, w, c):
+def _div_Uc_bounded(grid, scheme, u, v, w, c, tile=None):
     """Bounds-preserving WENO tracer flux divergence (reference:
     bounds_preserving_tracer_advection_operators.jl): per cell, a limiter
     factor θ scales the outward face reconstructions back toward the cell
@@ -78,119 +116,139 @@ def _div_Uc_bounded(grid, scheme, u, v, w, c):
 
     lo, hi = scheme.bounds
     total = None
-    for axis, vel, A in ((X, u, grid.Ax(LOC_FCC)),
-                         (Y, v, grid.Ay(LOC_CFC)),
-                         (Z, w, grid.Az(LOC_CCF))):
+    for axis, vel_full, A in ((X, u, grid.Ax(LOC_FCC)),
+                              (Y, v, grid.Ay(LOC_CFC)),
+                              (Z, w, grid.Az(LOC_CCF))):
         if grid.is_flat(axis):
             continue
+        # the limiter couples both biased reconstructions with ±1 shifts
+        # along the flux axis only, so the same transverse trimming applies
+        wtrim, otrim = _term_trims(tile, axis)
+        vel = wtrim(vel_full)
+        ct = wtrim(c)
         # biased reconstructions at every face (face i = left face of cell i)
-        cl, cr = scheme.biased_pair(grid, c, axis, 0)
+        cl, cr = scheme.biased_pair(grid, ct, axis, 0)
         # cell i's outward reconstructions: right-biased at its left face,
         # left-biased at its right face (= face i+1)
         c_minus_R = cr
         c_plus_L = shift(cl, +1, axis)
-        p_tilde = (c - _OMEGA_HAT * c_minus_R - _OMEGA_HAT * c_plus_L) \
+        p_tilde = (ct - _OMEGA_HAT * c_minus_R - _OMEGA_HAT * c_plus_L) \
             / (1 - 2 * _OMEGA_HAT)
         M = jnp.maximum(jnp.maximum(p_tilde, c_plus_L), c_minus_R)
         m = jnp.minimum(jnp.minimum(p_tilde, c_plus_L), c_minus_R)
         theta = jnp.minimum(
-            jnp.minimum(jnp.abs((hi - c) / (M - c + _EPS2)),
-                        jnp.abs((lo - c) / (m - c + _EPS2))),
-            jnp.ones_like(c))
+            jnp.minimum(jnp.abs((hi - ct) / (M - ct + _EPS2)),
+                        jnp.abs((lo - ct) / (m - ct + _EPS2))),
+            jnp.ones_like(ct))
         # limited face values: at face i the left-biased value belongs to
         # cell i-1, the right-biased value to cell i
         theta_left = shift(theta, -1, axis)
-        c_left_lim = theta_left * (cl - shift(c, -1, axis)) + shift(c, -1, axis)
-        c_right_lim = theta * (cr - c) + c
+        c_left_lim = theta_left * (cl - shift(ct, -1, axis)) \
+            + shift(ct, -1, axis)
+        c_right_lim = theta * (cr - ct) + ct
         flux = A * vel * _upwind(vel, c_left_lim, c_right_lim)
-        term = _delta_c(grid, flux, axis)
+        term = otrim(_delta_c(grid, flux, axis))
         total = term if total is None else total + term
     if total is None:
-        return jnp.zeros_like(c)
+        return _zeros_tiled(c, tile)
     return total / grid.V(LOC_CCC)
 
 
 # -- momentum advection (flux form) --------------------------------------------
 
-def div_Uu(grid, scheme, u, v, w, zbc=None):
-    """∇·(𝐯 u) at fcc (reference: momentum_advection_operators.jl div_𝐯u)."""
+def div_Uu(grid, scheme, u, v, w, zbc=None, tile=None):
+    """∇·(𝐯 u) at fcc (reference: momentum_advection_operators.jl div_𝐯u).
+
+    ``tile``: slab-tile trimming (see _term_trims) — the advecting velocity
+    is interpolated on the full slab (cheap, and its transverse stencil may
+    need the halo), then everything entering the expensive biased
+    reconstruction is trimmed to the term's window."""
     if scheme is None:
-        return jnp.zeros_like(u)
+        return _zeros_tiled(u, tile)
     Ax_u = grid.Ax(LOC_FCC) * u
     Ay_v = grid.Ay(LOC_CFC) * v
     Az_w = grid.Az(LOC_CCF) * w
     terms = []
     if not grid.is_flat(X):
-        ut = scheme.symmetric(grid, Ax_u, X, 1)          # fcc → ccc
-        uhat = _biased_by(scheme, grid, u, X, 1, ut)
-        terms.append(_delta_f(grid, ut * uhat, X))       # ccc → fcc
+        wtr, otr = _term_trims(tile, X)
+        ut = scheme.symmetric(grid, wtr(Ax_u), X, 1)     # fcc → ccc
+        uhat = _biased_by(scheme, grid, wtr(u), X, 1, ut)
+        terms.append(otr(_delta_f(grid, ut * uhat, X)))  # ccc → fcc
     if not grid.is_flat(Y):
-        vt = scheme.symmetric(grid, Ay_v, X, 0)          # cfc → ffc
-        uhat = _biased_by(scheme, grid, u, Y, 0, vt)
-        terms.append(_delta_c(grid, vt * uhat, Y))       # ffc → fcc
+        wtr, otr = _term_trims(tile, Y)
+        vt = wtr(scheme.symmetric(grid, Ay_v, X, 0))     # cfc → ffc
+        uhat = _biased_by(scheme, grid, wtr(u), Y, 0, vt)
+        terms.append(otr(_delta_c(grid, vt * uhat, Y)))  # ffc → fcc
     if not grid.is_flat(Z):
-        wt = scheme.symmetric(grid, Az_w, X, 0)          # ccf → fcf
-        uhat = _biased_by(scheme, grid, u, Z, 0, wt,
+        wtr, otr = _term_trims(tile, Z)
+        wt = wtr(scheme.symmetric(grid, Az_w, X, 0))     # ccf → fcf
+        uhat = _biased_by(scheme, grid, wtr(u), Z, 0, wt,
                           zbc=zbc["u"] if zbc else None)
-        terms.append(_delta_c(grid, wt * uhat, Z))       # fcf → fcc
+        terms.append(otr(_delta_c(grid, wt * uhat, Z)))  # fcf → fcc
     if not terms:
-        return jnp.zeros_like(u)
+        return _zeros_tiled(u, tile)
     return sum(terms) / grid.V(LOC_FCC)
 
 
-def div_Uv(grid, scheme, u, v, w, zbc=None):
+def div_Uv(grid, scheme, u, v, w, zbc=None, tile=None):
     """∇·(𝐯 v) at cfc."""
     if scheme is None:
-        return jnp.zeros_like(v)
+        return _zeros_tiled(v, tile)
     Ax_u = grid.Ax(LOC_FCC) * u
     Ay_v = grid.Ay(LOC_CFC) * v
     Az_w = grid.Az(LOC_CCF) * w
     terms = []
     if not grid.is_flat(X):
-        ut = scheme.symmetric(grid, Ax_u, Y, 0)          # fcc → ffc
-        vhat = _biased_by(scheme, grid, v, X, 0, ut)
-        terms.append(_delta_c(grid, ut * vhat, X))       # ffc → cfc
+        wtr, otr = _term_trims(tile, X)
+        ut = wtr(scheme.symmetric(grid, Ax_u, Y, 0))     # fcc → ffc
+        vhat = _biased_by(scheme, grid, wtr(v), X, 0, ut)
+        terms.append(otr(_delta_c(grid, ut * vhat, X)))  # ffc → cfc
     if not grid.is_flat(Y):
-        vt = scheme.symmetric(grid, Ay_v, Y, 1)          # cfc → ccc
-        vhat = _biased_by(scheme, grid, v, Y, 1, vt)
-        terms.append(_delta_f(grid, vt * vhat, Y))       # ccc → cfc
+        wtr, otr = _term_trims(tile, Y)
+        vt = scheme.symmetric(grid, wtr(Ay_v), Y, 1)     # cfc → ccc
+        vhat = _biased_by(scheme, grid, wtr(v), Y, 1, vt)
+        terms.append(otr(_delta_f(grid, vt * vhat, Y)))  # ccc → cfc
     if not grid.is_flat(Z):
-        wt = scheme.symmetric(grid, Az_w, Y, 0)          # ccf → cff
-        vhat = _biased_by(scheme, grid, v, Z, 0, wt,
+        wtr, otr = _term_trims(tile, Z)
+        wt = wtr(scheme.symmetric(grid, Az_w, Y, 0))     # ccf → cff
+        vhat = _biased_by(scheme, grid, wtr(v), Z, 0, wt,
                           zbc=zbc["v"] if zbc else None)
-        terms.append(_delta_c(grid, wt * vhat, Z))       # cff → cfc
+        terms.append(otr(_delta_c(grid, wt * vhat, Z)))  # cff → cfc
     if not terms:
-        return jnp.zeros_like(v)
+        return _zeros_tiled(v, tile)
     return sum(terms) / grid.V(LOC_CFC)
 
 
-def div_Uw(grid, scheme, u, v, w, zbc=None):
+def div_Uw(grid, scheme, u, v, w, zbc=None, tile=None):
     """∇·(𝐯 w) at ccf."""
     if scheme is None:
-        return jnp.zeros_like(w)
+        return _zeros_tiled(w, tile)
     Ax_u = grid.Ax(LOC_FCC) * u
     Ay_v = grid.Ay(LOC_CFC) * v
     Az_w = grid.Az(LOC_CCF) * w
     terms = []
     zw = zbc["w"] if zbc else None
     if not grid.is_flat(X):
+        wtr, otr = _term_trims(tile, X)
         # NOTE the advected quantity here is w but the z-INTERPOLATED
         # advecting velocity is u (z-centered, even parity)
-        ut = scheme.symmetric(grid, Ax_u, Z, 0,
-                              zbc=zbc["u"] if zbc else None)  # fcc → fcf
-        what = _biased_by(scheme, grid, w, X, 0, ut)
-        terms.append(_delta_c(grid, ut * what, X))       # fcf → ccf
+        ut = wtr(scheme.symmetric(grid, Ax_u, Z, 0,
+                                  zbc=zbc["u"] if zbc else None))  # fcc → fcf
+        what = _biased_by(scheme, grid, wtr(w), X, 0, ut)
+        terms.append(otr(_delta_c(grid, ut * what, X)))  # fcf → ccf
     if not grid.is_flat(Y):
-        vt = scheme.symmetric(grid, Ay_v, Z, 0,
-                              zbc=zbc["v"] if zbc else None)  # cfc → cff
-        what = _biased_by(scheme, grid, w, Y, 0, vt)
-        terms.append(_delta_c(grid, vt * what, Y))       # cff → ccf
+        wtr, otr = _term_trims(tile, Y)
+        vt = wtr(scheme.symmetric(grid, Ay_v, Z, 0,
+                                  zbc=zbc["v"] if zbc else None))  # cfc → cff
+        what = _biased_by(scheme, grid, wtr(w), Y, 0, vt)
+        terms.append(otr(_delta_c(grid, vt * what, Y)))  # cff → ccf
     if not grid.is_flat(Z):
-        wt = scheme.symmetric(grid, Az_w, Z, 1, zbc=zw)  # ccf → ccc
-        what = _biased_by(scheme, grid, w, Z, 1, wt, zbc=zw)
-        terms.append(_delta_f(grid, wt * what, Z))       # ccc → ccf
+        wtr, otr = _term_trims(tile, Z)
+        wt = scheme.symmetric(grid, wtr(Az_w), Z, 1, zbc=zw)  # ccf → ccc
+        what = _biased_by(scheme, grid, wtr(w), Z, 1, wt, zbc=zw)
+        terms.append(otr(_delta_f(grid, wt * what, Z)))  # ccc → ccf
     if not terms:
-        return jnp.zeros_like(w)
+        return _zeros_tiled(w, tile)
     return sum(terms) / grid.V(LOC_CCF)
 
 

@@ -119,6 +119,33 @@ TAU_COEFFS = {
 }
 
 
+def _axis_bounded(grid, axis):
+    """Whether ``axis`` is a Bounded direction the near-boundary order
+    cascade applies to (reference:
+    topologically_conditional_interpolation.jl)."""
+    topo = getattr(grid, "topology", None)
+    if topo is None or grid.is_flat(axis):
+        return False
+    from ..grids.topology import BOUNDED
+    return topo[axis] == BOUNDED
+
+
+def _cascade_select(grid, axis, beta, R, hi, lo):
+    """Blend the scheme's reconstruction ``hi`` with its buffer-scheme value
+    ``lo`` by the static outside-the-boundary-buffer mask (reference:
+    topologically_conditional_interpolation.jl `outside_biased_halo` /
+    `outside_symmetric_halo`): with R = the scheme's buffer, high order
+    applies at faces i ∈ [R+1, N+1−R] (1-based; face i ↔ padded slot
+    H+i−1) and centers i ∈ [R, N+1−R]."""
+    from jax import lax
+
+    H, N = grid.H[axis], grid.N[axis]
+    i0 = H + R - beta
+    i1 = H + N - R
+    iota = lax.broadcasted_iota(jnp.int32, hi.shape, axis)
+    return jnp.where((iota >= i0) & (iota <= i1), hi, lo)
+
+
 class AdvectionScheme:
     required_halo = 1
 
@@ -134,25 +161,57 @@ class AdvectionScheme:
     def __repr__(self):
         return f"{type(self).__name__}(order={self.order})"
 
+    def buffer_scheme(self):
+        """The lower-order scheme evaluated inside the boundary buffer of a
+        Bounded direction (reference: `buffer_scheme` fields of
+        weno/upwind_biased/centered_reconstruction.jl). None = this scheme
+        is evaluated unconditionally (order ≤ the 1-buffer floor)."""
+        return None
+
+    def _cascade(self, grid, axis, beta, hi, lo_eval):
+        bs = self.buffer_scheme()
+        if bs is None or not _axis_bounded(grid, axis):
+            return hi
+        return _cascade_select(grid, axis, beta, self.buffer, hi,
+                               lo_eval(bs))
+
     def biased_pair(self, grid, a, axis, beta, smooth=None, zbc=None):
         """(left, right) biased reconstructions. ``smooth`` optionally lists
         arrays whose summed Jiang–Shu indicators replace the reconstructed
         variable's own (the reference's VelocityStencil/FunctionStencil,
         weno_interpolants.jl:340-354,538-545); ignored by linear schemes.
-        ``zbc`` activates halo-free boundary-aware reads along ``axis``."""
+        ``zbc`` activates halo-free boundary-aware reads along ``axis``.
+        Near Bounded walls the order cascades to the buffer scheme
+        (reference: topologically_conditional_interpolation.jl)."""
         sc = _ShiftCache(a, axis, zbc)
         scs = ([_ShiftCache(s, axis, zbc) for s in smooth]
                if smooth is not None else None)
-        return (self._biased(grid, sc, axis, beta, "left", scs),
-                self._biased(grid, sc, axis, beta, "right", scs))
+        l = self._biased(grid, sc, axis, beta, "left", scs)
+        r = self._biased(grid, sc, axis, beta, "right", scs)
+        bs = self.buffer_scheme()
+        if bs is None or not _axis_bounded(grid, axis):
+            return l, r
+        ll, lr = bs.biased_pair(grid, a, axis, beta, smooth=smooth, zbc=zbc)
+        return (_cascade_select(grid, axis, beta, self.buffer, l, ll),
+                _cascade_select(grid, axis, beta, self.buffer, r, lr))
 
     def biased(self, grid, a, axis, beta, side, smooth=None, zbc=None):
         scs = ([_ShiftCache(s, axis, zbc) for s in smooth]
                if smooth is not None else None)
-        return self._biased(grid, _ShiftCache(a, axis, zbc), axis, beta,
-                            side, scs)
+        hi = self._biased(grid, _ShiftCache(a, axis, zbc), axis, beta,
+                          side, scs)
+        return self._cascade(grid, axis, beta, hi,
+                             lambda bs: bs.biased(grid, a, axis, beta, side,
+                                                  smooth=smooth, zbc=zbc))
 
     def biased_by(self, grid, a, axis, beta, q, smooth=None, zbc=None):
+        hi = self._biased_by_plain(grid, a, axis, beta, q, smooth=smooth,
+                                   zbc=zbc)
+        return self._cascade(grid, axis, beta, hi,
+                             lambda bs: bs.biased_by(grid, a, axis, beta, q,
+                                                     smooth=smooth, zbc=zbc))
+
+    def _biased_by_plain(self, grid, a, axis, beta, q, smooth=None, zbc=None):
         """Upwind reconstruction selected by the sign of ``q``: equals
         ``where(q > 0, biased 'left', biased 'right')`` but computed with ONE
         reconstruction pass over sign-selected stencil cells. The left- and
@@ -198,12 +257,27 @@ class Centered(AdvectionScheme):
                                    self.buffer - 1, False)
         return self._coeffs
 
-    def symmetric(self, grid, a, axis, beta, zbc=None):
+    def buffer_scheme(self):
+        if self.order <= 2:
+            return None
+        if not hasattr(self, "_buffer_scheme"):
+            self._buffer_scheme = Centered(order=self.order - 2)
+        return self._buffer_scheme
+
+    def _symmetric_plain(self, grid, a, axis, beta, zbc=None):
         if grid.is_flat(axis):
             return a
         sc = _ShiftCache(a, axis, zbc)
         shifts = left_shifts(self.order, self.buffer - 1, beta)
         return stencil_value(sc, shifts, self._coeffs_for(grid, axis, beta))
+
+    def symmetric(self, grid, a, axis, beta, zbc=None):
+        hi = self._symmetric_plain(grid, a, axis, beta, zbc)
+        if grid.is_flat(axis):
+            return hi
+        return self._cascade(grid, axis, beta, hi,
+                             lambda bs: bs.symmetric(grid, a, axis, beta,
+                                                     zbc=zbc))
 
     def _biased(self, grid, sc, axis, beta, side, smooth=None):
         # a centered scheme has no bias: both sides get the symmetric value
@@ -225,11 +299,25 @@ class UpwindBiased(AdvectionScheme):
         # interface-adjacent cell
         self._s = self.buffer - 1
         self._coeffs = eno_coefficients(order, self._s)
-        self.advecting_velocity_scheme = Centered(order=order - 1)
+        self.advecting_velocity_scheme = Centered(order=max(order - 1, 2))
+
+    def buffer_scheme(self):
+        if self.order <= 1:
+            return None
+        if not hasattr(self, "_buffer_scheme"):
+            self._buffer_scheme = UpwindBiased(order=self.order - 2)
+        return self._buffer_scheme
 
     def symmetric(self, grid, a, axis, beta, zbc=None):
-        return self.advecting_velocity_scheme.symmetric(grid, a, axis, beta,
-                                                        zbc)
+        # the cascade mask uses THIS scheme's buffer and chain (reference:
+        # _symmetric_interpolate_* receives the advecting scheme's parent)
+        hi = self.advecting_velocity_scheme._symmetric_plain(
+            grid, a, axis, beta, zbc)
+        if grid.is_flat(axis):
+            return hi
+        return self._cascade(grid, axis, beta, hi,
+                             lambda bs: bs.symmetric(grid, a, axis, beta,
+                                                     zbc=zbc))
 
     def _biased(self, grid, sc, axis, beta, side, smooth=None):
         if grid.is_flat(axis):
@@ -279,13 +367,30 @@ class WENO(AdvectionScheme):
         self._sfactors = [smoothness_factors(k, s) for s in range(k)]
         self.advecting_velocity_scheme = Centered(order=order - 1)
 
+    def buffer_scheme(self):
+        # reference weno_reconstruction.jl:80-91: WENO(order-2), bottoming
+        # out at WENO(1) ≡ UpwindBiased(1)
+        if not hasattr(self, "_buffer_scheme"):
+            if self.order > 3:
+                self._buffer_scheme = WENO(
+                    order=self.order - 2,
+                    smoothness_dtype=self.smoothness_dtype)
+            else:
+                self._buffer_scheme = UpwindBiased(order=1)
+        return self._buffer_scheme
+
     def _fp(self):
         return (type(self).__name__, self.order, str(self.smoothness_dtype),
                 self.bounds)
 
     def symmetric(self, grid, a, axis, beta, zbc=None):
-        return self.advecting_velocity_scheme.symmetric(grid, a, axis, beta,
-                                                        zbc)
+        hi = self.advecting_velocity_scheme._symmetric_plain(
+            grid, a, axis, beta, zbc)
+        if grid.is_flat(axis):
+            return hi
+        return self._cascade(grid, axis, beta, hi,
+                             lambda bs: bs.symmetric(grid, a, axis, beta,
+                                                     zbc=zbc))
 
     def _biased(self, grid, sc, axis, beta, side, smooth=None):
         if grid.is_flat(axis):

@@ -33,10 +33,20 @@ from ..advection.fluxes import div_Uc, div_Uu, div_Uv, div_Uw
 
 
 class _TileGrid:
-    """Scalar-metric grid proxy for kernel-local evaluation."""
+    """Scalar-metric grid proxy for kernel-local evaluation.
+
+    x/y are reported PERIODIC regardless of the parent grid (kernel
+    eligibility requires it — tile-local x/y indices cannot carry the
+    global near-boundary masks); z keeps the parent topology/H/N so the
+    near-wall advection order cascade (schemes.py _cascade_select) sees
+    global z indices, which ARE global on every slab."""
 
     def __init__(self, grid):
+        from ..grids.topology import PERIODIC
         self._flat = tuple(grid.is_flat(ax) for ax in range(3))
+        self.topology = (PERIODIC, PERIODIC, grid.topology[2])
+        self.H = tuple(grid.H)
+        self.N = tuple(grid.N)
         ccc = ("c", "c", "c")
         # regular grids: all metrics are location-independent scalars
         self._dx = float(np.asarray(grid.dx(ccc)).reshape(())) \
@@ -79,10 +89,16 @@ def _pick_tile(n, candidates):
 
 
 def eligible(grid, n_tile_candidates=((32, 16, 8, 4, 2), (64, 128, 32, 16, 8, 4, 2))):
+    from ..grids.topology import PERIODIC
+
     if not getattr(grid, "all_regular", False):
         return False
     if grid.is_flat(0) or grid.is_flat(1):
         return False  # tile over (x, y); 2D-in-xy grids use the XLA path
+    if grid.topology[0] != PERIODIC or grid.topology[1] != PERIODIC:
+        # bounded x/y would need the near-wall order cascade with
+        # tile-local indices — those configs take the XLA path
+        return False
     tx = _pick_tile(grid.N[0], n_tile_candidates[0])
     ty = _pick_tile(grid.N[1], n_tile_candidates[1])
     return tx is not None and ty is not None
@@ -100,6 +116,10 @@ def build_fused_advection(grid, scheme, tracer_names):
     reads (shift_zbc): even mirror for u/v/tracers, odd-face (pinned w=0
     faces) for w; flux deltas need no fixes because boundary-face fluxes
     vanish and the out-of-range zero-fill reproduces exactly that."""
+    from ..grids.topology import PERIODIC
+    if grid.topology[0] != PERIODIC or grid.topology[1] != PERIODIC:
+        raise ValueError("fused advection requires periodic x/y (the "
+                         "near-wall order cascade needs global indices)")
     Hx, Hy, Hz = grid.H
     z_compact = (Hz == 0 and not grid.is_flat(2))
     zbc = None
@@ -149,16 +169,23 @@ def build_fused_advection(grid, scheme, tracer_names):
         v = slabs[1][:]
         w = slabs[2][:]
 
-        def out_tile(a):
-            return a[Hx:Hx + TX, Hy:Hy + TY, :ZP]
+        # trim each directional term's transverse extents to the tile before
+        # the expensive reconstructions (fluxes.py _term_trims)
+        tile = (slice(Hx, Hx + TX), slice(Hy, Hy + TY))
 
-        outs[0][:] = out_tile(-div_Uu(tgrid, scheme, u, v, w, zbc=zbc))
-        outs[1][:] = out_tile(-div_Uv(tgrid, scheme, u, v, w, zbc=zbc))
-        outs[2][:] = out_tile(-div_Uw(tgrid, scheme, u, v, w, zbc=zbc))
+        def ztile(a):
+            return a[:, :, :ZP]
+
+        outs[0][:] = ztile(-div_Uu(tgrid, scheme, u, v, w, zbc=zbc,
+                                   tile=tile))
+        outs[1][:] = ztile(-div_Uv(tgrid, scheme, u, v, w, zbc=zbc,
+                                   tile=tile))
+        outs[2][:] = ztile(-div_Uw(tgrid, scheme, u, v, w, zbc=zbc,
+                                   tile=tile))
         for t, name in enumerate(names):
             c = slabs[3 + t][:]
-            outs[3 + t][:] = out_tile(-div_Uc(tgrid, scheme, u, v, w, c,
-                                              zbc=zbc))
+            outs[3 + t][:] = ztile(-div_Uc(tgrid, scheme, u, v, w, c,
+                                           zbc=zbc, tile=tile))
 
     call = pl.pallas_call(
         kernel,
@@ -262,16 +289,21 @@ def build_fused_advection_update(grid, scheme, tracer_names):
             w = slabs[2][:]
             gdt = gdt_ref[0, 0]
 
+            tile = (slice(Hx, Hx + TX), slice(Hy, Hy + TY))
+
+            def ztile(a):
+                return a[:, :, :ZP]
+
             def out_tile(a):
                 return a[Hx:Hx + TX, Hy:Hy + TY, :ZP]
 
-            Gs = [out_tile(-div_Uu(tgrid, scheme, u, v, w, zbc=zbc)),
-                  out_tile(-div_Uv(tgrid, scheme, u, v, w, zbc=zbc)),
-                  out_tile(-div_Uw(tgrid, scheme, u, v, w, zbc=zbc))]
+            Gs = [ztile(-div_Uu(tgrid, scheme, u, v, w, zbc=zbc, tile=tile)),
+                  ztile(-div_Uv(tgrid, scheme, u, v, w, zbc=zbc, tile=tile)),
+                  ztile(-div_Uw(tgrid, scheme, u, v, w, zbc=zbc, tile=tile))]
             for t in range(len(names)):
                 c = slabs[3 + t][:]
-                Gs.append(out_tile(-div_Uc(tgrid, scheme, u, v, w, c,
-                                           zbc=zbc)))
+                Gs.append(ztile(-div_Uc(tgrid, scheme, u, v, w, c,
+                                        zbc=zbc, tile=tile)))
             wcopies = []
             for k in range(nf):
                 outs[k][:] = Gs[k]

@@ -108,3 +108,35 @@ def test_flat_direction_ops_are_zero():
     from oceananigans_tpu.operators import dz_f, iz_f
     assert np.allclose(dz_f(g, c.data), 0.0)
     assert np.allclose(iz_f(g, c.data), c.data)
+
+
+def test_computed_field_status_caching():
+    """ComputedField re-evaluates only when the time stamp changes
+    (reference: computed_field.jl status caching)."""
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.abstract_operations import ComputedField
+    from oceananigans_tpu.fields import CenterField
+
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1, 1, 1))
+    f = CenterField(grid)
+
+    calls = []
+
+    class CountingOp:
+        def __init__(self):
+            self.grid, self.loc = grid, ("c", "c", "c")
+
+        def compute(self):
+            calls.append(1)
+            return f
+
+    cf = ComputedField(CountingOp())
+    cf.compute(1.0)
+    cf.compute(1.0)
+    cf.compute(1.0)
+    assert len(calls) == 1
+    cf.compute(2.0)
+    assert len(calls) == 2
+    cf.compute()          # no stamp -> always recompute
+    cf.compute()
+    assert len(calls) == 4
