@@ -37,11 +37,72 @@ CONSERVATIVE = "conservative"
 VECTOR_INVARIANT = "vector_invariant"
 
 
+def conservative_tendencies(grid, scheme, g, coriolis, hB, tracer_names,
+                            fields):
+    """Conservative-formulation tendencies G(uh, vh, h, tracers) (reference:
+    solution_and_tracer_tendencies.jl) as pure local stencils over any
+    grid-like object (the model's padded grid, or the fused kernel's
+    scalar-metric slab proxy — kernels/fused_shallow_water.py). Excludes
+    closure/forcing/boundary-flux terms (applied by the caller)."""
+    h = fields["h"]
+    uh, vh = fields["uh"], fields["vh"]
+    u = uh / ix_f(grid, h)
+    v = vh / iy_f(grid, h)
+    G = {}
+
+    # momentum flux divergence of transports: ∇·(𝐮 uh)
+    ut = scheme.symmetric(grid, uh, 0, 1)            # fcc → ccc
+    uhat = _biased_by(scheme, grid, u, 0, 1, ut)
+    fx = _delta_f(grid, grid.dy(LOC_CCC) * ut * uhat, 0)
+    vt = scheme.symmetric(grid, vh, 0, 0)            # cfc → ffc
+    uhat = _biased_by(scheme, grid, u, 1, 0, vt)
+    fy = _delta_c(grid, grid.dx(LOC_FFC) * vt * uhat, 1)
+    div_mom_u = (fx + fy) / grid.Az(LOC_FCC)
+
+    ut = scheme.symmetric(grid, uh, 1, 0)            # fcc → ffc
+    vhat = _biased_by(scheme, grid, v, 0, 0, ut)
+    fx = _delta_c(grid, grid.dy(LOC_FFC) * ut * vhat, 0)
+    vt = scheme.symmetric(grid, vh, 1, 1)            # cfc → ccc
+    vhat = _biased_by(scheme, grid, v, 1, 1, vt)
+    fy = _delta_f(grid, grid.dx(LOC_CCC) * vt * vhat, 1)
+    div_mom_v = (fx + fy) / grid.Az(LOC_CFC)
+
+    Gu = (-div_mom_u
+          - ddx(grid, 0.5 * g * h * h, LOC_FCC)
+          - g * ix_f(grid, h) * ddx(grid, hB, LOC_FCC))
+    Gv = (-div_mom_v
+          - ddy(grid, 0.5 * g * h * h, LOC_CFC)
+          - g * iy_f(grid, h) * ddy(grid, hB, LOC_CFC))
+    if coriolis is not None:
+        zero = jnp.zeros_like(h)
+        Gu = Gu - coriolis.x_f_cross_U(grid, uh, vh, zero)
+        Gv = Gv - coriolis.y_f_cross_U(grid, uh, vh, zero)
+    G["uh"], G["vh"] = Gu, Gv
+
+    G["h"] = -div_xy_ccc(grid, uh, vh) * grid.V(LOC_CCC) / grid.Az(LOC_CCC)
+
+    for name in tracer_names:
+        c = fields[name]
+        # advective form via conservative flux + c ∇·U correction
+        ct_l, ct_r = scheme.biased_pair(grid, c, 0, 0)
+        chat_x = jnp.where(uh > 0, ct_l, ct_r)
+        fx = dx_c(grid, grid.dy(LOC_FCC) * uh * chat_x)
+        ct_l, ct_r = scheme.biased_pair(grid, c, 1, 0)
+        chat_y = jnp.where(vh > 0, ct_l, ct_r)
+        fy = dy_c(grid, grid.dx(LOC_CFC) * vh * chat_y)
+        divUc = (fx + fy) / grid.Az(LOC_CCC)
+        divU = (dx_c(grid, grid.dy(LOC_FCC) * uh)
+                + dy_c(grid, grid.dx(LOC_CFC) * vh)) / grid.Az(LOC_CCC)
+        G[name] = -divUc + c * divU
+    return G
+
+
 class ShallowWaterModel:
     def __init__(self, grid, gravitational_acceleration=None,
                  advection=None, coriolis=None, bathymetry=0.0,
                  tracers=(), forcing=None, boundary_conditions=None,
-                 formulation=CONSERVATIVE, closure=None):
+                 formulation=CONSERVATIVE, closure=None,
+                 fused="auto"):
         if not grid.is_flat(2):
             raise ValueError("ShallowWaterModel requires a z-Flat grid "
                              "(reference: shallow_water_model.jl validation)")
@@ -50,9 +111,26 @@ class ShallowWaterModel:
                   if gravitational_acceleration is None
                   else float(gravitational_acceleration))
         self.advection = advection if advection is not None else Centered(2)
-        required = getattr(self.advection, "required_halo", 1)
-        halo = tuple(max(h, required) if not grid.is_flat(i) else 0
-                     for i, h in enumerate(grid.H))
+        # +1: the advected velocity u = uh/ℑx(h) is a composed stencil —
+        # reconstructing it at the innermost halo point reads h one slot
+        # deeper than the scheme's own reach
+        required = getattr(self.advection, "required_halo", 1) + 1
+        halo = [max(h, required) if not grid.is_flat(i) else 0
+                for i, h in enumerate(grid.H)]
+        from ..kernels.fused_shallow_water import sw_eligible
+        self._fused_eligible = (
+            fused in (True, "auto") and sw_eligible(grid, formulation)
+            and closure is None and not (forcing or {})
+            and not (boundary_conditions or {}))
+        if self._fused_eligible:
+            # Mosaic sublane (x) DMA alignment: slab slices are multiples
+            # of 8 rows (kernels/fused_shallow_water.py)
+            while halo[0] % 8:
+                halo[0] += 1
+        elif fused is True:
+            raise ValueError("model configuration is not eligible for the "
+                             "fused shallow-water kernel")
+        halo = tuple(halo)
         self.grid = grid.with_halo(halo)
         self.coriolis = coriolis
         self.closure = closure
@@ -91,6 +169,12 @@ class ShallowWaterModel:
                      iteration=jnp.zeros((), jnp.int32),
                      last_dt=jnp.full((), np.inf, self.grid.dtype))
         self.state = dict(fields=fields, clock=clock)
+        self._fused_update = None
+        if self._fused_eligible:
+            from ..kernels.fused_shallow_water import build_fused_sw_update
+            self._fused_update = build_fused_sw_update(
+                self.grid, self.advection, self.g, self.coriolis,
+                self.bathymetry, self.tracer_names)
         self._step = jax.jit(self._build_step())
 
     @property
@@ -153,35 +237,9 @@ class ShallowWaterModel:
         G = {}
 
         if self.formulation == CONSERVATIVE:
-            # momentum flux divergence of transports: ∇·(𝐮 uh)
-            # x-flux of uh at ccc: ℑx(uh)·û ; y-flux at ffc: ℑx(vh)·û
-            ut = scheme.symmetric(grid, uh, 0, 1)            # fcc → ccc
-            uhat = _biased_by(scheme, grid, u, 0, 1, ut)
-            fx = _delta_f(grid, grid.dy(LOC_CCC) * ut * uhat, 0)
-            vt = scheme.symmetric(grid, vh, 0, 0)            # cfc → ffc
-            uhat = _biased_by(scheme, grid, u, 1, 0, vt)
-            fy = _delta_c(grid, grid.dx(LOC_FFC) * vt * uhat, 1)
-            div_mom_u = (fx + fy) / grid.Az(LOC_FCC)
-
-            ut = scheme.symmetric(grid, uh, 1, 0)            # fcc → ffc
-            vhat = _biased_by(scheme, grid, v, 0, 0, ut)
-            fx = _delta_c(grid, grid.dy(LOC_FFC) * ut * vhat, 0)
-            vt = scheme.symmetric(grid, vh, 1, 1)            # cfc → ccc
-            vhat = _biased_by(scheme, grid, v, 1, 1, vt)
-            fy = _delta_f(grid, grid.dx(LOC_CCC) * vt * vhat, 1)
-            div_mom_v = (fx + fy) / grid.Az(LOC_CFC)
-
-            Gu = (-div_mom_u
-                  - ddx(grid, 0.5 * g * h * h, LOC_FCC)
-                  - g * ix_f(grid, h) * ddx(grid, hB, LOC_FCC))
-            Gv = (-div_mom_v
-                  - ddy(grid, 0.5 * g * h * h, LOC_CFC)
-                  - g * iy_f(grid, h) * ddy(grid, hB, LOC_CFC))
-            if self.coriolis is not None:
-                zero = jnp.zeros_like(h)
-                Gu = Gu - self.coriolis.x_f_cross_U(grid, uh, vh, zero)
-                Gv = Gv - self.coriolis.y_f_cross_U(grid, uh, vh, zero)
-            G["uh"], G["vh"] = Gu, Gv
+            G.update(conservative_tendencies(
+                grid, scheme, g, self.coriolis, hB, self.tracer_names,
+                fields))
         else:
             # vector-invariant: -(ζ+f) v̂ + ∂x KE + g ∂x(h+hB)
             zeta = zeta3_ffc(grid, u, v)
@@ -201,21 +259,22 @@ class ShallowWaterModel:
                   - ddy(grid, KE + g * (h + hB), LOC_CFC))
             G[self._solution[0]], G[self._solution[1]] = Gu, Gv
 
-        G["h"] = -div_xy_ccc(grid, uh, vh) * grid.V(LOC_CCC) / grid.Az(LOC_CCC)
-
-        for name in self.tracer_names:
-            c = fields[name]
-            # advective form via conservative flux + c ∇·U correction
-            ct_l, ct_r = scheme.biased_pair(grid, c, 0, 0)
-            chat_x = jnp.where(uh > 0, ct_l, ct_r)
-            fx = dx_c(grid, grid.dy(LOC_FCC) * uh * chat_x)
-            ct_l, ct_r = scheme.biased_pair(grid, c, 1, 0)
-            chat_y = jnp.where(vh > 0, ct_l, ct_r)
-            fy = dy_c(grid, grid.dx(LOC_CFC) * vh * chat_y)
-            divUc = (fx + fy) / grid.Az(LOC_CCC)
-            divU = (dx_c(grid, grid.dy(LOC_FCC) * uh)
-                    + dy_c(grid, grid.dx(LOC_CFC) * vh)) / grid.Az(LOC_CCC)
-            G[name] = -divUc + c * divU
+        if self.formulation != CONSERVATIVE:
+            G["h"] = (-div_xy_ccc(grid, uh, vh) * grid.V(LOC_CCC)
+                      / grid.Az(LOC_CCC))
+            for name in self.tracer_names:
+                c = fields[name]
+                # advective form via conservative flux + c ∇·U correction
+                ct_l, ct_r = scheme.biased_pair(grid, c, 0, 0)
+                chat_x = jnp.where(uh > 0, ct_l, ct_r)
+                fx = dx_c(grid, grid.dy(LOC_FCC) * uh * chat_x)
+                ct_l, ct_r = scheme.biased_pair(grid, c, 1, 0)
+                chat_y = jnp.where(vh > 0, ct_l, ct_r)
+                fy = dy_c(grid, grid.dx(LOC_CFC) * vh * chat_y)
+                divUc = (fx + fy) / grid.Az(LOC_CCC)
+                divU = (dx_c(grid, grid.dy(LOC_FCC) * uh)
+                        + dy_c(grid, grid.dx(LOC_CFC) * vh)) / grid.Az(LOC_CCC)
+                G[name] = -divUc + c * divU
 
         if self.closure is not None:
             aux = self.closure.compute_diffusivities(grid, dict(
@@ -248,15 +307,19 @@ class ShallowWaterModel:
             Gm = None
             for gamma, zeta in zip(RK3_GAMMAS, RK3_ZETAS):
                 fields = self._fill_all(fields, time)
-                G = self._compute_tendencies(fields, time)
-                new = {}
-                for name in fields:
-                    inc = gamma * G[name]
-                    if zeta != 0.0:
-                        inc = inc + zeta * Gm[name]
-                    new[name] = fields[name] + dt * inc
-                fields = new
-                Gm = G
+                if self._fused_update is not None:
+                    Gm, fields = self._fused_update(fields, Gm, gamma * dt,
+                                                    zeta * dt)
+                else:
+                    G = self._compute_tendencies(fields, time)
+                    new = {}
+                    for name in fields:
+                        inc = gamma * G[name]
+                        if zeta != 0.0:
+                            inc = inc + zeta * Gm[name]
+                        new[name] = fields[name] + dt * inc
+                    fields = new
+                    Gm = G
                 time = time + (gamma + zeta) * dt
             clock = dict(time=time, iteration=clock["iteration"] + 1,
                          last_dt=dt * jnp.ones_like(clock["last_dt"]))

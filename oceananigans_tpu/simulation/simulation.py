@@ -32,11 +32,17 @@ class NaNChecker:
     src/Diagnostics/nan_checker.jl; installed every 100 iterations by default
     like simulation.jl:91-94)."""
 
-    def __init__(self, fields=("u",)):
+    def __init__(self, fields=None):
         self.fields = fields
 
     def __call__(self, sim):
-        for name in self.fields:
+        names = self.fields
+        if names is None:
+            # first prognostic field of the model (reference default: the
+            # first velocity) — "u" for 3D models, "uh" for shallow water
+            avail = sim.model.state["fields"]
+            names = ("u",) if "u" in avail else (next(iter(avail)),)
+        for name in names:
             data = sim.model.state["fields"][name]
             if bool(np.isnan(np.asarray(data).ravel()[::max(1, data.size // 4096)]).any()):
                 sim.running = False
@@ -61,7 +67,7 @@ class Simulation:
         self.running = True
         self.initialized = False
         self.run_wall_time = 0.0
-        self.add_callback(NaNChecker(fields=("u",)), IterationInterval(100),
+        self.add_callback(NaNChecker(), IterationInterval(100),
                           name="nan_checker")
 
     # -- registration ---------------------------------------------------------
