@@ -54,10 +54,16 @@ def main():
     rng = np.random.default_rng(0)
 
     # -- shallow water ------------------------------------------------------
-    for n, dtype, v100_cups in (((256 if on_cpu else 8192), jnp.float32,
-                                 8192 ** 2 / 0.1668),
-                                ((256 if on_cpu else 16384), jnp.float32,
-                                 16384 ** 2 / 0.681)):
+    only = os.environ.get("BENCH_ONLY", "")
+    sw_rows = [((256 if on_cpu else 8192), jnp.float32, 8192 ** 2 / 0.1668),
+               ((256 if on_cpu else 16384), jnp.float32, 16384 ** 2 / 0.681)]
+    if only == "sw8192":
+        sw_rows = sw_rows[:1]
+    elif only == "sw16384":
+        sw_rows = sw_rows[1:]
+    elif only == "tracers":
+        sw_rows = []
+    for n, dtype, v100_cups in sw_rows:
         grid = RectilinearGrid(size=(n, n), extent=(1.0, 1.0),
                                topology=("periodic", "periodic", "flat"),
                                dtype=dtype)
@@ -80,6 +86,8 @@ def main():
         print(json.dumps(out), flush=True)
 
     # -- tracer scaling -----------------------------------------------------
+    if only in ("sw8192", "sw16384"):
+        return
     n = 64 if on_cpu else 256
     times = {}
     for ntr in (0, 12):

@@ -104,6 +104,24 @@ def eligible(grid, n_tile_candidates=((32, 16, 8, 4, 2), (64, 128, 32, 16, 8, 4,
     return tx is not None and ty is not None
 
 
+def _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD, ZP, nf, n_new_bufs,
+                     budget=85 * 1024 * 1024):
+    """Largest (TX, TY) whose VMEM working set (input slabs + pipelined
+    out blocks + stage-update buffers) fits the budget — many-tracer runs
+    need smaller tiles than the nf=3 default."""
+    for TX in (32, 16, 8, 4, 2):
+        if Nx % TX:
+            continue
+        for TY in (64, 32, 16, 128, 8, 4, 2):
+            if Ny % TY:
+                continue
+            slabs = nf * (TX + 2 * Hx) * (TY + 2 * Hy) * ZPAD * 4
+            tiles = (2 * nf + n_new_bufs) * TX * TY * ZP * 4
+            if slabs + tiles <= budget:
+                return TX, TY
+    return None, None
+
+
 def build_fused_advection(grid, scheme, tracer_names):
     """Return fn(u, v, w, tracers_dict) -> (Gu, Gv, Gw, {name: Gc}) of
     PADDED-shape arrays whose interior holds -∇·(𝐯 q); halo slots are
@@ -128,15 +146,16 @@ def build_fused_advection(grid, scheme, tracer_names):
         zbc["c"] = "even"
     Nx, Ny, Nz = grid.N
     ZP = grid.padded_shape[2]
-    # tile sweep on v5e at 256^3: TX=32/TY=64 fastest (10.44 ms vs
-    # 10.84 for 16/64); larger TX amortizes the y/z halo overhead
-    TX = _pick_tile(Nx, (32, 16, 8, 4, 2))
-    TY = _pick_tile(Ny, (64, 32, 16, 128, 8, 4, 2))
-    if TX is None or TY is None:
-        raise ValueError("grid not tileable for the fused kernel")
     tgrid = _TileGrid(grid)
     names = tuple(tracer_names)
     nf = 3 + len(names)
+    # tile sweep on v5e at 256^3: TX=32/TY=64 fastest (10.44 ms vs
+    # 10.84 for 16/64); larger TX amortizes the y/z halo overhead, but
+    # many-tracer runs must shrink to fit VMEM
+    ZPAD0 = -(-ZP // 128) * 128
+    TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, nf, 0)
+    if TX is None or TY is None:
+        raise ValueError("grid not tileable for the fused kernel")
 
     if (2 * Hy) % 8:
         raise ValueError("fused kernel needs 2*Hy % 8 == 0 (Mosaic DMA "
@@ -245,13 +264,14 @@ def build_fused_advection_update(grid, scheme, tracer_names):
         zbc = {"u": "even", "v": "even", "w": "odd_face", "c": "even"}
     Nx, Ny, Nz = grid.N
     ZP = grid.padded_shape[2]
-    TX = _pick_tile(Nx, (32, 16, 8, 4, 2))
-    TY = _pick_tile(Ny, (64, 32, 16, 128, 8, 4, 2))
-    if TX is None or TY is None:
-        raise ValueError("grid not tileable for the fused kernel")
     tgrid = _TileGrid(grid)
     names = tuple(tracer_names)
     nf = 3 + len(names)
+    ZPAD0 = -(-ZP // 128) * 128
+    # nf new-slabs + nf Gm input tiles on top of the 2·nf pipelined outs
+    TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, nf, 2 * nf)
+    if TX is None or TY is None:
+        raise ValueError("grid not tileable for the fused kernel")
     if (2 * Hy) % 8:
         raise ValueError("fused kernel needs 2*Hy % 8 == 0")
     ZPAD = -(-ZP // 128) * 128

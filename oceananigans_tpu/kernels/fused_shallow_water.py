@@ -83,6 +83,13 @@ def build_fused_sw_update(grid, scheme, g, coriolis, hB, tracer_names):
     ypad = [(0, 0), (0, YPAD - NYp)]
     hB2 = jnp.pad(jnp.reshape(hB, (NXp, NYp)), ypad)
 
+    # When the padded y extent is already 128-aligned (the model rounds Hy
+    # for eligible configs), skip the pad/embed copies entirely: slabs read
+    # the arrays in place and `new` tiles DMA straight into PADDED output
+    # buffers (x-halo rows garbage, refilled at the next stage's fill). At
+    # 16384² the transient gigabyte pad/embed copies otherwise OOM the chip.
+    direct = (YPAD == NYp)
+
     def make_call(with_gm):
         def kernel(*refs):
             k0 = 0
@@ -97,6 +104,8 @@ def build_fused_sw_update(grid, scheme, g, coriolis, hB, tracer_names):
             outs = refs[k0:k0 + 2 * nf]; k0 += 2 * nf
             slabs = refs[k0:k0 + nf]; k0 += nf
             hb_slab = refs[k0]; k0 += 1
+            newslabs = refs[k0:k0 + (nf if direct else 0)]
+            k0 += nf if direct else 0
             sems = refs[k0]
             i = pl.program_id(0)
             x0 = i * TX
@@ -119,17 +128,27 @@ def build_fused_sw_update(grid, scheme, g, coriolis, hB, tracer_names):
                                         hb_slab[:], tracer_names, fields)
             gdt = gdt_ref[0, 0]
             sx = slice(Hx, Hx + TX)
+            wcopies = []
             for k, n in enumerate(names):
                 Gt = G[n][sx, :]
                 outs[k][:] = Gt
                 inc = gdt * Gt
                 if with_gm:
                     inc = inc + zdt_ref[0, 0] * gms[k][:]
-                outs[nf + k][:] = fields[n][sx, :] + inc
+                newv = fields[n][sx, :] + inc
+                if direct:
+                    newslabs[k][:] = newv
+                    dma = pltpu.make_async_copy(
+                        newslabs[k],
+                        outs[nf + k].at[pl.ds(x0 + Hx, TX), :],
+                        sems.at[k])
+                    dma.start()
+                    wcopies.append(dma)
+                else:
+                    outs[nf + k][:] = newv
+            for dma in wcopies:
+                dma.wait()
 
-        # `new` tiles are written through pipelined VMEM out blocks (x-tiled
-        # over the INTERIOR (Nx, NYp) array) — no manual write DMA needed;
-        # the model embeds them back into padded buffers with one concat.
         n_scal = 2 if with_gm else 1
         tile_spec = pl.BlockSpec((TX, YPAD), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
@@ -139,13 +158,23 @@ def build_fused_sw_update(grid, scheme, g, coriolis, hB, tracer_names):
         if with_gm:
             in_specs += [tile_spec] * nf
         in_specs += [smem_spec] * n_scal
+        if direct:
+            new_specs = [pl.BlockSpec(memory_space=pl.ANY)] * nf
+            new_shapes = [jax.ShapeDtypeStruct((NXp, NYp), grid.dtype)] * nf
+            extra_scratch = [pltpu.VMEM((TX, YPAD), grid.dtype)] * nf
+        else:
+            new_specs = [tile_spec] * nf
+            new_shapes = [jax.ShapeDtypeStruct((Nx, YPAD), grid.dtype)] * nf
+            extra_scratch = []
         return pl.pallas_call(
             kernel,
             grid=(Nx // TX,),
             in_specs=in_specs,
-            out_specs=[tile_spec] * (2 * nf),
-            out_shape=[jax.ShapeDtypeStruct((Nx, YPAD), grid.dtype)] * (2 * nf),
+            out_specs=[tile_spec] * nf + new_specs,
+            out_shape=[jax.ShapeDtypeStruct((Nx, YPAD), grid.dtype)] * nf
+            + new_shapes,
             scratch_shapes=([pltpu.VMEM(slab_shape, grid.dtype)] * (nf + 1)
+                            + extra_scratch
                             + [pltpu.SemaphoreType.DMA((nf + 1,))]),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
@@ -157,8 +186,11 @@ def build_fused_sw_update(grid, scheme, g, coriolis, hB, tracer_names):
     sx = slice(Hx, Hx + Nx)
 
     def fused_update(fields, Gm, gamma_dt, zeta_dt):
-        args = [jnp.pad(jnp.reshape(fields[n], (NXp, NYp)), ypad)
-                for n in names] + [hB2]
+        if direct:
+            args = [jnp.reshape(fields[n], (NXp, NYp)) for n in names] + [hB2]
+        else:
+            args = [jnp.pad(jnp.reshape(fields[n], (NXp, NYp)), ypad)
+                    for n in names] + [hB2]
         gd = jnp.asarray(gamma_dt, grid.dtype).reshape(1, 1)
         if Gm is None:
             outs = call0(*args, gd)
@@ -168,9 +200,106 @@ def build_fused_sw_update(grid, scheme, g, coriolis, hB, tracer_names):
         G_int = list(outs[:nf])
         new = {}
         for k, n in enumerate(names):
-            full = jnp.zeros((NXp, NYp), grid.dtype)
-            full = full.at[sx, :].set(outs[nf + k][:, :NYp])
-            new[n] = jnp.reshape(full, (NXp, NYp, 1))
+            if direct:
+                new[n] = jnp.reshape(outs[nf + k], (NXp, NYp, 1))
+            else:
+                full = jnp.zeros((NXp, NYp), grid.dtype)
+                full = full.at[sx, :].set(outs[nf + k][:, :NYp])
+                new[n] = jnp.reshape(full, (NXp, NYp, 1))
+        return G_int, new
+
+    return fused_update
+
+
+def build_sharded_fused_sw_update(grid, scheme, g, coriolis, hB,
+                                  tracer_names, mesh):
+    """The fused shallow-water stage under an (x, y) device mesh: global-view
+    padded fields are re-blocked into per-shard locally-padded slabs inside a
+    ``shard_map``; ppermute strips fill the local halos
+    (parallel/halo_exchange.py) and the per-shard Pallas kernel runs on its
+    local block (the multi-chip continuation of the fused path — pure GSPMD
+    would fall back to XLA because Pallas calls are opaque to the
+    partitioner).
+
+    Same signature as :func:`build_fused_sw_update`; the inter-stage ``Gm``
+    arrays are opaque per-shard-blocked global arrays threaded back in."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..grids.rectilinear import RectilinearGrid
+    from ..parallel.halo_exchange import halo_exchange_local
+
+    names = ("uh", "vh", "h") + tuple(tracer_names)
+    nf = len(names)
+    Nx, Ny, _ = grid.N
+    Hx, Hy, _ = grid.H
+    axn = mesh.axis_names
+    Sx, Sy = mesh.devices.shape
+    if Nx % Sx or Ny % Sy:
+        raise ValueError("interior must divide the mesh")
+    nlx, nly = Nx // Sx, Ny // Sy
+    ext = grid.extent
+    lgrid = RectilinearGrid(
+        size=(nlx, nly), extent=(ext[0] * nlx / Nx, ext[1] * nly / Ny),
+        topology=grid.topology, halo=(Hx, Hy, 0), dtype=grid.dtype)
+
+    spec3 = P(axn[0], axn[1], None)
+    specG = P(axn[0], axn[1])
+    gsx, gsy = slice(Hx, Hx + Nx), slice(Hy, Hy + Ny)
+    lsx, lsy = slice(Hx, Hx + nlx), slice(Hy, Hy + nly)
+
+    def pad_exchange(a):
+        a = jnp.pad(a, [(Hx, Hx), (Hy, Hy), (0, 0)])
+        return halo_exchange_local(a, (Hx, Hy, 0), (nlx, nly, 1),
+                                   axis_names=axn)
+
+    def make_body(with_gm):
+        def body(*args):
+            ins = args[:nf]
+            hb_loc = args[nf]
+            k0 = nf + 1
+            gms = list(args[k0:k0 + (nf if with_gm else 0)])
+            k0 += nf if with_gm else 0
+            gd, zd = args[k0], args[k0 + 1]
+            padded = [pad_exchange(a) for a in ins]
+            fields_loc = dict(zip(names, padded))
+            local_fused = build_fused_sw_update(
+                lgrid, scheme, g, coriolis, pad_exchange(hb_loc),
+                tracer_names)
+            G_int, new = local_fused(fields_loc, gms if with_gm else None,
+                                     gd, zd)
+            return (tuple(G_int)
+                    + tuple(new[n][lsx, lsy, :] for n in names))
+
+        return body
+
+    smapped0 = shard_map(make_body(False), mesh=mesh,
+                         in_specs=(spec3,) * (nf + 1) + (P(), P()),
+                         out_specs=(specG,) * nf + (spec3,) * nf,
+                         check_vma=False)
+    smapped1 = shard_map(make_body(True), mesh=mesh,
+                         in_specs=(spec3,) * (nf + 1) + (specG,) * nf
+                         + (P(), P()),
+                         out_specs=(specG,) * nf + (spec3,) * nf,
+                         check_vma=False)
+
+    NXp, NYp, _ = grid.padded_shape
+    hb_int = jnp.reshape(hB, (NXp, NYp, 1))[gsx, gsy, :]
+
+    def fused_update(fields, Gm, gamma_dt, zeta_dt):
+        ins = [fields[n][gsx, gsy, :] for n in names] + [hb_int]
+        gd = jnp.asarray(gamma_dt, grid.dtype)
+        zd = jnp.asarray(zeta_dt, grid.dtype)
+        if Gm is None:
+            outs = smapped0(*ins, gd, zd)
+        else:
+            outs = smapped1(*ins, *Gm, gd, zd)
+        G_int = list(outs[:nf])
+        new = {}
+        shape = grid.padded_shape
+        for k, n in enumerate(names):
+            full = jnp.zeros(shape, grid.dtype)
+            new[n] = full.at[gsx, gsy, :].set(outs[nf + k])
         return G_int, new
 
     return fused_update

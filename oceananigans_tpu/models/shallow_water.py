@@ -102,7 +102,7 @@ class ShallowWaterModel:
                  advection=None, coriolis=None, bathymetry=0.0,
                  tracers=(), forcing=None, boundary_conditions=None,
                  formulation=CONSERVATIVE, closure=None,
-                 fused="auto"):
+                 fused="auto", architecture=None):
         if not grid.is_flat(2):
             raise ValueError("ShallowWaterModel requires a z-Flat grid "
                              "(reference: shallow_water_model.jl validation)")
@@ -127,6 +127,12 @@ class ShallowWaterModel:
             # of 8 rows (kernels/fused_shallow_water.py)
             while halo[0] % 8:
                 halo[0] += 1
+            # lane (y) alignment: a 128-divisible padded y extent lets the
+            # kernel read/write the arrays in place (no pad/embed copies —
+            # at 16384² those transient gigabyte copies OOM the 16 GB chip)
+            if grid.N[1] % 2 == 0:
+                while (grid.N[1] + 2 * halo[1]) % 128:
+                    halo[1] += 1
         elif fused is True:
             raise ValueError("model configuration is not eligible for the "
                              "fused shallow-water kernel")
@@ -169,13 +175,23 @@ class ShallowWaterModel:
                      iteration=jnp.zeros((), jnp.int32),
                      last_dt=jnp.full((), np.inf, self.grid.dtype))
         self.state = dict(fields=fields, clock=clock)
+        self.architecture = architecture
         self._fused_update = None
         if self._fused_eligible:
-            from ..kernels.fused_shallow_water import build_fused_sw_update
-            self._fused_update = build_fused_sw_update(
-                self.grid, self.advection, self.g, self.coriolis,
-                self.bathymetry, self.tracer_names)
-        self._step = jax.jit(self._build_step())
+            if architecture is not None and getattr(architecture, "mesh",
+                                                    None) is not None:
+                from ..kernels.fused_shallow_water import (
+                    build_sharded_fused_sw_update)
+                self._fused_update = build_sharded_fused_sw_update(
+                    self.grid, self.advection, self.g, self.coriolis,
+                    self.bathymetry, self.tracer_names, architecture.mesh)
+            else:
+                from ..kernels.fused_shallow_water import (
+                    build_fused_sw_update)
+                self._fused_update = build_fused_sw_update(
+                    self.grid, self.advection, self.g, self.coriolis,
+                    self.bathymetry, self.tracer_names)
+        self._step = jax.jit(self._build_step(), donate_argnums=(0,))
 
     @property
     def prognostic_names(self):
@@ -193,8 +209,14 @@ class ShallowWaterModel:
         return int(self.state["clock"]["iteration"])
 
     def field(self, name):
+        # refresh halos on access: between steps the fused kernels leave
+        # halo slots unwritten (interiors are authoritative; stage-start
+        # fills re-derive halos inside the step)
+        data = fill_halo_regions(self.state["fields"][name], self.grid,
+                                 self.loc(name), self.bcs[name],
+                                 self.state["clock"]["time"])
         return Field(self.grid, self.loc(name), self.bcs[name],
-                     self.state["fields"][name], _regularize=False)
+                     data, _regularize=False)
 
     @property
     def fields(self):

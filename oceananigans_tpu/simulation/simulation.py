@@ -43,7 +43,10 @@ class NaNChecker:
             avail = sim.model.state["fields"]
             names = ("u",) if "u" in avail else (next(iter(avail)),)
         for name in names:
-            data = sim.model.state["fields"][name]
+            # sample the interior only: halo slots may legitimately hold
+            # uninitialized memory between fills (fused kernels write
+            # interiors and let the next fill re-derive halos)
+            data = sim.model.field(name).interior
             if bool(np.isnan(np.asarray(data).ravel()[::max(1, data.size // 4096)]).any()):
                 sim.running = False
                 raise RuntimeError(

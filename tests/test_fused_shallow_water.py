@@ -56,3 +56,36 @@ def test_fused_sw_rejects_ineligible():
                             topology=("bounded", "periodic", "flat"))
     with pytest.raises(ValueError):
         ShallowWaterModel(grid=grid2, advection=WENO(5), fused=True)
+
+
+def test_sharded_fused_sw_matches_serial(rng):
+    """Serial vs 8-device sharded fused shallow water (SURVEY §4.5
+    equivalence strategy on the virtual CPU mesh)."""
+    from oceananigans_tpu.parallel.distributed import Distributed, Partition
+
+    h0 = 1.0 + 0.05 * rng.standard_normal(N)
+    uh0 = 0.1 * rng.standard_normal(N)
+    vh0 = 0.1 * rng.standard_normal(N)
+    seeds = dict(h=h0, uh=uh0, vh=vh0)
+
+    def build(arch):
+        grid = RectilinearGrid(size=N, extent=(10.0, 10.0),
+                               topology=("periodic", "periodic", "flat"))
+        m = ShallowWaterModel(grid=grid, advection=WENO(5),
+                              coriolis=FPlane(f=0.3),
+                              gravitational_acceleration=9.81,
+                              fused=True, architecture=arch)
+        m.set(**seeds)
+        return m
+
+    arch = Distributed(Partition(2, 4))
+    ma = build(arch)
+    ma.state = arch.shard(ma.state)
+    mb = build(None)
+    for _ in range(3):
+        ma.time_step(1e-3)
+        mb.time_step(1e-3)
+    for n in ("uh", "vh", "h"):
+        a = np.asarray(ma.field(n).interior)
+        b = np.asarray(mb.field(n).interior)
+        assert np.abs(a - b).max() < 1e-9, n

@@ -23,7 +23,9 @@ def test_construction_and_step():
     model.set(h=1.0)
     model.time_step(1e-3)
     assert model.iteration == 1
-    assert np.all(np.isfinite(np.asarray(model.state["fields"]["h"])))
+    # field() refreshes halos; between steps only interiors are
+    # authoritative (fused kernels leave halo slots unwritten)
+    assert np.all(np.isfinite(np.asarray(model.field("h").data)))
 
 
 def test_lake_at_rest_is_steady():
@@ -80,7 +82,7 @@ def test_mass_conservation():
         model.time_step(1e-3)
     m1 = float(model.field("h").sum())
     assert np.isclose(m0, m1, rtol=1e-12)
-    assert np.all(np.isfinite(np.asarray(model.state["fields"]["uh"])))
+    assert np.all(np.isfinite(np.asarray(model.field("uh").data)))
 
 
 def test_bickley_jet_instability_runs():
@@ -99,7 +101,7 @@ def test_bickley_jet_instability_runs():
     model.set(h=10.0, uh=uh0)
     for _ in range(50):
         model.time_step(2e-3)
-    assert np.all(np.isfinite(np.asarray(model.state["fields"]["uh"])))
+    assert np.all(np.isfinite(np.asarray(model.field("uh").data)))
 
 
 def test_vector_invariant_formulation():
