@@ -268,14 +268,18 @@ def build_fused_advection_update(grid, scheme, tracer_names):
     names = tuple(tracer_names)
     nf = 3 + len(names)
     ZPAD0 = -(-ZP // 128) * 128
-    # nf new-slabs + nf Gm input tiles on top of the 2·nf pipelined outs
-    TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, nf, 2 * nf)
+    # double-buffered slabs (2·nf) + 2·nf pipelined G outs + 2·nf Gm input
+    # tiles + 2·nf new-slabs
+    TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, 2 * nf, 2 * nf)
     if TX is None or TY is None:
         raise ValueError("grid not tileable for the fused kernel")
     if (2 * Hy) % 8:
         raise ValueError("fused kernel needs 2*Hy % 8 == 0")
     ZPAD = -(-ZP // 128) * 128
     slab_shape = (TX + 2 * Hx, TY + 2 * Hy, ZPAD)
+
+    NI, NJ = Nx // TX, Ny // TY
+    NT = NI * NJ
 
     def make_call(with_gm):
         def kernel(*refs):
@@ -290,23 +294,42 @@ def build_fused_advection_update(grid, scheme, tracer_names):
             outs = refs[k0:k0 + 2 * nf]; k0 += 2 * nf
             slabs = refs[k0:k0 + nf]; k0 += nf
             newslabs = refs[k0:k0 + nf]; k0 += nf
-            sems = refs[k0]
+            sems_in = refs[k0]; k0 += 1
+            sems_out = refs[k0]
             i = pl.program_id(0)
             j = pl.program_id(1)
-            x0, y0 = i * TX, j * TY
-            copies = []
+            # double-buffered prefetch: the grid runs row-major (j fastest);
+            # at step t the t+1 slabs stream in while t computes
+            t = i * NJ + j
+            two = jnp.int32(2)
+            cur = jax.lax.rem(t, two)
+            nxt = jax.lax.rem(t + jnp.int32(1), two)
+            jn = j + 1
+            i_next = i + jnp.where(jn == NJ, 1, 0)
+            j_next = jnp.where(jn == NJ, 0, jn)
+
+            def dma_in(ti, tj, buf, k):
+                return pltpu.make_async_copy(
+                    ins[k].at[pl.ds(ti * TX, TX + 2 * Hx),
+                              pl.ds(tj * TY, TY + 2 * Hy), :],
+                    slabs[k].at[buf], sems_in.at[buf, k])
+
+            @pl.when(t == 0)
+            def _():
+                for k in range(nf):
+                    dma_in(i, j, cur, k).start()
+
+            @pl.when(t + 1 < NT)
+            def _():
+                for k in range(nf):
+                    dma_in(i_next, j_next, nxt, k).start()
+
             for k in range(nf):
-                dma = pltpu.make_async_copy(
-                    ins[k].at[pl.ds(x0, TX + 2 * Hx),
-                              pl.ds(y0, TY + 2 * Hy), :],
-                    slabs[k], sems.at[k])
-                dma.start()
-                copies.append(dma)
-            for dma in copies:
-                dma.wait()
-            u = slabs[0][:]
-            v = slabs[1][:]
-            w = slabs[2][:]
+                dma_in(i, j, cur, k).wait()
+
+            u = slabs[0][cur]
+            v = slabs[1][cur]
+            w = slabs[2][cur]
             gdt = gdt_ref[0, 0]
 
             tile = (slice(Hx, Hx + TX), slice(Hy, Hy + TY))
@@ -320,26 +343,41 @@ def build_fused_advection_update(grid, scheme, tracer_names):
             Gs = [ztile(-div_Uu(tgrid, scheme, u, v, w, zbc=zbc, tile=tile)),
                   ztile(-div_Uv(tgrid, scheme, u, v, w, zbc=zbc, tile=tile)),
                   ztile(-div_Uw(tgrid, scheme, u, v, w, zbc=zbc, tile=tile))]
-            for t in range(len(names)):
-                c = slabs[3 + t][:]
+            for tr in range(len(names)):
+                c = slabs[3 + tr][cur]
                 Gs.append(ztile(-div_Uc(tgrid, scheme, u, v, w, c,
                                         zbc=zbc, tile=tile)))
-            wcopies = []
+
+            def dma_out(buf, k, ti, tj):
+                return pltpu.make_async_copy(
+                    newslabs[k].at[buf],
+                    outs[nf + k].at[pl.ds(ti * TX + Hx, TX),
+                                    pl.ds(tj * TY + Hy, TY), :],
+                    sems_out.at[buf, k])
+
+            # the write into newslabs[cur] two steps ago must have drained
+            @pl.when(t >= 2)
+            def _():
+                for k in range(nf):
+                    # identical byte count: the wait only needs the shape
+                    dma_out(cur, k, i, j).wait()
+
             for k in range(nf):
                 outs[k][:] = Gs[k]
                 inc = gdt * Gs[k]
                 if with_gm:
                     inc = inc + zdt_ref[0, 0] * gms[k][:]
-                newslabs[k][:] = out_tile(slabs[k][:]) + inc
-                dma = pltpu.make_async_copy(
-                    newslabs[k],
-                    outs[nf + k].at[pl.ds(x0 + Hx, TX),
-                                    pl.ds(y0 + Hy, TY), :],
-                    sems.at[k])
-                dma.start()
-                wcopies.append(dma)
-            for dma in wcopies:
-                dma.wait()
+                newslabs[k][cur] = out_tile(slabs[k][cur]) + inc
+                dma_out(cur, k, i, j).start()
+
+            # drain all outstanding writes at the end of the grid
+            @pl.when(t == NT - 1)
+            def _():
+                for k in range(nf):
+                    dma_out(cur, k, i, j).wait()
+                if NT > 1:
+                    for k in range(nf):
+                        dma_out(nxt, k, i, j).wait()
 
         n_in = nf + (nf if with_gm else 0)
         n_scal = 2 if with_gm else 1
@@ -363,9 +401,10 @@ def build_fused_advection_update(grid, scheme, tracer_names):
             + [pl.BlockSpec(memory_space=pl.ANY)] * nf,
             out_shape=[jax.ShapeDtypeStruct((Nx, Ny, ZP), grid.dtype)] * nf
             + [jax.ShapeDtypeStruct(NP, grid.dtype)] * nf,
-            scratch_shapes=([pltpu.VMEM(slab_shape, grid.dtype)] * nf
-                            + [pltpu.VMEM((TX, TY, ZP), grid.dtype)] * nf
-                            + [pltpu.SemaphoreType.DMA((nf,))]),
+            scratch_shapes=([pltpu.VMEM((2,) + slab_shape, grid.dtype)] * nf
+                            + [pltpu.VMEM((2, TX, TY, ZP), grid.dtype)] * nf
+                            + [pltpu.SemaphoreType.DMA((2, nf)),
+                               pltpu.SemaphoreType.DMA((2, nf))]),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=jax.default_backend() == "cpu",
