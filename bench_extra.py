@@ -61,7 +61,7 @@ def main():
         sw_rows = sw_rows[:1]
     elif only == "sw16384":
         sw_rows = sw_rows[1:]
-    elif only == "tracers":
+    elif only in ("tracers", "hydro"):
         sw_rows = []
     for n, dtype, v100_cups in sw_rows:
         grid = RectilinearGrid(size=(n, n), extent=(1.0, 1.0),
@@ -85,8 +85,47 @@ def main():
                "vs_baseline": cups / v100_cups}
         print(json.dumps(out), flush=True)
 
+    # -- hydrostatic primitive equations ------------------------------------
+    # quarter-degree-like regional config: latlon + WENO vector-invariant +
+    # split-explicit free surface + CATKE-free physics (no published
+    # reference anchor for this one; recorded for regression tracking)
+    if only in ("", "hydro"):
+        from oceananigans_tpu import LatitudeLongitudeGrid
+        from oceananigans_tpu.advection import WENOVectorInvariant
+        from oceananigans_tpu.coriolis import HydrostaticSphericalCoriolis
+        from oceananigans_tpu.models.free_surfaces import (
+            SplitExplicitFreeSurface)
+        from oceananigans_tpu.models.hydrostatic import (
+            HydrostaticFreeSurfaceModel)
+
+        nh = 64 if on_cpu else 512
+        nz = 8 if on_cpu else 32
+        grid = LatitudeLongitudeGrid(size=(nh, nh // 2, nz),
+                                     longitude=(0, 60), latitude=(15, 75),
+                                     z=(-1800.0, 0.0), dtype=jnp.float32)
+        m = HydrostaticFreeSurfaceModel(
+            grid=grid, momentum_advection=WENOVectorInvariant(),
+            coriolis=HydrostaticSphericalCoriolis(),
+            free_surface=SplitExplicitFreeSurface(substeps=30),
+            tracers=("T",))
+        m.set(u=0.05 * rng.standard_normal((nh, nh // 2, nz))
+              .astype(np.float32),
+              T=lambda lam, phi, z: 12 + 8e-3 * z + 2e-2 * phi)
+        dt = jnp.asarray(120.0, jnp.float32)
+
+        def fetch(state):
+            return float(jnp.sum(state["fields"]["u"][8, :8]))
+
+        el = bench_steps(m._step, m.state, dt, steps, fetch)
+        cells = nh * (nh // 2) * nz
+        print(json.dumps({
+            "metric": f"hydrostatic_latlon_{nh}x{nh // 2}x{nz}"
+                      "_wenoVI_splitexplicit_f32_cell_updates_per_s",
+            "value": cells / el, "unit": "cell-updates/s",
+            "step_ms": el * 1e3}), flush=True)
+
     # -- tracer scaling -----------------------------------------------------
-    if only in ("sw8192", "sw16384"):
+    if only in ("sw8192", "sw16384", "hydro"):
         return
     n = 64 if on_cpu else 256
     times = {}
@@ -111,6 +150,8 @@ def main():
         "value": ratio, "unit": "x",
         "vs_baseline": (27.2 / 12.8) / ratio,  # >1 = scales better than V100
         "step_ms_0": times[0] * 1e3, "step_ms_12": times[12] * 1e3,
+        "note": "tracers advected with WENO5 here; the reference's table "
+                "used its 2nd-order centered default",
     }), flush=True)
 
 

@@ -105,10 +105,13 @@ def eligible(grid, n_tile_candidates=((32, 16, 8, 4, 2), (64, 128, 32, 16, 8, 4,
 
 
 def _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD, ZP, nf, n_new_bufs,
-                     budget=85 * 1024 * 1024):
-    """Largest (TX, TY) whose VMEM working set (input slabs + pipelined
+                     budget=66 * 1024 * 1024):
+    """Best (TX, TY) whose VMEM working set (input slabs + pipelined
     out blocks + stage-update buffers) fits the budget — many-tracer runs
-    need smaller tiles than the nf=3 default."""
+    need smaller tiles than the nf=3 default. Among feasible tiles, pick
+    the one with the least halo overcompute (slab area / tile area), then
+    the largest tile."""
+    best = None
     for TX in (32, 16, 8, 4, 2):
         if Nx % TX:
             continue
@@ -117,9 +120,15 @@ def _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD, ZP, nf, n_new_bufs,
                 continue
             slabs = nf * (TX + 2 * Hx) * (TY + 2 * Hy) * ZPAD * 4
             tiles = (2 * nf + n_new_bufs) * TX * TY * ZP * 4
-            if slabs + tiles <= budget:
-                return TX, TY
-    return None, None
+            if slabs + tiles > budget:
+                continue
+            waste = (TX + 2 * Hx) * (TY + 2 * Hy) / (TX * TY)
+            key = (waste, -TX * TY)
+            if best is None or key < best[0]:
+                best = (key, TX, TY)
+    if best is None:
+        return None, None
+    return best[1], best[2]
 
 
 def build_fused_advection(grid, scheme, tracer_names):
