@@ -276,9 +276,16 @@ class VectorInvariant:
         from the tendencies (reference: U_dot_∇u/U_dot_∇v,
         vector_invariant_advection.jl:279-285). ``grid_motion`` = Az·Δr·∂t_σ
         at ccc on moving (z-star) grids."""
-        h_u, h_v = self._horizontal(grid, u, v)
-        b_u, b_v = self._bernoulli(grid, u, v)
-        z_u, z_v = self._vertical(grid, u, v, w, grid_motion)
+        import jax as _jax
+        # barriers split XLA's single giant tendency fusion into per-term
+        # fusions — the monolith spills VMEM registers on TPU (profiled:
+        # two ~12.5 ms fusions at 512x256x32 dominated the hydrostatic step)
+        h_u, h_v = _jax.lax.optimization_barrier(
+            self._horizontal(grid, u, v))
+        b_u, b_v = _jax.lax.optimization_barrier(
+            self._bernoulli(grid, u, v))
+        z_u, z_v = _jax.lax.optimization_barrier(
+            self._vertical(grid, u, v, w, grid_motion))
         return h_u + b_u + z_u, h_v + b_v + z_v
 
 
