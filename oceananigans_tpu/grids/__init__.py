@@ -10,6 +10,8 @@ from .cubed_sphere import (ConformalCubedSpherePanel, ConformalCubedSphereGrid,
                            fill_cubed_sphere_halos,
                            fill_cubed_sphere_velocity_halos,
                            elliptic_cubed_sphere_nodes)
+from .stretching import (ExponentialDiscretization, PowerLawStretching,
+                         LinearStretching, ReferenceToStretchedDiscretization)
 
 __all__ = ["PERIODIC", "BOUNDED", "FLAT", "CENTER", "FACE",
            "LOC_CCC", "LOC_FCC", "LOC_CFC", "LOC_CCF", "LOC_FFC",
@@ -17,4 +19,6 @@ __all__ = ["PERIODIC", "BOUNDED", "FLAT", "CENTER", "FACE",
            "OrthogonalSphericalShellGrid", "RotatedLatitudeLongitudeGrid",
            "TripolarGrid", "ConformalCubedSpherePanel",
            "ConformalCubedSphereGrid", "fill_cubed_sphere_halos",
-           "fill_cubed_sphere_velocity_halos", "elliptic_cubed_sphere_nodes"]
+           "fill_cubed_sphere_velocity_halos", "elliptic_cubed_sphere_nodes",
+           "ExponentialDiscretization", "PowerLawStretching",
+           "LinearStretching", "ReferenceToStretchedDiscretization"]

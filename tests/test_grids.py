@@ -134,3 +134,40 @@ def test_conservative_regridding():
     assert up.shape == (8, 4, 32)
     assert np.allclose(np.asarray(up).mean(axis=0), np.asarray(c).mean(axis=0),
                        atol=1e-12)
+
+
+def test_exponential_discretization_matches_reference_docstring():
+    """Check values from the reference docstring (coordinate_utils.jl:54-92):
+    ExponentialDiscretization(10, -1000, 100) right-biased faces."""
+    from oceananigans_tpu.grids import ExponentialDiscretization
+
+    x = ExponentialDiscretization(10, -1000, 100)
+    want = [-1000.0, -564.247649441104, -299.95048878528615,
+            -139.64615757253702, -42.41666580727582, 16.55600197663209,
+            52.324733072619736, 74.0195651413529, 87.17814594835643,
+            95.15922864611028, 100.0]
+    assert np.allclose(x.faces, want, atol=1e-9)
+    left = ExponentialDiscretization(10, -1000, 100, bias="left")
+    assert np.isclose(left.faces[1], -995.1592286461103)
+    # usable directly as a grid coordinate spec
+    g = RectilinearGrid(size=(4, 4, 10), x=(0, 1), y=(0, 1),
+                        z=ExponentialDiscretization(10, -1000, 100))
+    assert np.isclose(g.nodes1d(2, "f")[0], -1000.0)
+    assert np.isclose(g.nodes1d(2, "f")[-1], 100.0)
+
+
+def test_reference_to_stretched_discretization():
+    from oceananigans_tpu.grids import (PowerLawStretching,
+                                        ReferenceToStretchedDiscretization)
+
+    z = ReferenceToStretchedDiscretization(
+        extent=1000.0, bias="right", bias_edge=0.0, constant_spacing=10.0,
+        constant_spacing_extent=50.0, stretching=PowerLawStretching(1.05))
+    f = z.faces
+    assert f[-1] == 0.0
+    assert abs(f[0]) >= 1000.0
+    d = np.diff(f)
+    # constant 10 m near the surface (right side), growing downward
+    assert np.allclose(d[-5:], 10.0)
+    assert d[0] > d[-1]
+    assert np.all(d > 0)
