@@ -61,7 +61,7 @@ def main():
         sw_rows = sw_rows[:1]
     elif only == "sw16384":
         sw_rows = sw_rows[1:]
-    elif only in ("tracers", "hydro"):
+    elif only in ("tracers", "hydro", "les"):
         sw_rows = []
     for n, dtype, v100_cups in sw_rows:
         grid = RectilinearGrid(size=(n, n), extent=(1.0, 1.0),
@@ -124,8 +124,38 @@ def main():
             "value": cells / el, "unit": "cell-updates/s",
             "step_ms": el * 1e3}), flush=True)
 
+    # -- LES closure cost (reference: benchmarks.md:600-663 — 128³ F64,
+    # SmagorinskyLilly 23.97 ms / AMD 25.86 ms median on a V100) ------------
+    if only in ("", "les"):
+        from oceananigans_tpu.buoyancy import BuoyancyTracer
+        from oceananigans_tpu.closures import (AnisotropicMinimumDissipation,
+                                               SmagorinskyLilly)
+
+        n = 32 if on_cpu else 128
+        for cname, closure, v100_ms in (
+                ("smagorinsky_lilly", SmagorinskyLilly(), 23.969),
+                ("amd", AnisotropicMinimumDissipation(), 25.856)):
+            grid = RectilinearGrid(size=(n, n, n), extent=(1.0, 1.0, 1.0),
+                                   topology=("periodic", "periodic",
+                                             "bounded"), dtype=jnp.float32)
+            m = NonhydrostaticModel(grid=grid, advection=WENO(5),
+                                    tracers=("b",), buoyancy=BuoyancyTracer(),
+                                    closure=closure)
+            m.set(u=0.1 * rng.standard_normal((n, n, n)).astype(np.float32),
+                  b=1e-4 * rng.standard_normal((n, n, n)).astype(np.float32))
+            dt = jnp.asarray(1e-4, jnp.float32)
+
+            def fetch(state):
+                return float(jnp.sum(state["fields"]["u"][0, :8]))
+
+            el = bench_steps(m._step, m.state, dt, steps, fetch)
+            print(json.dumps({
+                "metric": f"les_{cname}_{n}^3_weno5_f32_step_ms_vs_v100_f64",
+                "value": el * 1e3, "unit": "ms",
+                "vs_baseline": v100_ms / (el * 1e3)}), flush=True)
+
     # -- tracer scaling -----------------------------------------------------
-    if only in ("sw8192", "sw16384", "hydro"):
+    if only in ("sw8192", "sw16384", "hydro", "les"):
         return
     n = 64 if on_cpu else 256
     times = {}

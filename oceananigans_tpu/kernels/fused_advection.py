@@ -88,7 +88,7 @@ def _pick_tile(n, candidates):
     return None
 
 
-def eligible(grid, n_tile_candidates=((32, 16, 8, 4, 2), (64, 128, 32, 16, 8, 4, 2))):
+def eligible(grid, n_tracers=0):
     from ..grids.topology import PERIODIC
 
     if not getattr(grid, "all_regular", False):
@@ -99,18 +99,28 @@ def eligible(grid, n_tile_candidates=((32, 16, 8, 4, 2), (64, 128, 32, 16, 8, 4,
         # bounded x/y would need the near-wall order cascade with
         # tile-local indices — those configs take the XLA path
         return False
-    tx = _pick_tile(grid.N[0], n_tile_candidates[0])
-    ty = _pick_tile(grid.N[1], n_tile_candidates[1])
+    ZP = grid.padded_shape[2]
+    ZPAD = -(-ZP // 128) * 128
+    nf = 3 + n_tracers
+    spill = 6 if (grid.H[2] > 0 and not grid.is_flat(2)) else 1
+    tx, ty = _pick_tiles_vmem(grid.N[0], grid.N[1], grid.H[0], grid.H[1],
+                              ZPAD, ZP, nf, 0, spill_factor=spill)
     return tx is not None and ty is not None
 
 
 def _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD, ZP, nf, n_new_bufs,
-                     budget=66 * 1024 * 1024):
+                     budget=66 * 1024 * 1024, spill_factor=1):
     """Best (TX, TY) whose VMEM working set (input slabs + pipelined
     out blocks + stage-update buffers) fits the budget — many-tracer runs
     need smaller tiles than the nf=3 default. Among feasible tiles, pick
     the one with the least halo overcompute (slab area / tile area), then
-    the largest tile."""
+    the largest tile.
+
+    ``spill_factor`` scales the estimate for kernel bodies whose Mosaic
+    register allocation spills scoped VMEM proportional to the slab size
+    (the padded-z advection body spilled 123 MB at 128³ with (32, 64)
+    tiles; the z-compact body fits — empirically calibrated)."""
+    zslice_factor = spill_factor
     best = None
     for TX in (32, 16, 8, 4, 2):
         if Nx % TX:
@@ -120,7 +130,7 @@ def _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD, ZP, nf, n_new_bufs,
                 continue
             slabs = nf * (TX + 2 * Hx) * (TY + 2 * Hy) * ZPAD * 4
             tiles = (2 * nf + n_new_bufs) * TX * TY * ZP * 4
-            if slabs + tiles > budget:
+            if (slabs + tiles) * zslice_factor > budget:
                 continue
             waste = (TX + 2 * Hx) * (TY + 2 * Hy) / (TX * TY)
             key = (waste, -TX * TY)
@@ -162,7 +172,9 @@ def build_fused_advection(grid, scheme, tracer_names):
     # 10.84 for 16/64); larger TX amortizes the y/z halo overhead, but
     # many-tracer runs must shrink to fit VMEM
     ZPAD0 = -(-ZP // 128) * 128
-    TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, nf, 0)
+    spill = 6 if (Hz > 0 and not grid.is_flat(2)) else 1
+    TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, nf, 0,
+                              spill_factor=spill)
     if TX is None or TY is None:
         raise ValueError("grid not tileable for the fused kernel")
 
@@ -201,27 +213,24 @@ def build_fused_advection(grid, scheme, tracer_names):
         # the expensive reconstructions (fluxes.py _term_trims)
         tile = (slice(Hx, Hx + TX), slice(Hy, Hy + TY))
 
-        def ztile(a):
-            return a[:, :, :ZP]
-
-        outs[0][:] = ztile(-div_Uu(tgrid, scheme, u, v, w, zbc=zbc,
-                                   tile=tile))
-        outs[1][:] = ztile(-div_Uv(tgrid, scheme, u, v, w, zbc=zbc,
-                                   tile=tile))
-        outs[2][:] = ztile(-div_Uw(tgrid, scheme, u, v, w, zbc=zbc,
-                                   tile=tile))
+        # outputs stay ZPAD lanes wide: slicing to a non-128-multiple ZP
+        # INSIDE the kernel forces unaligned lane stores that spilled 123 MB
+        # of Mosaic registers at 128³; the ZP slice happens outside in XLA
+        outs[0][:] = -div_Uu(tgrid, scheme, u, v, w, zbc=zbc, tile=tile)
+        outs[1][:] = -div_Uv(tgrid, scheme, u, v, w, zbc=zbc, tile=tile)
+        outs[2][:] = -div_Uw(tgrid, scheme, u, v, w, zbc=zbc, tile=tile)
         for t, name in enumerate(names):
             c = slabs[3 + t][:]
-            outs[3 + t][:] = ztile(-div_Uc(tgrid, scheme, u, v, w, c,
-                                           zbc=zbc, tile=tile))
+            outs[3 + t][:] = -div_Uc(tgrid, scheme, u, v, w, c,
+                                     zbc=zbc, tile=tile)
 
     call = pl.pallas_call(
         kernel,
         grid=(Nx // TX, Ny // TY),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nf,
-        out_specs=[pl.BlockSpec((TX, TY, ZP), lambda i, j: (i, j, 0),
+        out_specs=[pl.BlockSpec((TX, TY, ZPAD), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)] * nf,
-        out_shape=[jax.ShapeDtypeStruct((Nx, Ny, ZP), grid.dtype)] * nf,
+        out_shape=[jax.ShapeDtypeStruct((Nx, Ny, ZPAD), grid.dtype)] * nf,
         scratch_shapes=([pltpu.VMEM(slab_shape, grid.dtype)] * nf
                         + [pltpu.SemaphoreType.DMA((nf,))]),
         compiler_params=pltpu.CompilerParams(
@@ -243,7 +252,7 @@ def build_fused_advection(grid, scheme, tracer_names):
 
         def embed(o):
             full = jnp.zeros(shape, o.dtype)
-            return full.at[sx, sy, :].set(o)
+            return full.at[sx, sy, :].set(o[:, :, :ZP])
 
         Gu, Gv, Gw = embed(outs[0]), embed(outs[1]), embed(outs[2])
         Gc = {n: embed(outs[3 + t]) for t, n in enumerate(names)}

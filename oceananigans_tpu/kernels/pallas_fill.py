@@ -202,7 +202,10 @@ def _build(grid, loc, zb, interpret):
 
     nw = len(windows)
     CX = NPX
-    while nw * CX * NPY * 128 * np.dtype(grid.dtype).itemsize > 48 * 2 ** 20:
+    # fix_window's per-slot selects keep several window-sized values live in
+    # Mosaic's scoped VMEM — cap the scratch small enough that ~4x copies
+    # still fit (48 MB caused a 171 MB scoped-vmem compile OOM at 128^3)
+    while nw * CX * NPY * 128 * np.dtype(grid.dtype).itemsize > 12 * 2 ** 20:
         CX = -(-CX // 2)
     n_chunks = -(-NPX // CX)
 

@@ -230,7 +230,7 @@ class NonhydrostaticModel:
                 except ValueError:
                     if fused_advection is True:
                         raise
-            elif eligible(self.grid):
+            elif eligible(self.grid, n_tracers=len(self.tracer_names)):
                 self._fused_advection = build_fused_advection(
                     self.grid, self.advection, self.tracer_names)
             elif fused_advection is True:
