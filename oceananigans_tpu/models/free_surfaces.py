@@ -85,26 +85,122 @@ class ImplicitFreeSurface:
     __eq__ = ExplicitFreeSurface.__eq__
 
 
-class SplitExplicitFreeSurface:
-    def __init__(self, gravitational_acceleration=None, substeps=None,
-                 cfl=None, averaging_kernel=averaging_shape_function):
-        self.g = (defaults.gravitational_acceleration
-                  if gravitational_acceleration is None
-                  else float(gravitational_acceleration))
-        if substeps is None:
-            substeps = 30  # a safe default; reference requires substeps or cfl
+# since weights can be negative in the first few substeps (as in the default
+# averaging kernel), the reference sets a minimum number of substeps
+# (step_split_explicit_free_surface.jl:57)
+MINIMUM_SUBSTEPS = 5
+
+
+class FixedSubstepNumber:
+    """Substepping with a fixed substep count (reference:
+    split_explicit_timesteppers.jl / split_explicit_free_surface.jl:253)."""
+
+    def __init__(self, substeps, averaging_kernel=averaging_shape_function):
         self.substeps = int(substeps)
         self.fractional_step, self.weights = weights_from_substeps(
             self.substeps, averaging_kernel)
 
+    def settings(self, dt):
+        return self.fractional_step, self.weights
+
     def _fp(self):
-        return ("SplitExplicitFreeSurface", self.g, self.substeps)
+        return ("FixedSubstepNumber", self.substeps)
+
+
+class FixedTimeStepSize:
+    """Substepping with a fixed barotropic Δτ derived from a gravity-wave CFL
+    (reference: split_explicit_free_surface.jl:238-265): Δτ = cfl·Δs/√(g·Lz)
+    with Δs the harmonic-mean minimum horizontal spacing. The substep count
+    is then ceil(2Δt/Δτ) per baroclinic step (calculate_substeps,
+    step_split_explicit_free_surface.jl:60-64) — computed on HOST each
+    `time_step` (a new substep count recompiles the jitted step; Δt rarely
+    changes in practice)."""
+
+    def __init__(self, cfl, averaging_kernel=averaging_shape_function):
+        self.cfl = float(cfl)
+        self.averaging_kernel = averaging_kernel
+        self.dt_barotropic = None  # set by materialize(grid, g)
+
+    def materialize(self, grid, g):
+        dx2 = 0.0 if grid.is_flat(0) else 1.0 / grid.minimum_spacing(0) ** 2
+        dy2 = 0.0 if grid.is_flat(1) else 1.0 / grid.minimum_spacing(1) ** 2
+        ds = np.sqrt(1.0 / (dx2 + dy2))
+        wave_speed = np.sqrt(g * abs(grid.extent[2]))
+        self.dt_barotropic = float(self.cfl * ds / wave_speed)
+
+    def settings(self, dt):
+        if self.dt_barotropic is None:
+            raise RuntimeError("FixedTimeStepSize.materialize(grid, g) must "
+                               "run before stepping (the model constructor "
+                               "does this)")
+        n = max(MINIMUM_SUBSTEPS, int(np.ceil(2.0 * float(dt)
+                                              / self.dt_barotropic)))
+        return weights_from_substeps(n, self.averaging_kernel)
+
+    def _fp(self):
+        return ("FixedTimeStepSize", self.cfl)
+
+
+class SplitExplicitFreeSurface:
+    """Reference: split_explicit_free_surface.jl:85-130 — `substeps=N` picks
+    FixedSubstepNumber; `cfl=` picks FixedTimeStepSize (the reference's
+    default pathway for choosing substep counts); `cfl=` + `fixed_dt=`
+    converts to a fixed substep count at construction."""
+
+    def __init__(self, gravitational_acceleration=None, substeps=None,
+                 cfl=None, fixed_dt=None, grid=None,
+                 averaging_kernel=averaging_shape_function):
+        self.g = (defaults.gravitational_acceleration
+                  if gravitational_acceleration is None
+                  else float(gravitational_acceleration))
+        if cfl is not None and substeps is not None:
+            raise ValueError("give either substeps= or cfl=, not both")
+        if cfl is None:
+            self.substepping = FixedSubstepNumber(
+                30 if substeps is None else substeps, averaging_kernel)
+        else:
+            self.substepping = FixedTimeStepSize(cfl, averaging_kernel)
+            self._fixed_dt = fixed_dt
+            if grid is not None:
+                self.materialize(grid)
+
+    def materialize(self, grid):
+        """Resolve grid-dependent substepping (called by the model ctor;
+        reference: materialize_free_surface + split_explicit_substepping)."""
+        sub = self.substepping
+        if isinstance(sub, FixedTimeStepSize) and sub.dt_barotropic is None:
+            sub.materialize(grid, self.g)
+            if getattr(self, "_fixed_dt", None) is not None:
+                n = max(MINIMUM_SUBSTEPS,
+                        int(np.ceil(2.0 * float(self._fixed_dt)
+                                    / sub.dt_barotropic)))
+                self.substepping = FixedSubstepNumber(n, sub.averaging_kernel)
+
+    # legacy accessors (tests/examples poke .substeps/.weights)
+    @property
+    def substeps(self):
+        return self.substepping.substeps
+
+    @property
+    def weights(self):
+        return self.substepping.weights
+
+    @property
+    def fractional_step(self):
+        return self.substepping.fractional_step
+
+    def settings(self, dt):
+        """(fractional_step, weights) for a baroclinic Δt — host-side."""
+        return self.substepping.settings(dt)
+
+    def _fp(self):
+        return ("SplitExplicitFreeSurface", self.g, self.substepping._fp())
 
     __hash__ = ExplicitFreeSurface.__hash__
     __eq__ = ExplicitFreeSurface.__eq__
 
     def substep(self, grid, H_fc, H_cf, eta, U0, V0, GU, GV, dt,
-                fill_eta, fill_U, fill_V):
+                fill_eta, fill_U, fill_V, frac=None, weights=None):
         """Run the barotropic substep loop.
 
         Inputs are padded 2D-ish arrays (shape (Nx+2H, Ny+2H, 1)):
@@ -115,10 +211,15 @@ class SplitExplicitFreeSurface:
         per substep otherwise; the reference instead extends halos by the
         substep count in distributed runs, maybe_extend_halos).
 
+        ``frac``/``weights`` override the substep settings (traced-safe;
+        the model passes per-Δt values for FixedTimeStepSize substepping).
+
         Returns (eta_filtered, U_filtered, V_filtered)."""
         g = self.g
-        dtau = self.fractional_step * dt  # python float * traced scalar: no promotion
-        weights = jnp.asarray(self.weights, eta.dtype)
+        if frac is None:
+            frac, weights = self.settings(None)
+        dtau = frac * dt  # python float * traced scalar: no promotion
+        weights = jnp.asarray(weights, eta.dtype)
 
         def body(carry, w):
             eta, U, V, eta_f, U_f, V_f = carry

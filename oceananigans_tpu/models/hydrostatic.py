@@ -130,6 +130,8 @@ class HydrostaticFreeSurfaceModel:
         if not self.grid.is_bounded(2):
             raise ValueError("HydrostaticFreeSurfaceModel needs a Bounded "
                              "z direction")
+        if hasattr(self.free_surface, "materialize"):
+            self.free_surface.materialize(self.grid)
 
         bcs_in = dict(boundary_conditions or {})
         self.bcs = {}
@@ -159,6 +161,14 @@ class HydrostaticFreeSurfaceModel:
                      last_dt=jnp.full((), np.inf, dtype))
         self.state = dict(fields=fields, clock=clock, w=zeros(),
                           Gm={n: zeros() for n in self.prognostic_3d})
+        if isinstance(self.free_surface, SplitExplicitFreeSurface):
+            # persistent barotropic transports (reference: the U/V fields of
+            # SplitExplicitFreeSurface carried across steps — η,U,V ← the
+            # filtered state at the end of each substepping,
+            # _update_split_explicit_state!); initialized from ∫u dz on set()
+            # (initialize_split_explicit_substepping.jl:15-27)
+            self.state["barotropic"] = {"U": jnp.zeros(shape2d, dtype),
+                                        "V": jnp.zeros(shape2d, dtype)}
         if vertical_coordinate == "zstar":
             # lagged grid-motion rate ∂t_σ (enters the upwinded vector-
             # invariant divergence flux; reference: Az_Δr_∂t_σ)
@@ -276,6 +286,16 @@ class HydrostaticFreeSurfaceModel:
             fields[name] = fill_halo_regions(data, self.grid, self.loc(name),
                                              self.bcs[name], t)
         self.state = {**self.state, "fields": fields}
+        if ("barotropic" in self.state
+                and ("u" in values or "v" in values)):
+            # re-initialize the barotropic mode from the velocity initial
+            # condition (reference: initialize_free_surface!,
+            # initialize_split_explicit_substepping.jl:15-27)
+            U = self._fill_xy(self._depth_integral(fields["u"], LOC_FCC),
+                              LOC_FCC, self.bcs["u"], t)
+            V = self._fill_xy(self._depth_integral(fields["v"], LOC_CFC),
+                              LOC_CFC, self.bcs["v"], t)
+            self.state = {**self.state, "barotropic": {"U": U, "V": V}}
 
     # -- helpers --------------------------------------------------------------
 
@@ -449,19 +469,28 @@ class HydrostaticFreeSurfaceModel:
 
     # -- free surface steps ---------------------------------------------------
 
-    def _step_free_surface_split_explicit(self, fields, ab2G, dt, time):
+    def _step_free_surface_split_explicit(self, fields, ab2G, dt, time,
+                                          barotropic, se_settings=None):
+        """Substep the barotropic mode starting from the PERSISTED (η, U, V)
+        state (reference: step_free_surface! keeps η,U,V across steps and
+        resets only the filtered accumulators,
+        initialize_split_explicit_substepping.jl:29-42)."""
         fs = self.free_surface
         grid = self.grid
         GU = self._depth_integral(ab2G["u"], LOC_FCC)
         GV = self._depth_integral(ab2G["v"], LOC_CFC)
-        U0 = self._depth_integral(fields["u"], LOC_FCC)
-        V0 = self._depth_integral(fields["v"], LOC_CFC)
+        U0, V0 = barotropic["U"], barotropic["V"]
         fill_eta = lambda a: self._fill_xy(a, LOC_CCC, self.bcs["eta"], time)
         fill_U = lambda a: self._fill_xy(a, LOC_FCC, self.bcs["u"], time)
         fill_V = lambda a: self._fill_xy(a, LOC_CFC, self.bcs["v"], time)
+        frac, weights = se_settings if se_settings is not None \
+            else fs.settings(None)
         eta_f, U_f, V_f = fs.substep(
             grid, self._H_fc, self._H_cf, fields["eta"], U0, V0,
-            GU, GV, dt, fill_eta, fill_U, fill_V)
+            GU, GV, dt, fill_eta, fill_U, fill_V, frac=frac, weights=weights)
+        eta_f = fill_eta(eta_f)
+        U_f = fill_U(U_f)
+        V_f = fill_V(V_f)
         return eta_f, U_f, V_f
 
     def _barotropic_corrector(self, u, v, U_f, V_f):
@@ -496,17 +525,18 @@ class HydrostaticFreeSurfaceModel:
 
     # -- the step -------------------------------------------------------------
 
-    def _stage_free_surface(self, fields0, new, G_or_ab2G, sdt, time):
+    def _stage_free_surface(self, fields0, new, G_or_ab2G, sdt, time,
+                            barotropic=None, se_settings=None):
         """Apply the configured free-surface treatment for one (sub)step of
-        size sdt starting from fields0's eta; returns updated (new, eta)."""
+        size sdt starting from fields0's eta; returns (new, barotropic')."""
         fs = self.free_surface
         if isinstance(fs, SplitExplicitFreeSurface):
             eta_f, U_f, V_f = self._step_free_surface_split_explicit(
-                fields0, G_or_ab2G, sdt, time)
+                fields0, G_or_ab2G, sdt, time, barotropic, se_settings)
             u, v = self._barotropic_corrector(new["u"], new["v"], U_f, V_f)
             new.update(u=u, v=v)
             new["eta"] = eta_f
-            return new
+            return new, {"U": U_f, "V": V_f}
         U = self._depth_integral(new["u"], LOC_FCC)
         V = self._depth_integral(new["v"], LOC_CFC)
         div = (dx_c(self.grid, self.grid.dy(LOC_FCC) * U)
@@ -514,7 +544,7 @@ class HydrostaticFreeSurfaceModel:
             / self.grid.Az(LOC_CCC)
         if isinstance(fs, ExplicitFreeSurface):
             new["eta"] = fields0["eta"] - sdt * div
-            return new
+            return new, None
         if isinstance(fs, ImplicitFreeSurface):
             rhs = fields0["eta"] - sdt * div
             eta = self._implicit_free_surface_solve(rhs, sdt)
@@ -523,15 +553,16 @@ class HydrostaticFreeSurfaceModel:
             new["u"] = new["u"] - sdt * g * ddx(self.grid, eta, LOC_FCC)
             new["v"] = new["v"] - sdt * g * ddy(self.grid, eta, LOC_CFC)
             new["eta"] = eta
-            return new
+            return new, None
         raise ValueError(f"unknown free surface {fs}")
 
-    def _build_step(self):
+    def _build_step(self, se_settings=None):
         if isinstance(self.timestepper, SplitRungeKutta3TimeStepper):
             def step(state, dt):
                 fields0 = state["fields"]
                 clock = state["clock"]
                 time = clock["time"]
+                bt = state.get("barotropic")
                 fields = fields0
                 G = None
                 for beta in SplitRungeKutta3TimeStepper.betas:
@@ -557,7 +588,9 @@ class HydrostaticFreeSurfaceModel:
                                     damping=dampings.get(name))
                         if hasattr(self.closure, "clip_fields"):
                             new = self.closure.clip_fields(new)
-                    new = self._stage_free_surface(fields0, new, G, sdt, time)
+                    new, bt = self._stage_free_surface(
+                        fields0, new, G, sdt, time, barotropic=bt,
+                        se_settings=se_settings)
                     fields = self._mask_state(new)
                 w_new = self._w_from_continuity(
                     fill_halo_regions(fields["u"], self.grid, LOC_FCC,
@@ -567,7 +600,10 @@ class HydrostaticFreeSurfaceModel:
                 clock = dict(time=time + dt,
                              iteration=clock["iteration"] + 1,
                              last_dt=dt * jnp.ones_like(clock["last_dt"]))
-                return dict(fields=fields, clock=clock, w=w_new, Gm=G)
+                out = dict(fields=fields, clock=clock, w=w_new, Gm=G)
+                if bt is not None:
+                    out["barotropic"] = bt
+                return out
 
             return step
 
@@ -678,15 +714,17 @@ class HydrostaticFreeSurfaceModel:
                     new = self.closure.clip_fields(new)
 
             fs = self.free_surface
+            bt = state.get("barotropic")
             if isinstance(fs, SplitExplicitFreeSurface):
-                # substepping starts from the OLD barotropic mode ∫uⁿ dz and
-                # the old ηⁿ, forced by the AB2-weighted slow tendency
+                # substepping starts from the PERSISTED barotropic (η, U, V)
+                # state, forced by the AB2-weighted slow tendency
                 eta_f, U_f, V_f = self._step_free_surface_split_explicit(
-                    fields, ab2G, dt, time)
+                    fields, ab2G, dt, time, bt, se_settings)
                 u, v = self._barotropic_corrector(new["u"], new["v"],
                                                  U_f, V_f)
                 new.update(u=u, v=v)
                 new["eta"] = eta_f
+                bt = {"U": U_f, "V": V_f}
             elif isinstance(fs, ExplicitFreeSurface):
                 U = self._depth_integral(new["u"], LOC_FCC)
                 V = self._depth_integral(new["v"], LOC_CFC)
@@ -731,15 +769,37 @@ class HydrostaticFreeSurfaceModel:
             clock = dict(time=time + dt, iteration=clock["iteration"] + 1,
                          last_dt=dt * jnp.ones_like(clock["last_dt"]))
             out = dict(fields=new, clock=clock, w=w_new, Gm=G)
+            if bt is not None:
+                out["barotropic"] = bt
             if zstar:
                 out["dt_sigma"] = dt_sigma
             return out
 
         return step
 
+    def _step_for(self, dt):
+        """The jitted step for a concrete Δt. With FixedTimeStepSize
+        (cfl-based) substepping the substep count depends on Δt
+        (reference: calculate_substeps), so the step is compiled (and
+        cached) per distinct substep count."""
+        from .free_surfaces import FixedTimeStepSize
+        fs = self.free_surface
+        if not (isinstance(fs, SplitExplicitFreeSurface)
+                and isinstance(fs.substepping, FixedTimeStepSize)):
+            return self._step
+        frac, weights = fs.settings(float(dt))
+        key = (len(weights), frac)
+        if not hasattr(self, "_se_step_cache"):
+            self._se_step_cache = {}
+        if key not in self._se_step_cache:
+            self._se_step_cache[key] = jax.jit(
+                self._build_step(se_settings=(frac, weights)))
+        return self._se_step_cache[key]
+
     def time_step(self, dt):
+        step = self._step_for(dt)
         dt = jnp.asarray(dt, self.grid.dtype)
-        self.state = self._step(self.state, dt)
+        self.state = step(self.state, dt)
         return self
 
     def __repr__(self):

@@ -122,16 +122,7 @@ class WindowedTimeAverage:
         return out
 
 
-try:  # NetCDF extension (reference: ext/OceananigansNCDatasetsExt.jl)
-    import netCDF4  # noqa: F401
-    HAVE_NETCDF = True
-except Exception:
-    HAVE_NETCDF = False
-
-
-class NetCDFWriter:
-    def __init__(self, *args, **kwargs):
-        if not HAVE_NETCDF:
-            raise ImportError(
-                "netCDF4 is not available in this environment; use FieldWriter "
-                "(npy/json) instead")
+# The real NetCDF writer (NetCDF-3 classic via scipy, reference:
+# ext/OceananigansNCDatasetsExt.jl) lives in .netcdf_writer; re-export it so
+# there is exactly ONE NetCDFWriter symbol in the package.
+from .netcdf_writer import NetCDFWriter  # noqa: E402,F401
