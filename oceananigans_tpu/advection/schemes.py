@@ -51,23 +51,13 @@ def _padded_faces(grid, axis):
 
 
 @functools.lru_cache(maxsize=None)
-def _nonuniform_eno(grid, axis, beta, k, s, mirrored):
-    """Per-index ENO coefficient arrays (broadcastable along ``axis``) for a
-    stretched grid direction (reference: the grid-aware coefficient tables of
-    reconstruction_coefficients.jl; here derived exactly from the face
-    positions — and, unlike the reference where this is opt-in via
-    WENO(grid=...), applied automatically on stretched axes).
-
-    ``mirrored``: coefficients for the right-biased stencil, whose cells are
-    the mirror o ↦ 2β-1-o of the left stencil — on a nonuniform grid the
-    mirrored coefficients differ and must be derived for the actual cells
-    (listed in REVERSED order to pair with mirror(left_shifts(...)))."""
-    from ..grids.base import broadcastable_1d
-    npad = grid.padded_shape[axis]
-    faces = _padded_faces(grid, axis)
+def _nonuniform_eno_np(faces_key, nfaces, beta, k, s, mirrored, npad):
+    """Cached numeric core of _nonuniform_eno: raw 1D numpy coefficient
+    arrays keyed by the face positions (pure data — no grid objects, so
+    kernel-proxy grids can re-bake without poisoning the cache)."""
+    faces = np.frombuffer(faces_key, np.float64).reshape(nfaces)
     if not mirrored:
-        cs = eno_coefficients_nonuniform(faces, k, s, beta, npad)
-        return tuple(broadcastable_1d(c, axis) for c in cs)
+        return tuple(eno_coefficients_nonuniform(faces, k, s, beta, npad))
     # right-biased stencil s covers cells at shifts mirror(left) =
     # (β+s-j for j), i.e. absolute cells i+β-1 - (s'...) reflected: derive by
     # evaluating a reconstruction whose cells are exactly those shifts.
@@ -76,7 +66,28 @@ def _nonuniform_eno(grid, axis, beta, k, s, mirrored):
     s_equiv = beta - 1 - lo_shift  # cells span lo_shift..lo_shift+k-1
     cs = eno_coefficients_nonuniform(faces, k, s_equiv, beta, npad)
     # cells ascend from lo_shift; shifts list descends — reverse pairing
-    return tuple(broadcastable_1d(c, axis) for c in reversed(cs))
+    return tuple(reversed(cs))
+
+
+def _nonuniform_eno(grid, axis, beta, k, s, mirrored):
+    """Per-index ENO coefficient arrays (broadcastable along ``axis``) for a
+    stretched grid direction (reference: the grid-aware coefficient tables of
+    reconstruction_coefficients.jl; here derived exactly from the face
+    positions — and, unlike the reference where this is opt-in via
+    WENO(grid=...), applied automatically on stretched axes).
+
+    Grids exposing ``bake_1d`` (the Pallas kernel metric proxy,
+    kernels/fused_vector_invariant.py) intercept the broadcastable baking so
+    coefficient arrays become kernel inputs instead of captured constants."""
+    from ..grids.base import broadcastable_1d
+    npad = grid.padded_shape[axis]
+    faces = _padded_faces(grid, axis)
+    cs = _nonuniform_eno_np(faces.tobytes(), faces.size, beta, k, s,
+                            mirrored, npad)
+    bake = getattr(grid, "bake_1d", None)
+    if bake is not None:
+        return tuple(bake(c, axis) for c in cs)
+    return tuple(broadcastable_1d(c, axis) for c in cs)
 
 
 
@@ -136,13 +147,20 @@ def _cascade_select(grid, axis, beta, R, hi, lo):
     topologically_conditional_interpolation.jl `outside_biased_halo` /
     `outside_symmetric_halo`): with R = the scheme's buffer, high order
     applies at faces i ∈ [R+1, N+1−R] (1-based; face i ↔ padded slot
-    H+i−1) and centers i ∈ [R, N+1−R]."""
+    H+i−1) and centers i ∈ [R, N+1−R].
+
+    ``grid.index_offset`` (tile-slab kernels, kernels/fused_*.py): local
+    index + offset = GLOBAL padded index, so the mask stays correct on a
+    tiled axis; the offset may be a traced scalar (program_id·TX)."""
     from jax import lax
 
     H, N = grid.H[axis], grid.N[axis]
     i0 = H + R - beta
     i1 = H + N - R
     iota = lax.broadcasted_iota(jnp.int32, hi.shape, axis)
+    off = getattr(grid, "index_offset", None)
+    if off is not None and off[axis] is not None:
+        iota = iota + off[axis]
     return jnp.where((iota >= i0) & (iota <= i1), hi, lo)
 
 

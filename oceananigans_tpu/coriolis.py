@@ -20,6 +20,17 @@ from .defaults import defaults
 from .operators.operators import (ix_c, ix_f, iy_c, iy_f, iz_c, iz_f)
 
 
+def _bake(grid, m):
+    """Route metric-like constant arrays through the grid's ``bake_metric``
+    hook when present (the Pallas kernel metric proxy,
+    kernels/fused_vector_invariant.py) so they become kernel inputs instead
+    of captured constants."""
+    bake = getattr(grid, "bake_metric", None)
+    if bake is not None and not np.isscalar(m):
+        return bake(m)
+    return m
+
+
 def _v_at_fcc(grid, v):
     # (c,f,c) → (f,c,c): interp x to face, y to center
     return ix_f(grid, iy_c(grid, v))
@@ -124,7 +135,7 @@ class BetaPlane:
 
     def _f_at(self, grid, yloc):
         y = grid.coord_padded(1, yloc).reshape(1, -1, 1)
-        return self.f0 + self.beta * y
+        return _bake(grid, self.f0 + self.beta * y)
 
     def x_f_cross_U(self, grid, u, v, w):
         return -self._f_at(grid, "c") * _v_at_fcc(grid, v)
@@ -167,11 +178,11 @@ class NonTraditionalBetaPlane:
     def _fz(self, grid, yloc, zloc):
         y = grid.coord_padded(1, yloc).reshape(1, -1, 1)
         z = grid.coord_padded(2, zloc).reshape(1, 1, -1)
-        return self.fz0 + self.beta * y + self.gamma * z / 2 * 0  # leading order
+        return _bake(grid, self.fz0 + self.beta * y + self.gamma * z / 2 * 0)  # leading order
 
     def _fy(self, grid, zloc):
         z = grid.coord_padded(2, zloc).reshape(1, 1, -1)
-        return self.fy0 + self.gamma * z
+        return _bake(grid, self.fy0 + self.gamma * z)
 
     def x_f_cross_U(self, grid, u, v, w):
         return (self._fy(grid, "c") * _w_at_fcc(grid, w)
@@ -201,8 +212,8 @@ class HydrostaticSphericalCoriolis:
 
     def _f(self, grid, yloc):
         phi = grid.coord_padded(1, yloc).reshape(1, -1, 1)
-        return 2 * self.rotation_rate * np.sin(np.deg2rad(
-            np.clip(phi, -90, 90)))
+        return _bake(grid, 2 * self.rotation_rate * np.sin(np.deg2rad(
+            np.clip(phi, -90, 90))))
 
     def x_f_cross_U(self, grid, u, v, w):
         return -self._f(grid, "c") * _v_at_fcc(grid, v)

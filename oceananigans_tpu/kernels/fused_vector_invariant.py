@@ -1,0 +1,403 @@
+"""Pallas fused hydrostatic tendency megakernel (vector-invariant momentum).
+
+The hydrostatic step's hot stencil (reference:
+src/Models/HydrostaticFreeSurfaceModels/hydrostatic_free_surface_tendency_
+kernel_functions.jl:27-140 — vector-invariant momentum advection + Coriolis +
+∂x pHY′ + tracer advection) evaluated as ONE Pallas kernel per step:
+
+* tiles run over x ONLY; each program instance DMAs an
+  (TX + 2Hx, NYP, ZPAD) slab — full y and z extents — into VMEM. Full-y
+  slabs keep every latitude-dependent metric a per-call constant array
+  (lat-lon metrics are 1D in y, reference
+  src/Operators/spacings_and_areas_and_volumes.jl) and make the bounded-y
+  near-boundary order cascade exact (slab y-index == global y-index); the
+  tiled x axis keeps its cascade exact through ``index_offset`` (local
+  index + program_id·TX = global index, schemes._cascade_select).
+* Mosaic forbids captured array constants inside kernels, so metric arrays
+  are discovered by a build-time RECORD pass (an abstract jax.eval_shape
+  trace of the same physics), packed into three grouped inputs by which
+  dims they vary along — y:(My,NYP,1), z:(Mz,1,ZPAD), yz:(Myz,NYP,ZPAD) —
+  and SERVED back as slices of those inputs during the kernel trace.
+  The hook surface is the metric methods of ``_MetricTileGrid`` plus
+  ``bake_1d`` (stretched-axis ENO coefficients, advection/schemes.py) and
+  ``bake_metric`` (Coriolis f arrays, coriolis.py).
+* the physics evaluates with the SAME operator code as the XLA path
+  (advection/vector_invariant.py with ``tile=``-trimmed terms, fluxes.div_Uc)
+  on the proxy grid; terms accumulate INTO the output refs phase-by-phase
+  (vorticity → KE gradient → vertical → Coriolis → pressure gradient),
+  bounding the live intermediate set per phase.
+
+Eligibility: metrics must not vary along x (LatitudeLongitudeGrid, regular
+RectilinearGrid), regular x coordinate, static z (no z-star), halo'd z
+(the z-compact layout is the nonhydrostatic kernel's), no immersed grid.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..advection.fluxes import div_Uc
+from ..grids.topology import LOC_CFC, LOC_FCC
+
+
+class _MetricTileGrid:
+    """Metric/topology proxy for x-tiled full-y/z slab evaluation.
+
+    Forwards metrics from the parent grid (numpy constants, y- and/or
+    z-broadcastable — never x-varying for eligible grids), extending the
+    z extent of z-varying metrics and coordinates to the lane-padded ZPAD
+    with edge values (tail slots are never consumed; edge values keep
+    divisions finite). Carries the traced ``index_offset`` consumed by the
+    boundary-order cascade.
+
+    Two modes: ``record`` (build-time abstract trace — every non-scalar
+    metric array is keyed by content and collected) and ``serve`` (kernel
+    trace — the same keys return slices of the packed metric inputs)."""
+
+    def __init__(self, parent, zpad):
+        self.parent = parent
+        self.N = tuple(parent.N)
+        self.H = tuple(parent.H)
+        self.topology = tuple(parent.topology)
+        self.dtype = parent.dtype
+        self.ZP = parent.padded_shape[2]
+        self.ZPAD = zpad
+        self.NYP = parent.padded_shape[1]
+        self.index_offset = (None, None, None)
+        self._mode = "record"
+        self._recorded = {}   # key -> numpy array (insertion-ordered)
+        self._served = None   # key -> jnp array (set per kernel trace)
+
+    @property
+    def padded_shape(self):
+        s = self.parent.padded_shape
+        return (s[0], s[1], self.ZPAD)
+
+    def is_flat(self, axis):
+        return self.parent.is_flat(axis)
+
+    def regular(self, axis):
+        return self.parent.regular(axis)
+
+    def coord_padded(self, axis, loc):
+        c = np.asarray(self.parent.coord_padded(axis, loc), np.float64)
+        if axis == 2 and 1 < c.size < self.ZPAD:
+            d = c[-1] - c[-2]
+            ext = c[-1] + d * np.arange(1, self.ZPAD - c.size + 1)
+            c = np.concatenate([c, ext])
+        return c
+
+    # -- constant registration -------------------------------------------------
+
+    def _group_of(self, arr):
+        if arr.shape == (1, self.NYP, 1):
+            return "y"
+        if arr.shape == (1, 1, self.ZPAD):
+            return "z"
+        if arr.shape == (1, self.NYP, self.ZPAD):
+            return "yz"
+        raise ValueError(f"metric shape {arr.shape} is not x-invariant "
+                         f"broadcastable (NYP={self.NYP}, ZPAD={self.ZPAD})")
+
+    def _constant(self, m):
+        m = self._pad_z(m)
+        if np.isscalar(m) or np.ndim(m) == 0:
+            return m
+        arr = np.ascontiguousarray(np.asarray(m, np.float64))
+        if arr.shape == (1, 1, 1):
+            return float(arr.reshape(()))
+        group = self._group_of(arr)
+        key = (group, arr.tobytes())
+        if self._mode == "record":
+            self._recorded.setdefault(key, arr)
+            return arr
+        if key not in self._served:
+            raise KeyError("metric used in the kernel trace was not seen "
+                           "in the record pass — record/serve divergence")
+        return self._served[key]
+
+    # hook for coriolis.py f arrays
+    def bake_metric(self, m):
+        return self._constant(m)
+
+    # hook for stretched-axis ENO coefficients (advection/schemes.py)
+    def bake_1d(self, c, axis):
+        from ..grids.base import broadcastable_1d
+        return self._constant(broadcastable_1d(c, axis))
+
+    def _pad_z(self, m):
+        if np.isscalar(m) or np.ndim(m) == 0:
+            return m
+        m = np.asarray(m)
+        if m.ndim == 3 and m.shape[2] == self.ZP and self.ZPAD != self.ZP \
+                and self.ZP > 1:
+            m = np.pad(m, [(0, 0), (0, 0), (0, self.ZPAD - self.ZP)],
+                       mode="edge")
+        return m
+
+    def dx(self, loc):
+        return self._constant(self.parent.dx(loc))
+
+    def dy(self, loc):
+        return self._constant(self.parent.dy(loc))
+
+    def dz(self, loc):
+        return self._constant(self.parent.dz(loc))
+
+    def Ax(self, loc):
+        return self._constant(self.parent.Ax(loc))
+
+    def Ay(self, loc):
+        return self._constant(self.parent.Ay(loc))
+
+    def Az(self, loc):
+        return self._constant(self.parent.Az(loc))
+
+    def V(self, loc):
+        return self._constant(self.parent.V(loc))
+
+    def _fingerprint(self):
+        return ("MetricTileGrid", self.parent._fingerprint(), self.ZPAD)
+
+    def __hash__(self):
+        return hash(self._fingerprint())
+
+    def __eq__(self, other):
+        return (isinstance(other, _MetricTileGrid)
+                and self._fingerprint() == other._fingerprint())
+
+
+def _metrics_x_invariant(grid):
+    """True when no metric varies along x (the slab sees y/z-broadcastable
+    constants only)."""
+    locs = [("c", "c", "c"), ("f", "c", "c"), ("c", "f", "c"),
+            ("c", "c", "f"), ("f", "f", "c")]
+    for loc in locs:
+        for m in (grid.dx(loc), grid.dy(loc), grid.dz(loc), grid.Az(loc)):
+            if not np.isscalar(m) and np.ndim(m) == 3 and m.shape[0] != 1:
+                return False
+    return True
+
+
+def _pick_tx(Nx, Hx, NYP, ZPAD, nf, nout, budget=90 * 1024 * 1024,
+             spill_factor=7):
+    # spill_factor calibrated on v5e: the WENO-VI body spilled 112.9M of
+    # Mosaic registers with 19.5M of slabs (TX=16 at 512x256x32) ≈ 5.8×;
+    # 7 leaves margin
+    """Largest TX whose VMEM working set (input slabs + double-buffered out
+    blocks, scaled by an empirical Mosaic spill factor) fits."""
+    for TX in (32, 16, 8, 4, 2):
+        if Nx % TX:
+            continue
+        slabs = nf * (TX + 2 * Hx) * NYP * ZPAD * 4
+        outs = 2 * nout * TX * NYP * ZPAD * 4
+        if (slabs * spill_factor + outs) <= budget:
+            return TX
+    return None
+
+
+def eligible_hydrostatic(grid, vi, tracer_scheme, tracer_names):
+    from ..advection.vector_invariant import VectorInvariant
+    from ..immersed import ImmersedBoundaryGrid
+
+    if not isinstance(vi, VectorInvariant):
+        return False
+    if isinstance(grid, ImmersedBoundaryGrid):
+        return False
+    if grid.is_flat(0) or grid.is_flat(1) or grid.is_flat(2):
+        return False
+    if grid.H[2] == 0:
+        return False  # z-compact layout not wired for this kernel
+    if not grid.regular(0):
+        return False  # x-window'd nonuniform coefficients unsupported
+    if getattr(grid, "polar_south", False) or getattr(grid, "polar_north",
+                                                      False):
+        return False  # polar halo rows carry recomputed zonal means
+    if not _metrics_x_invariant(grid):
+        return False
+    ZP = grid.padded_shape[2]
+    ZPAD = -(-ZP // 128) * 128
+    ntr = len(tuple(tracer_names))
+    nf = 4 + ntr  # u, v, w, ph, tracers
+    return _pick_tx(grid.N[0], grid.H[0], grid.padded_shape[1], ZPAD,
+                    nf, 2 + ntr) is not None
+
+
+def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
+                                     coriolis=None, with_ph=True):
+    """Return fn(u, v, w, tracers_dict, ph) -> (Gu, Gv, {name: Gc}) of
+    padded-shape arrays whose interior holds the advective + Coriolis +
+    baroclinic-pressure tendency contributions; x/z halo slots are garbage
+    (refilled before use), y rows are valid over the full slab."""
+    Hx, Hy, Hz = grid.H
+    Nx, Ny, Nz = grid.N
+    NXP, NYP, ZP = grid.padded_shape
+    ZPAD = -(-ZP // 128) * 128
+    names = tuple(tracer_names)
+    ntr = len(names)
+    nf = 3 + ntr + (1 if with_ph else 0)
+    nout = 2 + ntr
+    tgrid = _MetricTileGrid(grid, ZPAD)
+    TX = _pick_tx(Nx, Hx, NYP, ZPAD, nf, nout)
+    if TX is None:
+        raise ValueError("grid not tileable for the fused VI kernel")
+    TXS = TX + 2 * Hx
+    slab_shape = (TXS, NYP, ZPAD)
+    # bounded x: u's extra boundary face i=N lives in the first halo slot
+    # (grids/base.py) and carries a freely-evolving tendency on the XLA path
+    # — one extra tile covers it (its slab reads TX zero-pad rows past the
+    # padded extent; only the face row survives the embed)
+    bounded_x = grid.topology[0] == "bounded"
+    ntiles = Nx // TX + (1 if bounded_x else 0)
+    x_extra = TX if bounded_x else 0
+    nx_keep = Nx + (1 if bounded_x else 0)
+    from ..operators.operators import ddx, ddy
+
+    def physics(u, v, w, ph, tracers, write):
+        """The shared physics pipeline: ``write(out_index, term)``
+        accumulates x-trimmed terms. Runs twice — abstractly in the record
+        pass and concretely in the kernel trace."""
+        tile = slice(Hx, Hx + TX)
+
+        def otx(a):
+            # terms come back x-trimmed unless VI trims are disabled
+            # (multi_dimensional_stencil); normalize to the output tile
+            return a if a.shape[0] == TX else a[tile]
+
+        h_u, h_v = vi._horizontal(tgrid, u, v, tile)
+        write(0, -otx(h_u))
+        write(1, -otx(h_v))
+        b_u, b_v = vi._bernoulli(tgrid, u, v, tile)
+        write(0, -otx(b_u))
+        write(1, -otx(b_v))
+        z_u, z_v = vi._vertical(tgrid, u, v, w, None, tile)
+        write(0, -otx(z_u))
+        write(1, -otx(z_v))
+        if coriolis is not None:
+            write(0, -otx(coriolis.x_f_cross_U(tgrid, u, v, w)))
+            write(1, -otx(coriolis.y_f_cross_U(tgrid, u, v, w)))
+        if with_ph:
+            write(0, -otx(ddx(tgrid, ph, LOC_FCC)))
+            write(1, -otx(ddy(tgrid, ph, LOC_CFC)))
+        for t, c in enumerate(tracers):
+            write(2 + t, -div_Uc(tgrid, tracer_scheme, u, v, w, c,
+                                 tile=(tile, slice(None))))
+
+    # -- record pass: discover the metric constants the physics touches ------
+    tgrid._mode = "record"
+    tgrid.index_offset = (0, None, None)
+    spec = jax.ShapeDtypeStruct(slab_shape, grid.dtype)
+
+    def record_fn(u, v, w, ph, *cs):
+        acc = {}
+
+        def write(k, term):
+            acc[k] = term if k not in acc else acc[k] + term
+
+        physics(u, v, w, ph, cs, write)
+        return tuple(acc[k] for k in sorted(acc))
+
+    jax.eval_shape(record_fn, spec, spec, spec, spec, *([spec] * ntr))
+
+    packs = {}       # group -> stacked numpy array
+    key_index = {}   # key -> (group, row)
+    by_group = {"y": [], "z": [], "yz": []}
+    for (group, _), arr in tgrid._recorded.items():
+        by_group[group].append(arr)
+        key_index[(group, arr.tobytes())] = (group, len(by_group[group]) - 1)
+    shapes = {"y": (NYP, 1), "z": (1, ZPAD), "yz": (NYP, ZPAD)}
+    for g, arrs in by_group.items():
+        if arrs:
+            packs[g] = np.stack([a.reshape(shapes[g]) for a in arrs]) \
+                .astype(grid.dtype)
+    pack_order = [g for g in ("y", "z", "yz") if g in packs]
+    n_packs = len(pack_order)
+
+    def kernel(*refs):
+        ins = refs[:nf]
+        pack_refs = {g: refs[nf + i] for i, g in enumerate(pack_order)}
+        outs = refs[nf + n_packs:nf + n_packs + nout]
+        slabs = refs[nf + n_packs + nout:nf + n_packs + nout + nf]
+        sems = refs[nf + n_packs + nout + nf]
+        i = pl.program_id(0)
+        x0 = i * TX
+        copies = []
+        for k in range(nf):
+            dma = pltpu.make_async_copy(
+                ins[k].at[pl.ds(x0, TXS), :, :], slabs[k], sems.at[k])
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+        u = slabs[0][:]
+        v = slabs[1][:]
+        w = slabs[2][:]
+        ph = slabs[3][:] if with_ph else None
+        tracers = [slabs[nf - ntr + t][:] for t in range(ntr)]
+
+        # serve the recorded metric constants as slices of the packed inputs
+        served = {}
+        for key, (g, row) in key_index.items():
+            served[key] = pack_refs[g][row][None]
+        tgrid._mode = "serve"
+        tgrid._served = served
+        # global-index offset for the x cascade (slab row r ↔ padded x0+r)
+        tgrid.index_offset = (x0, None, None)
+
+        written = set()
+
+        def write(k, term):
+            if k in written:
+                outs[k][:] = outs[k][:] + term
+            else:
+                outs[k][:] = term
+                written.add(k)
+
+        physics(u, v, w, ph, tracers, write)
+
+    pack_specs = [
+        pl.BlockSpec((packs[g].shape[0],) + shapes[g],
+                     (lambda i: (0, 0, 0)), memory_space=pltpu.VMEM)
+        for g in pack_order]
+    call = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nf + pack_specs,
+        out_specs=[pl.BlockSpec((TX, NYP, ZPAD), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)] * nout,
+        out_shape=[jax.ShapeDtypeStruct((ntiles * TX, NYP, ZPAD),
+                                        grid.dtype)] * nout,
+        scratch_shapes=([pltpu.VMEM(slab_shape, grid.dtype)] * nf
+                        + [pltpu.SemaphoreType.DMA((nf,))]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )
+
+    sx = slice(Hx, Hx + nx_keep)
+    pads = [(0, x_extra), (0, 0), (0, ZPAD - ZP)]
+    pack_args = [jnp.asarray(packs[g]) for g in pack_order]
+
+    def fused(u, v, w, tracers, ph=None):
+        args = [u, v, w]
+        if with_ph:
+            args.append(ph)
+        args += [tracers[n] for n in names]
+        args = [jnp.pad(a.astype(grid.dtype), pads) for a in args]
+        outs = call(*(args + pack_args))
+        shape = grid.padded_shape
+
+        def embed(o):
+            full = jnp.zeros(shape, o.dtype)
+            return full.at[sx, :, :].set(o[:nx_keep, :, :ZP])
+
+        Gu, Gv = embed(outs[0]), embed(outs[1])
+        Gc = {n: embed(outs[2 + t]) for t, n in enumerate(names)}
+        return Gu, Gv, Gc
+
+    return fused

@@ -29,7 +29,8 @@ import numpy as np
 
 from ..defaults import defaults
 from ..grids.topology import LOC_CCC, LOC_CFC, LOC_FCC
-from ..operators.operators import ddx, ddy, dx_c, dy_c, ix_f, iy_f
+from ..operators.operators import (ddx, ddy, dx_c, dx_f, dy_c, dy_f, ix_f,
+                                   iy_f)
 
 
 def averaging_shape_function(tau, p=2, q=4, r=0.18927):
@@ -72,7 +73,7 @@ class ExplicitFreeSurface:
 
 class ImplicitFreeSurface:
     def __init__(self, gravitational_acceleration=None,
-                 solver_method="FastFourierTransform"):
+                 solver_method="Default"):
         self.g = (defaults.gravitational_acceleration
                   if gravitational_acceleration is None
                   else float(gravitational_acceleration))
@@ -219,19 +220,33 @@ class SplitExplicitFreeSurface:
         if frac is None:
             frac, weights = self.settings(None)
         dtau = frac * dt  # python float * traced scalar: no promotion
-        weights = jnp.asarray(weights, eta.dtype)
+        dtype = eta.dtype
+        weights = jnp.asarray(weights, dtype)
+
+        def mcast(m):
+            # metric constants arrive as numpy float64 (e.g. latitude-
+            # dependent Δx on lat-lon grids); cast so x64-enabled runs don't
+            # promote the f32 carry
+            return m if np.isscalar(m) else jnp.asarray(np.asarray(m), dtype)
+
+        dy_fc = mcast(grid.dy(LOC_FCC))
+        dx_cf = mcast(grid.dx(LOC_CFC))
+        az_cc = mcast(grid.Az(LOC_CCC))
+        dx_fc = mcast(grid.dx(LOC_FCC))
+        dy_cf = mcast(grid.dy(LOC_CFC))
+        H_fc = mcast(H_fc)
+        H_cf = mcast(H_cf)
 
         def body(carry, w):
             eta, U, V, eta_f, U_f, V_f = carry
             # η ← η - Δτ ∇·U   (δx(Δy U) + δy(Δx V)) / Az
             U = fill_U(U)
             V = fill_V(V)
-            div = (dx_c(grid, grid.dy(LOC_FCC) * U)
-                   + dy_c(grid, grid.dx(LOC_CFC) * V)) / grid.Az(LOC_CCC)
+            div = (dx_c(grid, dy_fc * U) + dy_c(grid, dx_cf * V)) / az_cc
             eta = fill_eta(eta - dtau * div)
             # U ← U + Δτ(-g H ∂x η + Gᵁ)
-            U = U + dtau * (-g * H_fc * ddx(grid, eta, LOC_FCC) + GU)
-            V = V + dtau * (-g * H_cf * ddy(grid, eta, LOC_CFC) + GV)
+            U = U + dtau * (-g * H_fc * dx_f(grid, eta) / dx_fc + GU)
+            V = V + dtau * (-g * H_cf * dy_f(grid, eta) / dy_cf + GV)
             eta_f = eta_f + w * eta
             U_f = U_f + w * U
             V_f = V_f + w * V

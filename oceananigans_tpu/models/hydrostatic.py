@@ -75,7 +75,7 @@ class HydrostaticFreeSurfaceModel:
                  free_surface=None, tracers=(), buoyancy=None, coriolis=None,
                  closure=None, forcing=None, boundary_conditions=None,
                  velocities=None, timestepper="QuasiAdamsBashforth2",
-                 vertical_coordinate="z"):
+                 vertical_coordinate="z", fused_tendencies="auto"):
         if vertical_coordinate not in ("z", "zstar"):
             raise ValueError(vertical_coordinate)
         self.vertical_coordinate = vertical_coordinate
@@ -183,12 +183,6 @@ class HydrostaticFreeSurfaceModel:
         if self._immersed and vertical_coordinate == "zstar":
             raise NotImplementedError("zstar + immersed boundaries is "
                                       "future work")
-        if self._immersed and isinstance(self.free_surface,
-                                         ImplicitFreeSurface):
-            raise NotImplementedError(
-                "the FFT implicit free-surface solver assumes constant "
-                "depth; use SplitExplicitFreeSurface (default) or "
-                "ExplicitFreeSurface with immersed boundaries")
 
         # column depth (static z coordinate: H = depth of the water column;
         # reference column_depthᶠᶜᵃ — constant for ZCoordinate grids,
@@ -217,21 +211,86 @@ class HydrostaticFreeSurfaceModel:
             self._H_fc = Lz
             self._H_cf = Lz
 
-        # implicit free-surface FFT plan (2D horizontal Helmholtz)
+        # Pallas fused VI tendency megakernel (x-tiled full-y/z slabs,
+        # kernels/fused_vector_invariant.py): VI momentum + Coriolis + ∂pHY′
+        # + tracer advection in one kernel; closures/forcing/flux BCs are
+        # added on top in XLA
+        self._fused_vi = None
+        if fused_tendencies in (True, "auto") \
+                and self.prescribed_velocities is None \
+                and vertical_coordinate == "z" and not self._immersed \
+                and isinstance(self.momentum_advection, VectorInvariant):
+            from ..kernels.fused_vector_invariant import (
+                build_fused_hydrostatic_tendency, eligible_hydrostatic)
+            if eligible_hydrostatic(self.grid, self.momentum_advection,
+                                    self.tracer_advection, self.tracer_names):
+                self._fused_vi = build_fused_hydrostatic_tendency(
+                    self.grid, self.momentum_advection, self.tracer_advection,
+                    self.tracer_names, coriolis=self.coriolis,
+                    with_ph=(self.buoyancy is not None))
+            elif fused_tendencies is True:
+                raise ValueError("grid/config not eligible for the fused "
+                                 "VI tendency kernel")
+
+        # implicit free-surface solver selection (reference:
+        # implicit_free_surface.jl:35-110 — :Default picks FFT on
+        # horizontally-regular rectilinear grids with constant depth, else
+        # the preconditioned conjugate-gradient solver,
+        # pcg_implicit_free_surface_solver.jl)
         if isinstance(self.free_surface, ImplicitFreeSurface):
-            lam = np.zeros((1, 1, 1))
-            self._fs_plan = []
-            for axis in (0, 1):
-                topo = self.grid.topology[axis]
-                if self.grid.is_flat(axis):
-                    continue
-                N, L = self.grid.N[axis], self.grid.extent[axis]
-                sh = [1, 1, 1]
-                sh[axis] = N
-                lam = lam + poisson_eigenvalues(N, L, topo).reshape(sh)
-                self._fs_plan.append(
-                    (axis, "fft" if topo == "periodic" else "dct"))
-            self._fs_lam = lam
+            from ..grids.rectilinear import RectilinearGrid
+            base = getattr(self.grid, "underlying_grid", self.grid)
+            fft_capable = (isinstance(base, RectilinearGrid)
+                           and base.regular(0) and base.regular(1)
+                           and not self._immersed)
+            method = getattr(self.free_surface, "solver_method", "Default")
+            if method in ("Default", None):
+                method = ("FastFourierTransform" if fft_capable
+                          else "PreconditionedConjugateGradient")
+            if method == "FastFourierTransform" and not fft_capable:
+                raise ValueError("the FFT implicit free-surface solver "
+                                 "needs a horizontally-regular rectilinear "
+                                 "grid with constant depth; use "
+                                 "solver_method='PreconditionedConjugate"
+                                 "Gradient'")
+            self._ifs_method = method
+            pc_capable = (isinstance(base, RectilinearGrid)
+                          and base.regular(0) and base.regular(1))
+            if method == "FastFourierTransform" or pc_capable:
+                lam = np.zeros((1, 1, 1))
+                self._fs_plan = []
+                for axis in (0, 1):
+                    topo = self.grid.topology[axis]
+                    if self.grid.is_flat(axis):
+                        continue
+                    N, L = self.grid.N[axis], self.grid.extent[axis]
+                    sh = [1, 1, 1]
+                    sh[axis] = N
+                    lam = lam + poisson_eigenvalues(N, L, topo).reshape(sh)
+                    self._fs_plan.append(
+                        (axis, "fft" if topo == "periodic" else "dct"))
+                self._fs_lam = lam
+            else:
+                self._fs_plan = None
+            if method == "PreconditionedConjugateGradient":
+                # vertically-integrated lateral areas over the FLUID column
+                # (reference: compute_vertically_integrated_lateral_areas!):
+                # ∫ᶻAx = Δy·H at (f,c), ∫ᶻAy = Δx·H at (c,f)
+                dy2 = np.broadcast_to(
+                    np.asarray(self.grid.dy(LOC_FCC), float),
+                    self.grid.padded_shape)[:, :, :1]
+                dx2 = np.broadcast_to(
+                    np.asarray(self.grid.dx(LOC_CFC), float),
+                    self.grid.padded_shape)[:, :, :1]
+                az2 = np.broadcast_to(
+                    np.asarray(self.grid.Az(LOC_CCC), float),
+                    self.grid.padded_shape)[:, :, :1]
+                self._int_Ax = jnp.asarray(dy2 * np.asarray(self._H_fc),
+                                           dtype)
+                self._int_Ay = jnp.asarray(dx2 * np.asarray(self._H_cf),
+                                           dtype)
+                self._az2d = jnp.asarray(az2, dtype)
+                self._pcg_precondition = pc_capable
 
         self._step = jax.jit(self._build_step())
 
@@ -316,6 +375,16 @@ class HydrostaticFreeSurfaceModel:
                     data, self.grid, self.loc(name), self.bcs[name], time)
         return out
 
+    def _cum_matmul(self, d, tri):
+        """z-scan as a triangular matmul: XLA lowers lane-axis cumsums to
+        O(Nz) shifted adds on the VPU (measured 7.3 ms at 512x256x32); a
+        (Nz, Nz) triangular matrix contraction runs on the MXU in one pass.
+        precision=HIGHEST keeps f32-exact accumulation (bf16 passes would
+        lose the small-increment sums)."""
+        return jax.lax.dot_general(
+            d, jnp.asarray(tri, d.dtype), (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+
     def _w_from_continuity(self, u, v, dt_sigma=None):
         """Diagnose the (grid-relative) vertical velocity by integrating
         continuity upward from the bottom (reference:
@@ -332,7 +401,9 @@ class HydrostaticFreeSurfaceModel:
         d = div_h[sx, sy, h:h + n] * jnp.asarray(dzc, div_h.dtype)
         if dt_sigma is not None:
             d = d + dt_sigma[sx, sy] * jnp.asarray(dzc, div_h.dtype)
-        w_faces = -jnp.cumsum(d, axis=2)  # w at faces 1..n (w[0] = 0)
+        if not hasattr(self, "_cumsum_tri"):
+            self._cumsum_tri = np.tril(np.ones((n, n), np.float64), 0).T
+        w_faces = -self._cum_matmul(d, self._cumsum_tri)  # faces 1..n
         w = jnp.zeros(grid.padded_shape, u.dtype)
         w = w.at[sx, sy, h + 1:h + n + 1].set(w_faces)
         return fill_halo_regions(w, grid, LOC_CCF, self.bcs["w"])
@@ -350,9 +421,12 @@ class HydrostaticFreeSurfaceModel:
         b_int = b[sx, sy, h:h + n]
         # p[k] = -(b[k] dz[k]/2 + Σ_{k'>k} b[k'] dz[k'])  (centered integral)
         bdz = b_int * jnp.asarray(dzc, b.dtype)
-        # reverse cumulative sum above each level, excluding the level itself
-        above = jnp.flip(jnp.cumsum(jnp.flip(bdz, 2), axis=2), 2) - bdz
-        p_int = -(0.5 * bdz + above)
+        # one MXU triangular contraction (see _cum_matmul):
+        # M[k', k] = 1/2 at k'=k, 1 for k'>k
+        if not hasattr(self, "_ph_tri"):
+            self._ph_tri = (np.tril(np.ones((n, n), np.float64), -1)
+                            + 0.5 * np.eye(n))
+        p_int = -self._cum_matmul(bdz, self._ph_tri)
         p = jnp.zeros(grid.padded_shape, b.dtype)
         p = p.at[sx, sy, h:h + n].set(p_int)
         return self._fill_xy(p, LOC_CCC, self.bcs["ph"], time)
@@ -403,32 +477,38 @@ class HydrostaticFreeSurfaceModel:
         grid = self._moving_grid(fields)
         u, v = fields["u"], fields["v"]
         G = {}
+        Gc_fused = None
 
-        if isinstance(self.momentum_advection, VectorInvariant):
-            gm = None
-            if dt_sigma is not None:
-                # Az·Δr·∂t_σ at ccc (Δr = the static reference spacing)
-                dzr = jnp.asarray(np.broadcast_to(
-                    np.asarray(self.grid.dz(LOC_CCC)),
-                    self.grid.padded_shape), u.dtype)
-                gm = jnp.asarray(self.grid.Az(LOC_CCC), u.dtype) * dzr \
-                    * dt_sigma
-            adv_u, adv_v = self.momentum_advection.momentum_tendencies(
-                grid, u, v, w, grid_motion=gm)
+        if self._fused_vi is not None and dt_sigma is None:
+            ph = self._hydrostatic_pressure(fields, time)
+            G["u"], G["v"], Gc_fused = self._fused_vi(
+                u, v, w, {n: fields[n] for n in self.tracer_names}, ph)
         else:
-            adv_u = div_Uu(grid, self.momentum_advection, u, v, w)
-            adv_v = div_Uv(grid, self.momentum_advection, u, v, w)
-        G["u"] = -adv_u
-        G["v"] = -adv_v
+            if isinstance(self.momentum_advection, VectorInvariant):
+                gm = None
+                if dt_sigma is not None:
+                    # Az·Δr·∂t_σ at ccc (Δr = the static reference spacing)
+                    dzr = jnp.asarray(np.broadcast_to(
+                        np.asarray(self.grid.dz(LOC_CCC)),
+                        self.grid.padded_shape), u.dtype)
+                    gm = jnp.asarray(self.grid.Az(LOC_CCC), u.dtype) * dzr \
+                        * dt_sigma
+                adv_u, adv_v = self.momentum_advection.momentum_tendencies(
+                    grid, u, v, w, grid_motion=gm)
+            else:
+                adv_u = div_Uu(grid, self.momentum_advection, u, v, w)
+                adv_v = div_Uv(grid, self.momentum_advection, u, v, w)
+            G["u"] = -adv_u
+            G["v"] = -adv_v
 
-        if self.coriolis is not None:
-            G["u"] = G["u"] - self.coriolis.x_f_cross_U(grid, u, v, w)
-            G["v"] = G["v"] - self.coriolis.y_f_cross_U(grid, u, v, w)
+            if self.coriolis is not None:
+                G["u"] = G["u"] - self.coriolis.x_f_cross_U(grid, u, v, w)
+                G["v"] = G["v"] - self.coriolis.y_f_cross_U(grid, u, v, w)
 
-        ph = self._hydrostatic_pressure(fields, time)
-        if ph is not None:
-            G["u"] = G["u"] - ddx(grid, ph, LOC_FCC)
-            G["v"] = G["v"] - ddy(grid, ph, LOC_CFC)
+            ph = self._hydrostatic_pressure(fields, time)
+            if ph is not None:
+                G["u"] = G["u"] - ddx(grid, ph, LOC_FCC)
+                G["v"] = G["v"] - ddy(grid, ph, LOC_CFC)
 
         if isinstance(self.free_surface, ExplicitFreeSurface):
             g = self.free_surface.g
@@ -445,7 +525,8 @@ class HydrostaticFreeSurfaceModel:
             G["v"] = G["v"] + mt["v"]
 
         for name in self.tracer_names:
-            Gc = -div_Uc(grid, self.tracer_advection, u, v, w, fields[name])
+            Gc = (Gc_fused[name] if Gc_fused is not None else
+                  -div_Uc(grid, self.tracer_advection, u, v, w, fields[name]))
             if self.closure is not None:
                 cf = dict(fields)
                 cf["w"] = w
@@ -502,9 +583,11 @@ class HydrostaticFreeSurfaceModel:
         v = v + (V_f - Vstar) / self._H_cf
         return u, v
 
-    def _implicit_free_surface_solve(self, eta_rhs, dt):
+    def _implicit_free_surface_solve(self, eta_rhs, dt, H=None):
         """(1 + g H Δt² λ) η̂ = η̂* in transform space (reference:
-        fft_based_implicit_free_surface_solver.jl)."""
+        fft_based_implicit_free_surface_solver.jl). ``H`` overrides the
+        column depth (a scalar — used when FFT preconditions the PCG solve
+        on varying-depth grids)."""
         grid = self.grid
         sx, sy = grid.interior_slices[0], grid.interior_slices[1]
         b = eta_rhs[sx, sy, :]
@@ -512,7 +595,7 @@ class HydrostaticFreeSurfaceModel:
             b = fft_along(b, axis) if kind == "fft" \
                 else dct_forward(b, axis)
         g = self.free_surface.g
-        H = self._H_fc
+        H = self._H_fc if H is None else H
         lam = jnp.asarray(self._fs_lam, eta_rhs.dtype)
         b = b / (1.0 + g * H * dt * dt * lam)
         for axis, kind in reversed(self._fs_plan):
@@ -522,6 +605,70 @@ class HydrostaticFreeSurfaceModel:
             b = jnp.real(b)
         eta = jnp.zeros_like(eta_rhs)
         return eta.at[sx, sy, :].set(b.astype(eta_rhs.dtype))
+
+    def _implicit_pcg_solve(self, eta_n, U, V, dt, time):
+        """Matrix-free preconditioned CG for the implicit free surface on
+        varying-depth / immersed / curvilinear grids (reference:
+        pcg_implicit_free_surface_solver.jl:44-165):
+
+            L(η) = δx(∫ᶻAx ∂x η) + δy(∫ᶻAy ∂y η) − Az η/(gΔt²)
+            rhs  = (δx(Δy U★) + δy(Δx V★) − Az ηⁿ/Δt) / (gΔt)
+
+        with ∫ᶻA the fluid-column-integrated lateral areas and U★,V★ the
+        predictor barotropic transports. The FFT constant-depth solver
+        preconditions on horizontally-regular rectilinear grids (reference:
+        FFTImplicitFreeSurfaceSolver as preconditioner)."""
+        from ..solvers.conjugate_gradient import conjugate_gradient
+        grid = self.grid
+        g = self.free_surface.g
+        dtype = eta_n.dtype
+        sx, sy = grid.interior_slices[0], grid.interior_slices[1]
+
+        def m2(m):
+            return jnp.asarray(np.broadcast_to(
+                np.asarray(m, float), grid.padded_shape)[:, :, :1], dtype)
+
+        dx_fc = m2(grid.dx(LOC_FCC))
+        dy_cf = m2(grid.dy(LOC_CFC))
+        dy_fc = m2(grid.dy(LOC_FCC))
+        dx_cf = m2(grid.dx(LOC_CFC))
+        fill = lambda a: self._fill_xy(a, LOC_CCC, self.bcs["eta"], time)
+        shape2 = (grid.padded_shape[0], grid.padded_shape[1], 1)
+
+        def embed(e_int):
+            e = jnp.zeros(shape2, dtype)
+            return e.at[sx, sy, :].set(e_int)
+
+        from ..operators.operators import dx_f, dy_f
+
+        def L(e_int):
+            eta = fill(embed(e_int))
+            fx = self._int_Ax * dx_f(grid, eta) / dx_fc
+            fy = self._int_Ay * dy_f(grid, eta) / dy_cf
+            lap = dx_c(grid, fx) + dy_c(grid, fy)
+            out = lap - self._az2d * eta / (g * dt * dt)
+            return out[sx, sy, :]
+
+        rhs = ((dx_c(grid, dy_fc * U) + dy_c(grid, dx_cf * V)
+                - self._az2d * eta_n / dt) / (g * dt))[sx, sy, :]
+
+        precond = None
+        if self._pcg_precondition:
+            Lz = abs(self.grid.extent[2])
+            az = self._az2d[sx, sy, :]
+
+            def precond(r):
+                # L ≈ −Az/(gΔt²)(1 − gH̄Δt²∇²) for constant depth H̄ = Lz:
+                # invert with the FFT solver
+                rr = embed(-(g * dt * dt) * r / az)
+                return self._implicit_free_surface_solve(rr, dt, H=Lz)[
+                    sx, sy, :]
+
+        reltol = 1e-7 if dtype == jnp.float64 else 1e-5
+        x, it, res = conjugate_gradient(
+            L, rhs, x0=eta_n[sx, sy, :], preconditioner=precond,
+            reltol=reltol, maxiter=grid.N[0] * grid.N[1])
+        return embed(x)
 
     # -- the step -------------------------------------------------------------
 
@@ -539,22 +686,37 @@ class HydrostaticFreeSurfaceModel:
             return new, {"U": U_f, "V": V_f}
         U = self._depth_integral(new["u"], LOC_FCC)
         V = self._depth_integral(new["v"], LOC_CFC)
-        div = (dx_c(self.grid, self.grid.dy(LOC_FCC) * U)
-               + dy_c(self.grid, self.grid.dx(LOC_CFC) * V)) \
-            / self.grid.Az(LOC_CCC)
         if isinstance(fs, ExplicitFreeSurface):
+            div = (dx_c(self.grid, self.grid.dy(LOC_FCC) * U)
+                   + dy_c(self.grid, self.grid.dx(LOC_CFC) * V)) \
+                / self.grid.Az(LOC_CCC)
             new["eta"] = fields0["eta"] - sdt * div
             return new, None
         if isinstance(fs, ImplicitFreeSurface):
-            rhs = fields0["eta"] - sdt * div
-            eta = self._implicit_free_surface_solve(rhs, sdt)
-            eta = self._fill_xy(eta, LOC_CCC, self.bcs["eta"], time)
-            g = fs.g
-            new["u"] = new["u"] - sdt * g * ddx(self.grid, eta, LOC_FCC)
-            new["v"] = new["v"] - sdt * g * ddy(self.grid, eta, LOC_CFC)
-            new["eta"] = eta
+            new = self._implicit_eta_step(fields0["eta"], new, U, V, sdt,
+                                          time)
             return new, None
         raise ValueError(f"unknown free surface {fs}")
+
+    def _implicit_eta_step(self, eta_n, new, U, V, sdt, time):
+        """Backward-Euler free-surface step + barotropic velocity correction
+        (reference: step_free_surface! for ImplicitFreeSurface +
+        implicit_free_surface_step kernels)."""
+        fs = self.free_surface
+        if self._ifs_method == "FastFourierTransform":
+            div = (dx_c(self.grid, self.grid.dy(LOC_FCC) * U)
+                   + dy_c(self.grid, self.grid.dx(LOC_CFC) * V)) \
+                / self.grid.Az(LOC_CCC)
+            rhs = eta_n - sdt * div
+            eta = self._implicit_free_surface_solve(rhs, sdt)
+        else:
+            eta = self._implicit_pcg_solve(eta_n, U, V, sdt, time)
+        eta = self._fill_xy(eta, LOC_CCC, self.bcs["eta"], time)
+        g = fs.g
+        new["u"] = new["u"] - sdt * g * ddx(self.grid, eta, LOC_FCC)
+        new["v"] = new["v"] - sdt * g * ddy(self.grid, eta, LOC_CFC)
+        new["eta"] = eta
+        return new
 
     def _build_step(self, se_settings=None):
         if isinstance(self.timestepper, SplitRungeKutta3TimeStepper):
@@ -735,16 +897,8 @@ class HydrostaticFreeSurfaceModel:
             elif isinstance(fs, ImplicitFreeSurface):
                 U = self._depth_integral(new["u"], LOC_FCC)
                 V = self._depth_integral(new["v"], LOC_CFC)
-                div = (dx_c(self.grid, self.grid.dy(LOC_FCC) * U)
-                       + dy_c(self.grid, self.grid.dx(LOC_CFC) * V)) \
-                    / self.grid.Az(LOC_CCC)
-                rhs = fields["eta"] - dt * div
-                eta = self._implicit_free_surface_solve(rhs, dt)
-                eta = self._fill_xy(eta, LOC_CCC, self.bcs["eta"], time)
-                g = fs.g
-                u = new["u"] - dt * g * ddx(self.grid, eta, LOC_FCC)
-                v = new["v"] - dt * g * ddy(self.grid, eta, LOC_CFC)
-                new.update(u=u, v=v, eta=eta)
+                new = self._implicit_eta_step(fields["eta"], new, U, V, dt,
+                                              time)
             else:
                 raise ValueError(f"unknown free surface {fs}")
 
