@@ -53,14 +53,18 @@ class CATKEMixingLength:
 
 
 class CATKEEquation:
-    """Dissipation/TKE-flux constants (reference: catke_equation.jl:7-16)."""
+    """Dissipation/TKE-flux constants (reference: catke_equation.jl:7-16):
+    CᵂwΔ/Cᵂu★ the surface convective/shear TKE flux coefficients, Cᵂϵ the
+    dissipative near-bottom TKE flux coefficient."""
 
     def __init__(self, Chi_D=0.579, Clo_D=1.604, Cun_D=0.923, Cc_D=3.254,
-                 Ce_D=0.0):
+                 Ce_D=0.0, CwD=0.383, Cwu=3.179, Cweps=1.0):
         self.D = (Cun_D, Clo_D, Chi_D, Cc_D, Ce_D)
+        self.CwD, self.Cwu, self.Cweps = CwD, Cwu, Cweps
 
     def _fp(self):
-        return ("CATKEEquation",) + self.D
+        return ("CATKEEquation",) + self.D + (self.CwD, self.Cwu,
+                                              self.Cweps)
 
 
 def _step(x, c, w):
@@ -72,19 +76,35 @@ def _step(x, c, w):
 class CATKEVerticalDiffusivity(_ClosureBase):
     required_tracers = ("e",)
 
+    # the TKE equation is substepped by the model rather than advanced as an
+    # ordinary tracer (reference: time_step_catke_equation.jl)
+    substepped_tke = True
+
     def __init__(self, mixing_length=None, tke_equation=None,
                  minimum_tke=1e-9, minimum_convective_buoyancy_flux=1e-11,
-                 surface_buoyancy_flux=None, buoyancy=None):
+                 surface_buoyancy_flux=None, buoyancy=None,
+                 tke_time_step=None):
         self.mixing_length = mixing_length or CATKEMixingLength()
         self.tke_equation = tke_equation or CATKEEquation()
         self.minimum_tke = float(minimum_tke)
         self.Jb_eps = float(minimum_convective_buoyancy_flux)
         self.surface_buoyancy_flux = surface_buoyancy_flux
         self.buoyancy = buoyancy
+        # Δτ for TKE substepping (reference: tke_time_step, get_time_step —
+        # M = ceil(Δt/Δτ) substeps per baroclinic step; None = one substep)
+        self.tke_time_step = (None if tke_time_step is None
+                              else float(tke_time_step))
+
+    def substeps_for(self, dt):
+        """Host-side substep count (reference: calculate M,
+        time_step_catke_equation.jl:40-46)."""
+        if self.tke_time_step is None:
+            return 1
+        return max(1, int(np.ceil(float(dt) / self.tke_time_step)))
 
     def _fp(self):
         return ("CATKE", self.mixing_length._fp(), self.tke_equation._fp(),
-                self.minimum_tke, self.Jb_eps,
+                self.minimum_tke, self.Jb_eps, self.tke_time_step,
                 id(self.surface_buoyancy_flux)
                 if callable(self.surface_buoyancy_flux)
                 else self.surface_buoyancy_flux)
@@ -199,3 +219,106 @@ class CATKEVerticalDiffusivity(_ClosureBase):
             out[name] = aux["kappa_e_ccf"] if name == "e" \
                 else aux["kappa_z_ccf"]
         return out
+
+    # -- substepped TKE equation ------------------------------------------------
+    # reference: time_step_catke_equation.jl — M = ceil(Δt/Δτ) AB2 substeps,
+    # each refreshing κe and the linear implicit operator
+    # Le = wb⁻/e − ω + δ(bottom)·Cᵂϵ√e/Δz, with the fast explicit tendency
+    # P + wb⁺ (dissipation is fully implicit under VITD).
+
+    def _shear_production(self, grid, nu_ccf, u_old, u_new, v_old, v_new):
+        """'Approximately conservative' shear production at cell centers
+        (reference: shear_production, TKEBasedVerticalDiffusivities.jl:
+        121-143): P = ℑx[ℑz(ℑx(ν)·∂z uⁿ·Δz·∂z u⁺ averaged with (u⁺,u⁺))/Δz]
+        + the y analogue."""
+        from ..operators.operators import ddz, ix_c, ix_f, iy_c, iy_f, iz_c
+        fcf = ("f", "c", "f")
+        cff = ("c", "f", "f")
+
+        def Px(un, up):
+            nu_f = ix_f(grid, nu_ccf)
+            dzn = ddz(grid, un, fcf)
+            dzp = ddz(grid, up, fcf)
+            dz_f = grid.dz(fcf)
+            return nu_f * dzn * dz_f * dzp
+
+        def Py(vn, vp):
+            nu_f = iy_f(grid, nu_ccf)
+            dzn = ddz(grid, vn, cff)
+            dzp = ddz(grid, vp, cff)
+            dz_f = grid.dz(cff)
+            return nu_f * dzn * dz_f * dzp
+
+        Px_fcc = iz_c(grid, 0.5 * (Px(u_old, u_new) + Px(u_new, u_new))) \
+            / grid.dz(("f", "c", "c"))
+        Py_cfc = iz_c(grid, 0.5 * (Py(v_old, v_new) + Py(v_new, v_new))) \
+            / grid.dz(("c", "f", "c"))
+        return ix_c(grid, Px_fcc) + iy_c(grid, Py_cfc)
+
+    def _bottom_mask_ccc(self, grid):
+        """1 at the bottommost active cell of each column (reference:
+        bottommost_active_node)."""
+        h, n = grid.H[2], grid.N[2]
+        mask = np.zeros(grid.padded_shape, bool)
+        if hasattr(grid, "solid_ccc"):
+            fluid = ~grid.solid_ccc
+            below = np.ones_like(fluid)
+            below[:, :, 1:] = ~fluid[:, :, :-1]
+            mask = fluid & below
+        else:
+            mask[:, :, h] = True
+        return mask
+
+    def step_tke(self, grid, fields_old, fields_new, slow_Ge, Gm_e, dt,
+                 chi0, euler, M, time):
+        """Advance the TKE ``e`` over one baroclinic step in ``M`` AB2
+        substeps with per-substep diffusivity refresh (reference:
+        time_step_catke_equation.jl:14-86). ``fields_new`` holds the already-
+        updated (and halo-filled) velocities; ``fields_old`` the start-of-
+        step state; ``slow_Ge`` the advective (+ boundary-flux) slow
+        tendency; ``Gm_e`` the stored previous TKE tendency. Returns
+        (e_new, G_minus_e) for the state pytree."""
+        from ..models.nonhydrostatic import implicit_vertical_diffusion
+        e = fields_new["e"]
+        dtau = dt / M
+        bottom = jnp.asarray(self._bottom_mask_ccc(grid), e.dtype)
+        dz_c = jnp.asarray(np.broadcast_to(
+            np.asarray(grid.dz(("c", "c", "c")), float), grid.padded_shape),
+            e.dtype)
+        Cweps = self.tke_equation.Cweps
+        for m in range(M):
+            if M > 1 and m == 0:
+                chi = -0.5  # Euler first substep (β = 0 kills G⁻)
+            elif M > 1:
+                chi = chi0
+            else:
+                chi = jnp.where(euler, -0.5, chi0)
+            fe = dict(fields_new)
+            fe["e"] = e
+            aux = self.compute_diffusivities(grid, fe, time)
+            wb = iz_c(grid, -aux["kappa_z_ccf"] * aux["N2_ccf"])
+            wb_plus = jnp.maximum(wb, 0.0)
+            wb_minus = jnp.minimum(wb, 0.0)
+            P = self._shear_production(grid, aux["nu_z_ccf"],
+                                       fields_old["u"], fields_new["u"],
+                                       fields_old["v"], fields_new["v"])
+            fast_G = P + wb_plus
+            total_G = slow_Ge + fast_G
+            alpha = 1.5 + chi
+            beta = 0.5 + chi
+            e_star = e + dtau * (alpha * total_G - beta * Gm_e)
+            Gm_e = total_G
+            # linear implicit operator −Le as a positive damping rate
+            e_floor = jnp.maximum(e, self.minimum_tke)
+            wb_minus_e = wb_minus / e_floor * (e > self.minimum_tke)
+            ellD_c = iz_c(grid, aux["ell_D_ccf"])
+            omega = jnp.sqrt(e_floor) / jnp.maximum(ellD_c, 1e-10)
+            wstar = jnp.sqrt(jnp.maximum(e, 0.0))
+            lam = omega - wb_minus_e + bottom * Cweps * wstar / dz_c
+            kz = aux["kappa_e_ccf"]
+            if hasattr(grid, "fluid_mask"):
+                kz = kz * grid.fluid_mask(("c", "c", "f"), e.dtype)
+            e = implicit_vertical_diffusion(grid, e_star, kz, dtau,
+                                            damping=lam)
+            e = jnp.maximum(e, 0.0)
+        return e, Gm_e

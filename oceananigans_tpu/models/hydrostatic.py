@@ -133,7 +133,19 @@ class HydrostaticFreeSurfaceModel:
         if hasattr(self.free_surface, "materialize"):
             self.free_surface.materialize(self.grid)
 
+        # CATKE-family closures: derive the surface buoyancy flux from the
+        # buoyancy tracer's top BC and install the surface TKE flux BC
+        # −Cᵂu★u★³ − CᵂwΔ(w★Δ)³ derived from the momentum flux BCs
+        # (reference: tke_top_boundary_condition.jl +
+        # add_closure_specific_boundary_conditions, catke_equation.jl:98-140)
+        self._substepped_tke = (closure is not None
+                                and getattr(closure, "substepped_tke", False)
+                                and isinstance(self.timestepper,
+                                               QuasiAdamsBashforth2TimeStepper)
+                                and self.prescribed_velocities is None)
         bcs_in = dict(boundary_conditions or {})
+        if self._substepped_tke:
+            bcs_in = self._install_tke_surface_flux(bcs_in)
         self.bcs = {}
         for name, loc in PROGNOSTIC_LOCS.items():
             self.bcs[name] = regularize_field_boundary_conditions(
@@ -358,6 +370,90 @@ class HydrostaticFreeSurfaceModel:
 
     # -- helpers --------------------------------------------------------------
 
+    def _install_tke_surface_flux(self, bcs_in):
+        """Derive CATKE's surface couplings from the user boundary
+        conditions (reference: tke_top_boundary_condition.jl):
+
+        * ``surface_buoyancy_flux`` Jᵇ from the buoyancy tracer's top flux
+          BC (BuoyancyTracer: Jᵇ = J_b; SeawaterBuoyancy + linear EOS:
+          Jᵇ = g(α J_T − β J_S)) unless user-supplied;
+        * e's top flux BC: J = −Cᵂu★·u★³ − CᵂwΔ·max(Jᵇ,0)·Δz with
+          u★ = (τx²+τy²)^¼ from the u/v top flux BCs."""
+        from ..boundary_conditions.boundary_condition import (
+            FLUX, BoundaryCondition, FieldBoundaryConditions)
+        from ..buoyancy import BuoyancyTracer, SeawaterBuoyancy
+
+        def top_flux(name):
+            fb = bcs_in.get(name)
+            bc = getattr(fb, "top", None) if fb is not None else None
+            if bc is None or getattr(bc, "classification", None) != FLUX:
+                return None
+            return bc.condition
+
+        clo = self.closure
+        if clo.surface_buoyancy_flux is None:
+            buoy = clo.buoyancy or self.buoyancy
+            Jb = None
+            if isinstance(buoy, BuoyancyTracer):
+                Jb = top_flux("b")
+            elif isinstance(buoy, SeawaterBuoyancy) and hasattr(
+                    buoy.eos, "alpha"):
+                JT, JS = top_flux("T"), top_flux("S")
+                if JT is not None or JS is not None:
+                    g = buoy.g
+                    al = buoy.eos.alpha
+                    be = buoy.eos.beta
+
+                    def Jb_fn(x, y, t, _JT=JT, _JS=JS):
+                        jt = (_JT(x, y, t) if callable(_JT)
+                              else (_JT or 0.0))
+                        js = (_JS(x, y, t) if callable(_JS)
+                              else (_JS or 0.0))
+                        return g * (al * jt - be * js)
+
+                    Jb = (g * (al * (JT or 0.0) - be * (JS or 0.0))
+                          if not (callable(JT) or callable(JS)) else Jb_fn)
+            if Jb is not None:
+                clo.surface_buoyancy_flux = Jb
+
+        # e's top flux unless the user set one
+        fb_e = bcs_in.get("e")
+        if fb_e is not None and getattr(fb_e, "top", None) is not None:
+            return bcs_in
+        tau_x, tau_y = top_flux("u"), top_flux("v")
+        Jb = clo.surface_buoyancy_flux
+        h, n = self.grid.H[2], self.grid.N[2]
+        dz_top = float(np.asarray(np.broadcast_to(
+            np.asarray(self.grid.dz(LOC_CCC), float),
+            self.grid.padded_shape))[0, 0, h + n - 1])
+        Cwu = clo.tke_equation.Cwu
+        CwD = clo.tke_equation.CwD
+        if tau_x is None and tau_y is None and Jb is None:
+            return bcs_in
+
+        def e_top_flux(x, y, t):
+            def ev(q):
+                if q is None:
+                    return 0.0
+                return q(x, y, t) if callable(q) else q
+            tx, ty = ev(tau_x), ev(tau_y)
+            ustar = (tx * tx + ty * ty) ** 0.25
+            wD3 = jnp.maximum(jnp.asarray(ev(Jb)), 0.0) * dz_top
+            return -Cwu * ustar ** 3 - CwD * wD3
+
+        top_bc = BoundaryCondition(FLUX, e_top_flux)
+        if fb_e is None:
+            bcs_in = dict(bcs_in)
+            bcs_in["e"] = FieldBoundaryConditions(top=top_bc)
+        else:
+            fb = FieldBoundaryConditions(
+                west=fb_e.west, east=fb_e.east, south=fb_e.south,
+                north=fb_e.north, bottom=fb_e.bottom, top=top_bc,
+                immersed=fb_e.immersed)
+            bcs_in = dict(bcs_in)
+            bcs_in["e"] = fb
+        return bcs_in
+
     def _fill_xy(self, a, loc, bcs, time):
         """Horizontal-only halo fill (for 2D surface fields); zipper-aware."""
         from ..boundary_conditions.fill_halos import fill_halo_axes
@@ -527,7 +623,11 @@ class HydrostaticFreeSurfaceModel:
         for name in self.tracer_names:
             Gc = (Gc_fused[name] if Gc_fused is not None else
                   -div_Uc(grid, self.tracer_advection, u, v, w, fields[name]))
-            if self.closure is not None:
+            if self.closure is not None and not (
+                    name == "e" and self._substepped_tke):
+                # substepped TKE: the production/buoyancy-flux fast terms
+                # live inside closure.step_tke; G[e] stays the slow
+                # (advective + boundary-flux) tendency
                 cf = dict(fields)
                 cf["w"] = w
                 Gc = Gc + self.closure.tracer_tendency(grid, name, cf, aux)
@@ -718,7 +818,7 @@ class HydrostaticFreeSurfaceModel:
         new["eta"] = eta
         return new
 
-    def _build_step(self, se_settings=None):
+    def _build_step(self, se_settings=None, catke_substeps=1):
         if isinstance(self.timestepper, SplitRungeKutta3TimeStepper):
             def step(state, dt):
                 fields0 = state["fields"]
@@ -864,7 +964,11 @@ class HydrostaticFreeSurfaceModel:
                 kappas = self.closure.vertical_implicit_kappas(
                     self.grid, new, aux)
                 dampings = {}
-                if hasattr(self.closure, "vertical_implicit_damping"):
+                if self._substepped_tke:
+                    # e advances inside closure.step_tke below (per-substep
+                    # κe refresh + implicit dissipation)
+                    kappas.pop("e", None)
+                elif hasattr(self.closure, "vertical_implicit_damping"):
                     dampings = self.closure.vertical_implicit_damping(
                         self.grid, new, aux)
                 for name, kz in kappas.items():
@@ -872,7 +976,8 @@ class HydrostaticFreeSurfaceModel:
                         new[name] = implicit_vertical_diffusion(
                             self.grid, new[name], self._mask_kz(kz), dt,
                             damping=dampings.get(name))
-                if hasattr(self.closure, "clip_fields"):
+                if hasattr(self.closure, "clip_fields") \
+                        and not self._substepped_tke:
                     new = self.closure.clip_fields(new)
 
             fs = self.free_surface
@@ -914,12 +1019,25 @@ class HydrostaticFreeSurfaceModel:
 
             new = self._mask_state(new)
             dt_sigma = ((sigma_np1 - sigma_n) / dt) if zstar else None
-            w_new = self._w_from_continuity(
-                fill_halo_regions(new["u"], self.grid, LOC_FCC,
-                                  self.bcs["u"], time),
-                fill_halo_regions(new["v"], self.grid, LOC_CFC,
-                                  self.bcs["v"], time),
-                dt_sigma=dt_sigma)
+            uf = fill_halo_regions(new["u"], self.grid, LOC_FCC,
+                                   self.bcs["u"], time)
+            vf = fill_halo_regions(new["v"], self.grid, LOC_CFC,
+                                   self.bcs["v"], time)
+            if self._substepped_tke:
+                # substepped TKE equation with the updated velocities as
+                # next_velocities (reference: time_step_catke_equation.jl
+                # runs after ab2_step!)
+                fnew = dict(new)
+                fnew.update(u=uf, v=vf, e=fields["e"])
+                e_new, Gm_e = self.closure.step_tke(
+                    self.grid, fields, fnew, G["e"], Gm["e"], dt, chi0,
+                    euler, catke_substeps, time)
+                if self._immersed:
+                    e_new = self.grid.mask_immersed(e_new, LOC_CCC)
+                new["e"] = e_new
+                G = dict(G)
+                G["e"] = Gm_e
+            w_new = self._w_from_continuity(uf, vf, dt_sigma=dt_sigma)
             clock = dict(time=time + dt, iteration=clock["iteration"] + 1,
                          last_dt=dt * jnp.ones_like(clock["last_dt"]))
             out = dict(fields=new, clock=clock, w=w_new, Gm=G)
@@ -932,22 +1050,27 @@ class HydrostaticFreeSurfaceModel:
         return step
 
     def _step_for(self, dt):
-        """The jitted step for a concrete Δt. With FixedTimeStepSize
-        (cfl-based) substepping the substep count depends on Δt
-        (reference: calculate_substeps), so the step is compiled (and
-        cached) per distinct substep count."""
+        """The jitted step for a concrete Δt. Two substep counts depend on
+        Δt: split-explicit FixedTimeStepSize (cfl-based barotropic
+        substepping, reference: calculate_substeps) and the CATKE TKE
+        substep count M = ceil(Δt/Δτ); the step is compiled (and cached)
+        per distinct combination."""
         from .free_surfaces import FixedTimeStepSize
         fs = self.free_surface
-        if not (isinstance(fs, SplitExplicitFreeSurface)
-                and isinstance(fs.substepping, FixedTimeStepSize)):
+        dyn_se = (isinstance(fs, SplitExplicitFreeSurface)
+                  and isinstance(fs.substepping, FixedTimeStepSize))
+        M = (self.closure.substeps_for(dt)
+             if self._substepped_tke
+             and self.closure.tke_time_step is not None else 1)
+        if not dyn_se and M == 1:
             return self._step
-        frac, weights = fs.settings(float(dt))
-        key = (len(weights), frac)
+        se = fs.settings(float(dt)) if dyn_se else None
+        key = ((len(se[1]), se[0]) if se else None, M)
         if not hasattr(self, "_se_step_cache"):
             self._se_step_cache = {}
         if key not in self._se_step_cache:
             self._se_step_cache[key] = jax.jit(
-                self._build_step(se_settings=(frac, weights)))
+                self._build_step(se_settings=se, catke_substeps=M))
         return self._se_step_cache[key]
 
     def time_step(self, dt):

@@ -1,0 +1,104 @@
+"""CATKE substepped TKE equation + surface TKE flux tests (reference:
+time_step_catke_equation.jl, tke_top_boundary_condition.jl)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oceananigans_tpu import RectilinearGrid
+from oceananigans_tpu.boundary_conditions.boundary_condition import (
+    FieldBoundaryConditions, FluxBoundaryCondition)
+from oceananigans_tpu.buoyancy import BuoyancyTracer
+from oceananigans_tpu.closures.catke import CATKEVerticalDiffusivity
+from oceananigans_tpu.models.hydrostatic import HydrostaticFreeSurfaceModel
+
+
+def _wind_mixing_model(tau=-1e-4, N2=1e-5, nz=32, H=64.0, dt_tke=None):
+    grid = RectilinearGrid(size=(1, 1, nz), z=(-H, 0.0),
+                           topology=("flat", "flat", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+        closure=CATKEVerticalDiffusivity(buoyancy=BuoyancyTracer(),
+                                         tke_time_step=dt_tke),
+        boundary_conditions={
+            "u": FieldBoundaryConditions(top=FluxBoundaryCondition(tau))})
+    model.set(b=lambda x, y, z: N2 * z)
+    return model
+
+
+def test_surface_tke_flux_from_momentum_bc():
+    """The e top flux BC is auto-installed from the u/v top flux BCs:
+    J_e = -Cw_ustar * u*^3 with u* = |tau|^(1/2) (reference:
+    friction_velocity + _top_tke_flux, catke_equation.jl:109-119)."""
+    model = _wind_mixing_model(tau=-1e-4)
+    assert model._substepped_tke
+    bc = model.bcs["e"].top
+    assert bc is not None and callable(bc.condition)
+    J = float(bc.condition(0.0, 0.0, 0.0))
+    ustar = 1e-2  # (tau^2)^(1/4)
+    assert J == pytest.approx(-3.179 * ustar ** 3, rel=1e-6)
+    # TKE is injected: after one step e > 0 at the surface
+    model.time_step(60.0)
+    e = np.asarray(model.field("e").interior)[0, 0]
+    assert e[-1] > 0 and np.isfinite(e).all()
+
+
+def test_wind_mixing_deepening():
+    """Mixed-layer deepening under constant wind stress roughly follows the
+    Pollard-Rhines scaling h ~ 1.05 u* sqrt(t/N) (the reference's documented
+    CATKE column behavior for wind-driven mixing)."""
+    N2 = 1e-5
+    model = _wind_mixing_model(tau=-1e-4, N2=N2)
+    dt = 120.0
+    for _ in range(360):          # 12 h
+        model.time_step(dt)
+    b = np.asarray(model.field("b").interior)[0, 0]
+    e = np.asarray(model.field("e").interior)[0, 0]
+    z = model.grid.znodes("c")
+    assert np.isfinite(b).all() and (e >= 0).all()
+    # mixed-layer depth: shallowest z where b deviates from the initial
+    # stratification by more than 10% of the local value
+    b0 = N2 * z
+    mixed = np.abs(b - b0) > 0.1 * np.abs(b0)
+    assert mixed.any(), "no mixing happened"
+    h_model = -z[mixed].min()
+    t = 360 * dt
+    h_pr = 1.05 * 1e-2 * np.sqrt(t / np.sqrt(N2))
+    assert 0.4 * h_pr < h_model < 2.5 * h_pr, (h_model, h_pr)
+    # TKE is concentrated in the mixed layer
+    assert e[-1] > e[0]
+
+
+def test_tke_substep_count_and_consistency():
+    """M = ceil(dt/dt_tke) substeps (reference: get_time_step +
+    calculate M); the substepped result stays close to the single-solve
+    result over a short run."""
+    m1 = _wind_mixing_model(dt_tke=None)
+    m4 = _wind_mixing_model(dt_tke=15.0)
+    assert m4.closure.substeps_for(60.0) == 4
+    assert m4.closure.substeps_for(1.0) == 1
+    for _ in range(30):
+        m1.time_step(60.0)
+        m4.time_step(60.0)
+    e1 = np.asarray(m1.field("e").interior)[0, 0]
+    e4 = np.asarray(m4.field("e").interior)[0, 0]
+    assert np.isfinite(e4).all() and (e4 >= 0).all()
+    # same physics, finer TKE time resolution: order-of-magnitude agreement
+    assert abs(e4.sum() - e1.sum()) < 0.5 * (abs(e1.sum()) + 1e-12)
+
+
+def test_unforced_column_stays_quiet():
+    """No surface forcing, stable stratification: TKE stays (near) zero and
+    the stratification is preserved."""
+    grid = RectilinearGrid(size=(1, 1, 16), z=(-50.0, 0.0),
+                           topology=("flat", "flat", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+        closure=CATKEVerticalDiffusivity(buoyancy=BuoyancyTracer()))
+    model.set(b=lambda x, y, z: 1e-5 * z)
+    for _ in range(20):
+        model.time_step(60.0)
+    e = np.asarray(model.field("e").interior)[0, 0]
+    b = np.asarray(model.field("b").interior)[0, 0]
+    assert np.abs(e).max() < 1e-8
+    assert (np.diff(b) > -1e-9).all()
