@@ -1,66 +1,205 @@
-"""k-ε vertical diffusivity: prognostic TKE ``e`` and dissipation ``eps``.
+"""k-ε vertical diffusivity: prognostic TKE ``e`` and dissipation ``eps``
+with Umlauf & Burchard second-order stability functions.
 
 Reference semantics: src/TurbulenceClosures/turbulence_closure_implementations/
-TKEBasedVerticalDiffusivities/tke_dissipation_vertical_diffusivity.jl (:401)
-and tke_dissipation_equations.jl (:315) — the standard two-equation model
-
-    νt = C_μ e²/ε,  κt = νt/σ_t
-    ∂t e   = P + B - ε                 (+ vertical diffusion νt/σ_k)
-    ∂t eps = (C_1ε P + C_3ε B - C_2ε ε) ε/e   (+ vertical diffusion νt/σ_ε)
-
-with shear production P = νt S² and buoyancy flux B = -κt N². Sink terms are
-treated implicitly as linear damping (λ_e = ε/e, λ_ε = C_2ε ε/e — the
-reference's implicit treatment), and both fields are floored after the
-implicit solve."""
+TKEBasedVerticalDiffusivities/ —
+* tke_dissipation_vertical_diffusivity.jl (401 LoC): κ_u = 𝕊u·e²/ε,
+  κ_c = 𝕊c·e²/ε, κ_e = 𝕊u/Cσe·e²/ε, κ_ε = 𝕊u/Cσϵ·e²/ε at (c,c,f), with a
+  stratified-displacement dissipation floor
+  ε ≥ 𝕊u₀³ e^{3/2} / min(Lz, Cᴺ√(e/N²⁺)) (:300-333).
+* tke_dissipation_stability_functions.jl (292 LoC): the variable stability
+  functions 𝕊u(αᴺ, αᴹ) = (Cu₀+Cu₁αᴺ+Cu₂αᴹ)/D and 𝕊c = (Cc₀+Cc₁αᴺ+Cc₂αᴹ)/D
+  with D = Cd₀+Cd₁αᴺ+Cd₂αᴹ+Cd₃αᴺαᴹ+Cd₄αᴺ²+Cd₅αᴹ², evaluated on the
+  nondimensional stratification αᴺ = τ²N² and shear αᴹ = τ²S² numbers
+  (τ = e/ε), with αᴺ clamped to the free-convection minimum (eq. A.22 of
+  Umlauf & Burchard 2005, ×0.73 safety) and αᴹ to the shear-anisotropy
+  maximum (eq. 44); 𝕊u₀ from the log-layer balance (eq. 13, U&B 2003).
+* tke_dissipation_equations.jl (315 LoC): ∂t e = P + wb − ε,
+  ∂t ε = (ε/e)(Cᴾϵ P + Cᵇϵ wb − Cᵋϵ ε); sinks and the negative buoyancy
+  flux treated implicitly as linear damping.
+"""
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..operators.operators import iz_c, iz_f
 from .scalar_diffusivity import _ClosureBase
 from .vertical_diffusivities import _N2_ccf, _shear2_ccf
 
 
+class VariableStabilityFunctions:
+    """Second-order closure stability functions (reference:
+    tke_dissipation_stability_functions.jl:40-102, Umlauf & Burchard
+    coefficients)."""
+
+    def __init__(self, Csigma_e=1.0, Csigma_eps=1.2,
+                 Cu0=0.1067, Cu1=0.0173, Cu2=-0.0001205,
+                 Cc0=0.1120, Cc1=0.003766, Cc2=0.0008871,
+                 Cd0=1.0, Cd1=0.2398, Cd2=0.02872, Cd3=0.005154,
+                 Cd4=0.006930, Cd5=-0.0003372, Su0=None):
+        self.Csigma_e, self.Csigma_eps = Csigma_e, Csigma_eps
+        self.Cu = (Cu0, Cu1, Cu2)
+        self.Cc = (Cc0, Cc1, Cc2)
+        self.Cd = (Cd0, Cd1, Cd2, Cd3, Cd4, Cd5)
+        if Su0 is None:
+            # log-layer balance (reference:
+            # tke_dissipation_stability_functions.jl:76-84)
+            a = Cd5 - Cu2
+            b = Cd2 - Cu0
+            c = Cd0
+            Su0 = (2 * a / (-b - np.sqrt(b * b - 4 * a * c))) ** 0.25
+        self.Su0 = float(Su0)
+        self.variable = True
+
+    def _fp(self):
+        return ("VariableStabilityFunctions", self.Csigma_e, self.Csigma_eps,
+                self.Cu, self.Cc, self.Cd, self.Su0)
+
+    def minimum_stratification_number(self, safety=0.73):
+        """Free-convection bound on αᴺ (reference: eq. A.22 of U&B 2005,
+        tke_dissipation_stability_functions.jl:140-165)."""
+        m0, m1, _ = self.Cc
+        d0, d1, d2, d3, d4, d5 = self.Cd
+        a = d4 + m1
+        b = d1 + m0
+        c = d0
+        return safety * (-b + np.sqrt(b * b - 4 * a * c)) / (2 * a)
+
+    def maximum_shear_number(self, aN):
+        """Shear-anisotropy bound on αᴹ (reference: eq. 44 of U&B 2005,
+        tke_dissipation_stability_functions.jl:175-200)."""
+        n0, n1, _ = self.Cu
+        d0, d1, d2, d3, d4, d5 = self.Cd
+        e0 = d0 * n0
+        e1 = d0 * n1 + d1 * n0
+        e2 = d1 * n1 + d4 * n0
+        e3 = d4 * n1
+        e4 = d2 * n0
+        e5 = d2 * n1 + d3 * n0
+        e6 = d3 * n1
+        num = e0 + e1 * aN + e2 * aN ** 2 + e3 * aN ** 3
+        den = e4 + e5 * aN + e6 * aN ** 2
+        return num / den
+
+    def evaluate(self, aN, aM):
+        """(𝕊u, 𝕊c) on clamped (αᴺ, αᴹ)."""
+        Cu0, Cu1, Cu2 = self.Cu
+        Cc0, Cc1, Cc2 = self.Cc
+        d0, d1, d2, d3, d4, d5 = self.Cd
+        den = (d0 + d1 * aN + d2 * aM + d3 * aN * aM + d4 * aN ** 2
+               + d5 * aM ** 2)
+        Su = (Cu0 + Cu1 * aN + Cu2 * aM) / den
+        Sc = (Cc0 + Cc1 * aN + Cc2 * aM) / den
+        return Su, Sc
+
+
+class ConstantStabilityFunctions(VariableStabilityFunctions):
+    """Constant-coefficient limit (reference:
+    tke_dissipation_stability_functions.jl:17-37): 𝕊u = Cu₀, 𝕊c = Cc₀."""
+
+    def __init__(self, Csigma_e=1.0, Csigma_eps=1.2, Cu0=0.53, Cc0=0.53,
+                 Su0=0.53):
+        self.Csigma_e, self.Csigma_eps = Csigma_e, Csigma_eps
+        self.Cu = (Cu0, 0.0, 0.0)
+        self.Cc = (Cc0, 0.0, 0.0)
+        self.Cd = (1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        self.Su0 = float(Su0)
+        self.variable = False
+
+    def _fp(self):
+        return ("ConstantStabilityFunctions", self.Csigma_e, self.Csigma_eps,
+                self.Cu[0], self.Cc[0], self.Su0)
+
+    def evaluate(self, aN, aM):
+        return self.Cu[0], self.Cc[0]
+
+
+class TKEDissipationEquations:
+    """e/ε equation coefficients (reference:
+    tke_dissipation_equations.jl:9-16)."""
+
+    def __init__(self, Ceps_eps=1.92, CP_eps=1.44, Cb_eps_plus=-0.65,
+                 Cb_eps_minus=-0.65):
+        self.Ceps_eps = Ceps_eps
+        self.CP_eps = CP_eps
+        self.Cb_plus = Cb_eps_plus
+        self.Cb_minus = Cb_eps_minus
+
+    def _fp(self):
+        return ("TKEDissipationEquations", self.Ceps_eps, self.CP_eps,
+                self.Cb_plus, self.Cb_minus)
+
+
 class TKEDissipationVerticalDiffusivity(_ClosureBase):
     required_tracers = ("e", "eps")
 
-    def __init__(self, C_mu=0.09, C_1e=1.44, C_2e=1.92, C_3e=-0.65,
-                 sigma_k=1.0, sigma_e=1.3, sigma_t=1.0,
-                 minimum_tke=1e-9, minimum_eps=1e-12, buoyancy=None):
-        self.C_mu = float(C_mu)
-        self.C_1e = float(C_1e)
-        self.C_2e = float(C_2e)
-        self.C_3e = float(C_3e)
-        self.sigma_k = float(sigma_k)
-        self.sigma_e = float(sigma_e)
-        self.sigma_t = float(sigma_t)
+    def __init__(self, stability_functions=None, tke_dissipation_equations=None,
+                 minimum_tke=1e-6, CN=0.75, minimum_buoyancy_frequency=1e-14,
+                 maximum_viscosity=np.inf, maximum_diffusivity=np.inf,
+                 buoyancy=None):
+        self.stability_functions = (stability_functions
+                                    or VariableStabilityFunctions())
+        self.equations = (tke_dissipation_equations
+                          or TKEDissipationEquations())
         self.minimum_tke = float(minimum_tke)
-        self.minimum_eps = float(minimum_eps)
+        self.CN = float(CN)
+        self.N2_min = float(minimum_buoyancy_frequency)
+        self.max_visc = float(maximum_viscosity)
+        self.max_diff = float(maximum_diffusivity)
         self.buoyancy = buoyancy
 
     def _fp(self):
-        return ("TKEDissipation", self.C_mu, self.C_1e, self.C_2e, self.C_3e,
-                self.sigma_k, self.sigma_e, self.sigma_t)
+        return ("TKEDissipation", self.stability_functions._fp(),
+                self.equations._fp(), self.minimum_tke, self.CN,
+                self.N2_min, self.max_visc, self.max_diff)
 
-    def _clipped(self, fields):
-        e = jnp.maximum(fields["e"], self.minimum_tke)
-        eps = jnp.maximum(fields["eps"], self.minimum_eps)
-        return e, eps
+    # -- state clipping ---------------------------------------------------------
+
+    def _estar(self, fields):
+        return jnp.maximum(fields["e"], self.minimum_tke)
+
+    def _epsstar(self, grid, fields, N2_ccf):
+        """ε clamped below by the stratified-displacement minimum
+        (reference: minimum_dissipation,
+        tke_dissipation_vertical_diffusivity.jl:310-326)."""
+        e = self._estar(fields)
+        N2p = iz_c(grid, jnp.maximum(N2_ccf, self.N2_min))
+        ell_st = self.CN * jnp.sqrt(e / N2p)
+        Lz = abs(grid.extent[2])
+        ell_min = jnp.minimum(Lz, ell_st)
+        Su0 = self.stability_functions.Su0
+        eps_min = jnp.maximum(1e-12, Su0 ** 3 * e ** 1.5 / ell_min)
+        return jnp.maximum(fields["eps"], eps_min)
+
+    # -- diffusivities ----------------------------------------------------------
 
     def compute_diffusivities(self, grid, fields, time):
         if self.buoyancy is None:
             raise ValueError("TKEDissipationVerticalDiffusivity needs "
                              "buoyancy=…")
-        e, eps = self._clipped(fields)
-        nut_ccc = self.C_mu * e * e / eps
-        # cap νt to a numerically sane range
-        nut_ccc = jnp.clip(nut_ccc, 0.0, 10.0)
-        nut = iz_f(grid, nut_ccc)
+        sf = self.stability_functions
         N2 = _N2_ccf(grid, self.buoyancy, fields)
-        return {"nu_ccf": nut, "kappa_ccf": nut / self.sigma_t,
-                "nu_e_ccf": nut / self.sigma_k,
-                "nu_eps_ccf": nut / self.sigma_e, "N2_ccf": N2}
+        S2 = _shear2_ccf(grid, fields)
+        e = self._estar(fields)
+        eps = self._epsstar(grid, fields, N2)
+        tau2_f = iz_f(grid, (e / eps) ** 2)          # squared time scale, ccf
+        aN = tau2_f * N2
+        aM = tau2_f * S2
+        if sf.variable:
+            aN = jnp.clip(aN, sf.minimum_stratification_number(), 1e10)
+            aM = jnp.clip(aM, 0.0, sf.maximum_shear_number(aN))
+        Su, Sc = sf.evaluate(aN, aM)
+        e2_over_eps = iz_f(grid, e * e) / iz_f(grid, eps)
+        ku = jnp.minimum(Su * e2_over_eps, self.max_visc)
+        kc = jnp.minimum(Sc * e2_over_eps, self.max_diff)
+        ke = jnp.minimum(Su / sf.Csigma_e * e2_over_eps, self.max_diff)
+        keps = jnp.minimum(Su / sf.Csigma_eps * e2_over_eps, self.max_diff)
+        return {"nu_ccf": ku, "kappa_ccf": kc, "nu_e_ccf": ke,
+                "nu_eps_ccf": keps, "N2_ccf": N2}
+
+    # -- tendencies -------------------------------------------------------------
 
     def momentum_tendencies(self, grid, fields, aux):
         z = jnp.zeros_like(fields["u"])
@@ -69,27 +208,41 @@ class TKEDissipationVerticalDiffusivity(_ClosureBase):
     def tracer_tendency(self, grid, name, fields, aux):
         if name not in ("e", "eps"):
             return jnp.zeros_like(fields[name])
-        e, eps = self._clipped(fields)
+        eq = self.equations
+        e = self._estar(fields)
+        eps = self._epsstar(grid, fields, aux["N2_ccf"])
         S2 = _shear2_ccf(grid, fields)
         N2 = aux["N2_ccf"]
         P = iz_c(grid, aux["nu_ccf"] * S2)
-        B = iz_c(grid, -aux["kappa_ccf"] * N2)
+        wb = iz_c(grid, -aux["kappa_ccf"] * N2)
+        wb_plus = jnp.maximum(wb, 0.0)
         if name == "e":
-            # sink -ε handled implicitly (vertical_implicit_damping)
-            return P + B
-        # ε equation: (C_1ε P + C_3ε B) ε/e; the -C_2ε ε²/e sink is implicit
-        ratio = eps / e
-        return (self.C_1e * P + self.C_3e * B) * ratio
+            # sink -ε and wb⁻ handled implicitly
+            return P + wb_plus
+        # ε equation (reference: tke_dissipation_equations.jl:140-180):
+        # ωϵ(Cᴾϵ P + Cᵇϵ wb⁺); the Cᵋϵ ωϵ ε sink and Cᵇϵ wb⁻ are implicit
+        Cb = jnp.where(iz_c(grid, N2) >= 0, eq.Cb_plus, eq.Cb_minus)
+        Cb_wb_plus = jnp.maximum(Cb * wb, 0.0)
+        omega_eps = eps / e
+        return omega_eps * (eq.CP_eps * P + Cb_wb_plus)
 
     def vertical_implicit_damping(self, grid, fields, aux):
-        e, eps = self._clipped(fields)
-        ratio = eps / e
-        return {"e": ratio, "eps": self.C_2e * ratio}
+        eq = self.equations
+        e = self._estar(fields)
+        eps = self._epsstar(grid, fields, aux["N2_ccf"])
+        omega = eps / e
+        wb = iz_c(grid, -aux["kappa_ccf"] * aux["N2_ccf"])
+        wb_minus_e = jnp.minimum(wb, 0.0) / e
+        Cb = jnp.where(iz_c(grid, aux["N2_ccf"]) >= 0, eq.Cb_plus,
+                       eq.Cb_minus)
+        Cb_wb_minus_e = jnp.minimum(Cb * wb, 0.0) / e
+        return {"e": omega - wb_minus_e,
+                "eps": eq.Ceps_eps * omega - Cb_wb_minus_e}
 
     def clip_fields(self, fields):
         out = dict(fields)
         out["e"] = jnp.maximum(fields["e"], self.minimum_tke)
-        out["eps"] = jnp.maximum(fields["eps"], self.minimum_eps)
+        out["eps"] = jnp.maximum(fields["eps"], 1e-12)
         return out
 
     def vertical_implicit_kappas(self, grid, fields, aux):

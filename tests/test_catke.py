@@ -102,3 +102,65 @@ def test_unforced_column_stays_quiet():
     b = np.asarray(model.field("b").interior)[0, 0]
     assert np.abs(e).max() < 1e-8
     assert (np.diff(b) > -1e-9).all()
+
+
+# -- k-ε variable stability functions (reference:
+# tke_dissipation_stability_functions.jl) --------------------------------------
+
+def test_keps_stability_function_check_values():
+    from oceananigans_tpu.closures.tke_dissipation import (
+        ConstantStabilityFunctions, VariableStabilityFunctions)
+    sf = VariableStabilityFunctions()
+    # log-layer 𝕊u₀ from the U&B (2003) eq. 13 balance with the default
+    # coefficients lands on ~0.533 (the constant-function value is 0.53)
+    assert sf.Su0 == pytest.approx(0.53296, abs=2e-4)
+    # free-convection αᴺ bound (U&B 2005 eq. A.22, ×0.73 safety)
+    assert sf.minimum_stratification_number() == pytest.approx(-2.294,
+                                                               abs=2e-3)
+    # neutral limit: 𝕊u(0,0) = Cu₀/Cd₀
+    Su, Sc = sf.evaluate(0.0, 0.0)
+    assert Su == pytest.approx(0.1067) and Sc == pytest.approx(0.1120)
+    csf = ConstantStabilityFunctions()
+    assert csf.evaluate(5.0, 3.0) == (0.53, 0.53)
+
+
+def test_keps_prandtl_number_increases_with_stratification():
+    """Ri-dependent turbulent Prandtl number: Pr = 𝕊u/𝕊c grows with the
+    stratification number αᴺ (the physical content of the variable
+    stability functions the constant-Cμ model lacks)."""
+    from oceananigans_tpu.closures.tke_dissipation import (
+        VariableStabilityFunctions)
+    sf = VariableStabilityFunctions()
+    prs = []
+    for aN in (0.0, 5.0, 20.0, 100.0):
+        aM = min(1.0, float(sf.maximum_shear_number(aN)))
+        Su, Sc = sf.evaluate(aN, aM)
+        prs.append(Su / Sc)
+    assert all(np.diff(prs) > 0), prs
+    Su0, Sc0 = sf.evaluate(0.0, 0.0)
+    assert Su0 / Sc0 == pytest.approx(0.1067 / 0.1120, rel=1e-6)
+
+
+def test_keps_column_with_variable_stability_functions():
+    """Wind-forced k-ε column: TKE and ε stay positive-finite, mixing
+    deepens the surface layer, and κu respects the dissipation floor."""
+    from oceananigans_tpu.closures.tke_dissipation import (
+        TKEDissipationVerticalDiffusivity)
+    grid = RectilinearGrid(size=(1, 1, 24), z=(-50.0, 0.0),
+                           topology=("flat", "flat", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+        closure=TKEDissipationVerticalDiffusivity(buoyancy=BuoyancyTracer()),
+        boundary_conditions={
+            "u": FieldBoundaryConditions(top=FluxBoundaryCondition(-1e-4)),
+            "e": FieldBoundaryConditions(top=FluxBoundaryCondition(-1e-7))})
+    model.set(b=lambda x, y, z: 1e-5 * z, e=1e-6, eps=1e-9)
+    for _ in range(120):
+        model.time_step(60.0)
+    e = np.asarray(model.field("e").interior)[0, 0]
+    eps = np.asarray(model.field("eps").interior)[0, 0]
+    b = np.asarray(model.field("b").interior)[0, 0]
+    assert np.isfinite(e).all() and np.isfinite(eps).all()
+    assert (e >= 0).all() and (eps >= 0).all()
+    assert e[-1] > e[0]           # turbulence near the surface
+    assert np.isfinite(b).all()
