@@ -8,7 +8,8 @@ from .vertical_diffusivities import (ConvectiveAdjustmentVerticalDiffusivity,
                                      RiBasedVerticalDiffusivity,
                                      TwoDimensionalLeith)
 from .catke import CATKEVerticalDiffusivity
-from .isopycnal import IsopycnalSkewSymmetricDiffusivity
+from .isopycnal import (IsopycnalSkewSymmetricDiffusivity,
+                        TriadIsopycnalSkewSymmetricDiffusivity)
 from .tke_dissipation import TKEDissipationVerticalDiffusivity
 
 __all__ = ["ScalarDiffusivity", "VerticalScalarDiffusivity",
@@ -20,4 +21,5 @@ __all__ = ["ScalarDiffusivity", "VerticalScalarDiffusivity",
            "RiBasedVerticalDiffusivity", "TwoDimensionalLeith",
            "CATKEVerticalDiffusivity", "ClosureTuple",
            "IsopycnalSkewSymmetricDiffusivity",
+           "TriadIsopycnalSkewSymmetricDiffusivity",
            "TKEDissipationVerticalDiffusivity"]

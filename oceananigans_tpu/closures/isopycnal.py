@@ -33,16 +33,36 @@ LOC_CCF = ("c", "c", "f")
 
 class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
     def __init__(self, kappa_redi=0.0, kappa_gm=0.0, maximum_slope=1e-2,
-                 minimum_N2=1e-11, buoyancy=None):
+                 minimum_N2=1e-11, buoyancy=None,
+                 skew_flux_formulation="flux"):
+        """``skew_flux_formulation``: "flux" applies the GM skew diffusivity
+        inside the rotated flux tensor; "advective" converts it into
+        explicit eddy transport velocities added to the tracer advection
+        (reference: AdvectiveFormulation + advective_skew_diffusion.jl)."""
+        if skew_flux_formulation not in ("flux", "advective"):
+            raise ValueError(skew_flux_formulation)
         self.kappa_redi = float(kappa_redi)
         self.kappa_gm = float(kappa_gm)
         self.maximum_slope = float(maximum_slope)
         self.minimum_N2 = float(minimum_N2)
         self.buoyancy = buoyancy
+        self.skew_flux_formulation = skew_flux_formulation
+
+    @property
+    def has_eddy_velocities(self):
+        return self.skew_flux_formulation == "advective" and self.kappa_gm
+
+    @property
+    def kappa_skew(self):
+        return self.kappa_gm
+
+    def eddy_velocities(self, grid, fields):
+        return _skew_eddy_velocities(grid, self, fields)
 
     def _fp(self):
         return ("IsopycnalSkewSymmetric", self.kappa_redi, self.kappa_gm,
-                self.maximum_slope, self.minimum_N2)
+                self.maximum_slope, self.minimum_N2,
+                self.skew_flux_formulation)
 
     def compute_diffusivities(self, grid, fields, time):
         if self.buoyancy is None:
@@ -84,7 +104,11 @@ class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
         if name == "e":
             return jnp.zeros_like(fields[name])
         c = fields[name]
-        kR, kG = self.kappa_redi, self.kappa_gm
+        kR = self.kappa_redi
+        # advective formulation: the skew part is carried by the eddy
+        # velocities, so the flux tensor keeps only the symmetric part
+        kG = 0.0 if self.skew_flux_formulation == "advective" \
+            else self.kappa_gm
         cx = ddx(grid, c, LOC_FCC)
         cy = ddy(grid, c, LOC_CFC)
         cz_ccf = ddz(grid, c, LOC_CCF)
@@ -103,3 +127,220 @@ class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
                + _delta_c(grid, grid.Ay(LOC_CFC) * Fy, 1)
                + _delta_c(grid, grid.Az(LOC_CCF) * Fz, 2)) / grid.V(LOC_CCC)
         return -div
+
+
+class TriadIsopycnalSkewSymmetricDiffusivity(_ClosureBase):
+    """Griffies et al. (1998) triad discretization of isoneutral diffusion
+    (reference: isopycnal_skew_symmetric_diffusivity_with_triads.jl, 355 LoC).
+
+    Each tracer cell owns 4 triads per horizontal direction — the slope
+    Sʰᶻ(i,k) = -∂ₕb(i+{0,1})/∂z b(k+{0,1}) pairs a directional horizontal
+    buoyancy gradient with a directional vertical one; fluxes average the 4
+    triads adjacent to each face, which gives the scheme its discrete
+    variance-dissipation property. Triads touching a peripheral
+    (boundary/immersed) face are dropped (triad_mask_x/y); each triad is
+    tapered by min(1, S_max²/|S|²) evaluated at its home cell
+    (tapering_factorᶜᶜᶜ). The R₃₃ κ|S|² vertical component is treated
+    implicitly (ϵκR₃₃ → vertical_implicit_kappas), as the reference does
+    under VerticallyImplicitTimeDiscretization."""
+
+    def __init__(self, kappa_skew=0.0, kappa_symmetric=0.0,
+                 maximum_slope=1e-2, buoyancy=None):
+        self.kappa_skew = float(kappa_skew)
+        self.kappa_symmetric = float(kappa_symmetric)
+        self.maximum_slope = float(maximum_slope)
+        self.buoyancy = buoyancy
+
+    def _fp(self):
+        return ("TriadIsopycnalSkewSymmetric", self.kappa_skew,
+                self.kappa_symmetric, self.maximum_slope)
+
+    # -- masks ------------------------------------------------------------------
+
+    def _face_masks(self, grid, dtype):
+        """(x-face, y-face, z-face) non-peripheral masks, padded arrays."""
+        import numpy as np
+        if hasattr(grid, "fluid_mask_at"):
+            return (grid.fluid_mask_at(LOC_FCC, dtype),
+                    grid.fluid_mask_at(LOC_CFC, dtype),
+                    grid.fluid_mask_at(LOC_CCF, dtype))
+
+        def face_mask(axis):
+            m = np.zeros(grid.padded_shape, np.float64)
+            sl = [slice(None)] * 3
+            H, N = grid.H[axis], grid.N[axis]
+            if grid.is_flat(axis):
+                m[:] = 1.0
+            elif grid.topology[axis] == "bounded":
+                sl[axis] = slice(H + 1, H + N)
+                m[tuple(sl)] = 1.0
+            else:
+                sl[axis] = slice(H, H + N + 1)
+                m[tuple(sl)] = 1.0
+            return jnp.asarray(m, dtype)
+
+        return face_mask(0), face_mask(1), face_mask(2)
+
+    # -- triad machinery --------------------------------------------------------
+
+    def _triads(self, grid, fields):
+        """Per-cell triad slopes and ϵκ weights. Returns dict with, for each
+        horizontal direction h ∈ (x, y) and corner s ∈ (pp, pm, mp, mm),
+        S[h][s] (ccc) and ek[h][s] = mask·κ_sym·taper (ccc)."""
+        from ..operators.shifts import shift
+        b = self.buoyancy.buoyancy_ccc(grid, fields)
+        dtype = b.dtype
+        bx = ddx(grid, b, LOC_FCC)
+        by = ddy(grid, b, LOC_CFC)
+        bz = ddz(grid, b, LOC_CCF)
+        mx, my, mz = self._face_masks(grid, dtype)
+
+        def S_of(bh, shift_h, shift_z, axis):
+            bhs = shift(bh, +1, axis) if shift_h else bh
+            bzs = shift(bz, +1, 2) if shift_z else bz
+            bzp = jnp.maximum(bzs, 0.0)
+            return jnp.where(bzp > 0, -bhs / jnp.where(bzp > 0, bzp, 1.0),
+                             0.0)
+
+        def mask_of(mh, shift_h, shift_z, axis):
+            mhs = shift(mh, +1, axis) if shift_h else mh
+            mzs = shift(mz, +1, 2) if shift_z else mz
+            return mhs * mzs
+
+        corners = {"pp": (True, True), "pm": (True, False),
+                   "mp": (False, True), "mm": (False, False)}
+        Sx = {s: S_of(bx, h, z, 0) for s, (h, z) in corners.items()}
+        Sy = {s: S_of(by, h, z, 1) for s, (h, z) in corners.items()}
+        # taper at the triad's home cell: mean-slope magnitude via the
+        # fcf/cff slope fields (reference: tapering_factorᶜᶜᶜ)
+        Sx_c = 0.25 * (Sx["pp"] + Sx["pm"] + Sx["mp"] + Sx["mm"])
+        Sy_c = 0.25 * (Sy["pp"] + Sy["pm"] + Sy["mp"] + Sy["mm"])
+        S2 = Sx_c * Sx_c + Sy_c * Sy_c
+        taper = jnp.minimum(1.0, self.maximum_slope ** 2
+                            / jnp.maximum(S2, 1e-30))
+        ekx = {s: mask_of(mx, h, z, 0) * taper
+               for s, (h, z) in corners.items()}
+        eky = {s: mask_of(my, h, z, 1) * taper
+               for s, (h, z) in corners.items()}
+        return dict(Sx=Sx, Sy=Sy, ekx=ekx, eky=eky, bx=bx, by=by, bz=bz)
+
+    def compute_diffusivities(self, grid, fields, time):
+        if self.buoyancy is None:
+            raise ValueError("TriadIsopycnalSkewSymmetricDiffusivity needs "
+                             "buoyancy=…")
+        from ..operators.shifts import shift
+        tr = self._triads(grid, fields)
+        k_sym = self.kappa_symmetric
+        # implicit R33 at (c,c,f) (reference: ϵκR₃₃): face k averages the
+        # lower-z triads of cell k and the upper-z triads of cell k-1
+        low = sum(tr["ekx"][s] * tr["Sx"][s] ** 2
+                  + tr["eky"][s] * tr["Sy"][s] ** 2 for s in ("mm", "pm"))
+        up = sum(tr["ekx"][s] * tr["Sx"][s] ** 2
+                 + tr["eky"][s] * tr["Sy"][s] ** 2 for s in ("mp", "pp"))
+        R33 = 0.25 * k_sym * (low + shift(up, -1, 2))
+        tr["kappa_R33_ccf"] = R33
+        return tr
+
+    def momentum_tendencies(self, grid, fields, aux):
+        z = jnp.zeros_like(fields["u"])
+        return dict(u=z, v=z, w=jnp.zeros_like(fields["w"]))
+
+    def tracer_tendency(self, grid, name, fields, aux):
+        if name == "e":
+            return jnp.zeros_like(fields[name])
+        from ..operators.shifts import shift
+        c = fields[name]
+        kS = self.kappa_symmetric
+        kG = self.kappa_skew
+        cx = ddx(grid, c, LOC_FCC)
+        cy = ddy(grid, c, LOC_CFC)
+        cz = ddz(grid, c, LOC_CCF)
+        czp = shift(cz, +1, 2)
+        Sx, Sy = aux["Sx"], aux["Sy"]
+        ekx, eky = aux["ekx"], aux["eky"]
+
+        # horizontal fluxes: face i averages the + triads of cell i-1 and
+        # the − triads of cell i; the skew(GM) part enters the horizontal
+        # flux with κ_sym − κ_skew and the vertical with κ_sym + κ_skew
+        # (Griffies 1998 skew-symmetric splitting)
+        k_h = kS - kG
+        k_v = kS + kG
+
+        def F_h(axis, ch, S, ek):
+            diag = shift(sum(ek[s] for s in ("pp", "pm")), -1, axis) \
+                + sum(ek[s] for s in ("mp", "mm"))
+            t_plus = sum(ek[s] * S[s] * (czp if s[1] == "p" else cz)
+                         for s in ("pp", "pm"))
+            t_minus = sum(ek[s] * S[s] * (czp if s[1] == "p" else cz)
+                          for s in ("mp", "mm"))
+            off = shift(t_plus, -1, axis) + t_minus
+            return -0.25 * (kS * diag * ch + k_h * off)
+
+        Fx = F_h(0, cx, Sx, ekx)
+        Fy = F_h(1, cy, Sy, eky)
+
+        # vertical flux: R31/R32 triad sums (explicit); R33 implicit
+        def R3h(axis, ch, S, ek):
+            chp = shift(ch, +1, axis)
+            low = (ek["mm"] * S["mm"] * ch + ek["pm"] * S["pm"] * chp)
+            upc = (ek["mp"] * S["mp"] * ch + ek["pp"] * S["pp"] * chp)
+            return 0.25 * (low + shift(upc, -1, 2))
+
+        Fz = -k_v * (R3h(0, cx, Sx, ekx) + R3h(1, cy, Sy, eky))
+
+        div = (_delta_c(grid, grid.Ax(LOC_FCC) * Fx, 0)
+               + _delta_c(grid, grid.Ay(LOC_CFC) * Fy, 1)
+               + _delta_c(grid, grid.Az(LOC_CCF) * Fz, 2)) / grid.V(LOC_CCC)
+        return -div
+
+    def vertical_implicit_kappas(self, grid, fields, aux):
+        out = {}
+        for name in fields:
+            if name in ("u", "v", "w", "eta", "e"):
+                continue
+            out[name] = aux["kappa_R33_ccf"]
+        return out
+
+
+def _skew_eddy_velocities(grid, closure, fields):
+    """Eddy transport velocities of the advective (GM-advective) skew form
+    (reference: advective_skew_diffusion.jl:86-103):
+
+        uₑ = -δz(κ ϵSx)(f,c,c)/Δz,  vₑ = -δz(κ ϵSy)(c,f,c)/Δz,
+        wₑ = [δx(Δy κ ϵSx) + δy(Δx κ ϵSy)]/Az at (c,c,f)
+
+    with ϵSx the per-direction-tapered slope at (f,c,f)/(c,f,f), zeroed on
+    peripheral nodes."""
+    from ..operators.operators import dz_c, dx_c, dy_c
+    from ..operators.shifts import shift
+    b = closure.buoyancy.buoyancy_ccc(grid, fields)
+    dtype = b.dtype
+    bx = ddx(grid, b, LOC_FCC)
+    by = ddy(grid, b, LOC_CFC)
+    bz = ddz(grid, b, LOC_CCF)
+    # Sx at (f,c,f): ℑz(∂x b)/ℑx(∂z b)
+    bx_fcf = iz_f(grid, bx)
+    bz_fcf = ix_f(grid, bz)
+    Sx = jnp.where(bz_fcf != 0, -bx_fcf / jnp.where(bz_fcf != 0, bz_fcf, 1.0),
+                   0.0)
+    by_cff = iz_f(grid, by)
+    bz_cff = iy_f(grid, bz)
+    Sy = jnp.where(bz_cff != 0, -by_cff / jnp.where(bz_cff != 0, bz_cff, 1.0),
+                   0.0)
+    smax2 = closure.maximum_slope ** 2
+    Sx = Sx * jnp.minimum(1.0, smax2 / jnp.maximum(Sx * Sx, 1e-30))
+    Sy = Sy * jnp.minimum(1.0, smax2 / jnp.maximum(Sy * Sy, 1e-30))
+    if hasattr(closure, "_face_masks"):
+        pass
+    if hasattr(grid, "fluid_mask_at"):
+        Sx = Sx * grid.fluid_mask_at(("f", "c", "f"), dtype)
+        Sy = Sy * grid.fluid_mask_at(("c", "f", "f"), dtype)
+    kSx = closure.kappa_skew * Sx
+    kSy = closure.kappa_skew * Sy
+    dz_fc = grid.dz(LOC_FCC)
+    dz_cf = grid.dz(LOC_CFC)
+    ue = -dz_c(grid, kSx) / dz_fc
+    ve = -dz_c(grid, kSy) / dz_cf
+    we = (dx_c(grid, grid.dy(("f", "c", "f")) * kSx)
+          + dy_c(grid, grid.dx(("c", "f", "f")) * kSy)) / grid.Az(LOC_CCF)
+    return ue, ve, we

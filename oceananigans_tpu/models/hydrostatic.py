@@ -231,6 +231,7 @@ class HydrostaticFreeSurfaceModel:
         if fused_tendencies in (True, "auto") \
                 and self.prescribed_velocities is None \
                 and vertical_coordinate == "z" and not self._immersed \
+                and not getattr(closure, "has_eddy_velocities", False) \
                 and isinstance(self.momentum_advection, VectorInvariant):
             from ..kernels.fused_vector_invariant import (
                 build_fused_hydrostatic_tendency, eligible_hydrostatic)
@@ -620,9 +621,21 @@ class HydrostaticFreeSurfaceModel:
             G["u"] = G["u"] + mt["u"]
             G["v"] = G["v"] + mt["v"]
 
+        ut, vt, wt = u, v, w
+        if self.closure is not None and getattr(
+                self.closure, "has_eddy_velocities", False):
+            # GM-advective skew form: eddy transport velocities advect the
+            # tracers (reference: closure_auxiliary_velocity +
+            # advective_skew_diffusion.jl)
+            cf = dict(fields)
+            cf["w"] = w
+            ue, ve, we = self.closure.eddy_velocities(grid, cf)
+            ut, vt, wt = u + ue, v + ve, w + we
+
         for name in self.tracer_names:
             Gc = (Gc_fused[name] if Gc_fused is not None else
-                  -div_Uc(grid, self.tracer_advection, u, v, w, fields[name]))
+                  -div_Uc(grid, self.tracer_advection, ut, vt, wt,
+                          fields[name]))
             if self.closure is not None and not (
                     name == "e" and self._substepped_tke):
                 # substepped TKE: the production/buoyancy-flux fast terms
@@ -891,9 +904,14 @@ class HydrostaticFreeSurfaceModel:
                 if self.closure is not None:
                     aux = self.closure.compute_diffusivities(self.grid, cf,
                                                              time)
+                ut, vt, wt = u, v, w
+                if self.closure is not None and getattr(
+                        self.closure, "has_eddy_velocities", False):
+                    ue, ve, we = self.closure.eddy_velocities(self.grid, cf)
+                    ut, vt, wt = u + ue, v + ve, w + we
                 for name in self.tracer_names:
-                    Gc = -div_Uc(self.grid, self.tracer_advection, u, v, w,
-                                 fields[name])
+                    Gc = -div_Uc(self.grid, self.tracer_advection, ut, vt,
+                                 wt, fields[name])
                     if self.closure is not None:
                         Gc = Gc + self.closure.tracer_tendency(
                             self.grid, name, cf, aux)

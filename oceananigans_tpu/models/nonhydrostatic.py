@@ -217,6 +217,7 @@ class NonhydrostaticModel:
         self.architecture = architecture
         self._fused_advection = None
         if fused_advection in (True, "auto") and not self.immersed \
+                and not getattr(self.closure, "has_eddy_velocities", False) \
                 and self.advection is not None:
             from ..kernels.fused_advection import (
                 build_fused_advection, build_sharded_fused_advection,
@@ -493,9 +494,19 @@ class NonhydrostaticModel:
             for k in ("u", "v", "w"):
                 G[k] = G[k] + mt[k]
 
+        uat, vat, wat = ua, va, wa
+        if self.closure is not None and getattr(
+                self.closure, "has_eddy_velocities", False):
+            # GM-advective skew form: eddy transport velocities advect the
+            # tracers (reference: closure_auxiliary_velocity +
+            # advective_skew_diffusion.jl)
+            ue, ve, we = self.closure.eddy_velocities(grid, fields)
+            uat, vat, wat = ua + ue, va + ve, wa + we
+
         for name in self.tracer_names:
             Gc = (Gc_fused[name] if Gc_fused is not None
-                  else -div_Uc(grid, adv, ua, va, wa, fields[name], zbc=zbc))
+                  else -div_Uc(grid, adv, uat, vat, wat, fields[name],
+                               zbc=zbc))
             if self.closure is not None:
                 Gc = Gc + self.closure.tracer_tendency(grid, name, fields, aux)
             if self.biogeochemistry is not None:

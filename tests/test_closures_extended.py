@@ -279,3 +279,89 @@ def test_lagrangian_averaged_dynamic_smagorinsky():
         mvol.grid, ffv, 0.0)["nu_e"])[ii]
     assert nu.mean() < 50 * max(nuv.mean(), 1e-10)
     assert nu.mean() > 0.02 * nuv.mean()
+
+
+def test_triad_isoneutral_exactness():
+    """Griffies triads: when c == b every triad flux vanishes EXACTLY
+    (Fx-triad ∝ ∂x b + Sx ∂z b = 0 per triad) — the discrete isoneutrality
+    property that motivates the triad scheme (reference:
+    isopycnal_skew_symmetric_diffusivity_with_triads.jl)."""
+    from oceananigans_tpu.closures import (
+        TriadIsopycnalSkewSymmetricDiffusivity)
+    from oceananigans_tpu.models.hydrostatic import (
+        HydrostaticFreeSurfaceModel, PrescribedVelocityFields)
+    grid = RectilinearGrid(size=(24, 1, 12), x=(0, 1e5), y=(0, 1e3),
+                           z=(-1000.0, 0),
+                           topology=("bounded", "periodic", "bounded"))
+    buoyancy = BuoyancyTracer()
+    clo = TriadIsopycnalSkewSymmetricDiffusivity(
+        kappa_symmetric=1000.0, maximum_slope=1e-2, buoyancy=buoyancy)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, buoyancy=buoyancy, closure=clo,
+        velocities=PrescribedVelocityFields())
+    N2, M2 = 1e-5, 5e-8   # |S| = M2/N2 = 5e-3 < max slope (no taper)
+    model.set(b=lambda x, y, z: N2 * z + M2 * (x - 5e4))
+    ff = model._fill_all(model.state["fields"], 0.0)
+    aux = clo.compute_diffusivities(model.grid, ff, 0.0)
+    G = clo.tracer_tendency(model.grid, "b", ff, aux)
+    # interior away from boundaries (triads near walls are masked)
+    Gi = np.asarray(model.grid.interior(G))[2:-2, :, 2:-2]
+    assert np.abs(Gi).max() < 1e-17, np.abs(Gi).max()
+
+
+def test_triad_front_slumping_and_conservation():
+    from oceananigans_tpu.closures import (
+        TriadIsopycnalSkewSymmetricDiffusivity)
+    from oceananigans_tpu.models.hydrostatic import (
+        HydrostaticFreeSurfaceModel, PrescribedVelocityFields)
+    grid = RectilinearGrid(size=(32, 1, 16), x=(0, 1e5), y=(0, 1e3),
+                           z=(-1000.0, 0),
+                           topology=("bounded", "periodic", "bounded"))
+    buoyancy = BuoyancyTracer()
+    clo = TriadIsopycnalSkewSymmetricDiffusivity(
+        kappa_symmetric=500.0, kappa_skew=500.0, buoyancy=buoyancy)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, buoyancy=buoyancy, closure=clo,
+        velocities=PrescribedVelocityFields())
+    model.set(b=lambda x, y, z: 1e-5 * z + 1e-7 * (x - 5e4))
+    b0 = np.asarray(model.field("b").interior)
+    for _ in range(20):
+        model.time_step(3600.0)
+    b1 = np.asarray(model.field("b").interior)
+    assert np.all(np.isfinite(b1))
+    assert np.isclose(b1.sum(), b0.sum(), rtol=1e-9)
+    assert b1[:, 0, 8].std() < b0[:, 0, 8].std()
+
+
+def test_gm_advective_skew_form():
+    """AdvectiveFormulation (reference: advective_skew_diffusion.jl): the
+    eddy transport velocities are discretely non-divergent and slump the
+    front like the flux form while conserving the tracer."""
+    from oceananigans_tpu.closures import IsopycnalSkewSymmetricDiffusivity
+    from oceananigans_tpu.models.hydrostatic import (
+        HydrostaticFreeSurfaceModel, PrescribedVelocityFields)
+    from oceananigans_tpu.operators.operators import div_ccc
+    grid = RectilinearGrid(size=(32, 1, 16), x=(0, 1e5), y=(0, 1e3),
+                           z=(-1000.0, 0),
+                           topology=("periodic", "periodic", "bounded"))
+    buoyancy = BuoyancyTracer()
+    clo = IsopycnalSkewSymmetricDiffusivity(
+        kappa_redi=0.0, kappa_gm=500.0, buoyancy=buoyancy,
+        skew_flux_formulation="advective")
+    assert clo.has_eddy_velocities
+    model = HydrostaticFreeSurfaceModel(grid=grid, buoyancy=buoyancy,
+                                        closure=clo,
+                                        velocities=PrescribedVelocityFields())
+    model.set(b=lambda x, y, z: 1e-5 * z
+              + 1e-7 * 5e4 * jnp.sin(2 * jnp.pi * x / 1e5))
+    ff = model._fill_all(model.state["fields"], 0.0)
+    ue, ve, we = clo.eddy_velocities(model.grid, ff)
+    div = np.asarray(model.grid.interior(
+        div_ccc(model.grid, ue, ve, we)))[2:-2, :, 1:-1]
+    assert np.abs(div).max() < 1e-16, np.abs(div).max()
+    b0 = np.asarray(model.field("b").interior)
+    for _ in range(10):
+        model.time_step(3600.0)
+    b1 = np.asarray(model.field("b").interior)
+    assert np.all(np.isfinite(b1))
+    assert np.isclose(b1.sum(), b0.sum(), rtol=1e-6)
