@@ -184,10 +184,10 @@ def _metrics_x_invariant(grid):
 
 
 def _pick_tx(Nx, Hx, NYP, ZPAD, nf, nout, budget=90 * 1024 * 1024,
-             spill_factor=7):
-    # spill_factor calibrated on v5e: the WENO-VI body spilled 112.9M of
-    # Mosaic registers with 19.5M of slabs (TX=16 at 512x256x32) ≈ 5.8×;
-    # 7 leaves margin
+             spill_factor=4):
+    # spill_factor calibrated on v5e: the MONOLITHIC WENO-VI body spilled
+    # 112.9M of Mosaic registers with 19.5M of slabs (TX=16 at 512x256x32)
+    # ≈ 5.8×; the per-phase bodies are ~¼ the size, 4 leaves margin
     """Largest TX whose VMEM working set (input slabs + double-buffered out
     blocks, scaled by an empirical Mosaic spill factor) fits."""
     for TX in (32, 16, 8, 4, 2):
@@ -227,84 +227,49 @@ def eligible_hydrostatic(grid, vi, tracer_scheme, tracer_names):
                     nf, 2 + ntr) is not None
 
 
-def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
-                                     coriolis=None, with_ph=True):
-    """Return fn(u, v, w, tracers_dict, ph) -> (Gu, Gv, {name: Gc}) of
-    padded-shape arrays whose interior holds the advective + Coriolis +
-    baroclinic-pressure tendency contributions; x/z halo slots are garbage
-    (refilled before use), y rows are valid over the full slab."""
-    Hx, Hy, Hz = grid.H
-    Nx, Ny, Nz = grid.N
+def _build_phase_call(grid, tgrid, n_in, nout, body, spill_factor=4):
+    """One x-tiled phase kernel: DMA ``n_in`` slabs, serve the metric
+    constants discovered by a per-phase record pass, evaluate ``body(slabs,
+    write)`` accumulating (TX, NYP, ZPAD) terms into the outputs.
+
+    Splitting the hydrostatic tendency into per-phase kernels keeps each
+    Mosaic program at the scale of the nonhydrostatic megakernel (~3k HLO
+    ops; the monolith was 2.7× that and Mosaic compile time grows
+    superlinearly) and bounds register spills per phase, buying larger
+    tiles. The phase outputs are summed by XLA during the (cheap) embed."""
+    Hx = grid.H[0]
+    Nx = grid.N[0]
     NXP, NYP, ZP = grid.padded_shape
-    ZPAD = -(-ZP // 128) * 128
-    names = tuple(tracer_names)
-    ntr = len(names)
-    nf = 3 + ntr + (1 if with_ph else 0)
-    nout = 2 + ntr
-    tgrid = _MetricTileGrid(grid, ZPAD)
-    TX = _pick_tx(Nx, Hx, NYP, ZPAD, nf, nout)
+    ZPAD = tgrid.ZPAD
+    TX = _pick_tx(Nx, Hx, NYP, ZPAD, n_in, nout,
+                  spill_factor=spill_factor)
     if TX is None:
         raise ValueError("grid not tileable for the fused VI kernel")
     TXS = TX + 2 * Hx
     slab_shape = (TXS, NYP, ZPAD)
-    # bounded x: u's extra boundary face i=N lives in the first halo slot
-    # (grids/base.py) and carries a freely-evolving tendency on the XLA path
-    # — one extra tile covers it (its slab reads TX zero-pad rows past the
-    # padded extent; only the face row survives the embed)
     bounded_x = grid.topology[0] == "bounded"
     ntiles = Nx // TX + (1 if bounded_x else 0)
-    x_extra = TX if bounded_x else 0
-    nx_keep = Nx + (1 if bounded_x else 0)
-    from ..operators.operators import ddx, ddy
+    tile = slice(Hx, Hx + TX)
 
-    def physics(u, v, w, ph, tracers, write):
-        """The shared physics pipeline: ``write(out_index, term)``
-        accumulates x-trimmed terms. Runs twice — abstractly in the record
-        pass and concretely in the kernel trace."""
-        tile = slice(Hx, Hx + TX)
-
-        def otx(a):
-            # terms come back x-trimmed unless VI trims are disabled
-            # (multi_dimensional_stencil); normalize to the output tile
-            return a if a.shape[0] == TX else a[tile]
-
-        h_u, h_v = vi._horizontal(tgrid, u, v, tile)
-        write(0, -otx(h_u))
-        write(1, -otx(h_v))
-        b_u, b_v = vi._bernoulli(tgrid, u, v, tile)
-        write(0, -otx(b_u))
-        write(1, -otx(b_v))
-        z_u, z_v = vi._vertical(tgrid, u, v, w, None, tile)
-        write(0, -otx(z_u))
-        write(1, -otx(z_v))
-        if coriolis is not None:
-            write(0, -otx(coriolis.x_f_cross_U(tgrid, u, v, w)))
-            write(1, -otx(coriolis.y_f_cross_U(tgrid, u, v, w)))
-        if with_ph:
-            write(0, -otx(ddx(tgrid, ph, LOC_FCC)))
-            write(1, -otx(ddy(tgrid, ph, LOC_CFC)))
-        for t, c in enumerate(tracers):
-            write(2 + t, -div_Uc(tgrid, tracer_scheme, u, v, w, c,
-                                 tile=(tile, slice(None))))
-
-    # -- record pass: discover the metric constants the physics touches ------
+    # record pass: discover the metric constants this phase touches
     tgrid._mode = "record"
+    tgrid._recorded = {}
     tgrid.index_offset = (0, None, None)
     spec = jax.ShapeDtypeStruct(slab_shape, grid.dtype)
 
-    def record_fn(u, v, w, ph, *cs):
+    def record_fn(*slabs):
         acc = {}
 
         def write(k, term):
             acc[k] = term if k not in acc else acc[k] + term
 
-        physics(u, v, w, ph, cs, write)
+        body(slabs, tile, write)
         return tuple(acc[k] for k in sorted(acc))
 
-    jax.eval_shape(record_fn, spec, spec, spec, spec, *([spec] * ntr))
+    jax.eval_shape(record_fn, *([spec] * n_in))
 
-    packs = {}       # group -> stacked numpy array
-    key_index = {}   # key -> (group, row)
+    packs = {}
+    key_index = {}
     by_group = {"y": [], "z": [], "yz": []}
     for (group, _), arr in tgrid._recorded.items():
         by_group[group].append(arr)
@@ -318,29 +283,23 @@ def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
     n_packs = len(pack_order)
 
     def kernel(*refs):
-        ins = refs[:nf]
-        pack_refs = {g: refs[nf + i] for i, g in enumerate(pack_order)}
-        outs = refs[nf + n_packs:nf + n_packs + nout]
-        slabs = refs[nf + n_packs + nout:nf + n_packs + nout + nf]
-        sems = refs[nf + n_packs + nout + nf]
+        ins = refs[:n_in]
+        pack_refs = {g: refs[n_in + i] for i, g in enumerate(pack_order)}
+        outs = refs[n_in + n_packs:n_in + n_packs + nout]
+        slabs = refs[n_in + n_packs + nout:n_in + n_packs + nout + n_in]
+        sems = refs[n_in + n_packs + nout + n_in]
         i = pl.program_id(0)
         x0 = i * TX
         copies = []
-        for k in range(nf):
+        for k in range(n_in):
             dma = pltpu.make_async_copy(
                 ins[k].at[pl.ds(x0, TXS), :, :], slabs[k], sems.at[k])
             dma.start()
             copies.append(dma)
         for dma in copies:
             dma.wait()
+        vals = [s[:] for s in slabs]
 
-        u = slabs[0][:]
-        v = slabs[1][:]
-        w = slabs[2][:]
-        ph = slabs[3][:] if with_ph else None
-        tracers = [slabs[nf - ntr + t][:] for t in range(ntr)]
-
-        # serve the recorded metric constants as slices of the packed inputs
         served = {}
         for key, (g, row) in key_index.items():
             served[key] = pack_refs[g][row][None]
@@ -358,7 +317,7 @@ def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
                 outs[k][:] = term
                 written.add(k)
 
-        physics(u, v, w, ph, tracers, write)
+        body(vals, tile, write)
 
     pack_specs = [
         pl.BlockSpec((packs[g].shape[0],) + shapes[g],
@@ -367,37 +326,133 @@ def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
     call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nf + pack_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in + pack_specs,
         out_specs=[pl.BlockSpec((TX, NYP, ZPAD), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)] * nout,
         out_shape=[jax.ShapeDtypeStruct((ntiles * TX, NYP, ZPAD),
                                         grid.dtype)] * nout,
-        scratch_shapes=([pltpu.VMEM(slab_shape, grid.dtype)] * nf
-                        + [pltpu.SemaphoreType.DMA((nf,))]),
+        scratch_shapes=([pltpu.VMEM(slab_shape, grid.dtype)] * n_in
+                        + [pltpu.SemaphoreType.DMA((n_in,))]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )
+    pack_args = [jnp.asarray(packs[g]) for g in pack_order]
+    return lambda *args: call(*(list(args) + pack_args))
+
+
+def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
+                                     coriolis=None, with_ph=True):
+    """Return fn(u, v, w, tracers_dict, ph) -> (Gu, Gv, {name: Gc}) of
+    padded-shape arrays whose interior holds the advective + Coriolis +
+    baroclinic-pressure tendency contributions; x/z halo slots are garbage
+    (refilled before use), y rows are valid over the full slab.
+
+    Four per-phase Pallas kernels (vorticity / Bernoulli / vertical /
+    forces+tracers) whose (TX, NYP, ZPAD) outputs are summed by XLA in the
+    embed pass; see _build_phase_call for why they are split."""
+    Hx, Hy, Hz = grid.H
+    Nx, Ny, Nz = grid.N
+    NXP, NYP, ZP = grid.padded_shape
+    ZPAD = -(-ZP // 128) * 128
+    names = tuple(tracer_names)
+    ntr = len(names)
+    tgrid = _MetricTileGrid(grid, ZPAD)
+    # bounded x: u's extra boundary face i=N lives in the first halo slot
+    # (grids/base.py) and carries a freely-evolving tendency on the XLA path
+    # — one extra tile covers it (its slab reads zero-pad rows past the
+    # padded extent; only the face row survives the embed)
+    bounded_x = grid.topology[0] == "bounded"
+    nx_keep = Nx + (1 if bounded_x else 0)
+    from ..operators.operators import ddx, ddy
+
+    def otx_of(tile):
+        TX = tile.stop - tile.start
+
+        def otx(a):
+            # terms come back x-trimmed unless VI trims are disabled
+            # (multi_dimensional_stencil); normalize to the output tile
+            return a if a.shape[0] == TX else a[tile]
+
+        return otx
+
+    def body_vorticity(slabs, tile, write):
+        u, v = slabs
+        otx = otx_of(tile)
+        h_u, h_v = vi._horizontal(tgrid, u, v, tile)
+        write(0, -otx(h_u))
+        write(1, -otx(h_v))
+
+    def body_bernoulli(slabs, tile, write):
+        u, v = slabs
+        otx = otx_of(tile)
+        b_u, b_v = vi._bernoulli(tgrid, u, v, tile)
+        write(0, -otx(b_u))
+        write(1, -otx(b_v))
+
+    def body_vertical(slabs, tile, write):
+        u, v, w = slabs
+        otx = otx_of(tile)
+        z_u, z_v = vi._vertical(tgrid, u, v, w, None, tile)
+        write(0, -otx(z_u))
+        write(1, -otx(z_v))
+
+    def body_forces(slabs, tile, write):
+        k0 = 3 + (1 if with_ph else 0)
+        u, v, w = slabs[0], slabs[1], slabs[2]
+        ph = slabs[3] if with_ph else None
+        tracers = slabs[k0:k0 + ntr]
+        otx = otx_of(tile)
+        wrote = False
+        if coriolis is not None:
+            write(0, -otx(coriolis.x_f_cross_U(tgrid, u, v, w)))
+            write(1, -otx(coriolis.y_f_cross_U(tgrid, u, v, w)))
+            wrote = True
+        if with_ph:
+            write(0, -otx(ddx(tgrid, ph, LOC_FCC)))
+            write(1, -otx(ddy(tgrid, ph, LOC_CFC)))
+            wrote = True
+        if not wrote:
+            TX = tile.stop - tile.start
+            z = jnp.zeros((TX,) + u.shape[1:], u.dtype)
+            write(0, z)
+            write(1, z)
+        for t, c in enumerate(tracers):
+            write(2 + t, -div_Uc(tgrid, tracer_scheme, u, v, w, c,
+                                 tile=(tile, slice(None))))
+
+    call_h = _build_phase_call(grid, tgrid, 2, 2, body_vorticity)
+    call_b = _build_phase_call(grid, tgrid, 2, 2, body_bernoulli)
+    call_z = _build_phase_call(grid, tgrid, 3, 2, body_vertical)
+    nf_f = 3 + (1 if with_ph else 0) + ntr
+    call_f = _build_phase_call(grid, tgrid, nf_f, 2 + ntr, body_forces)
 
     sx = slice(Hx, Hx + nx_keep)
-    pads = [(0, x_extra), (0, 0), (0, ZPAD - ZP)]
-    pack_args = [jnp.asarray(packs[g]) for g in pack_order]
+    x_extra_max = 64  # tiles sizes differ per phase; pad generously once
+    pads = [(0, (x_extra_max if bounded_x else 0)), (0, 0), (0, ZPAD - ZP)]
 
     def fused(u, v, w, tracers, ph=None):
-        args = [u, v, w]
-        if with_ph:
-            args.append(ph)
-        args += [tracers[n] for n in names]
-        args = [jnp.pad(a.astype(grid.dtype), pads) for a in args]
-        outs = call(*(args + pack_args))
+        args = [jnp.pad(a.astype(grid.dtype), pads) for a in
+                [u, v, w] + ([ph] if with_ph else [])
+                + [tracers[n] for n in names]]
+        up, vp, wp = args[0], args[1], args[2]
+        outs_h = call_h(up, vp)
+        outs_b = call_b(up, vp)
+        outs_z = call_z(up, vp, wp)
+        outs_f = call_f(*args)
         shape = grid.padded_shape
 
-        def embed(o):
-            full = jnp.zeros(shape, o.dtype)
-            return full.at[sx, :, :].set(o[:nx_keep, :, :ZP])
+        def embed(parts):
+            tot = None
+            for o in parts:
+                t = o[:nx_keep, :, :ZP]
+                tot = t if tot is None else tot + t
+            full = jnp.zeros(shape, tot.dtype)
+            return full.at[sx, :, :].set(tot)
 
-        Gu, Gv = embed(outs[0]), embed(outs[1])
-        Gc = {n: embed(outs[2 + t]) for t, n in enumerate(names)}
+        Gu = embed([outs_h[0], outs_b[0], outs_z[0], outs_f[0]])
+        Gv = embed([outs_h[1], outs_b[1], outs_z[1], outs_f[1]])
+        Gc = {n: embed([outs_f[2 + t]]) for t, n in enumerate(names)}
         return Gu, Gv, Gc
 
     return fused

@@ -53,11 +53,17 @@ def select_pressure_solver(grid, fill_p=None):
         return make_immersed_poisson_solver(grid, fill_p, fft)
     if grid.all_regular:
         return FFTPoissonSolver(grid)
-    if grid.stretched_axes == (2,):
-        return FourierTridiagonalPoissonSolver(grid)
-    raise NotImplementedError(
-        "pressure solver for multiply-stretched non-immersed grids is not "
-        "implemented yet")
+    stretched = grid.stretched_axes
+    if len(stretched) == 1 and grid.topology[stretched[0]] == "bounded":
+        # one stretched direction (x, y, OR z — reference:
+        # fourier_tridiagonal_poisson_solver.jl:23-25)
+        return FourierTridiagonalPoissonSolver(grid,
+                                               stretched_axis=stretched[0])
+    # multiply-stretched: FFT-preconditioned CG fallback (the reference
+    # routes these to its ConjugateGradientPoissonSolver)
+    from ..solvers.fourier_tridiagonal import (
+        make_variable_spacing_poisson_solver)
+    return make_variable_spacing_poisson_solver(grid, fill_p)
 
 
 class NonhydrostaticModel:

@@ -200,3 +200,81 @@ def test_drogued_particles_stay_at_depth():
     x = np.asarray(p["x"])
     assert np.allclose(z, [-0.5, -0.5])          # z unchanged
     assert x[1] > x[0] + 0.01                    # surface drogue moves faster
+
+
+def test_fourier_tridiagonal_stretched_x():
+    """Stretched x (reference: fourier_tridiagonal_poisson_solver.jl:23-25
+    supports a stretched x or y): solve matches a dense reference solve."""
+    import numpy as np
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.solvers.fourier_tridiagonal import (
+        FourierTridiagonalPoissonSolver)
+    rng = np.random.default_rng(3)
+    nx, ny, nz = 12, 8, 6
+    xf = np.cumsum(np.concatenate([[0.0], rng.uniform(0.5, 1.5, nx)]))
+    grid = RectilinearGrid(size=(nx, ny, nz), x=xf, y=(0, 2.0), z=(0, 1.5),
+                           topology=("bounded", "periodic", "bounded"))
+    assert grid.stretched_axes == (0,)
+    solver = FourierTridiagonalPoissonSolver(grid, stretched_axis=0)
+    b = rng.standard_normal((nx, ny, nz))
+    # compatibility: remove the VOLUME-weighted mean (the Neumann problem
+    # is solvable only for volume-integral-free rhs on a stretched grid)
+    V = np.broadcast_to(np.asarray(grid.V(("c", "c", "c"))),
+                        grid.padded_shape)[grid.interior_slices]
+    b -= (b * V).sum() / V.sum()
+    phi = np.asarray(solver.solve(jnp.asarray(b)))
+    # residual check: assemble ∇²φ with the FV operator
+    from oceananigans_tpu.operators.operators import laplacian_ccc
+    from oceananigans_tpu.boundary_conditions import (
+        fill_halo_regions, regularize_field_boundary_conditions)
+    p = jnp.zeros(grid.padded_shape).at[grid.interior_slices].set(phi)
+    bcs = regularize_field_boundary_conditions(None, grid, ("c", "c", "c"))
+    p = fill_halo_regions(p, grid, ("c", "c", "c"), bcs)
+    lap = np.asarray(grid.interior(laplacian_ccc(grid, p)))
+    np.testing.assert_allclose(lap, b, atol=1e-8)
+
+
+def test_fourier_tridiagonal_stretched_y_in_model():
+    """select_pressure_solver no longer raises for stretched y; the
+    projection leaves a divergence-free field."""
+    import numpy as np
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.operators.operators import div_ccc
+    rng = np.random.default_rng(5)
+    ny = 10
+    yf = np.cumsum(np.concatenate([[0.0], rng.uniform(0.5, 1.5, ny)]))
+    grid = RectilinearGrid(size=(8, ny, 8), x=(0, 1.0), y=yf, z=(0, 1.0),
+                           topology=("periodic", "bounded", "bounded"))
+    m = NonhydrostaticModel(grid=grid, advection=None)
+    m.set(u=rng.standard_normal((8, ny, 8)),
+          v=rng.standard_normal((8, ny, 8)))
+    m.time_step(1e-3)
+    ff = m._fill_all(m.state["fields"], 0.0)
+    div = np.asarray(m.grid.interior(div_ccc(m.grid, ff["u"], ff["v"],
+                                             ff["w"])))
+    assert np.abs(div).max() < 1e-8, np.abs(div).max()
+
+
+def test_cg_fallback_multiply_stretched():
+    """Multiply-stretched non-immersed grids get the CG fallback instead of
+    raising (VERDICT r1 item 9)."""
+    import numpy as np
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.operators.operators import div_ccc
+    rng = np.random.default_rng(7)
+    nx, nz = 8, 8
+    xf = np.cumsum(np.concatenate([[0.0], rng.uniform(0.5, 1.5, nx)]))
+    zf = np.cumsum(np.concatenate([[0.0], rng.uniform(0.5, 1.5, nz)]))
+    grid = RectilinearGrid(size=(nx, 8, nz), x=xf, y=(0, 1.0), z=zf,
+                           topology=("bounded", "periodic", "bounded"))
+    assert grid.stretched_axes == (0, 2)
+    m = NonhydrostaticModel(grid=grid, advection=None)
+    m.set(u=rng.standard_normal((nx, 8, nz)),
+          v=rng.standard_normal((nx, 8, nz)))
+    m.time_step(1e-3)
+    ff = m._fill_all(m.state["fields"], 0.0)
+    div = np.asarray(m.grid.interior(div_ccc(m.grid, ff["u"], ff["v"],
+                                             ff["w"])))
+    assert np.abs(div).max() < 1e-5, np.abs(div).max()
