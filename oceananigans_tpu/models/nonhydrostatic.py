@@ -686,7 +686,7 @@ class NonhydrostaticModel:
                 if self.particles is not None:
                     parts = self.particles.advect(
                         self.grid, fields["u"], fields["v"], fields["w"],
-                        state["particles"], dt)
+                        state["particles"], dt, fields=fields)
                     out["particles"] = self.particles.track(
                         self.grid, fields, parts)
                 return out
@@ -731,7 +731,7 @@ class NonhydrostaticModel:
                 if self.particles is not None:
                     parts = self.particles.advect(
                         self.grid, new["u"], new["v"], new["w"],
-                        state["particles"], dt)
+                        state["particles"], dt, fields=new)
                     out["particles"] = self.particles.track(
                         self.grid, new, parts)
                 return out

@@ -70,11 +70,19 @@ class LagrangianParticles:
     state under ``state["particles"]``."""
 
     def __init__(self, x, y, z, restitution=1.0, tracked_fields=(),
-                 dynamics=None):
+                 dynamics=None, properties=None):
+        """``properties``: dict name → (n,) array of custom per-particle
+        properties carried in the state pytree (reference: arbitrary
+        particle struct fields, LagrangianParticleTracking.jl:30-90);
+        ``dynamics``: DroguedParticleDynamics, or a traceable callable
+        ``dynamics(grid, fields, particles, dt) -> particles`` run after
+        advection (reference: the custom `dynamics!` hook)."""
         self.n = len(np.atleast_1d(x))
         self.initial = dict(x=jnp.asarray(np.atleast_1d(x)),
                             y=jnp.asarray(np.atleast_1d(y)),
                             z=jnp.asarray(np.atleast_1d(z)))
+        for name, val in dict(properties or {}).items():
+            self.initial[name] = jnp.asarray(np.atleast_1d(val))
         self.restitution = float(restitution)
         self.tracked_fields = tuple(tracked_fields)
         self.dynamics = dynamics
@@ -96,12 +104,48 @@ class LagrangianParticles:
             return jnp.clip(pos - (1 + r) * over + (1 + r) * under, lo, hi)
         return pos
 
-    def advect(self, grid, u, v, w, particles, dt):
+    def _cell_index(self, grid, axis, pos):
+        """Padded index of the cell containing ``pos`` (face ``i`` is the
+        left face of cell ``i``)."""
+        fi = fractional_index(grid, axis, "f", pos)
+        npad = grid.padded_shape[axis]
+        return jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, npad - 1)
+
+    def _bounce_immersed(self, grid, prev, pos):
+        """Bounce particles that advected into a solid cell back into their
+        previous (wet) cell with restitution (reference:
+        lagrangian_particle_advection.jl:60-100 bounce_immersed_particle)."""
+        solid = jnp.asarray(grid.solid_ccc)
+        x, y, z = pos
+        idx = [self._cell_index(grid, ax, p)
+               if not grid.is_flat(ax) else jnp.zeros_like(p, jnp.int32)
+               for ax, p in enumerate(pos)]
+        immersed = solid[tuple(idx)]
+        r = self.restitution
+        out = []
+        for ax, (p0, p) in enumerate(zip(prev, pos)):
+            if grid.is_flat(ax):
+                out.append(p)
+                continue
+            faces = jnp.asarray(grid.coord_padded(ax, "f"))
+            i_prev = self._cell_index(grid, ax, p0)
+            lo = faces[i_prev]
+            hi = faces[jnp.minimum(i_prev + 1, faces.shape[0] - 1)]
+            over = jnp.maximum(p - hi, 0.0)
+            under = jnp.maximum(lo - p, 0.0)
+            pb = jnp.clip(p - (1 + r) * over + (1 + r) * under, lo, hi)
+            out.append(jnp.where(immersed, pb, p))
+        return tuple(out)
+
+    def advect(self, grid, u, v, w, particles, dt, fields=None):
         """Forward-Euler advection (the reference's scheme) of all particles,
         vectorized. With `DroguedParticleDynamics`, velocities are sampled at
         the drogue depths and z stays fixed (reference:
-        LagrangianParticleTracking/drogued_dynamics.jl)."""
-        x, y, z = particles["x"], particles["y"], particles["z"]
+        LagrangianParticleTracking/drogued_dynamics.jl). On immersed grids,
+        particles advected into the topography bounce back into their
+        previous cell (reference: bounce_immersed_particle)."""
+        x0, y0, z0 = particles["x"], particles["y"], particles["z"]
+        x, y, z = x0, y0, z0
         drogued = isinstance(self.dynamics, DroguedParticleDynamics)
         zs = self.dynamics.depths if drogued else z
         up = interpolate_field(grid, u, LOC_FCC, x, y, zs)
@@ -117,7 +161,13 @@ class LagrangianParticles:
             x = self._bounce(grid, 0, x)
         if not grid.is_flat(1):
             y = self._bounce(grid, 1, y)
-        return dict(particles, x=x, y=y, z=z)
+        if hasattr(grid, "solid_ccc"):
+            x, y, z = self._bounce_immersed(grid, (x0, y0, z0), (x, y, z))
+        new = dict(particles, x=x, y=y, z=z)
+        if self.dynamics is not None and not drogued \
+                and callable(self.dynamics):
+            new = self.dynamics(grid, fields or {}, new, dt)
+        return new
 
     def track(self, grid, fields, particles):
         """Interpolate tracked fields onto particles (reference:

@@ -243,3 +243,60 @@ def test_teos10_buoyancy_in_model():
     w = np.asarray(model.field("w").interior)
     assert np.isfinite(w).all()
     assert w.max() > 1e-5   # warm (light) water rises
+
+
+def test_particles_bounce_off_immersed_boundary():
+    """Particles advected into the topography bounce back into their
+    previous wet cell (reference:
+    lagrangian_particle_advection.jl bounce_immersed_particle)."""
+    from oceananigans_tpu.immersed import (GridFittedBottom,
+                                           ImmersedBoundaryGrid)
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.particles import LagrangianParticles
+    base = RectilinearGrid(size=(16, 1, 16), x=(0, 1.0), y=(0, 1.0),
+                           z=(-1.0, 0.0),
+                           topology=("periodic", "flat", "bounded"))
+    # a step bottom: solid below z = -0.5 for x > 0.5
+    grid = ImmersedBoundaryGrid(
+        base, GridFittedBottom(lambda x, y: np.where(x > 0.5, -0.5, -1.0)))
+    parts = LagrangianParticles(x=[0.3], y=[0.5], z=[-0.75],
+                                restitution=1.0)
+    model = NonhydrostaticModel(grid=grid, advection=None, particles=parts)
+    # uniform rightward flow at the particle depth would carry it into the
+    # step; it must NOT end up inside the solid
+    model.set(u=0.5)
+    solid = np.asarray(grid.solid_ccc)
+    for _ in range(40):
+        model.time_step(0.05)
+        p = model.state["particles"]
+        x, z = float(p["x"][0]), float(p["z"][0])
+        # locate the particle's cell and assert it is wet
+        xf = np.asarray(grid.coord_padded(0, "f"))
+        zf = np.asarray(grid.coord_padded(2, "f"))
+        i = np.clip(np.searchsorted(xf, x) - 1, 0, solid.shape[0] - 1)
+        k = np.clip(np.searchsorted(zf, z) - 1, 0, solid.shape[2] - 1)
+        assert not solid[i, grid.H[1], k], (x, z)
+
+
+def test_particles_custom_properties_and_dynamics():
+    """Custom per-particle properties ride the state pytree and a custom
+    dynamics callable can update them (reference: arbitrary particle
+    struct fields + dynamics!)."""
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.particles import LagrangianParticles
+
+    def age_dynamics(grid, fields, particles, dt):
+        return dict(particles, age=particles["age"] + dt)
+
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    parts = LagrangianParticles(x=[0.1, 0.2], y=[0.5, 0.5], z=[-0.5, -0.3],
+                                properties={"age": [0.0, 0.0]},
+                                dynamics=age_dynamics)
+    model = NonhydrostaticModel(grid=grid, advection=None, particles=parts)
+    model.set(u=0.1)
+    for _ in range(5):
+        model.time_step(0.01)
+    age = np.asarray(model.state["particles"]["age"])
+    np.testing.assert_allclose(age, 0.05, rtol=1e-6)
+    assert float(model.state["particles"]["x"][0]) > 0.1
