@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     ("ocean_wind_mixing_and_convection", dict(n=8, hours=0.02)),
     ("tidal_flow_over_seamount", dict(nx=16, nz=8, periods=0.02)),
     ("baroclinic_adjustment", dict(nx=16, ny=16, nz=4, days=0.02)),
+    ("shallow_water_bickley_jet", dict(nx=16, ny=32, stop_time=0.1)),
+    ("internal_wave", dict(n=32, periods=0.05)),
+    ("kelvin_helmholtz_instability", dict(nx=16, nz=16, stop_time=0.2)),
 ])
 def test_example_smokes(name, kwargs, tmp_path):
     import importlib
