@@ -16,6 +16,7 @@ hardware.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..grids.topology import CENTER, FACE
 from ..operators.operators import (LOC_CCC, LOC_CCF, LOC_CFC, LOC_FCC,
@@ -33,6 +34,17 @@ def _biased_by(scheme, grid, a, axis, beta, q, zbc=None):
     return scheme.biased_by(grid, a, axis, beta, q, zbc=zbc)
 
 
+def _trim_metric(m, fn):
+    """Apply a slab trim to a broadcastable metric: no-op for scalars and
+    for axes of extent 1 (the trim slices size-1 dims harmlessly because
+    trims only slice full-extent axes of slab-shaped arrays — but
+    y/z-varying served metrics (kernels/fused_vector_invariant.py) must be
+    windowed alongside the data)."""
+    if np.isscalar(m) or np.ndim(m) == 0:
+        return m
+    return fn(m)
+
+
 def _term_trims(tile, axis):
     """Window/output trims for one directional flux term when assembling on
     a halo-extended VMEM slab (kernels/fused_advection.py).
@@ -48,16 +60,20 @@ def _term_trims(tile, axis):
     sx, sy = tile
 
     def tx(a):
+        if np.ndim(a) == 3 and a.shape[0] == 1:
+            return a          # broadcast metric: nothing to trim along x
         return a[sx]
 
     def ty(a):
+        if np.ndim(a) == 3 and a.shape[1] == 1:
+            return a
         return a[:, sy]
 
     if axis == X:
         return ty, tx
     if axis == Y:
         return tx, ty
-    return (lambda a: a[sx, sy]), (lambda a: a)
+    return (lambda a: tx(ty(a))), (lambda a: a)
 
 
 # -- tracer advection ----------------------------------------------------------
@@ -93,12 +109,16 @@ def div_Uc(grid, scheme, u, v, w, c, zbc=None, tile=None):
         kind = zbc["c"] if (zbc is not None and axis == Z) else None
         velt = wtrim(vel)
         chat = _biased_by(scheme, grid, wtrim(c), axis, 0, velt, zbc=kind)
-        flux = A * velt * chat
+        flux = _trim_metric(A, wtrim) * velt * chat
         term = otrim(_delta_c(grid, flux, axis))
         total = term if total is None else total + term
     if total is None:
         return _zeros_tiled(c, tile)
-    return total / grid.V(LOC_CCC)
+    V = grid.V(LOC_CCC)
+    if tile is not None:
+        wt, _ = _term_trims(tile, Z)
+        V = _trim_metric(V, wt)
+    return total / V
 
 
 # Bounds-preserving limiter constants (reference:
@@ -146,12 +166,17 @@ def _div_Uc_bounded(grid, scheme, u, v, w, c, tile=None):
         c_left_lim = theta_left * (cl - shift(ct, -1, axis)) \
             + shift(ct, -1, axis)
         c_right_lim = theta * (cr - ct) + ct
-        flux = A * vel * _upwind(vel, c_left_lim, c_right_lim)
+        flux = _trim_metric(A, wtrim) * vel * _upwind(vel, c_left_lim,
+                                                      c_right_lim)
         term = otrim(_delta_c(grid, flux, axis))
         total = term if total is None else total + term
     if total is None:
         return _zeros_tiled(c, tile)
-    return total / grid.V(LOC_CCC)
+    V = grid.V(LOC_CCC)
+    if tile is not None:
+        wt, _ = _term_trims(tile, Z)
+        V = _trim_metric(V, wt)
+    return total / V
 
 
 # -- momentum advection (flux form) --------------------------------------------

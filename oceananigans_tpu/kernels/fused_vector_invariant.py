@@ -114,6 +114,12 @@ class _MetricTileGrid:
         key = (group, arr.tobytes())
         if self._mode == "record":
             self._recorded.setdefault(key, arr)
+            # y-windowed slabs (x,y tiling): return a window-shaped view so
+            # the abstract record trace broadcasts; values are irrelevant
+            tys = getattr(self, "_tys", None)
+            if tys is not None and group in ("y", "yz") \
+                    and arr.shape[1] != tys:
+                return arr[:, :tys, :]
             return arr
         if key not in self._served:
             raise KeyError("metric used in the kernel trace was not seen "
@@ -183,21 +189,35 @@ def _metrics_x_invariant(grid):
     return True
 
 
-def _pick_tx(Nx, Hx, NYP, ZPAD, nf, nout, budget=90 * 1024 * 1024,
-             spill_factor=4):
-    # spill_factor calibrated on v5e: the MONOLITHIC WENO-VI body spilled
-    # 112.9M of Mosaic registers with 19.5M of slabs (TX=16 at 512x256x32)
-    # ≈ 5.8×; the per-phase bodies are ~¼ the size, 4 leaves margin
-    """Largest TX whose VMEM working set (input slabs + double-buffered out
-    blocks, scaled by an empirical Mosaic spill factor) fits."""
-    for TX in (32, 16, 8, 4, 2):
+def _pick_tiles(Nx, Ny, Hx, Hy, ZPAD, nf, nout, spill_factor,
+                budget=100 * 1024 * 1024):
+    """Best (TX, TY) whose VMEM working set (input slabs scaled by the
+    phase's empirical Mosaic register-spill factor + double-buffered out
+    blocks) fits; among feasible tiles minimize halo overcompute.
+
+    spill calibration on v5e (512x256x32 WENO-VI): the vorticity phase
+    spilled 186M of registers on 12.2M of slabs ≈ 15×."""
+    best = None
+    for TX in (64, 32, 16, 8, 4, 2):
         if Nx % TX:
             continue
-        slabs = nf * (TX + 2 * Hx) * NYP * ZPAD * 4
-        outs = 2 * nout * TX * NYP * ZPAD * 4
-        if (slabs * spill_factor + outs) <= budget:
-            return TX
-    return None
+        # small TY values only arise on small (test) grids; TPU runs pick
+        # sublane-aligned tiles
+        for TY in (128, 64, 32, 16, 8, 4, 2):
+            if Ny % TY:
+                continue
+            TXS, TYS = TX + 2 * Hx, TY + 2 * Hy
+            slabs = nf * TXS * TYS * ZPAD * 4
+            outs = 2 * nout * TX * TY * ZPAD * 4
+            if slabs * spill_factor + outs > budget:
+                continue
+            waste = (TXS * TYS) / (TX * TY)
+            key = (waste, -TX * TY)
+            if best is None or key < best[0]:
+                best = (key, TX, TY)
+    if best is None:
+        return None, None
+    return best[1], best[2]
 
 
 def eligible_hydrostatic(grid, vi, tracer_scheme, tracer_names):
@@ -214,6 +234,8 @@ def eligible_hydrostatic(grid, vi, tracer_scheme, tracer_names):
         return False  # z-compact layout not wired for this kernel
     if not grid.regular(0):
         return False  # x-window'd nonuniform coefficients unsupported
+    if grid.H[1] % 8:
+        return False  # Mosaic sublane alignment for the y tile windows
     if getattr(grid, "polar_south", False) or getattr(grid, "polar_north",
                                                       False):
         return False  # polar halo rows carry recomputed zonal means
@@ -222,39 +244,49 @@ def eligible_hydrostatic(grid, vi, tracer_scheme, tracer_names):
     ZP = grid.padded_shape[2]
     ZPAD = -(-ZP // 128) * 128
     ntr = len(tuple(tracer_names))
-    nf = 4 + ntr  # u, v, w, ph, tracers
-    return _pick_tx(grid.N[0], grid.H[0], grid.padded_shape[1], ZPAD,
-                    nf, 2 + ntr) is not None
+    nf = 4 + ntr  # u, v, w, ph, tracers (worst phase)
+    tx, ty = _pick_tiles(grid.N[0], grid.N[1], grid.H[0], grid.H[1], ZPAD,
+                         nf, 2 + ntr, spill_factor=8)
+    return tx is not None
 
 
-def _build_phase_call(grid, tgrid, n_in, nout, body, spill_factor=4):
-    """One x-tiled phase kernel: DMA ``n_in`` slabs, serve the metric
-    constants discovered by a per-phase record pass, evaluate ``body(slabs,
-    write)`` accumulating (TX, NYP, ZPAD) terms into the outputs.
+# maximum tile sizes the input padding must accommodate (extra boundary-face
+# tiles on bounded axes read zero-pad rows past the padded extent)
+_TX_MAX = 64
+_TY_MAX = 128
+
+
+def _build_phase_call(grid, tgrid, n_in, nout, body, spill_factor):
+    """One (x, y)-tiled phase kernel: DMA ``n_in`` halo-extended slabs,
+    serve the metric constants discovered by a per-phase record pass as
+    y-windowed slices of packed VMEM inputs, evaluate ``body(slabs, tiles,
+    write)`` accumulating (TX, TY, ZPAD) terms into the outputs.
 
     Splitting the hydrostatic tendency into per-phase kernels keeps each
     Mosaic program at the scale of the nonhydrostatic megakernel (~3k HLO
     ops; the monolith was 2.7× that and Mosaic compile time grows
-    superlinearly) and bounds register spills per phase, buying larger
+    superlinearly) and bounds register spills per phase, buying usable
     tiles. The phase outputs are summed by XLA during the (cheap) embed."""
-    Hx = grid.H[0]
-    Nx = grid.N[0]
+    Hx, Hy = grid.H[0], grid.H[1]
+    Nx, Ny = grid.N[0], grid.N[1]
     NXP, NYP, ZP = grid.padded_shape
     ZPAD = tgrid.ZPAD
-    TX = _pick_tx(Nx, Hx, NYP, ZPAD, n_in, nout,
-                  spill_factor=spill_factor)
+    TX, TY = _pick_tiles(Nx, Ny, Hx, Hy, ZPAD, n_in, nout, spill_factor)
     if TX is None:
         raise ValueError("grid not tileable for the fused VI kernel")
-    TXS = TX + 2 * Hx
-    slab_shape = (TXS, NYP, ZPAD)
+    TXS, TYS = TX + 2 * Hx, TY + 2 * Hy
+    slab_shape = (TXS, TYS, ZPAD)
     bounded_x = grid.topology[0] == "bounded"
-    ntiles = Nx // TX + (1 if bounded_x else 0)
-    tile = slice(Hx, Hx + TX)
+    bounded_y = grid.topology[1] == "bounded"
+    ntx = Nx // TX + (1 if bounded_x else 0)
+    nty = Ny // TY + (1 if bounded_y else 0)
+    tile = (slice(Hx, Hx + TX), slice(Hy, Hy + TY))
 
     # record pass: discover the metric constants this phase touches
     tgrid._mode = "record"
     tgrid._recorded = {}
-    tgrid.index_offset = (0, None, None)
+    tgrid._tys = TYS
+    tgrid.index_offset = (0, 0, None)
     spec = jax.ShapeDtypeStruct(slab_shape, grid.dtype)
 
     def record_fn(*slabs):
@@ -275,9 +307,19 @@ def _build_phase_call(grid, tgrid, n_in, nout, body, spill_factor=4):
         by_group[group].append(arr)
         key_index[(group, arr.tobytes())] = (group, len(by_group[group]) - 1)
     shapes = {"y": (NYP, 1), "z": (1, ZPAD), "yz": (NYP, ZPAD)}
+    # y extents edge-padded so the bounded-y extra tile's windows stay in
+    # bounds (those rows never survive the embed)
+    ypad = _TY_MAX
+
+    def prep(g, a):
+        a = a.reshape(shapes[g])
+        if g in ("y", "yz"):
+            a = np.pad(a, [(0, ypad), (0, 0)], mode="edge")
+        return a
+
     for g, arrs in by_group.items():
         if arrs:
-            packs[g] = np.stack([a.reshape(shapes[g]) for a in arrs]) \
+            packs[g] = np.stack([prep(g, a) for a in arrs]) \
                 .astype(grid.dtype)
     pack_order = [g for g in ("y", "z", "yz") if g in packs]
     n_packs = len(pack_order)
@@ -289,11 +331,14 @@ def _build_phase_call(grid, tgrid, n_in, nout, body, spill_factor=4):
         slabs = refs[n_in + n_packs + nout:n_in + n_packs + nout + n_in]
         sems = refs[n_in + n_packs + nout + n_in]
         i = pl.program_id(0)
+        j = pl.program_id(1)
         x0 = i * TX
+        y0 = j * TY
         copies = []
         for k in range(n_in):
             dma = pltpu.make_async_copy(
-                ins[k].at[pl.ds(x0, TXS), :, :], slabs[k], sems.at[k])
+                ins[k].at[pl.ds(x0, TXS), pl.ds(y0, TYS), :], slabs[k],
+                sems.at[k])
             dma.start()
             copies.append(dma)
         for dma in copies:
@@ -302,11 +347,17 @@ def _build_phase_call(grid, tgrid, n_in, nout, body, spill_factor=4):
 
         served = {}
         for key, (g, row) in key_index.items():
-            served[key] = pack_refs[g][row][None]
+            if g == "y":
+                served[key] = pack_refs[g][row, pl.ds(y0, TYS), :][None]
+            elif g == "yz":
+                served[key] = pack_refs[g][row, pl.ds(y0, TYS), :][None]
+            else:
+                served[key] = pack_refs[g][row][None]
         tgrid._mode = "serve"
         tgrid._served = served
-        # global-index offset for the x cascade (slab row r ↔ padded x0+r)
-        tgrid.index_offset = (x0, None, None)
+        # global-index offsets for the x/y cascades (slab index + offset =
+        # global padded index)
+        tgrid.index_offset = (x0, y0, None)
 
         written = set()
 
@@ -319,17 +370,18 @@ def _build_phase_call(grid, tgrid, n_in, nout, body, spill_factor=4):
 
         body(vals, tile, write)
 
-    pack_specs = [
-        pl.BlockSpec((packs[g].shape[0],) + shapes[g],
-                     (lambda i: (0, 0, 0)), memory_space=pltpu.VMEM)
-        for g in pack_order]
+    pack_specs = []
+    for g in pack_order:
+        pack_specs.append(pl.BlockSpec(
+            packs[g].shape, (lambda i, j: (0, 0, 0)),
+            memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
-        grid=(ntiles,),
+        grid=(ntx, nty),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in + pack_specs,
-        out_specs=[pl.BlockSpec((TX, NYP, ZPAD), lambda i: (i, 0, 0),
+        out_specs=[pl.BlockSpec((TX, TY, ZPAD), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)] * nout,
-        out_shape=[jax.ShapeDtypeStruct((ntiles * TX, NYP, ZPAD),
+        out_shape=[jax.ShapeDtypeStruct((ntx * TX, nty * TY, ZPAD),
                                         grid.dtype)] * nout,
         scratch_shapes=([pltpu.VMEM(slab_shape, grid.dtype)] * n_in
                         + [pltpu.SemaphoreType.DMA((n_in,))]),
@@ -345,11 +397,11 @@ def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
                                      coriolis=None, with_ph=True):
     """Return fn(u, v, w, tracers_dict, ph) -> (Gu, Gv, {name: Gc}) of
     padded-shape arrays whose interior holds the advective + Coriolis +
-    baroclinic-pressure tendency contributions; x/z halo slots are garbage
-    (refilled before use), y rows are valid over the full slab.
+    baroclinic-pressure tendency contributions; halo slots are garbage
+    (refilled before use).
 
     Four per-phase Pallas kernels (vorticity / Bernoulli / vertical /
-    forces+tracers) whose (TX, NYP, ZPAD) outputs are summed by XLA in the
+    forces+tracers) whose (TX, TY, ZPAD) outputs are summed by XLA in the
     embed pass; see _build_phase_call for why they are split."""
     Hx, Hy, Hz = grid.H
     Nx, Ny, Nz = grid.N
@@ -358,42 +410,47 @@ def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
     names = tuple(tracer_names)
     ntr = len(names)
     tgrid = _MetricTileGrid(grid, ZPAD)
-    # bounded x: u's extra boundary face i=N lives in the first halo slot
-    # (grids/base.py) and carries a freely-evolving tendency on the XLA path
-    # — one extra tile covers it (its slab reads zero-pad rows past the
-    # padded extent; only the face row survives the embed)
+    # bounded axes: the velocity component normal to the boundary has an
+    # extra boundary face (i=N / j=N) living in the first halo slot
+    # (grids/base.py) with a freely-evolving tendency on the XLA path —
+    # one extra tile per bounded axis covers it (its slab reads zero-pad
+    # rows past the padded extent; only the face row survives the embed)
     bounded_x = grid.topology[0] == "bounded"
+    bounded_y = grid.topology[1] == "bounded"
     nx_keep = Nx + (1 if bounded_x else 0)
+    ny_keep = Ny + (1 if bounded_y else 0)
     from ..operators.operators import ddx, ddy
 
-    def otx_of(tile):
-        TX = tile.stop - tile.start
+    def trims(tile):
+        TX = tile[0].stop - tile[0].start
+        TY = tile[1].stop - tile[1].start
 
         def otx(a):
             # terms come back x-trimmed unless VI trims are disabled
             # (multi_dimensional_stencil); normalize to the output tile
-            return a if a.shape[0] == TX else a[tile]
+            a = a if a.shape[0] == TX else a[tile[0]]
+            return a if a.shape[1] == TY else a[:, tile[1]]
 
         return otx
 
     def body_vorticity(slabs, tile, write):
         u, v = slabs
-        otx = otx_of(tile)
-        h_u, h_v = vi._horizontal(tgrid, u, v, tile)
+        otx = trims(tile)
+        h_u, h_v = vi._horizontal(tgrid, u, v, tile[0])
         write(0, -otx(h_u))
         write(1, -otx(h_v))
 
     def body_bernoulli(slabs, tile, write):
         u, v = slabs
-        otx = otx_of(tile)
-        b_u, b_v = vi._bernoulli(tgrid, u, v, tile)
+        otx = trims(tile)
+        b_u, b_v = vi._bernoulli(tgrid, u, v, tile[0])
         write(0, -otx(b_u))
         write(1, -otx(b_v))
 
     def body_vertical(slabs, tile, write):
         u, v, w = slabs
-        otx = otx_of(tile)
-        z_u, z_v = vi._vertical(tgrid, u, v, w, None, tile)
+        otx = trims(tile)
+        z_u, z_v = vi._vertical(tgrid, u, v, w, None, tile[0])
         write(0, -otx(z_u))
         write(1, -otx(z_v))
 
@@ -402,7 +459,7 @@ def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
         u, v, w = slabs[0], slabs[1], slabs[2]
         ph = slabs[3] if with_ph else None
         tracers = slabs[k0:k0 + ntr]
-        otx = otx_of(tile)
+        otx = trims(tile)
         wrote = False
         if coriolis is not None:
             write(0, -otx(coriolis.x_f_cross_U(tgrid, u, v, w)))
@@ -413,23 +470,26 @@ def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
             write(1, -otx(ddy(tgrid, ph, LOC_CFC)))
             wrote = True
         if not wrote:
-            TX = tile.stop - tile.start
-            z = jnp.zeros((TX,) + u.shape[1:], u.dtype)
+            TX = tile[0].stop - tile[0].start
+            TY = tile[1].stop - tile[1].start
+            z = jnp.zeros((TX, TY) + u.shape[2:], u.dtype)
             write(0, z)
             write(1, z)
         for t, c in enumerate(tracers):
             write(2 + t, -div_Uc(tgrid, tracer_scheme, u, v, w, c,
-                                 tile=(tile, slice(None))))
+                                 tile=tile))
 
-    call_h = _build_phase_call(grid, tgrid, 2, 2, body_vorticity)
-    call_b = _build_phase_call(grid, tgrid, 2, 2, body_bernoulli)
-    call_z = _build_phase_call(grid, tgrid, 3, 2, body_vertical)
+    # per-phase Mosaic register-spill factors (see _pick_tiles calibration)
+    call_h = _build_phase_call(grid, tgrid, 2, 2, body_vorticity, 16)
+    call_b = _build_phase_call(grid, tgrid, 2, 2, body_bernoulli, 16)
+    call_z = _build_phase_call(grid, tgrid, 3, 2, body_vertical, 16)
     nf_f = 3 + (1 if with_ph else 0) + ntr
-    call_f = _build_phase_call(grid, tgrid, nf_f, 2 + ntr, body_forces)
+    call_f = _build_phase_call(grid, tgrid, nf_f, 2 + ntr, body_forces, 8)
 
     sx = slice(Hx, Hx + nx_keep)
-    x_extra_max = 64  # tiles sizes differ per phase; pad generously once
-    pads = [(0, (x_extra_max if bounded_x else 0)), (0, 0), (0, ZPAD - ZP)]
+    sy = slice(Hy, Hy + ny_keep)
+    pads = [(0, (_TX_MAX if bounded_x else 0)),
+            (0, (_TY_MAX if bounded_y else 0)), (0, ZPAD - ZP)]
 
     def fused(u, v, w, tracers, ph=None):
         args = [jnp.pad(a.astype(grid.dtype), pads) for a in
@@ -445,10 +505,10 @@ def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
         def embed(parts):
             tot = None
             for o in parts:
-                t = o[:nx_keep, :, :ZP]
+                t = o[:nx_keep, :ny_keep, :ZP]
                 tot = t if tot is None else tot + t
             full = jnp.zeros(shape, tot.dtype)
-            return full.at[sx, :, :].set(tot)
+            return full.at[sx, sy, :].set(tot)
 
         Gu = embed([outs_h[0], outs_b[0], outs_z[0], outs_f[0]])
         Gv = embed([outs_h[1], outs_b[1], outs_z[1], outs_f[1]])
