@@ -215,13 +215,20 @@ class SplitExplicitFreeSurface:
         ``frac``/``weights`` override the substep settings (traced-safe;
         the model passes per-Δt values for FixedTimeStepSize substepping).
 
+        Halo fills run every K substeps, not every substep: each substep's
+        ±1 stencils consume two halo rings (η from U/V, then U/V from η), so
+        a fresh fill stays valid for ⌊H/2⌋ substeps — the whole-array
+        analogue of the reference's halo extension trick
+        (maybe_extend_halos, split_explicit_free_surface.jl:300-330), and
+        the main latency lever of the 2D loop on TPU.
+
         Returns (eta_filtered, U_filtered, V_filtered)."""
         g = self.g
         if frac is None:
             frac, weights = self.settings(None)
         dtau = frac * dt  # python float * traced scalar: no promotion
         dtype = eta.dtype
-        weights = jnp.asarray(weights, dtype)
+        weights = np.asarray(weights)
 
         def mcast(m):
             # metric constants arrive as numpy float64 (e.g. latitude-
@@ -237,23 +244,37 @@ class SplitExplicitFreeSurface:
         H_fc = mcast(H_fc)
         H_cf = mcast(H_cf)
 
-        def body(carry, w):
-            eta, U, V, eta_f, U_f, V_f = carry
+        # ring budget: substeps per fill round. Valid only when the stale
+        # halo evolves exactly like its source — true for PERIODIC axes
+        # (the halo slot updates with the same formula as its image, all
+        # inputs being ring-valid); bounded-wall reflections do not commute
+        # with the update under varying metrics, so bounded grids fill
+        # every substep.
+        halos = [grid.H[ax] for ax in (0, 1) if not grid.is_flat(ax)]
+        all_periodic = all(grid.topology[ax] == "periodic"
+                           for ax in (0, 1) if not grid.is_flat(ax))
+        K = max(1, min(halos) // 2) if (all_periodic and halos) else 1
+        if K > 1:
+            # the constant forcing's halos must be ring-valid too
+            GU = fill_U(GU)
+            GV = fill_V(GV)
+
+        U, V = U0, V0
+        eta_f = jnp.zeros_like(eta)
+        U_f = jnp.zeros_like(U0)
+        V_f = jnp.zeros_like(V0)
+        for m, w in enumerate(weights):
+            if m % K == 0:
+                U = fill_U(U)
+                V = fill_V(V)
+                eta = fill_eta(eta)
             # η ← η - Δτ ∇·U   (δx(Δy U) + δy(Δx V)) / Az
-            U = fill_U(U)
-            V = fill_V(V)
             div = (dx_c(grid, dy_fc * U) + dy_c(grid, dx_cf * V)) / az_cc
-            eta = fill_eta(eta - dtau * div)
+            eta = eta - dtau * div
             # U ← U + Δτ(-g H ∂x η + Gᵁ)
             U = U + dtau * (-g * H_fc * dx_f(grid, eta) / dx_fc + GU)
             V = V + dtau * (-g * H_cf * dy_f(grid, eta) / dy_cf + GV)
-            eta_f = eta_f + w * eta
-            U_f = U_f + w * U
-            V_f = V_f + w * V
-            return (eta, U, V, eta_f, U_f, V_f), None
-
-        init = (eta, U0, V0, jnp.zeros_like(eta), jnp.zeros_like(U0),
-                jnp.zeros_like(V0))
-        (eta_m, U_m, V_m, eta_f, U_f, V_f), _ = jax.lax.scan(
-            body, init, weights)
+            eta_f = eta_f + float(w) * eta
+            U_f = U_f + float(w) * U
+            V_f = V_f + float(w) * V
         return eta_f, U_f, V_f
