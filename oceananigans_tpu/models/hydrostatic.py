@@ -140,8 +140,6 @@ class HydrostaticFreeSurfaceModel:
         # add_closure_specific_boundary_conditions, catke_equation.jl:98-140)
         self._substepped_tke = (closure is not None
                                 and getattr(closure, "substepped_tke", False)
-                                and isinstance(self.timestepper,
-                                               QuasiAdamsBashforth2TimeStepper)
                                 and self.prescribed_velocities is None)
         bcs_in = dict(boundary_conditions or {})
         if self._substepped_tke:
@@ -852,7 +850,10 @@ class HydrostaticFreeSurfaceModel:
                         kappas = self.closure.vertical_implicit_kappas(
                             self.grid, new, aux)
                         dampings = {}
-                        if hasattr(self.closure, "vertical_implicit_damping"):
+                        if self._substepped_tke:
+                            kappas.pop("e", None)  # e advances in step_tke
+                        elif hasattr(self.closure,
+                                     "vertical_implicit_damping"):
                             dampings = self.closure.vertical_implicit_damping(
                                 self.grid, new, aux)
                         for name, kz in kappas.items():
@@ -861,11 +862,33 @@ class HydrostaticFreeSurfaceModel:
                                     self.grid, new[name],
                                     self._mask_kz(kz), sdt,
                                     damping=dampings.get(name))
-                        if hasattr(self.closure, "clip_fields"):
+                        if hasattr(self.closure, "clip_fields") \
+                                and not self._substepped_tke:
                             new = self.closure.clip_fields(new)
                     new, bt = self._stage_free_surface(
                         fields0, new, G, sdt, time, barotropic=bt,
                         se_settings=se_settings)
+                    if self._substepped_tke:
+                        # per-stage Euler TKE step (reference:
+                        # _euler_step_turbulent_kinetic_energy!,
+                        # time_step_catke_equation.jl RK3 variant):
+                        # χ = −1/2 makes the AB2 combination a forward
+                        # Euler step of the stage tendency
+                        fnew = dict(new)
+                        fnew.update(
+                            u=fill_halo_regions(new["u"], self.grid,
+                                                LOC_FCC, self.bcs["u"],
+                                                time),
+                            v=fill_halo_regions(new["v"], self.grid,
+                                                LOC_CFC, self.bcs["v"],
+                                                time),
+                            e=fields0["e"])
+                        e_new, _ = self.closure.step_tke(
+                            self.grid, ff, fnew, G["e"], G["e"], sdt,
+                            -0.5, jnp.asarray(True), 1, time)
+                        if self._immersed:
+                            e_new = self.grid.mask_immersed(e_new, LOC_CCC)
+                        new["e"] = e_new
                     fields = self._mask_state(new)
                 w_new = self._w_from_continuity(
                     fill_halo_regions(fields["u"], self.grid, LOC_FCC,

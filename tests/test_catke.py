@@ -164,3 +164,26 @@ def test_keps_column_with_variable_stability_functions():
     assert (e >= 0).all() and (eps >= 0).all()
     assert e[-1] > e[0]           # turbulence near the surface
     assert np.isfinite(b).all()
+
+
+def test_catke_split_rk3():
+    """CATKE under the SplitRK3 stepper: per-stage Euler TKE step
+    (reference: the SplitRungeKutta3TimeStepper variant of
+    time_step_catke_equation.jl)."""
+    grid = RectilinearGrid(size=(1, 1, 24), z=(-50.0, 0.0),
+                           topology=("flat", "flat", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+        closure=CATKEVerticalDiffusivity(buoyancy=BuoyancyTracer()),
+        timestepper="SplitRungeKutta3",
+        boundary_conditions={
+            "u": FieldBoundaryConditions(top=FluxBoundaryCondition(-1e-4))})
+    assert model._substepped_tke
+    model.set(b=lambda x, y, z: 1e-5 * z)
+    for _ in range(60):
+        model.time_step(60.0)
+    e = np.asarray(model.field("e").interior)[0, 0]
+    b = np.asarray(model.field("b").interior)[0, 0]
+    assert np.isfinite(e).all() and (e >= 0).all()
+    assert e[-1] > 1e-6          # wind-driven TKE near the surface
+    assert np.isfinite(b).all()
