@@ -261,20 +261,12 @@ def build_fused_advection(grid, scheme, tracer_names):
     return fused
 
 
-def build_fused_advection_update(grid, scheme, tracer_names):
-    """Advection megakernel with the RK3 stage update FUSED in: one Pallas
-    call computes G = -∇·(𝐯 q) AND new = q + γΔt·G + ζΔt·G⁻ for every
-    prognostic field. This removes the separate elementwise update pass
-    (reads of q, G, G⁻ + write of new through HBM each stage ≈ 10% of the
-    256³ step). Eligible when advection is the ONLY tendency (the z-compact
-    gate already excludes closures/forcing/etc.; the model additionally
-    requires no coriolis/buoyancy).
-
-    Returns fn(u, v, w, tracers, Gm, gamma_dt, zeta_dt) ->
-    (G_int list [interior-shaped, pass back as next stage's Gm],
-    new dict {u, v, w, *tracers} padded with ZERO halos — the projection
-    and the next stage's fill re-derive halos).
-    ``Gm=None`` selects the first-stage variant (ζ = 0)."""
+def _build_update_group(grid, scheme, tracer_names, include_momentum):
+    """One advection+RK3-update kernel over a GROUP of advected fields:
+    momentum (u, v, w) and/or a batch of tracers. u, v, w are always
+    inputs (advecting velocities); G and ``new`` outputs exist only for
+    the advected fields. Tracer batching keeps VMEM tiles large for
+    many-tracer runs (see build_fused_advection_update)."""
     Hx, Hy, Hz = grid.H
     z_compact = (Hz == 0 and not grid.is_flat(2))
     zbc = None
@@ -284,11 +276,15 @@ def build_fused_advection_update(grid, scheme, tracer_names):
     ZP = grid.padded_shape[2]
     tgrid = _TileGrid(grid)
     names = tuple(tracer_names)
-    nf = 3 + len(names)
+    nf = 3 + len(names)          # input slabs (u, v, w + batch tracers)
+    nfo = (3 if include_momentum else 0) + len(names)   # advected fields
+    src_of = (list(range(3)) if include_momentum else []) \
+        + [3 + t for t in range(len(names))]
     ZPAD0 = -(-ZP // 128) * 128
-    # double-buffered slabs (2·nf) + 2·nf pipelined G outs + 2·nf Gm input
-    # tiles + 2·nf new-slabs
-    TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, 2 * nf, 2 * nf)
+    # double-buffered slabs (2·nf) + pipelined G outs + Gm input tiles +
+    # new-slabs (2·nfo each)
+    TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, 2 * nf,
+                              max(0, 6 * nfo - 4 * nf))
     if TX is None or TY is None:
         raise ValueError("grid not tileable for the fused kernel")
     if (2 * Hy) % 8:
@@ -303,17 +299,18 @@ def build_fused_advection_update(grid, scheme, tracer_names):
         def kernel(*refs):
             k0 = 0
             ins = refs[k0:k0 + nf]; k0 += nf
-            gms = refs[k0:k0 + (nf if with_gm else 0)]
-            k0 += nf if with_gm else 0
+            gms = refs[k0:k0 + (nfo if with_gm else 0)]
+            k0 += nfo if with_gm else 0
             gdt_ref = refs[k0]; k0 += 1
             zdt_ref = None
             if with_gm:
                 zdt_ref = refs[k0]; k0 += 1
-            outs = refs[k0:k0 + 2 * nf]; k0 += 2 * nf
+            outs = refs[k0:k0 + 2 * nfo]; k0 += 2 * nfo
             slabs = refs[k0:k0 + nf]; k0 += nf
-            newslabs = refs[k0:k0 + nf]; k0 += nf
+            newslabs = refs[k0:k0 + nfo]; k0 += nfo
             sems_in = refs[k0]; k0 += 1
-            sems_out = refs[k0]
+            sems_out = refs[k0]; k0 += 1
+            sems_strip = refs[k0]
             i = pl.program_id(0)
             j = pl.program_id(1)
             # double-buffered prefetch: the grid runs row-major (j fastest);
@@ -358,9 +355,14 @@ def build_fused_advection_update(grid, scheme, tracer_names):
             def out_tile(a):
                 return a[Hx:Hx + TX, Hy:Hy + TY, :ZP]
 
-            Gs = [ztile(-div_Uu(tgrid, scheme, u, v, w, zbc=zbc, tile=tile)),
-                  ztile(-div_Uv(tgrid, scheme, u, v, w, zbc=zbc, tile=tile)),
-                  ztile(-div_Uw(tgrid, scheme, u, v, w, zbc=zbc, tile=tile))]
+            Gs = []
+            if include_momentum:
+                Gs += [ztile(-div_Uu(tgrid, scheme, u, v, w, zbc=zbc,
+                                     tile=tile)),
+                       ztile(-div_Uv(tgrid, scheme, u, v, w, zbc=zbc,
+                                     tile=tile)),
+                       ztile(-div_Uw(tgrid, scheme, u, v, w, zbc=zbc,
+                                     tile=tile))]
             for tr in range(len(names)):
                 c = slabs[3 + tr][cur]
                 Gs.append(ztile(-div_Uc(tgrid, scheme, u, v, w, c,
@@ -369,35 +371,98 @@ def build_fused_advection_update(grid, scheme, tracer_names):
             def dma_out(buf, k, ti, tj):
                 return pltpu.make_async_copy(
                     newslabs[k].at[buf],
-                    outs[nf + k].at[pl.ds(ti * TX + Hx, TX),
-                                    pl.ds(tj * TY + Hy, TY), :],
+                    outs[nfo + k].at[pl.ds(ti * TX + Hx, TX),
+                                     pl.ds(tj * TY + Hy, TY), :],
                     sems_out.at[buf, k])
 
             # the write into newslabs[cur] two steps ago must have drained
             @pl.when(t >= 2)
             def _():
-                for k in range(nf):
+                for k in range(nfo):
                     # identical byte count: the wait only needs the shape
                     dma_out(cur, k, i, j).wait()
 
-            for k in range(nf):
+            for k in range(nfo):
                 outs[k][:] = Gs[k]
                 inc = gdt * Gs[k]
                 if with_gm:
                     inc = inc + zdt_ref[0, 0] * gms[k][:]
-                newslabs[k][cur] = out_tile(slabs[k][cur]) + inc
+                newslabs[k][cur] = out_tile(slabs[src_of[k]][cur]) + inc
                 dma_out(cur, k, i, j).start()
+
+            # HALO-VALID OUTPUTS: edge tiles also write their boundary
+            # strips into the opposite (periodic-image) halo slots, so the
+            # projection divergence and the next stage's slab DMAs consume
+            # `new` directly — no fill pass between kernels. Strip copies
+            # are tiny; immediate waits keep buffer management simple.
+            def strip(k, src_x, src_y, dst_x, dst_y, sem_idx):
+                cp = pltpu.make_async_copy(
+                    newslabs[k].at[cur, src_x, src_y],
+                    outs[nfo + k].at[dst_x, dst_y],
+                    sems_strip.at[sem_idx])
+                cp.start()
+                cp.wait()
+
+            ys_own = pl.ds(j * TY + Hy, TY)
+            xs_own = pl.ds(i * TX + Hx, TX)
+
+            @pl.when(i == 0)
+            def _():
+                for k in range(nfo):
+                    strip(k, pl.ds(0, Hx), slice(None),
+                          pl.ds(Hx + Nx, Hx), ys_own, 0)
+
+            @pl.when(i == NI - 1)
+            def _():
+                for k in range(nfo):
+                    strip(k, pl.ds(TX - Hx, Hx), slice(None),
+                          pl.ds(0, Hx), ys_own, 1)
+
+            @pl.when(j == 0)
+            def _():
+                for k in range(nfo):
+                    strip(k, slice(None), pl.ds(0, Hy),
+                          xs_own, pl.ds(Hy + Ny, Hy), 2)
+
+            @pl.when(j == NJ - 1)
+            def _():
+                for k in range(nfo):
+                    strip(k, slice(None), pl.ds(TY - Hy, Hy),
+                          xs_own, pl.ds(0, Hy), 3)
+
+            @pl.when(jnp.logical_and(i == 0, j == 0))
+            def _():
+                for k in range(nfo):
+                    strip(k, pl.ds(0, Hx), pl.ds(0, Hy),
+                          pl.ds(Hx + Nx, Hx), pl.ds(Hy + Ny, Hy), 0)
+
+            @pl.when(jnp.logical_and(i == 0, j == NJ - 1))
+            def _():
+                for k in range(nfo):
+                    strip(k, pl.ds(0, Hx), pl.ds(TY - Hy, Hy),
+                          pl.ds(Hx + Nx, Hx), pl.ds(0, Hy), 1)
+
+            @pl.when(jnp.logical_and(i == NI - 1, j == 0))
+            def _():
+                for k in range(nfo):
+                    strip(k, pl.ds(TX - Hx, Hx), pl.ds(0, Hy),
+                          pl.ds(0, Hx), pl.ds(Hy + Ny, Hy), 2)
+
+            @pl.when(jnp.logical_and(i == NI - 1, j == NJ - 1))
+            def _():
+                for k in range(nfo):
+                    strip(k, pl.ds(TX - Hx, Hx), pl.ds(TY - Hy, Hy),
+                          pl.ds(0, Hx), pl.ds(0, Hy), 3)
 
             # drain all outstanding writes at the end of the grid
             @pl.when(t == NT - 1)
             def _():
-                for k in range(nf):
+                for k in range(nfo):
                     dma_out(cur, k, i, j).wait()
                 if NT > 1:
-                    for k in range(nf):
+                    for k in range(nfo):
                         dma_out(nxt, k, i, j).wait()
 
-        n_in = nf + (nf if with_gm else 0)
         n_scal = 2 if with_gm else 1
         tile_spec = pl.BlockSpec((TX, TY, ZP), lambda i, j: (i, j, 0),
                                  memory_space=pltpu.VMEM)
@@ -405,7 +470,7 @@ def build_fused_advection_update(grid, scheme, tracer_names):
                                  memory_space=pltpu.SMEM)
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * nf
         if with_gm:
-            in_specs += [tile_spec] * nf
+            in_specs += [tile_spec] * nfo
         in_specs += [smem_spec] * n_scal
         NP = grid.padded_shape
         return pl.pallas_call(
@@ -413,16 +478,17 @@ def build_fused_advection_update(grid, scheme, tracer_names):
             grid=(Nx // TX, Ny // TY),
             in_specs=in_specs,
             # G: interior tiles (consumed as next stage's Gm); new: written
-            # straight into PADDED HBM buffers by DMA (halo slots garbage —
-            # the projection/next fill re-derive them), no embed pass
-            out_specs=[tile_spec] * nf
-            + [pl.BlockSpec(memory_space=pl.ANY)] * nf,
-            out_shape=[jax.ShapeDtypeStruct((Nx, Ny, ZP), grid.dtype)] * nf
-            + [jax.ShapeDtypeStruct(NP, grid.dtype)] * nf,
+            # straight into PADDED HBM buffers by DMA with halo-valid
+            # periodic edge strips, no embed pass
+            out_specs=[tile_spec] * nfo
+            + [pl.BlockSpec(memory_space=pl.ANY)] * nfo,
+            out_shape=[jax.ShapeDtypeStruct((Nx, Ny, ZP), grid.dtype)] * nfo
+            + [jax.ShapeDtypeStruct(NP, grid.dtype)] * nfo,
             scratch_shapes=([pltpu.VMEM((2,) + slab_shape, grid.dtype)] * nf
-                            + [pltpu.VMEM((2, TX, TY, ZP), grid.dtype)] * nf
+                            + [pltpu.VMEM((2, TX, TY, ZP), grid.dtype)] * nfo
                             + [pltpu.SemaphoreType.DMA((2, nf)),
-                               pltpu.SemaphoreType.DMA((2, nf))]),
+                               pltpu.SemaphoreType.DMA((2, max(nfo, 1))),
+                               pltpu.SemaphoreType.DMA((4,))]),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=jax.default_backend() == "cpu",
@@ -430,8 +496,8 @@ def build_fused_advection_update(grid, scheme, tracer_names):
 
     call0 = make_call(False)
     call1 = make_call(True)
-    sx, sy = slice(Hx, Hx + Nx), slice(Hy, Hy + Ny)
     zpad = [(0, 0), (0, 0), (0, ZPAD - ZP)]
+    out_names = (("u", "v", "w") if include_momentum else ()) + names
 
     def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt):
         args = [jnp.pad(a, zpad) for a in
@@ -442,11 +508,65 @@ def build_fused_advection_update(grid, scheme, tracer_names):
         else:
             z = jnp.asarray(zeta_dt, grid.dtype).reshape(1, 1)
             outs = call1(*args, *Gm, g, z)
-        G_int = list(outs[:nf])
-        new = {"u": outs[nf], "v": outs[nf + 1], "w": outs[nf + 2]}
-        for t, n in enumerate(names):
-            new[n] = outs[nf + 3 + t]
+        G_int = list(outs[:nfo])
+        new = {n: outs[nfo + k] for k, n in enumerate(out_names)}
         return G_int, new
+
+    return fused_update
+
+
+def build_fused_advection_update(grid, scheme, tracer_names,
+                                 tracer_batch="auto"):
+    """Advection megakernel with the RK3 stage update FUSED in: G = -∇·(𝐯 q)
+    AND new = q + γΔt·G + ζΔt·G⁻ for every prognostic field in Pallas,
+    with halo-valid outputs. Many-tracer runs split into a momentum call +
+    tracer-batch calls so VMEM tiles stay large (the r1 12-tracer kernel
+    fell to (8, 32) tiles = 2.6× halo overcompute; batches keep (32, 64)
+    at the cost of re-streaming the advecting velocities per batch).
+
+    Returns fn(u, v, w, tracers, Gm, gamma_dt, zeta_dt) ->
+    (G_int list [interior-shaped, pass back as next stage's Gm],
+    new dict {u, v, w, *tracers} padded, halos valid for periodic x/y).
+    ``Gm=None`` selects the first-stage variant (ζ = 0)."""
+    names = tuple(tracer_names)
+    ntr = len(names)
+    Hx, Hy = grid.H[0], grid.H[1]
+    ZP = grid.padded_shape[2]
+    ZPAD0 = -(-ZP // 128) * 128
+    single = True
+    if tracer_batch == "auto" and ntr:
+        nf = 3 + ntr
+        TX, TY = _pick_tiles_vmem(grid.N[0], grid.N[1], Hx, Hy, ZPAD0, ZP,
+                                  2 * nf, 2 * nf)
+        single = TX is not None and TX * TY >= 32 * 64
+    elif isinstance(tracer_batch, int):
+        single = ntr <= tracer_batch
+    if single:
+        return _build_update_group(grid, scheme, names, True)
+
+    K = tracer_batch if isinstance(tracer_batch, int) else 2
+    batches = [names[b:b + K] for b in range(0, ntr, K)]
+    mom = _build_update_group(grid, scheme, (), True)
+    groups = [_build_update_group(grid, scheme, bn, False)
+              for bn in batches]
+
+    def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt):
+        if Gm is None:
+            parts = [None] * (1 + len(batches))
+        else:
+            parts = [Gm[:3]]
+            o = 3
+            for bn in batches:
+                parts.append(Gm[o:o + len(bn)])
+                o += len(bn)
+        G_all, new = mom(u, v, w, {}, parts[0], gamma_dt, zeta_dt)
+        G_all = list(G_all)
+        for gfn, bn, pm in zip(groups, batches, parts[1:]):
+            gb, nb = gfn(u, v, w, {n: tracers[n] for n in bn}, pm,
+                         gamma_dt, zeta_dt)
+            G_all += gb
+            new.update(nb)
+        return G_all, new
 
     return fused_update
 

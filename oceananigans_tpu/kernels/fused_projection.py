@@ -189,6 +189,70 @@ def build_fused_correct(grid):
         for dma in wcopies:
             dma.wait()
 
+        # HALO-VALID OUTPUTS (see fused_advection.make_call): edge tiles
+        # mirror their boundary strips into the periodic-image halo slots so
+        # the next stage consumes the corrected fields without a fill pass
+        NI = Nx // TX
+        NJ = Ny // TY
+
+        def strip(slab, ref, src_x, src_y, dst_x, dst_y):
+            cp = pltpu.make_async_copy(slab.at[src_x, src_y],
+                                       ref.at[dst_x, dst_y], sems.at[3])
+            cp.start()
+            cp.wait()
+
+        trio = ((nu, uo_ref), (nv, vo_ref), (nw, wo_ref))
+        ys_own = pl.ds(y0 + Hy, TY)
+        xs_own = pl.ds(x0 + Hx, TX)
+
+        @pl.when(i == 0)
+        def _():
+            for slab, ref in trio:
+                strip(slab, ref, pl.ds(0, Hx), slice(None),
+                      pl.ds(Hx + Nx, Hx), ys_own)
+
+        @pl.when(i == NI - 1)
+        def _():
+            for slab, ref in trio:
+                strip(slab, ref, pl.ds(TX - Hx, Hx), slice(None),
+                      pl.ds(0, Hx), ys_own)
+
+        @pl.when(j == 0)
+        def _():
+            for slab, ref in trio:
+                strip(slab, ref, slice(None), pl.ds(0, Hy),
+                      xs_own, pl.ds(Hy + Ny, Hy))
+
+        @pl.when(j == NJ - 1)
+        def _():
+            for slab, ref in trio:
+                strip(slab, ref, slice(None), pl.ds(TY - Hy, Hy),
+                      xs_own, pl.ds(0, Hy))
+
+        @pl.when(lax.bitwise_and(i == 0, j == 0))
+        def _():
+            for slab, ref in trio:
+                strip(slab, ref, pl.ds(0, Hx), pl.ds(0, Hy),
+                      pl.ds(Hx + Nx, Hx), pl.ds(Hy + Ny, Hy))
+
+        @pl.when(lax.bitwise_and(i == 0, j == NJ - 1))
+        def _():
+            for slab, ref in trio:
+                strip(slab, ref, pl.ds(0, Hx), pl.ds(TY - Hy, Hy),
+                      pl.ds(Hx + Nx, Hx), pl.ds(0, Hy))
+
+        @pl.when(lax.bitwise_and(i == NI - 1, j == 0))
+        def _():
+            for slab, ref in trio:
+                strip(slab, ref, pl.ds(TX - Hx, Hx), pl.ds(0, Hy),
+                      pl.ds(0, Hx), pl.ds(Hy + Ny, Hy))
+
+        @pl.when(lax.bitwise_and(i == NI - 1, j == NJ - 1))
+        def _():
+            for slab, ref in trio:
+                strip(slab, ref, pl.ds(TX - Hx, Hx), pl.ds(TY - Hy, Hy),
+                      pl.ds(0, Hx), pl.ds(0, Hy))
+
     call = pl.pallas_call(
         kernel,
         grid=(Nx // TX, Ny // TY),

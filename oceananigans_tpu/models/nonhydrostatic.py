@@ -116,10 +116,10 @@ class NonhydrostaticModel:
                 for i, h in enumerate(grid.H)]
         if fused_advection in (True, "auto") and advection is not None \
                 and not grid.is_flat(1):
-            # Mosaic DMA slices must be 8-aligned in the sublane (y) dim:
-            # round Hy itself to a multiple of 8 so both the megakernel slab
-            # (TY + 2·Hy) and the Pallas halo-fill y strips (size Hy,
-            # kernels/pallas_fill.py) are tile-aligned
+            # Mosaic requires 8-divisible sublane (y) offsets for every
+            # HBM DMA (out tiles land at j·TY + Hy) ⇒ round Hy to a
+            # multiple of 8; a measured Hy=4 attempt failed Mosaic's
+            # "tile index divisible by the tiling (8)" check
             while halo[1] % 8:
                 halo[1] += 1
         # z-compact fast layout (TPU): drop the z halos entirely so the
@@ -549,16 +549,19 @@ class NonhydrostaticModel:
                     kappa=immersed_diffusivity(self.closure, name))
         return G, aux
 
-    def _project(self, u, v, w, dtt, time):
+    def _project(self, u, v, w, dtt, time, halos_valid=False):
         """Pressure projection (reference: pressure_correction.jl:8-53,
-        solve_for_pressure.jl:12-108)."""
+        solve_for_pressure.jl:12-108). ``halos_valid``: the inputs carry
+        valid periodic halos already (the update kernel's halo-valid
+        outputs) — skip the fill pass."""
         grid = self.grid
         if self._fused_div is not None:
             # fast path: Pallas div-source + Pallas grad-correction around
             # the solve (one HBM read per field per pass; w's boundary-face
             # pin folded into both kernels)
-            filled = self._fill_all(dict(u=u, v=v, w=w), time, dt=dtt)
-            u, v, w = filled["u"], filled["v"], filled["w"]
+            if not halos_valid:
+                filled = self._fill_all(dict(u=u, v=v, w=w), time, dt=dtt)
+                u, v, w = filled["u"], filled["v"], filled["w"]
             rhs = self._fused_div(u, v, w, 1.0 / dtt)
             p_int = self.pressure_solver.solve(rhs)
             p = jnp.zeros(grid.padded_shape, grid.dtype)
@@ -627,18 +630,25 @@ class NonhydrostaticModel:
                 time = clock["time"]
                 p = state["pressure"]
                 Gm = None
-                for gamma, zeta in zip(RK3_GAMMAS, RK3_ZETAS):
+                fast_proj = self._fused_div is not None
+                for m, (gamma, zeta) in enumerate(zip(RK3_GAMMAS,
+                                                      RK3_ZETAS)):
                     stage_dt = (gamma + zeta) * dt
-                    fields = self._fill_all(fields, time, dt=stage_dt)
+                    if m == 0 or not fast_proj:
+                        # later stages consume the kernels' halo-valid
+                        # outputs directly (edge tiles mirror their strips
+                        # into the periodic halo slots)
+                        fields = self._fill_all(fields, time, dt=stage_dt)
                     Gm, new = self._fused_update(
                         fields["u"], fields["v"], fields["w"],
                         {n: fields[n] for n in self.tracer_names},
                         Gm, gamma * dt, zeta * dt)
-                    if self._fused_div is None:
+                    if not fast_proj:
                         # fast projection pins w's boundary face in-kernel
                         new["w"] = new["w"] * self._w_face_mask
                     u, v, w, p = self._project(new["u"], new["v"], new["w"],
-                                               stage_dt, time)
+                                               stage_dt, time,
+                                               halos_valid=fast_proj)
                     new.update(u=u, v=v, w=w)
                     fields = new
                     time = time + stage_dt
