@@ -31,6 +31,24 @@ LOC_CFC = ("c", "f", "c")
 LOC_CCF = ("c", "c", "f")
 
 
+def _resolve_coef(grid, k):
+    """Diffusivity coefficient as scalar / padded array / callable(x, y, z)
+    evaluated at cell centers (reference: κ_skew/κ_symmetric "may be
+    constants, arrays, fields, or functions of (x, y, z, t)" —
+    isopycnal_skew_symmetric_diffusivity.jl:48)."""
+    import numpy as np
+    from ..grids.base import broadcastable_1d
+    if callable(k):
+        x = broadcastable_1d(grid.coord_padded(0, "c"), 0)
+        y = broadcastable_1d(grid.coord_padded(1, "c"), 1)
+        z = broadcastable_1d(grid.coord_padded(2, "c"), 2)
+        return jnp.broadcast_to(jnp.asarray(k(x, y, z), grid.dtype),
+                                grid.padded_shape)
+    if np.isscalar(k):
+        return float(k)
+    return jnp.asarray(k)
+
+
 class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
     def __init__(self, kappa_redi=0.0, kappa_gm=0.0, maximum_slope=1e-2,
                  minimum_N2=1e-11, buoyancy=None,
@@ -41,8 +59,11 @@ class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
         (reference: AdvectiveFormulation + advective_skew_diffusion.jl)."""
         if skew_flux_formulation not in ("flux", "advective"):
             raise ValueError(skew_flux_formulation)
-        self.kappa_redi = float(kappa_redi)
-        self.kappa_gm = float(kappa_gm)
+        self.kappa_redi = (kappa_redi if callable(kappa_redi)
+                           or hasattr(kappa_redi, "ndim")
+                           else float(kappa_redi))
+        self.kappa_gm = (kappa_gm if callable(kappa_gm)
+                         or hasattr(kappa_gm, "ndim") else float(kappa_gm))
         self.maximum_slope = float(maximum_slope)
         self.minimum_N2 = float(minimum_N2)
         self.buoyancy = buoyancy
@@ -50,7 +71,9 @@ class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
 
     @property
     def has_eddy_velocities(self):
-        return self.skew_flux_formulation == "advective" and self.kappa_gm
+        return (self.skew_flux_formulation == "advective"
+                and (callable(self.kappa_gm) or hasattr(self.kappa_gm, "ndim")
+                     or self.kappa_gm))
 
     @property
     def kappa_skew(self):
@@ -104,11 +127,11 @@ class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
         if name == "e":
             return jnp.zeros_like(fields[name])
         c = fields[name]
-        kR = self.kappa_redi
+        kR = _resolve_coef(grid, self.kappa_redi)
         # advective formulation: the skew part is carried by the eddy
         # velocities, so the flux tensor keeps only the symmetric part
         kG = 0.0 if self.skew_flux_formulation == "advective" \
-            else self.kappa_gm
+            else _resolve_coef(grid, self.kappa_gm)
         cx = ddx(grid, c, LOC_FCC)
         cy = ddy(grid, c, LOC_CFC)
         cz_ccf = ddz(grid, c, LOC_CCF)
@@ -146,8 +169,10 @@ class TriadIsopycnalSkewSymmetricDiffusivity(_ClosureBase):
 
     def __init__(self, kappa_skew=0.0, kappa_symmetric=0.0,
                  maximum_slope=1e-2, buoyancy=None):
-        self.kappa_skew = float(kappa_skew)
-        self.kappa_symmetric = float(kappa_symmetric)
+        def coef(k):
+            return k if callable(k) or hasattr(k, "ndim") else float(k)
+        self.kappa_skew = coef(kappa_skew)
+        self.kappa_symmetric = coef(kappa_symmetric)
         self.maximum_slope = float(maximum_slope)
         self.buoyancy = buoyancy
 
@@ -230,14 +255,15 @@ class TriadIsopycnalSkewSymmetricDiffusivity(_ClosureBase):
                              "buoyancy=…")
         from ..operators.shifts import shift
         tr = self._triads(grid, fields)
-        k_sym = self.kappa_symmetric
+        k_sym = _resolve_coef(grid, self.kappa_symmetric)
         # implicit R33 at (c,c,f) (reference: ϵκR₃₃): face k averages the
         # lower-z triads of cell k and the upper-z triads of cell k-1
+        # κ rides with each triad's HOME cell (it may vary in space)
         low = sum(tr["ekx"][s] * tr["Sx"][s] ** 2
                   + tr["eky"][s] * tr["Sy"][s] ** 2 for s in ("mm", "pm"))
         up = sum(tr["ekx"][s] * tr["Sx"][s] ** 2
                  + tr["eky"][s] * tr["Sy"][s] ** 2 for s in ("mp", "pp"))
-        R33 = 0.25 * k_sym * (low + shift(up, -1, 2))
+        R33 = 0.25 * (k_sym * low + shift(k_sym * up, -1, 2))
         tr["kappa_R33_ccf"] = R33
         return tr
 
@@ -250,8 +276,8 @@ class TriadIsopycnalSkewSymmetricDiffusivity(_ClosureBase):
             return jnp.zeros_like(fields[name])
         from ..operators.shifts import shift
         c = fields[name]
-        kS = self.kappa_symmetric
-        kG = self.kappa_skew
+        kS = _resolve_coef(grid, self.kappa_symmetric)
+        kG = _resolve_coef(grid, self.kappa_skew)
         cx = ddx(grid, c, LOC_FCC)
         cy = ddy(grid, c, LOC_CFC)
         cz = ddz(grid, c, LOC_CCF)
@@ -262,19 +288,20 @@ class TriadIsopycnalSkewSymmetricDiffusivity(_ClosureBase):
         # horizontal fluxes: face i averages the + triads of cell i-1 and
         # the − triads of cell i; the skew(GM) part enters the horizontal
         # flux with κ_sym − κ_skew and the vertical with κ_sym + κ_skew
-        # (Griffies 1998 skew-symmetric splitting)
+        # (Griffies 1998 skew-symmetric splitting). κ rides with each
+        # triad's HOME cell so spatially-varying coefficients stay exact.
         k_h = kS - kG
         k_v = kS + kG
 
         def F_h(axis, ch, S, ek):
-            diag = shift(sum(ek[s] for s in ("pp", "pm")), -1, axis) \
-                + sum(ek[s] for s in ("mp", "mm"))
-            t_plus = sum(ek[s] * S[s] * (czp if s[1] == "p" else cz)
-                         for s in ("pp", "pm"))
-            t_minus = sum(ek[s] * S[s] * (czp if s[1] == "p" else cz)
-                          for s in ("mp", "mm"))
+            diag = shift(kS * sum(ek[s] for s in ("pp", "pm")), -1, axis) \
+                + kS * sum(ek[s] for s in ("mp", "mm"))
+            t_plus = k_h * sum(ek[s] * S[s] * (czp if s[1] == "p" else cz)
+                               for s in ("pp", "pm"))
+            t_minus = k_h * sum(ek[s] * S[s] * (czp if s[1] == "p" else cz)
+                                for s in ("mp", "mm"))
             off = shift(t_plus, -1, axis) + t_minus
-            return -0.25 * (kS * diag * ch + k_h * off)
+            return -0.25 * (diag * ch + off)
 
         Fx = F_h(0, cx, Sx, ekx)
         Fy = F_h(1, cy, Sy, eky)
@@ -282,11 +309,11 @@ class TriadIsopycnalSkewSymmetricDiffusivity(_ClosureBase):
         # vertical flux: R31/R32 triad sums (explicit); R33 implicit
         def R3h(axis, ch, S, ek):
             chp = shift(ch, +1, axis)
-            low = (ek["mm"] * S["mm"] * ch + ek["pm"] * S["pm"] * chp)
-            upc = (ek["mp"] * S["mp"] * ch + ek["pp"] * S["pp"] * chp)
+            low = k_v * (ek["mm"] * S["mm"] * ch + ek["pm"] * S["pm"] * chp)
+            upc = k_v * (ek["mp"] * S["mp"] * ch + ek["pp"] * S["pp"] * chp)
             return 0.25 * (low + shift(upc, -1, 2))
 
-        Fz = -k_v * (R3h(0, cx, Sx, ekx) + R3h(1, cy, Sy, eky))
+        Fz = -(R3h(0, cx, Sx, ekx) + R3h(1, cy, Sy, eky))
 
         div = (_delta_c(grid, grid.Ax(LOC_FCC) * Fx, 0)
                + _delta_c(grid, grid.Ay(LOC_CFC) * Fy, 1)
@@ -335,8 +362,9 @@ def _skew_eddy_velocities(grid, closure, fields):
     if hasattr(grid, "fluid_mask_at"):
         Sx = Sx * grid.fluid_mask_at(("f", "c", "f"), dtype)
         Sy = Sy * grid.fluid_mask_at(("c", "f", "f"), dtype)
-    kSx = closure.kappa_skew * Sx
-    kSy = closure.kappa_skew * Sy
+    kskew = _resolve_coef(grid, closure.kappa_skew)
+    kSx = kskew * Sx
+    kSy = kskew * Sy
     dz_fc = grid.dz(LOC_FCC)
     dz_cf = grid.dz(LOC_CFC)
     ue = -dz_c(grid, kSx) / dz_fc

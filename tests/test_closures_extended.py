@@ -365,3 +365,42 @@ def test_gm_advective_skew_form():
     b1 = np.asarray(model.field("b").interior)
     assert np.all(np.isfinite(b1))
     assert np.isclose(b1.sum(), b0.sum(), rtol=1e-6)
+
+
+def test_isopycnal_kappa_field():
+    """κ_symmetric/κ_skew as callables of (x, y, z) (reference: κ 'may be
+    constants, arrays, fields, or functions'): a spatially-varying κ still
+    conserves the tracer and reduces to the scalar case where constant."""
+    from oceananigans_tpu.closures import (
+        TriadIsopycnalSkewSymmetricDiffusivity)
+    from oceananigans_tpu.models.hydrostatic import (
+        HydrostaticFreeSurfaceModel, PrescribedVelocityFields)
+    grid = RectilinearGrid(size=(24, 1, 12), x=(0, 1e5), y=(0, 1e3),
+                           z=(-1000.0, 0),
+                           topology=("bounded", "periodic", "bounded"))
+    buoyancy = BuoyancyTracer()
+
+    def build(kappa):
+        clo = TriadIsopycnalSkewSymmetricDiffusivity(
+            kappa_symmetric=kappa, kappa_skew=kappa, buoyancy=buoyancy)
+        m = HydrostaticFreeSurfaceModel(
+            grid=grid, buoyancy=buoyancy, closure=clo,
+            velocities=PrescribedVelocityFields())
+        m.set(b=lambda x, y, z: 1e-5 * z + 1e-7 * (x - 5e4))
+        return m
+
+    m_const = build(500.0)
+    m_fn = build(lambda x, y, z: 500.0 + 0.0 * x)
+    m_var = build(lambda x, y, z: 500.0 * (1 + 0.5 * jnp.sin(
+        2 * jnp.pi * x / 1e5)))
+    b0 = np.asarray(m_var.field("b").interior).sum()
+    for _ in range(10):
+        m_const.time_step(3600.0)
+        m_fn.time_step(3600.0)
+        m_var.time_step(3600.0)
+    bc = np.asarray(m_const.field("b").interior)
+    bf = np.asarray(m_fn.field("b").interior)
+    bv = np.asarray(m_var.field("b").interior)
+    np.testing.assert_allclose(bf, bc, rtol=1e-12)  # constant fn == scalar
+    assert np.isfinite(bv).all()
+    assert np.isclose(bv.sum(), b0, rtol=1e-9)      # conservative
