@@ -103,11 +103,15 @@ def main():
         grid = LatitudeLongitudeGrid(size=(nh, nh // 2, nz),
                                      longitude=(0, 60), latitude=(15, 75),
                                      z=(-1800.0, 0.0), dtype=jnp.float32)
+        # the fused VI Pallas path is opt-in here: its one-time Mosaic
+        # compile through the remote-compile tunnel is long (~5 min per
+        # phase kernel); HYDRO_FUSED=1 enables it (cached afterwards)
+        fused = (True if os.environ.get("HYDRO_FUSED") == "1" else False)
         m = HydrostaticFreeSurfaceModel(
             grid=grid, momentum_advection=WENOVectorInvariant(),
             coriolis=HydrostaticSphericalCoriolis(),
             free_surface=SplitExplicitFreeSurface(substeps=30),
-            tracers=("T",))
+            tracers=("T",), fused_tendencies=fused)
         m.set(u=0.05 * rng.standard_normal((nh, nh // 2, nz))
               .astype(np.float32),
               T=lambda lam, phi, z: 12 + 8e-3 * z + 2e-2 * phi)
