@@ -162,31 +162,43 @@ def main():
     if only in ("sw8192", "sw16384", "hydro", "les"):
         return
     n = 64 if on_cpu else 256
-    times = {}
-    for ntr in (0, 12):
-        grid = RectilinearGrid(size=(n, n, n), extent=(1.0, 1.0, 1.0),
-                               topology=("periodic", "periodic", "bounded"),
-                               dtype=jnp.float32)
-        names = tuple(f"c{i}" for i in range(ntr))
-        m = NonhydrostaticModel(grid=grid, advection=WENO(5), tracers=names)
-        m.set(u=0.1 * rng.standard_normal((n, n, n)).astype(np.float32),
-              **{nm: rng.random((n, n, n), dtype=np.float32)
-                 for nm in names})
-        dt = jnp.asarray(1e-4, jnp.float32)
+    from oceananigans_tpu.advection import Centered
 
-        def fetch(state):
-            return float(jnp.sum(state["fields"]["u"][0, :8]))
+    def tracer_row(scheme, label, note):
+        times = {}
+        for ntr in (0, 12):
+            grid = RectilinearGrid(size=(n, n, n), extent=(1.0, 1.0, 1.0),
+                                   topology=("periodic", "periodic",
+                                             "bounded"), dtype=jnp.float32)
+            names = tuple(f"c{i}" for i in range(ntr))
+            m = NonhydrostaticModel(grid=grid, advection=scheme,
+                                    tracers=names)
+            m.set(u=0.1 * rng.standard_normal((n, n, n)).astype(np.float32),
+                  **{nm: rng.random((n, n, n), dtype=np.float32)
+                     for nm in names})
+            dt = jnp.asarray(1e-4, jnp.float32)
 
-        times[ntr] = bench_steps(m._step, m.state, dt, steps, fetch)
-    ratio = times[12] / times[0]
-    print(json.dumps({
-        "metric": f"tracer_scaling_{n}^3_step_ratio_12_vs_0",
-        "value": ratio, "unit": "x",
-        "vs_baseline": (27.2 / 12.8) / ratio,  # >1 = scales better than V100
-        "step_ms_0": times[0] * 1e3, "step_ms_12": times[12] * 1e3,
-        "note": "tracers advected with WENO5 here; the reference's table "
-                "used its 2nd-order centered default",
-    }), flush=True)
+            def fetch(state):
+                return float(jnp.sum(state["fields"]["u"][0, :8]))
+
+            times[ntr] = bench_steps(m._step, m.state, dt, steps, fetch)
+        ratio = times[12] / times[0]
+        print(json.dumps({
+            "metric": f"tracer_scaling_{n}^3_{label}_step_ratio_12_vs_0",
+            "value": ratio, "unit": "x",
+            "vs_baseline": (27.2 / 12.8) / ratio,
+            "step_ms_0": times[0] * 1e3, "step_ms_12": times[12] * 1e3,
+            "note": note,
+        }), flush=True)
+
+    # the reference's tracer table (benchmarks.md:540-570) used its default
+    # 2nd-order centered advection for momentum AND tracers — the centered
+    # row is the like-for-like comparison; the WENO row shows the
+    # high-order cost profile
+    tracer_row(Centered(2), "centered2",
+               "matches the reference table's Centered(2) advection")
+    tracer_row(WENO(5), "weno5",
+               "high-order advection for momentum and all tracers")
 
 
 if __name__ == "__main__":

@@ -285,6 +285,17 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
     # new-slabs (2·nfo each)
     TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, 2 * nf,
                               max(0, 6 * nfo - 4 * nf))
+    import os as _os
+    _tiles_env = _os.environ.get("FUSED_UPDATE_TILES")
+    dma_io = False
+    if _tiles_env:
+        # probe knob: "TXxTY[:dma]" overrides the tile pick; the ":dma"
+        # suffix switches G/Gm/new from pipelined tile buffers to
+        # single-buffered DMA scratch (frees VMEM for larger tiles at the
+        # cost of per-tile DMA serialization)
+        part = _tiles_env.split(":")
+        TX, TY = (int(v) for v in part[0].split("x"))
+        dma_io = len(part) > 1 and part[1] == "dma"
     if TX is None or TY is None:
         raise ValueError("grid not tileable for the fused kernel")
     if (2 * Hy) % 8:
@@ -308,6 +319,11 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
             outs = refs[k0:k0 + 2 * nfo]; k0 += 2 * nfo
             slabs = refs[k0:k0 + nf]; k0 += nf
             newslabs = refs[k0:k0 + nfo]; k0 += nfo
+            gm_slabs = g_slabs = None
+            if dma_io:
+                if with_gm:
+                    gm_slabs = refs[k0:k0 + nfo]; k0 += nfo
+                g_slabs = refs[k0:k0 + nfo]; k0 += nfo
             sems_in = refs[k0]; k0 += 1
             sems_out = refs[k0]; k0 += 1
             sems_strip = refs[k0]
@@ -338,6 +354,17 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
             def _():
                 for k in range(nf):
                     dma_in(i_next, j_next, nxt, k).start()
+
+            if dma_io and with_gm:
+                gm_copies = []
+                for k in range(nfo):
+                    cp = pltpu.make_async_copy(
+                        gms[k].at[pl.ds(i * TX, TX), pl.ds(j * TY, TY), :],
+                        gm_slabs[k], sems_strip.at[k % 4])
+                    cp.start()
+                    gm_copies.append(cp)
+                for cp in gm_copies:
+                    cp.wait()
 
             for k in range(nf):
                 dma_in(i, j, cur, k).wait()
@@ -383,10 +410,20 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
                     dma_out(cur, k, i, j).wait()
 
             for k in range(nfo):
-                outs[k][:] = Gs[k]
+                if dma_io:
+                    g_slabs[k][:] = Gs[k]
+                    gcp = pltpu.make_async_copy(
+                        g_slabs[k],
+                        outs[k].at[pl.ds(i * TX, TX), pl.ds(j * TY, TY), :],
+                        sems_strip.at[k % 4])
+                    gcp.start()
+                    gcp.wait()
+                else:
+                    outs[k][:] = Gs[k]
                 inc = gdt * Gs[k]
                 if with_gm:
-                    inc = inc + zdt_ref[0, 0] * gms[k][:]
+                    gmv = gm_slabs[k][:] if dma_io else gms[k][:]
+                    inc = inc + zdt_ref[0, 0] * gmv
                 newslabs[k][cur] = out_tile(slabs[src_of[k]][cur]) + inc
                 dma_out(cur, k, i, j).start()
 
@@ -466,13 +503,23 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
         n_scal = 2 if with_gm else 1
         tile_spec = pl.BlockSpec((TX, TY, ZP), lambda i, j: (i, j, 0),
                                  memory_space=pltpu.VMEM)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
         smem_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                  memory_space=pltpu.SMEM)
-        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * nf
+        in_specs = [any_spec] * nf
         if with_gm:
-            in_specs += [tile_spec] * nfo
+            in_specs += ([any_spec] if dma_io else [tile_spec]) * nfo
         in_specs += [smem_spec] * n_scal
         NP = grid.padded_shape
+        scratch = [pltpu.VMEM((2,) + slab_shape, grid.dtype)] * nf \
+            + [pltpu.VMEM((2, TX, TY, ZP), grid.dtype)] * nfo
+        if dma_io:
+            if with_gm:
+                scratch += [pltpu.VMEM((TX, TY, ZP), grid.dtype)] * nfo
+            scratch += [pltpu.VMEM((TX, TY, ZP), grid.dtype)] * nfo
+        scratch += [pltpu.SemaphoreType.DMA((2, nf)),
+                    pltpu.SemaphoreType.DMA((2, max(nfo, 1))),
+                    pltpu.SemaphoreType.DMA((4,))]
         return pl.pallas_call(
             kernel,
             grid=(Nx // TX, Ny // TY),
@@ -480,15 +527,11 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
             # G: interior tiles (consumed as next stage's Gm); new: written
             # straight into PADDED HBM buffers by DMA with halo-valid
             # periodic edge strips, no embed pass
-            out_specs=[tile_spec] * nfo
-            + [pl.BlockSpec(memory_space=pl.ANY)] * nfo,
+            out_specs=([any_spec] if dma_io else [tile_spec]) * nfo
+            + [any_spec] * nfo,
             out_shape=[jax.ShapeDtypeStruct((Nx, Ny, ZP), grid.dtype)] * nfo
             + [jax.ShapeDtypeStruct(NP, grid.dtype)] * nfo,
-            scratch_shapes=([pltpu.VMEM((2,) + slab_shape, grid.dtype)] * nf
-                            + [pltpu.VMEM((2, TX, TY, ZP), grid.dtype)] * nfo
-                            + [pltpu.SemaphoreType.DMA((2, nf)),
-                               pltpu.SemaphoreType.DMA((2, max(nfo, 1))),
-                               pltpu.SemaphoreType.DMA((4,))]),
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=jax.default_backend() == "cpu",

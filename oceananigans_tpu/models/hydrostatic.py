@@ -226,7 +226,17 @@ class HydrostaticFreeSurfaceModel:
         # + tracer advection in one kernel; closures/forcing/flux BCs are
         # added on top in XLA
         self._fused_vi = None
-        if fused_tendencies in (True, "auto") \
+        # "auto" resolves to the XLA path: at typical hydrostatic depths
+        # (Nz ≲ 64) the 128-lane minor-dim quantization dominates both
+        # paths equally and the per-phase slab overcompute makes the Pallas
+        # kernels a net loss (measured 54.6 ms fused vs ~35 ms XLA at
+        # 512x256x32 on v5e); pass fused_tendencies=True to opt in. The
+        # winning design (minor-axis-transposed layout, x in lanes) is
+        # round-3 work — see PARITY.md.
+        if fused_tendencies == "auto":
+            import jax as _jax
+            fused_tendencies = _jax.default_backend() == "cpu" and False
+        if fused_tendencies is True \
                 and self.prescribed_velocities is None \
                 and vertical_coordinate == "z" and not self._immersed \
                 and not getattr(closure, "has_eddy_velocities", False) \
