@@ -160,3 +160,28 @@ def test_fused_projection_matches(rng):
         assert np.abs(a - b).max() < 5e-10, n
     # w boundary face comes out pinned
     assert np.asarray(ma.field("w").interior)[:, :, 0].max() == 0.0
+
+
+def test_halo_valid_outputs(rng):
+    """The fused RK3 path's kernels mirror edge strips into the periodic
+    halo slots: after a step, every prognostic array's x/y halos equal the
+    periodic image of its interior (no fill pass needed between kernels)."""
+    grid = RectilinearGrid(size=N, extent=(1.0, 1.0, 1.0))
+    m = NonhydrostaticModel(grid=grid, advection=WENO(5), tracers=("c",),
+                            z_compact=True, fused_advection=True)
+    assert m._fused_update is not None and m._fused_div is not None
+    m.set(u=0.1 * rng.standard_normal(N), v=0.1 * rng.standard_normal(N),
+          c=0.01 * rng.standard_normal(N))
+    m.time_step(1e-3)
+    Hx, Hy, _ = m.grid.H
+    nx, ny, _ = m.grid.N
+    for name in ("u", "v", "w", "c"):
+        a = np.asarray(m.state["fields"][name])
+        np.testing.assert_array_equal(a[:Hx], a[nx:nx + Hx],
+                                      err_msg=f"{name} left-x halo")
+        np.testing.assert_array_equal(a[Hx + nx:], a[Hx:2 * Hx],
+                                      err_msg=f"{name} right-x halo")
+        np.testing.assert_array_equal(a[:, :Hy], a[:, ny:ny + Hy],
+                                      err_msg=f"{name} left-y halo")
+        np.testing.assert_array_equal(a[:, Hy + ny:], a[:, Hy:2 * Hy],
+                                      err_msg=f"{name} right-y halo")
