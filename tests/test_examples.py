@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     ("shallow_water_bickley_jet", dict(nx=16, ny=32, stop_time=0.1)),
     ("internal_wave", dict(n=32, periods=0.05)),
     ("kelvin_helmholtz_instability", dict(nx=16, nz=16, stop_time=0.2)),
+    ("horizontal_convection", dict(nx=16, nz=8, stop_time=0.05)),
 ])
 def test_example_smokes(name, kwargs, tmp_path):
     import importlib
