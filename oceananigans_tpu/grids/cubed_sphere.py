@@ -332,13 +332,14 @@ class ConformalCubedSphereGrid:
     metrics (exact neighbor-panel lengths/areas in the halos)."""
 
     def __init__(self, panel_size, z=None, radius=None, halo=None,
-                 dtype=None, mesh="elliptic"):
-        """``mesh``: "elliptic" (default) — elliptically-relaxed node set
-        whose grid lines cross panel edges smoothly, so the staggered C-grid
-        operators stay CONSISTENT at edges (the property the reference gets
-        from the Rancic conformal map); "equiangular" — raw gnomonic panels
-        (kinked edge crossings: edge-face vorticity carries an O(1)
-        non-converging error; fine for tracer-only work)."""
+                 dtype=None, mesh="conformal"):
+        """``mesh``: "conformal" (default) — the Rancic et al. (1996)
+        conformal cubed sphere, computed from first principles in
+        grids/conformal_map.py (the SAME map the reference gets from
+        CubedSphere.jl); "elliptic" — elliptically-relaxed node set (also
+        kink-free edge crossings, not conformal); "equiangular" — raw
+        gnomonic panels (kinked edge crossings: edge-face vorticity carries
+        an O(1) non-converging error; fine for tracer-only work)."""
         from .orthogonal_spherical_shell import (OrthogonalSphericalShellGrid,
                                                  _cart2sph)
         N = panel_size[0]
@@ -346,14 +347,19 @@ class ConformalCubedSphereGrid:
             raise ValueError("cubed-sphere panels are square: Nx == Ny")
         self.connectivity = derive_connectivity(N)
         self.edge_rotations = derive_edge_rotations(N, self.connectivity)
-        if mesh not in ("elliptic", "equiangular"):
-            raise ValueError(f"mesh must be 'elliptic' or 'equiangular', "
-                             f"got {mesh!r}")
+        if mesh not in ("conformal", "elliptic", "equiangular"):
+            raise ValueError(f"mesh must be 'conformal', 'elliptic' or "
+                             f"'equiangular', got {mesh!r}")
         self.mesh = mesh
         H = 3 if halo is None else (halo if np.isscalar(halo) else halo[0])
         H = int(H)
-        base = (elliptic_cubed_sphere_nodes(N) if mesh == "elliptic"
-                else None)
+        if mesh == "conformal":
+            from .conformal_map import conformal_cubed_sphere_nodes
+            base = conformal_cubed_sphere_nodes(N)
+        elif mesh == "elliptic":
+            base = elliptic_cubed_sphere_nodes(N)
+        else:
+            base = None
         ext = _extended_corner_nodes(N, H, self.connectivity, base=base)
         self.extended_nodes = ext
         zh = 3 if z is not None else 0

@@ -77,3 +77,61 @@ def test_halo_exchange_continuity():
         corner = fn[p, Hx - 1, Hy - 1, 0]
         assert np.isfinite(corner)
         assert abs(corner - fn[p, Hx, Hy, 0]) < 2 * tol
+
+
+def test_rancic_conformal_map_reproduces_published_coefficients():
+    """The conformal map fitted from first principles (symmetry-involution
+    collocation, grids/conformal_map.py) must reproduce the leading Taylor
+    coefficients of Rancic, Purser & Mesinger (1996) Table B1 (the values
+    the reference consumes via CubedSphere.jl)."""
+    from oceananigans_tpu.grids.conformal_map import (rancic_C,
+                                                      rancic_published_A)
+    A, _ = rancic_published_A(rancic_C())
+    published = [1.47713062600964, -0.38183510510174, -0.05573058001191,
+                 -0.00895883606818, -0.00791315785221, -0.00486625437708]
+    for k, ak in enumerate(published):
+        assert abs(A[k] - ak) < 5e-8, (k, A[k], ak)
+
+
+def test_rancic_conformal_face_geometry():
+    """Anchors exact; interior metric isotropic+orthogonal to FD truncation;
+    conformal modulus: the whole-face integral of the area metric equals
+    one-sixth of the sphere."""
+    from oceananigans_tpu.grids.conformal_map import conformal_face_nodes
+    N = 32
+    f = conformal_face_nodes(N)
+    s3 = 1 / np.sqrt(3.0)
+    assert np.allclose(f[N // 2, N // 2], [1, 0, 0], atol=1e-9)
+    assert np.allclose(f[-1, -1], [s3, s3, s3], atol=1e-9)
+    assert np.allclose(f[-1, N // 2], [1 / np.sqrt(2), 1 / np.sqrt(2), 0],
+                       atol=1e-9)
+    assert np.allclose(np.linalg.norm(f, axis=-1), 1.0, atol=1e-12)
+    h = 2.0 / N
+    dx = (f[2:, 1:-1] - f[:-2, 1:-1]) / (2 * h)
+    dy = (f[1:-1, 2:] - f[1:-1, :-2]) / (2 * h)
+    gxx = np.sum(dx * dx, -1)
+    gyy = np.sum(dy * dy, -1)
+    gxy = np.sum(dx * dy, -1)
+    # central block: away from the (physically non-conformal) corners
+    c = slice(6, N - 7)
+    assert np.abs(gxx[c, c] / gyy[c, c] - 1).max() < 5e-3
+    assert (np.abs(gxy[c, c]) / np.sqrt(gxx[c, c] * gyy[c, c])).max() < 5e-3
+
+
+def test_conformal_mesh_panel_edges_match():
+    """Shared panel edges of the composed conformal mesh carry identical
+    node coordinates (the panels are rotations of one face)."""
+    from oceananigans_tpu.grids.conformal_map import (
+        conformal_cubed_sphere_nodes)
+    nodes = conformal_cubed_sphere_nodes(8)
+    conn = derive_connectivity(8)
+    sides = {"west": lambda a: a[0, :], "east": lambda a: a[-1, :],
+             "south": lambda a: a[:, 0], "north": lambda a: a[:, -1]}
+    for (p, s), (q, t, rev) in conn.items():
+        ep = sides[s](nodes[p])
+        eq = sides[t](nodes[q])
+        if rev:
+            eq = eq[::-1]
+        # panels are exact rotations of one face; agreement is limited only
+        # by the collocation-fit residual (~1e-10)
+        assert np.abs(ep - eq).max() < 1e-9, (p, s, q, t)

@@ -127,9 +127,10 @@ def test_solid_body_vorticity_across_edges(cs):
     rows stay consistent; only the 8 cube-vertex neighborhoods are excluded
     (the conformal-map scale factor is singular there — same limitation as
     the reference grid)."""
-    from oceananigans_tpu.grids.cubed_sphere import \
-        elliptic_cubed_sphere_nodes
-    nodes = elliptic_cubed_sphere_nodes(N)
+    # sample the velocity at the SAME mesh's staggered points as the grid
+    # under test (cs defaults to the Rancic conformal mesh)
+    nodes = [np.asarray(ext[H:H + N + 1, H:H + N + 1])
+             for ext in cs.extended_nodes]
     NP = N + 2 * H
     u = np.zeros((6, NP, NP, 1))
     v = np.zeros((6, NP, NP, 1))
