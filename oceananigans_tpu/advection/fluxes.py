@@ -84,7 +84,7 @@ def _zeros_tiled(a, tile):
     return jnp.zeros_like(a[tile[0], tile[1]])
 
 
-def div_Uc(grid, scheme, u, v, w, c, zbc=None, tile=None):
+def div_Uc(grid, scheme, u, v, w, c, zbc=None, tile=None, only_axis=None):
     """Tracer advective flux divergence at ccc (reference:
     tracer_advection_operators.jl: div_Uc = V⁻¹[δxᶜ(Ax u ĉ) + …]).
 
@@ -104,6 +104,8 @@ def div_Uc(grid, scheme, u, v, w, c, zbc=None, tile=None):
                          (Y, v, grid.Ay(LOC_CFC)),
                          (Z, w, grid.Az(LOC_CCF))):
         if grid.is_flat(axis):
+            continue
+        if only_axis is not None and axis != only_axis:
             continue
         wtrim, otrim = _term_trims(tile, axis)
         kind = zbc["c"] if (zbc is not None and axis == Z) else None
@@ -181,7 +183,7 @@ def _div_Uc_bounded(grid, scheme, u, v, w, c, tile=None):
 
 # -- momentum advection (flux form) --------------------------------------------
 
-def div_Uu(grid, scheme, u, v, w, zbc=None, tile=None):
+def div_Uu(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
     """∇·(𝐯 u) at fcc (reference: momentum_advection_operators.jl div_𝐯u).
 
     ``tile``: slab-tile trimming (see _term_trims) — the advecting velocity
@@ -194,17 +196,17 @@ def div_Uu(grid, scheme, u, v, w, zbc=None, tile=None):
     Ay_v = grid.Ay(LOC_CFC) * v
     Az_w = grid.Az(LOC_CCF) * w
     terms = []
-    if not grid.is_flat(X):
+    if not grid.is_flat(X) and (only_axis is None or only_axis == X):
         wtr, otr = _term_trims(tile, X)
         ut = scheme.symmetric(grid, wtr(Ax_u), X, 1)     # fcc → ccc
         uhat = _biased_by(scheme, grid, wtr(u), X, 1, ut)
         terms.append(otr(_delta_f(grid, ut * uhat, X)))  # ccc → fcc
-    if not grid.is_flat(Y):
+    if not grid.is_flat(Y) and (only_axis is None or only_axis == Y):
         wtr, otr = _term_trims(tile, Y)
         vt = wtr(scheme.symmetric(grid, Ay_v, X, 0))     # cfc → ffc
         uhat = _biased_by(scheme, grid, wtr(u), Y, 0, vt)
         terms.append(otr(_delta_c(grid, vt * uhat, Y)))  # ffc → fcc
-    if not grid.is_flat(Z):
+    if not grid.is_flat(Z) and (only_axis is None or only_axis == Z):
         wtr, otr = _term_trims(tile, Z)
         wt = wtr(scheme.symmetric(grid, Az_w, X, 0))     # ccf → fcf
         uhat = _biased_by(scheme, grid, wtr(u), Z, 0, wt,
@@ -215,7 +217,7 @@ def div_Uu(grid, scheme, u, v, w, zbc=None, tile=None):
     return sum(terms) / grid.V(LOC_FCC)
 
 
-def div_Uv(grid, scheme, u, v, w, zbc=None, tile=None):
+def div_Uv(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
     """∇·(𝐯 v) at cfc."""
     if scheme is None:
         return _zeros_tiled(v, tile)
@@ -223,17 +225,17 @@ def div_Uv(grid, scheme, u, v, w, zbc=None, tile=None):
     Ay_v = grid.Ay(LOC_CFC) * v
     Az_w = grid.Az(LOC_CCF) * w
     terms = []
-    if not grid.is_flat(X):
+    if not grid.is_flat(X) and (only_axis is None or only_axis == X):
         wtr, otr = _term_trims(tile, X)
         ut = wtr(scheme.symmetric(grid, Ax_u, Y, 0))     # fcc → ffc
         vhat = _biased_by(scheme, grid, wtr(v), X, 0, ut)
         terms.append(otr(_delta_c(grid, ut * vhat, X)))  # ffc → cfc
-    if not grid.is_flat(Y):
+    if not grid.is_flat(Y) and (only_axis is None or only_axis == Y):
         wtr, otr = _term_trims(tile, Y)
         vt = scheme.symmetric(grid, wtr(Ay_v), Y, 1)     # cfc → ccc
         vhat = _biased_by(scheme, grid, wtr(v), Y, 1, vt)
         terms.append(otr(_delta_f(grid, vt * vhat, Y)))  # ccc → cfc
-    if not grid.is_flat(Z):
+    if not grid.is_flat(Z) and (only_axis is None or only_axis == Z):
         wtr, otr = _term_trims(tile, Z)
         wt = wtr(scheme.symmetric(grid, Az_w, Y, 0))     # ccf → cff
         vhat = _biased_by(scheme, grid, wtr(v), Z, 0, wt,
@@ -244,7 +246,7 @@ def div_Uv(grid, scheme, u, v, w, zbc=None, tile=None):
     return sum(terms) / grid.V(LOC_CFC)
 
 
-def div_Uw(grid, scheme, u, v, w, zbc=None, tile=None):
+def div_Uw(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
     """∇·(𝐯 w) at ccf."""
     if scheme is None:
         return _zeros_tiled(w, tile)
@@ -253,7 +255,7 @@ def div_Uw(grid, scheme, u, v, w, zbc=None, tile=None):
     Az_w = grid.Az(LOC_CCF) * w
     terms = []
     zw = zbc["w"] if zbc else None
-    if not grid.is_flat(X):
+    if not grid.is_flat(X) and (only_axis is None or only_axis == X):
         wtr, otr = _term_trims(tile, X)
         # NOTE the advected quantity here is w but the z-INTERPOLATED
         # advecting velocity is u (z-centered, even parity)
@@ -261,13 +263,13 @@ def div_Uw(grid, scheme, u, v, w, zbc=None, tile=None):
                                   zbc=zbc["u"] if zbc else None))  # fcc → fcf
         what = _biased_by(scheme, grid, wtr(w), X, 0, ut)
         terms.append(otr(_delta_c(grid, ut * what, X)))  # fcf → ccf
-    if not grid.is_flat(Y):
+    if not grid.is_flat(Y) and (only_axis is None or only_axis == Y):
         wtr, otr = _term_trims(tile, Y)
         vt = wtr(scheme.symmetric(grid, Ay_v, Z, 0,
                                   zbc=zbc["v"] if zbc else None))  # cfc → cff
         what = _biased_by(scheme, grid, wtr(w), Y, 0, vt)
         terms.append(otr(_delta_c(grid, vt * what, Y)))  # cff → ccf
-    if not grid.is_flat(Z):
+    if not grid.is_flat(Z) and (only_axis is None or only_axis == Z):
         wtr, otr = _term_trims(tile, Z)
         wt = scheme.symmetric(grid, wtr(Az_w), Z, 1, zbc=zw)  # ccf → ccc
         what = _biased_by(scheme, grid, wtr(w), Z, 1, wt, zbc=zw)

@@ -288,14 +288,21 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
     import os as _os
     _tiles_env = _os.environ.get("FUSED_UPDATE_TILES")
     dma_io = False
+    # probe knob: accumulate the three directional divergence terms
+    # sequentially through the VMEM output ref instead of as one fused
+    # expression — each store is a scheduling barrier that caps Mosaic's
+    # live ranges (the monolithic 3-axis expression spills scoped VMEM
+    # at large tiles)
+    split_terms = _os.environ.get("FUSED_SPLIT_TERMS") == "1"
     if _tiles_env:
-        # probe knob: "TXxTY[:dma]" overrides the tile pick; the ":dma"
-        # suffix switches G/Gm/new from pipelined tile buffers to
+        # probe knob: "TXxTY[:dma][:split]" overrides the tile pick; the
+        # ":dma" suffix switches G/Gm/new from pipelined tile buffers to
         # single-buffered DMA scratch (frees VMEM for larger tiles at the
         # cost of per-tile DMA serialization)
         part = _tiles_env.split(":")
         TX, TY = (int(v) for v in part[0].split("x"))
-        dma_io = len(part) > 1 and part[1] == "dma"
+        dma_io = "dma" in part[1:]
+        split_terms = split_terms or "split" in part[1:]
     if TX is None or TY is None:
         raise ValueError("grid not tileable for the fused kernel")
     if (2 * Hy) % 8:
@@ -319,11 +326,13 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
             outs = refs[k0:k0 + 2 * nfo]; k0 += 2 * nfo
             slabs = refs[k0:k0 + nf]; k0 += nf
             newslabs = refs[k0:k0 + nfo]; k0 += nfo
-            gm_slabs = g_slabs = None
+            gm_slabs = g_slabs = acc_slabs = None
             if dma_io:
                 if with_gm:
                     gm_slabs = refs[k0:k0 + nfo]; k0 += nfo
                 g_slabs = refs[k0:k0 + nfo]; k0 += nfo
+            elif split_terms:
+                acc_slabs = refs[k0:k0 + nfo]; k0 += nfo
             sems_in = refs[k0]; k0 += 1
             sems_out = refs[k0]; k0 += 1
             sems_strip = refs[k0]
@@ -382,18 +391,23 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
             def out_tile(a):
                 return a[Hx:Hx + TX, Hy:Hy + TY, :ZP]
 
-            Gs = []
+            div_of = []
             if include_momentum:
-                Gs += [ztile(-div_Uu(tgrid, scheme, u, v, w, zbc=zbc,
-                                     tile=tile)),
-                       ztile(-div_Uv(tgrid, scheme, u, v, w, zbc=zbc,
-                                     tile=tile)),
-                       ztile(-div_Uw(tgrid, scheme, u, v, w, zbc=zbc,
-                                     tile=tile))]
+                div_of += [
+                    lambda ax: -div_Uu(tgrid, scheme, u, v, w, zbc=zbc,
+                                       tile=tile, only_axis=ax),
+                    lambda ax: -div_Uv(tgrid, scheme, u, v, w, zbc=zbc,
+                                       tile=tile, only_axis=ax),
+                    lambda ax: -div_Uw(tgrid, scheme, u, v, w, zbc=zbc,
+                                       tile=tile, only_axis=ax)]
             for tr in range(len(names)):
-                c = slabs[3 + tr][cur]
-                Gs.append(ztile(-div_Uc(tgrid, scheme, u, v, w, c,
-                                        zbc=zbc, tile=tile)))
+                div_of.append(
+                    lambda ax, _c=slabs[3 + tr][cur]:
+                    -div_Uc(tgrid, scheme, u, v, w, _c, zbc=zbc,
+                            tile=tile, only_axis=ax))
+            if not split_terms:
+                Gs = [fn(None) for fn in div_of]
+                Gs = [ztile(g) for g in Gs]
 
             def dma_out(buf, k, ti, tj):
                 return pltpu.make_async_copy(
@@ -410,17 +424,34 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
                     dma_out(cur, k, i, j).wait()
 
             for k in range(nfo):
+                if split_terms:
+                    # sequential per-axis accumulation THROUGH a VMEM
+                    # scratch ref: each store is a scheduling barrier that
+                    # caps Mosaic's live ranges (the monolithic 3-axis
+                    # expression spills scoped VMEM at large tiles)
+                    tgt = g_slabs[k] if dma_io else acc_slabs[k]
+                    first = True
+                    for ax in range(3):
+                        if tgrid.is_flat(ax):
+                            continue
+                        term = ztile(div_of[k](ax))
+                        tgt[:] = term if first else tgt[:] + term
+                        first = False
+                    Gk = tgt[:]
+                    if not dma_io:
+                        outs[k][:] = Gk
+                else:
+                    tgt = g_slabs[k] if dma_io else outs[k]
+                    tgt[:] = Gs[k]
+                    Gk = Gs[k]
                 if dma_io:
-                    g_slabs[k][:] = Gs[k]
                     gcp = pltpu.make_async_copy(
                         g_slabs[k],
                         outs[k].at[pl.ds(i * TX, TX), pl.ds(j * TY, TY), :],
                         sems_strip.at[k % 4])
                     gcp.start()
                     gcp.wait()
-                else:
-                    outs[k][:] = Gs[k]
-                inc = gdt * Gs[k]
+                inc = gdt * Gk
                 if with_gm:
                     gmv = gm_slabs[k][:] if dma_io else gms[k][:]
                     inc = inc + zdt_ref[0, 0] * gmv
@@ -516,6 +547,8 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
         if dma_io:
             if with_gm:
                 scratch += [pltpu.VMEM((TX, TY, ZP), grid.dtype)] * nfo
+            scratch += [pltpu.VMEM((TX, TY, ZP), grid.dtype)] * nfo
+        elif split_terms:
             scratch += [pltpu.VMEM((TX, TY, ZP), grid.dtype)] * nfo
         scratch += [pltpu.SemaphoreType.DMA((2, nf)),
                     pltpu.SemaphoreType.DMA((2, max(nfo, 1))),
