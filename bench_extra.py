@@ -106,7 +106,10 @@ def main():
         # the fused VI Pallas path is opt-in here: its one-time Mosaic
         # compile through the remote-compile tunnel is long (~5 min per
         # phase kernel); HYDRO_FUSED=1 enables it (cached afterwards)
-        fused = (True if os.environ.get("HYDRO_FUSED") == "1" else False)
+        # HYDRO_FUSED=packed selects the (y,z)-flattened slab layout (no
+        # 128-lane z padding — the shallow-Nz fast path)
+        _hf = os.environ.get("HYDRO_FUSED", "")
+        fused = {"1": True, "true": True, "packed": "packed"}.get(_hf, False)
         m = HydrostaticFreeSurfaceModel(
             grid=grid, momentum_advection=WENOVectorInvariant(),
             coriolis=HydrostaticSphericalCoriolis(),

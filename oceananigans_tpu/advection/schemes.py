@@ -80,7 +80,9 @@ def _nonuniform_eno(grid, axis, beta, k, s, mirrored):
     kernels/fused_vector_invariant.py) intercept the broadcastable baking so
     coefficient arrays become kernel inputs instead of captured constants."""
     from ..grids.base import broadcastable_1d
-    npad = grid.padded_shape[axis]
+    # kernel-slab proxies override padded_shape with the slab geometry; the
+    # coefficient tables need the LOGICAL axis extent
+    npad = getattr(grid, "logical_padded_shape", grid.padded_shape)[axis]
     faces = _padded_faces(grid, axis)
     cs = _nonuniform_eno_np(faces.tobytes(), faces.size, beta, k, s,
                             mirrored, npad)
@@ -157,10 +159,17 @@ def _cascade_select(grid, axis, beta, R, hi, lo):
     H, N = grid.H[axis], grid.N[axis]
     i0 = H + R - beta
     i1 = H + N - R
-    iota = lax.broadcasted_iota(jnp.int32, hi.shape, axis)
-    off = getattr(grid, "index_offset", None)
-    if off is not None and off[axis] is not None:
-        iota = iota + off[axis]
+    iota_fn = getattr(grid, "axis_iota", None)
+    if iota_fn is not None:
+        # kernel-slab proxies with non-trivial index geometry (the packed
+        # (y,z)-flattened layout, kernels/fused_vector_invariant.py) serve
+        # GLOBAL padded-index arrays directly
+        iota = iota_fn(hi.shape, axis)
+    else:
+        iota = lax.broadcasted_iota(jnp.int32, hi.shape, axis)
+        off = getattr(grid, "index_offset", None)
+        if off is not None and off[axis] is not None:
+            iota = iota + off[axis]
     return jnp.where((iota >= i0) & (iota <= i1), hi, lo)
 
 

@@ -516,3 +516,347 @@ def build_fused_hydrostatic_tendency(grid, vi, tracer_scheme, tracer_names,
         return Gu, Gv, Gc
 
     return fused
+
+
+# =============================================================================
+# PACKED (y,z)-flattened variant — the shallow-grid fast path
+# =============================================================================
+#
+# At hydrostatic depths (Nz ≪ 128) the (x, y, z)-slab kernels above waste up
+# to 4× of the VPU on 128-lane minor-dim padding (ZPAD = 128 at Nz = 32).
+# HBM storage is NOT lane-padded (measured: XLA op time scales linearly in
+# Nz — PARITY.md), so the fix is purely a VIEW change: the kernel sees each
+# field as (x, rows, 128) over the row-major FLATTENED (y, z) plane
+# (flat = y·ZP + z, z halos included — a zero-copy reshape of the padded
+# array). Then a y-shift is a flat shift by ZP, a z-shift a flat shift by 1
+# (operators/shifts.py packed_mode), cross-column reads land in halo slots
+# only (the same guarantee zero-fill provides), and the lane waste drops to
+# the ≤ 127-element flat tail (<1%). Tiles run over x ONLY — full-(y,z)
+# slabs; the bounded-y extra face row is inside the slab for free.
+
+
+class _PackedMetricTileGrid(_MetricTileGrid):
+    """Metric proxy for the packed layout: every x-invariant metric is
+    materialized to the full (1, NYP, ZP) broadcast, flattened, edge-padded
+    to rows·128 and served as a (1, rows, 128) VMEM constant. Also serves
+    the global y/z padded-index arrays consumed by the boundary-order
+    cascade through the ``axis_iota`` hook (advection/schemes.py)."""
+
+    def __init__(self, parent):
+        super().__init__(parent, parent.padded_shape[2])
+        self.FLAT = self.NYP * self.ZP
+        self.S = -(-self.FLAT // 128)
+
+    @property
+    def padded_shape(self):
+        return (self.parent.padded_shape[0], self.S, 128)
+
+    @property
+    def logical_padded_shape(self):
+        # the true (x, y, z) padded extents — consumed by coefficient
+        # baking (advection/schemes.py _nonuniform_eno), which must not see
+        # the packed slab geometry
+        return self.parent.padded_shape
+
+    def _pack_np(self, full):
+        flat = np.asarray(full, np.float64).reshape(-1)
+        tail = self.S * 128 - flat.size
+        if tail:
+            flat = np.pad(flat, (0, tail), mode="edge")
+        return flat.reshape(1, self.S, 128)
+
+    def _constant(self, m):
+        if np.isscalar(m) or np.ndim(m) == 0:
+            return m
+        arr = np.ascontiguousarray(np.asarray(m, np.float64))
+        if arr.shape == (1, 1, 1):
+            return float(arr.reshape(()))
+        if arr.shape not in ((1, self.NYP, 1), (1, 1, self.ZP),
+                             (1, self.NYP, self.ZP)):
+            raise ValueError(f"metric shape {arr.shape} is not x-invariant "
+                             f"broadcastable (NYP={self.NYP}, ZP={self.ZP})")
+        full = np.broadcast_to(arr, (1, self.NYP, self.ZP))
+        key = ("p", full.tobytes())
+        if self._mode == "record":
+            self._recorded.setdefault(key, full)
+            return self._pack_np(full)
+        if key not in self._served:
+            raise KeyError("metric used in the kernel trace was not seen "
+                           "in the record pass — record/serve divergence")
+        return self._served[key]
+
+    def axis_iota(self, shape, axis):
+        """Global padded-index arrays for _cascade_select: x is a true iota
+        plus the traced tile offset; y/z are served (1, rows, 128)
+        constants (float — exact for index magnitudes)."""
+        if axis == 0:
+            from jax import lax
+            iota = lax.broadcasted_iota(jnp.int32, shape, 0)
+            off = self.index_offset[0]
+            return iota if off is None else iota + off
+        idx = np.arange(self.NYP if axis == 1 else self.ZP,
+                        dtype=np.float64)
+        full = np.broadcast_to(broadcastable_1d_np(idx, axis),
+                               (1, self.NYP, self.ZP))
+        return self._constant(full)
+
+
+def broadcastable_1d_np(arr, axis):
+    shape = [1, 1, 1]
+    shape[axis] = -1
+    return np.asarray(arr).reshape(shape)
+
+
+def eligible_hydrostatic_packed(grid, vi, tracer_scheme, tracer_names):
+    from ..advection.vector_invariant import VectorInvariant
+    from ..immersed import ImmersedBoundaryGrid
+
+    if not isinstance(vi, VectorInvariant):
+        return False
+    if isinstance(grid, ImmersedBoundaryGrid):
+        return False
+    if grid.is_flat(0) or grid.is_flat(1) or grid.is_flat(2):
+        return False
+    if grid.H[2] == 0:
+        return False
+    if not grid.regular(0):
+        return False
+    if getattr(grid, "polar_south", False) or getattr(grid, "polar_north",
+                                                      False):
+        return False
+    if not _metrics_x_invariant(grid):
+        return False
+    return _pick_tx_packed(grid, 4 + len(tuple(tracer_names))) is not None
+
+
+def _pick_tx_packed(grid, nf, budget=100 * 1024 * 1024, spill_factor=4):
+    """Largest TX whose packed slab working set fits the VMEM budget."""
+    Nx, Hx = grid.N[0], grid.H[0]
+    NYP, ZP = grid.padded_shape[1], grid.padded_shape[2]
+    S = -(-(NYP * ZP) // 128)
+    for TX in (64, 32, 16, 8, 4, 2):
+        if Nx % TX:
+            continue
+        slabs = nf * (TX + 2 * Hx) * S * 128 * 4
+        outs = 2 * 4 * TX * S * 128 * 4
+        if slabs * spill_factor + outs <= budget:
+            return TX
+    return None
+
+
+def _build_phase_call_packed(grid, tgrid, n_in, nout, body, spill_factor):
+    """One x-tiled packed phase kernel: DMA ``n_in`` x-halo-extended
+    (TXS, rows, 128) slabs, serve packed metric constants, evaluate ``body``
+    inside operators.shifts.packed_mode, accumulate into (TX, rows, 128)
+    output blocks."""
+    from ..operators.shifts import packed_mode
+
+    Hx = grid.H[0]
+    Nx = grid.N[0]
+    S = tgrid.S
+    ZP = tgrid.ZP
+    TX = _pick_tx_packed(grid, n_in, spill_factor=spill_factor)
+    if TX is None:
+        raise ValueError("grid not tileable for the packed VI kernel")
+    TXS = TX + 2 * Hx
+    slab_shape = (TXS, S, 128)
+    bounded_x = grid.topology[0] == "bounded"
+    ntx = Nx // TX + (1 if bounded_x else 0)
+    tile = (slice(Hx, Hx + TX), slice(None))
+
+    tgrid._mode = "record"
+    tgrid._recorded = {}
+    tgrid._tys = None
+    tgrid.index_offset = (0, None, None)
+    spec = jax.ShapeDtypeStruct(slab_shape, grid.dtype)
+
+    def record_fn(*slabs):
+        acc = {}
+
+        def write(k, term):
+            acc[k] = term if k not in acc else acc[k] + term
+
+        with packed_mode(ZP):
+            body(slabs, tile, write)
+        return tuple(acc[k] for k in sorted(acc))
+
+    jax.eval_shape(record_fn, *([spec] * n_in))
+
+    rows = []
+    key_index = {}
+    for key, full in tgrid._recorded.items():
+        key_index[key] = len(rows)
+        rows.append(tgrid._pack_np(full)[0])
+    pack = (np.stack(rows).astype(grid.dtype) if rows
+            else np.zeros((1, S, 128), grid.dtype))
+
+    def kernel(*refs):
+        ins = refs[:n_in]
+        pack_ref = refs[n_in]
+        outs = refs[n_in + 1:n_in + 1 + nout]
+        slabs = refs[n_in + 1 + nout:n_in + 1 + nout + n_in]
+        sems = refs[n_in + 1 + nout + n_in]
+        i = pl.program_id(0)
+        x0 = i * TX
+        copies = []
+        for k in range(n_in):
+            dma = pltpu.make_async_copy(
+                ins[k].at[pl.ds(x0, TXS)], slabs[k], sems.at[k])
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+        vals = [s[:] for s in slabs]
+
+        served = {key: pack_ref[row][None]
+                  for key, row in key_index.items()}
+        tgrid._mode = "serve"
+        tgrid._served = served
+        tgrid.index_offset = (x0, None, None)
+
+        written = set()
+
+        def write(k, term):
+            if k in written:
+                outs[k][:] = outs[k][:] + term
+            else:
+                outs[k][:] = term
+                written.add(k)
+
+        with packed_mode(ZP):
+            body(vals, tile, write)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(ntx,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in
+        + [pl.BlockSpec(pack.shape, lambda i: (0, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((TX, S, 128), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)] * nout,
+        out_shape=[jax.ShapeDtypeStruct((ntx * TX, S, 128), grid.dtype)]
+        * nout,
+        scratch_shapes=([pltpu.VMEM(slab_shape, grid.dtype)] * n_in
+                        + [pltpu.SemaphoreType.DMA((n_in,))]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )
+    pack_arg = jnp.asarray(pack)
+    return lambda *args: call(*(list(args) + [pack_arg]))
+
+
+def build_fused_hydrostatic_tendency_packed(grid, vi, tracer_scheme,
+                                            tracer_names, coriolis=None,
+                                            with_ph=True):
+    """Packed-layout fused VI hydrostatic tendency: same physics surface as
+    :func:`build_fused_hydrostatic_tendency` (reference:
+    hydrostatic_free_surface_tendency_kernel_functions.jl:27-140) but on
+    (x, rows, 128) flat-(y,z) slabs — no 128-lane z padding."""
+    Hx, Hy, Hz = grid.H
+    Nx, Ny, Nz = grid.N
+    NXP, NYP, ZP = grid.padded_shape
+    names = tuple(tracer_names)
+    ntr = len(names)
+    tgrid = _PackedMetricTileGrid(grid)
+    S = tgrid.S
+    FLAT = tgrid.FLAT
+    bounded_x = grid.topology[0] == "bounded"
+    nx_keep = Nx + (1 if bounded_x else 0)
+    from ..operators.operators import ddx, ddy
+
+    def trims(tile):
+        TX = tile[0].stop - tile[0].start
+
+        def otx(a):
+            return a if a.shape[0] == TX else a[tile[0]]
+
+        return otx
+
+    def body_vorticity(slabs, tile, write):
+        u, v = slabs
+        otx = trims(tile)
+        h_u, h_v = vi._horizontal(tgrid, u, v, tile[0])
+        write(0, -otx(h_u))
+        write(1, -otx(h_v))
+
+    def body_bernoulli(slabs, tile, write):
+        u, v = slabs
+        otx = trims(tile)
+        b_u, b_v = vi._bernoulli(tgrid, u, v, tile[0])
+        write(0, -otx(b_u))
+        write(1, -otx(b_v))
+
+    def body_vertical(slabs, tile, write):
+        u, v, w = slabs
+        otx = trims(tile)
+        z_u, z_v = vi._vertical(tgrid, u, v, w, None, tile[0])
+        write(0, -otx(z_u))
+        write(1, -otx(z_v))
+
+    def body_forces(slabs, tile, write):
+        k0 = 3 + (1 if with_ph else 0)
+        u, v, w = slabs[0], slabs[1], slabs[2]
+        ph = slabs[3] if with_ph else None
+        tracers = slabs[k0:k0 + ntr]
+        otx = trims(tile)
+        wrote = False
+        if coriolis is not None:
+            write(0, -otx(coriolis.x_f_cross_U(tgrid, u, v, w)))
+            write(1, -otx(coriolis.y_f_cross_U(tgrid, u, v, w)))
+            wrote = True
+        if with_ph:
+            write(0, -otx(ddx(tgrid, ph, LOC_FCC)))
+            write(1, -otx(ddy(tgrid, ph, LOC_CFC)))
+            wrote = True
+        if not wrote:
+            TX = tile[0].stop - tile[0].start
+            z = jnp.zeros((TX,) + u.shape[1:], u.dtype)
+            write(0, z)
+            write(1, z)
+        for t, c in enumerate(tracers):
+            write(2 + t, -div_Uc(tgrid, tracer_scheme, u, v, w, c,
+                                 tile=tile))
+
+    call_h = _build_phase_call_packed(grid, tgrid, 2, 2, body_vorticity, 4)
+    call_b = _build_phase_call_packed(grid, tgrid, 2, 2, body_bernoulli, 4)
+    call_z = _build_phase_call_packed(grid, tgrid, 3, 2, body_vertical, 4)
+    nf_f = 3 + (1 if with_ph else 0) + ntr
+    call_f = _build_phase_call_packed(grid, tgrid, nf_f, 2 + ntr,
+                                      body_forces, 4)
+
+    sx = slice(Hx, Hx + nx_keep)
+    PADF = S * 128 - FLAT
+    xpad = _TX_MAX if bounded_x else 0
+
+    def packf(a):
+        a = a.astype(grid.dtype).reshape(NXP, FLAT)
+        a = jnp.pad(a, [(0, xpad), (0, PADF)])
+        return a.reshape(NXP + xpad, S, 128)
+
+    def fused(u, v, w, tracers, ph=None):
+        args = [packf(a) for a in
+                [u, v, w] + ([ph] if with_ph else [])
+                + [tracers[n] for n in names]]
+        up, vp, wp = args[0], args[1], args[2]
+        outs_h = call_h(up, vp)
+        outs_b = call_b(up, vp)
+        outs_z = call_z(up, vp, wp)
+        outs_f = call_f(*args)
+
+        def embed(parts):
+            tot = None
+            for o in parts:
+                t = o[:nx_keep]
+                tot = t if tot is None else tot + t
+            tot = tot.reshape(nx_keep, S * 128)[:, :FLAT] \
+                .reshape(nx_keep, NYP, ZP)
+            full = jnp.zeros((NXP, NYP, ZP), tot.dtype)
+            return full.at[sx].set(tot)
+
+        Gu = embed([outs_h[0], outs_b[0], outs_z[0], outs_f[0]])
+        Gv = embed([outs_h[1], outs_b[1], outs_z[1], outs_f[1]])
+        Gc = {n: embed([outs_f[2 + t]]) for t, n in enumerate(names)}
+        return Gu, Gv, Gc
+
+    return fused

@@ -236,15 +236,32 @@ class HydrostaticFreeSurfaceModel:
         if fused_tendencies == "auto":
             import jax as _jax
             fused_tendencies = _jax.default_backend() == "cpu" and False
-        if fused_tendencies is True \
+        if fused_tendencies in (True, "packed") \
                 and self.prescribed_velocities is None \
                 and vertical_coordinate == "z" and not self._immersed \
                 and not getattr(closure, "has_eddy_velocities", False) \
                 and isinstance(self.momentum_advection, VectorInvariant):
             from ..kernels.fused_vector_invariant import (
-                build_fused_hydrostatic_tendency, eligible_hydrostatic)
-            if eligible_hydrostatic(self.grid, self.momentum_advection,
-                                    self.tracer_advection, self.tracer_names):
+                build_fused_hydrostatic_tendency,
+                build_fused_hydrostatic_tendency_packed,
+                eligible_hydrostatic, eligible_hydrostatic_packed)
+            if fused_tendencies == "packed":
+                # packed (y,z)-flattened slabs: no 128-lane z padding — the
+                # fast path at hydrostatic depths (Nz ≪ 128)
+                if eligible_hydrostatic_packed(
+                        self.grid, self.momentum_advection,
+                        self.tracer_advection, self.tracer_names):
+                    self._fused_vi = build_fused_hydrostatic_tendency_packed(
+                        self.grid, self.momentum_advection,
+                        self.tracer_advection, self.tracer_names,
+                        coriolis=self.coriolis,
+                        with_ph=(self.buoyancy is not None))
+                else:
+                    raise ValueError("grid/config not eligible for the "
+                                     "packed fused VI tendency kernel")
+            elif eligible_hydrostatic(self.grid, self.momentum_advection,
+                                      self.tracer_advection,
+                                      self.tracer_names):
                 self._fused_vi = build_fused_hydrostatic_tendency(
                     self.grid, self.momentum_advection, self.tracer_advection,
                     self.tracer_names, coriolis=self.coriolis,

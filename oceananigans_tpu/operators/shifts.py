@@ -19,8 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def shift(a, s, axis):
-    """out[i] = a[i + s] along ``axis``; zero-fill out-of-range (halo-only)."""
+def _shift_raw(a, s, axis):
     if s == 0:
         return a
     n = a.shape[axis]
@@ -32,6 +31,76 @@ def shift(a, s, axis):
         sl = lax.slice_in_dim(a, 0, n + s, axis=axis)
         pad[axis] = (-s, 0)
     return jnp.pad(sl, pad)
+
+
+# -- packed (y,z)-flattened minor-dim mode -------------------------------------
+#
+# For Pallas kernels on shallow grids (Nz ≪ 128) the 128-lane minor-dim
+# padding wastes up to 4× of the VPU (kernels/fused_vector_invariant.py).
+# In PACKED mode the in-flight 3D arrays are (x, rows, 128) views of the
+# row-major flattened (y, z) plane: flat = y·ZP + z with ZP = the padded z
+# extent (z halos INCLUDED). Then
+#     shift along z by s  ≡  flat shift by s
+#     shift along y by s  ≡  flat shift by s·ZP
+# and cross-column reads land in halo slots only — exactly the guarantee the
+# zero-fill of the unpacked shift provides, so the stencil/halo contract is
+# unchanged. Activated by kernel builders around record/trace passes.
+
+_PACKED_ZP = None
+
+
+class packed_mode:
+    """Context manager: interpret axis-1/2 shifts of 3D arrays as flat
+    shifts of a (y,z)-flattened minor dim with padded-z extent ``zp``."""
+
+    def __init__(self, zp):
+        self.zp = int(zp)
+
+    def __enter__(self):
+        global _PACKED_ZP
+        self._prev = _PACKED_ZP
+        _PACKED_ZP = self.zp
+
+    def __exit__(self, *exc):
+        global _PACKED_ZP
+        _PACKED_ZP = self._prev
+        return False
+
+
+def _flat_shift(a, s):
+    """Shift a (x, rows, 128) array by ``s`` along the flattened minor dim:
+    out[f] = a_flat[f + s]; zero-fill out-of-range. Decomposed into a row
+    shift plus a two-piece lane shift with single-row carry — all static
+    slices, Mosaic-friendly."""
+    if s == 0:
+        return a
+    L = a.shape[-1]
+    if s > 0:
+        q, r = divmod(s, L)
+        b = _shift_raw(a, q, 1) if q else a
+        if r == 0:
+            return b
+        # carry from the NEXT row (zero row past the end = true zero-fill)
+        nxt = _shift_raw(b, 1, 1)
+        return jnp.concatenate([b[:, :, r:], nxt[:, :, :r]], axis=-1)
+    # negative s: ceil-rounded row shift + carry from the PREVIOUS row —
+    # floor-rounding would pair a row-down shift with a LARGE positive lane
+    # shift whose last-row carry reads the zero-fill row past the end even
+    # for in-range flat targets
+    q = -((-s) // L)
+    r = s - q * L  # in (-L, 0]
+    b = _shift_raw(a, q, 1) if q else a
+    if r == 0:
+        return b
+    prv = _shift_raw(b, -1, 1)
+    return jnp.concatenate([prv[:, :, L + r:], b[:, :, :L + r]], axis=-1)
+
+
+def shift(a, s, axis):
+    """out[i] = a[i + s] along ``axis``; zero-fill out-of-range (halo-only)."""
+    if _PACKED_ZP is not None and axis != 0 and a.ndim == 3:
+        return _flat_shift(a, s * (_PACKED_ZP if axis == 1 else 1))
+    return _shift_raw(a, s, axis)
 
 
 def shift_zbc(a, s, axis, kind, n=None):
