@@ -626,7 +626,8 @@ def eligible_hydrostatic_packed(grid, vi, tracer_scheme, tracer_names):
         return False
     if not _metrics_x_invariant(grid):
         return False
-    return _pick_tx_packed(grid, 4 + len(tuple(tracer_names))) is not None
+    return _pick_tx_packed(grid, 4 + len(tuple(tracer_names)),
+                           spill_factor=8) is not None
 
 
 def _pick_tx_packed(grid, nf, budget=100 * 1024 * 1024, spill_factor=4):
@@ -818,12 +819,15 @@ def build_fused_hydrostatic_tendency_packed(grid, vi, tracer_scheme,
             write(2 + t, -div_Uc(tgrid, tracer_scheme, u, v, w, c,
                                  tile=tile))
 
-    call_h = _build_phase_call_packed(grid, tgrid, 2, 2, body_vorticity, 4)
-    call_b = _build_phase_call_packed(grid, tgrid, 2, 2, body_bernoulli, 4)
-    call_z = _build_phase_call_packed(grid, tgrid, 3, 2, body_vertical, 4)
+    # per-phase Mosaic register-spill factors: the unpacked calibration
+    # (see _pick_tiles) transfers — packed slabs are denser but spills
+    # scale with slab element count all the same
+    call_h = _build_phase_call_packed(grid, tgrid, 2, 2, body_vorticity, 16)
+    call_b = _build_phase_call_packed(grid, tgrid, 2, 2, body_bernoulli, 16)
+    call_z = _build_phase_call_packed(grid, tgrid, 3, 2, body_vertical, 16)
     nf_f = 3 + (1 if with_ph else 0) + ntr
     call_f = _build_phase_call_packed(grid, tgrid, nf_f, 2 + ntr,
-                                      body_forces, 4)
+                                      body_forces, 8)
 
     sx = slice(Hx, Hx + nx_keep)
     PADF = S * 128 - FLAT

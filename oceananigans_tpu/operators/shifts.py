@@ -47,23 +47,32 @@ def _shift_raw(a, s, axis):
 # unchanged. Activated by kernel builders around record/trace passes.
 
 _PACKED_ZP = None
+_PACKED_CACHE = None
 
 
 class packed_mode:
     """Context manager: interpret axis-1/2 shifts of 3D arrays as flat
-    shifts of a (y,z)-flattened minor dim with padded-z extent ``zp``."""
+    shifts of a (y,z)-flattened minor dim with padded-z extent ``zp``.
+
+    Carries an identity-keyed shift cache: flat shifts cost ~3 ops each
+    (row shift + two-piece lane concat) and WENO bodies request the same
+    (array, offset) pairs repeatedly — deduping keeps the Mosaic program
+    size (and its superlinear compile time) in check. Keys hold strong
+    refs to the arrays, so ids stay unique for the cache's lifetime
+    (one kernel trace)."""
 
     def __init__(self, zp):
         self.zp = int(zp)
 
     def __enter__(self):
-        global _PACKED_ZP
-        self._prev = _PACKED_ZP
+        global _PACKED_ZP, _PACKED_CACHE
+        self._prev = (_PACKED_ZP, _PACKED_CACHE)
         _PACKED_ZP = self.zp
+        _PACKED_CACHE = {}
 
     def __exit__(self, *exc):
-        global _PACKED_ZP
-        _PACKED_ZP = self._prev
+        global _PACKED_ZP, _PACKED_CACHE
+        _PACKED_ZP, _PACKED_CACHE = self._prev
         return False
 
 
@@ -71,17 +80,29 @@ def _flat_shift(a, s):
     """Shift a (x, rows, 128) array by ``s`` along the flattened minor dim:
     out[f] = a_flat[f + s]; zero-fill out-of-range. Decomposed into a row
     shift plus a two-piece lane shift with single-row carry — all static
-    slices, Mosaic-friendly."""
+    slices, Mosaic-friendly. Results are memoized per packed_mode trace."""
     if s == 0:
         return a
+    key = (id(a), s)
+    hit = _PACKED_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    out = _flat_shift_impl(a, s)
+    _PACKED_CACHE[key] = (a, out)  # strong ref to `a` keeps id unique
+    return out
+
+
+def _flat_shift_impl(a, s):
     L = a.shape[-1]
     if s > 0:
         q, r = divmod(s, L)
-        b = _shift_raw(a, q, 1) if q else a
         if r == 0:
-            return b
+            return _shift_raw(a, q, 1)
+        # route row shifts through the cache: b and its successor row view
+        # are shared by every offset with the same row quotient
+        b = _flat_shift(a, q * L) if q else a
         # carry from the NEXT row (zero row past the end = true zero-fill)
-        nxt = _shift_raw(b, 1, 1)
+        nxt = _flat_shift(a, (q + 1) * L)
         return jnp.concatenate([b[:, :, r:], nxt[:, :, :r]], axis=-1)
     # negative s: ceil-rounded row shift + carry from the PREVIOUS row —
     # floor-rounding would pair a row-down shift with a LARGE positive lane
@@ -89,10 +110,10 @@ def _flat_shift(a, s):
     # for in-range flat targets
     q = -((-s) // L)
     r = s - q * L  # in (-L, 0]
-    b = _shift_raw(a, q, 1) if q else a
     if r == 0:
-        return b
-    prv = _shift_raw(b, -1, 1)
+        return _shift_raw(a, q, 1)
+    b = _flat_shift(a, q * L) if q else a
+    prv = _flat_shift(a, (q - 1) * L)
     return jnp.concatenate([prv[:, :, L + r:], b[:, :, :L + r]], axis=-1)
 
 
