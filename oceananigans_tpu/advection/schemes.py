@@ -27,6 +27,7 @@ import functools
 
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental.pallas import reciprocal as pl_reciprocal
 
 from .reconstruction import (_ShiftCache, eno_coefficients,
                              eno_coefficients_nonuniform, left_shifts, mirror,
@@ -453,11 +454,21 @@ class WENO(AdvectionScheme):
             term = t * b
             tau = term if tau is None else tau + term
         tau = jnp.abs(tau)
+        # Inside Pallas kernel bodies (grid proxies set ``fast_reciprocal``)
+        # the k per-stencil divisions r = τ/(β+ε) use the VPU's approximate
+        # reciprocal (~2⁻¹² relative error) — the same reduced-precision
+        # weight division the reference makes deliberate with
+        # `newton_div(FT2, ...)` (weno_interpolants.jl:290-335); the final
+        # num/den division stays exact.
+        fast_recip = getattr(grid, "fast_reciprocal", False)
         num = None
         den = None
         for s in range(k):
             eps = jnp.asarray(WENO_EPSILON, betas[s].dtype)
-            r = tau / (betas[s] + eps)
+            if fast_recip:
+                r = tau * pl_reciprocal(betas[s] + eps, approx=True)
+            else:
+                r = tau / (betas[s] + eps)
             alpha = (self._gammas[s] * (1.0 + r * r)).astype(out_dtype)
             nterm = alpha * ps[s]
             num = nterm if num is None else num + nterm

@@ -47,6 +47,11 @@ class _TileGrid:
         self.topology = (PERIODIC, PERIODIC, grid.topology[2])
         self.H = tuple(grid.H)
         self.N = tuple(grid.N)
+        # WENO weight divisions inside kernel bodies use the VPU approximate
+        # reciprocal (schemes.py _biased; the reference's newton_div(FT2, ·)
+        # analogue). Interpret mode (CPU tests) keeps exact division so the
+        # Pallas==XLA equivalence tests stay bitwise-comparable.
+        self.fast_reciprocal = jax.default_backend() == "tpu"
         ccc = ("c", "c", "c")
         # regular grids: all metrics are location-independent scalars
         self._dx = float(np.asarray(grid.dx(ccc)).reshape(())) \

@@ -68,6 +68,9 @@ class _MetricTileGrid:
         self.ZPAD = zpad
         self.NYP = parent.padded_shape[1]
         self.index_offset = (None, None, None)
+        # see fused_advection._TileGrid: approximate-reciprocal WENO weight
+        # divisions on TPU kernel bodies only
+        self.fast_reciprocal = jax.default_backend() == "tpu"
         self._mode = "record"
         self._recorded = {}   # key -> numpy array (insertion-ordered)
         self._served = None   # key -> jnp array (set per kernel trace)

@@ -564,9 +564,11 @@ class NonhydrostaticModel:
                 u, v, w = filled["u"], filled["v"], filled["w"]
             rhs = self._fused_div(u, v, w, 1.0 / dtt)
             p_int = self.pressure_solver.solve(rhs)
-            p = jnp.zeros(grid.padded_shape, grid.dtype)
-            p = p.at[grid.interior_slices].set(p_int)
-            p = fill_halo_regions(p, grid, LOC_CCC, self.bcs["p"], time)
+            # one fused pad-wrap materializes the padded p WITH periodic
+            # x/y halos (z-compact ⇒ no z halo slots); replaces the
+            # zeros→embed→fill_halo_regions chain (3 HBM passes → 1)
+            Hx, Hy, _ = grid.H
+            p = jnp.pad(p_int, ((Hx, Hx), (Hy, Hy), (0, 0)), mode="wrap")
             u, v, w = self._fused_correct(p, u, v, w, dtt)
             return u, v, w, p
         if self.immersed:

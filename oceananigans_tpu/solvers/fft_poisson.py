@@ -104,10 +104,11 @@ class FFTPoissonSolver:
         matmul (DCT-II for Bounded axes; split-real cos/sin DFT with a half
         spectrum on the first Periodic axis, full split-real DFT on the rest).
         The spectral state is an explicit (re, im) pair of REAL arrays — no
-        complex dtype anywhere, so every contraction is a plain f32 matmul
-        with bf16x3 precision (measured ~2× faster than the XLA FFT path at
-        256³ on TPU v5e, with ~1e-6 solve residual). TPU-native replacement
-        for the reference's FFTW/cuFFT plans (plan_transforms.jl)."""
+        complex dtype anywhere, so every contraction is a plain real matmul
+        at transforms.MATMUL_PRECISION (bf16x3 default on TPU: 2.58 ms /
+        9e-5 residual at 256³ v5e vs 3.57 ms / 1.7e-6 for 6-pass f32; both
+        ~2× faster than the XLA FFT path). TPU-native replacement for the
+        reference's FFTW/cuFFT plans (plan_transforms.jl)."""
         from .transforms import dct2_matrix, idct2_matrix
         re, im = b, None
         for axis in self._dct_axes:

@@ -44,11 +44,22 @@ def idct2_matrix(N):
 
 
 # Contract along any axis of a 3D array WITHOUT a physical transpose — XLA
-# feeds the MXU directly from either layout. precision="float32" selects the
-# bf16x3 MXU passes: ~1e-7 relative error (measured, same as 6-pass) at ~2×
-# the speed of "highest"; the 1-pass default would give only ~2e-3.
+# feeds the MXU directly from either layout.
+#
+# MXU precision for the transform matmuls (measured at 256³ on v5e, full
+# Poisson solve |∇²p − b|/|b| and fused-loop ms/solve):
+#   "float32"     (6-pass bf16)  1.7e-6 residual   3.57 ms
+#   "bfloat16_3x" (3-pass bf16)  9.0e-5 residual   2.58 ms   ← TPU default
+#   "bfloat16"    (1-pass)       2.0e-2 residual   — unusable
+# The projection re-removes the (non-accumulating) residual divergence every
+# step, so the 9e-5 solve residual is far below the advection truncation
+# error; strict runs can export OCEANANIGANS_TPU_SOLVER_PRECISION=float32 or
+# set transforms.MATMUL_PRECISION. CPU ignores einsum precision (always f32),
+# so the CPU test-suite tolerances are unaffected.
 _EINSUM_3D = {0: "kn,nij->kij", 1: "kn,inj->ikj", 2: "kn,ijn->ijk"}
-MATMUL_PRECISION = "float32"
+import os as _os
+MATMUL_PRECISION = _os.environ.get("OCEANANIGANS_TPU_SOLVER_PRECISION",
+                                   "bfloat16_3x")
 
 
 def _apply_matrix_along(a, M, axis):
