@@ -33,6 +33,36 @@ from .scalar_diffusivity import _ClosureBase
 from .vertical_diffusivities import _N2_ccf, _shear2_ccf
 
 
+def shear_production(grid, nu_ccf, u_old, u_new, v_old, v_new):
+    """'Approximately conservative' shear production at cell centers
+    (reference: shear_production, TKEBasedVerticalDiffusivities.jl:121-143):
+    P = ℑx[ℑz(ℑx(ν)·∂z uⁿ·Δz·∂z u⁺ averaged with (u⁺,u⁺))/Δz] + the y
+    analogue. Shared by CATKE and the k-ε closure."""
+    from ..operators.operators import ddz, ix_c, ix_f, iy_c, iy_f
+    fcf = ("f", "c", "f")
+    cff = ("c", "f", "f")
+
+    def Px(un, up):
+        nu_f = ix_f(grid, nu_ccf)
+        dzn = ddz(grid, un, fcf)
+        dzp = ddz(grid, up, fcf)
+        dz_f = grid.dz(fcf)
+        return nu_f * dzn * dz_f * dzp
+
+    def Py(vn, vp):
+        nu_f = iy_f(grid, nu_ccf)
+        dzn = ddz(grid, vn, cff)
+        dzp = ddz(grid, vp, cff)
+        dz_f = grid.dz(cff)
+        return nu_f * dzn * dz_f * dzp
+
+    Px_fcc = iz_c(grid, 0.5 * (Px(u_old, u_new) + Px(u_new, u_new))) \
+        / grid.dz(("f", "c", "c"))
+    Py_cfc = iz_c(grid, 0.5 * (Py(v_old, v_new) + Py(v_new, v_new))) \
+        / grid.dz(("c", "f", "c"))
+    return ix_c(grid, Px_fcc) + iy_c(grid, Py_cfc)
+
+
 class CATKEMixingLength:
     """The 19 calibrated mixing-length constants (reference:
     catke_mixing_length.jl:15-37)."""
@@ -79,6 +109,7 @@ class CATKEVerticalDiffusivity(_ClosureBase):
     # the TKE equation is substepped by the model rather than advanced as an
     # ordinary tracer (reference: time_step_catke_equation.jl)
     substepped_tke = True
+    substepped_tracers = ("e",)
 
     def __init__(self, mixing_length=None, tke_equation=None,
                  minimum_tke=1e-9, minimum_convective_buoyancy_flux=1e-11,
@@ -227,33 +258,7 @@ class CATKEVerticalDiffusivity(_ClosureBase):
     # P + wb⁺ (dissipation is fully implicit under VITD).
 
     def _shear_production(self, grid, nu_ccf, u_old, u_new, v_old, v_new):
-        """'Approximately conservative' shear production at cell centers
-        (reference: shear_production, TKEBasedVerticalDiffusivities.jl:
-        121-143): P = ℑx[ℑz(ℑx(ν)·∂z uⁿ·Δz·∂z u⁺ averaged with (u⁺,u⁺))/Δz]
-        + the y analogue."""
-        from ..operators.operators import ddz, ix_c, ix_f, iy_c, iy_f, iz_c
-        fcf = ("f", "c", "f")
-        cff = ("c", "f", "f")
-
-        def Px(un, up):
-            nu_f = ix_f(grid, nu_ccf)
-            dzn = ddz(grid, un, fcf)
-            dzp = ddz(grid, up, fcf)
-            dz_f = grid.dz(fcf)
-            return nu_f * dzn * dz_f * dzp
-
-        def Py(vn, vp):
-            nu_f = iy_f(grid, nu_ccf)
-            dzn = ddz(grid, vn, cff)
-            dzp = ddz(grid, vp, cff)
-            dz_f = grid.dz(cff)
-            return nu_f * dzn * dz_f * dzp
-
-        Px_fcc = iz_c(grid, 0.5 * (Px(u_old, u_new) + Px(u_new, u_new))) \
-            / grid.dz(("f", "c", "c"))
-        Py_cfc = iz_c(grid, 0.5 * (Py(v_old, v_new) + Py(v_new, v_new))) \
-            / grid.dz(("c", "f", "c"))
-        return ix_c(grid, Px_fcc) + iy_c(grid, Py_cfc)
+        return shear_production(grid, nu_ccf, u_old, u_new, v_old, v_new)
 
     def _bottom_mask_ccc(self, grid):
         """1 at the bottommost active cell of each column (reference:
@@ -268,6 +273,16 @@ class CATKEVerticalDiffusivity(_ClosureBase):
         else:
             mask[:, :, h] = True
         return mask
+
+    def step_turbulence(self, grid, fields_old, fields_new, slow_G, Gm, dt,
+                        chi0, euler, M, time):
+        """Dict-contract wrapper over :meth:`step_tke` (the model drives all
+        substepped closures — CATKE's single ``e``, k-ε's ``(e, eps)`` —
+        through this uniform interface)."""
+        e_new, Gm_e = self.step_tke(grid, fields_old, fields_new,
+                                    slow_G["e"], Gm["e"], dt, chi0, euler,
+                                    M, time)
+        return {"e": e_new}, {"e": Gm_e}
 
     def step_tke(self, grid, fields_old, fields_new, slow_Ge, Gm_e, dt,
                  chi0, euler, M, time):

@@ -207,3 +207,48 @@ class ClosureTuple(_ClosureBase):
             if hasattr(c, "clip_fields"):
                 fields = c.clip_fields(fields)
         return fields
+
+    # -- substepped-turbulence delegation ----------------------------------------
+    # A tuple containing one substepped TKE-family member (CATKE or k-ε)
+    # exposes that member's substepping interface so the model drives it
+    # exactly as it would the bare closure (reference: closure tuples are
+    # unwrapped by time_step_catke_equation.jl's `catke_in_closures`).
+
+    @property
+    def tke_member(self):
+        for c in self.closures:
+            if getattr(c, "substepped_tke", False):
+                return c
+        return None
+
+    @property
+    def substepped_tke(self):
+        return self.tke_member is not None
+
+    @property
+    def substepped_tracers(self):
+        m = self.tke_member
+        return m.substepped_tracers if m is not None else ()
+
+    @property
+    def tke_time_step(self):
+        return self.tke_member.tke_time_step
+
+    def substeps_for(self, dt):
+        return self.tke_member.substeps_for(dt)
+
+    def step_turbulence(self, grid, fields_old, fields_new, slow_G, Gm, dt,
+                        chi0, euler, M, time):
+        return self.tke_member.step_turbulence(
+            grid, fields_old, fields_new, slow_G, Gm, dt, chi0, euler, M,
+            time)
+
+    def tracer_tendency_excluding_tke(self, grid, name, fields, aux):
+        """Slow tendency contributions for a substepped tracer from the
+        NON-substepped members (e.g. horizontal diffusion of ``e`` by an
+        accompanying ScalarDiffusivity); the substepped member's fast terms
+        live inside step_turbulence."""
+        tke = self.tke_member
+        return sum((c.tracer_tendency(grid, name, fields, a)
+                    for c, a in zip(self.closures, aux) if c is not tke),
+                   start=jnp.zeros_like(fields[name]))

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..operators.operators import iz_c, iz_f
+from .catke import shear_production
 from .scalar_diffusivity import _ClosureBase
 from .vertical_diffusivities import _N2_ccf, _shear2_ccf
 
@@ -118,27 +119,44 @@ class ConstantStabilityFunctions(VariableStabilityFunctions):
 
 class TKEDissipationEquations:
     """e/ε equation coefficients (reference:
-    tke_dissipation_equations.jl:9-16)."""
+    tke_dissipation_equations.jl:9-19)."""
 
     def __init__(self, Ceps_eps=1.92, CP_eps=1.44, Cb_eps_plus=-0.65,
-                 Cb_eps_minus=-0.65):
+                 Cb_eps_minus=-0.65, Cwu=0.0, CwD=0.0, Cw_alpha=0.11,
+                 gravitational_acceleration=9.8065,
+                 minimum_roughness_length=1e-4):
         self.Ceps_eps = Ceps_eps
         self.CP_eps = CP_eps
         self.Cb_plus = Cb_eps_plus
         self.Cb_minus = Cb_eps_minus
+        # surface-flux constants: Cᵂu★/CᵂwΔ (both 0 by default in the
+        # reference), the Charnock parameter Cᵂα, g, and ℓmin
+        self.Cwu = Cwu
+        self.CwD = CwD
+        self.Cw_alpha = Cw_alpha
+        self.g = gravitational_acceleration
+        self.min_roughness = minimum_roughness_length
 
     def _fp(self):
         return ("TKEDissipationEquations", self.Ceps_eps, self.CP_eps,
-                self.Cb_plus, self.Cb_minus)
+                self.Cb_plus, self.Cb_minus, self.Cwu, self.CwD,
+                self.Cw_alpha, self.g, self.min_roughness)
 
 
 class TKEDissipationVerticalDiffusivity(_ClosureBase):
     required_tracers = ("e", "eps")
 
+    # e and ε are substepped by the model with per-substep diffusivity
+    # refresh (reference: time_step_tke_dissipation_equations!,
+    # tke_dissipation_equations.jl:23-98)
+    substepped_tke = True
+    substepped_tracers = ("e", "eps")
+
     def __init__(self, stability_functions=None, tke_dissipation_equations=None,
                  minimum_tke=1e-6, CN=0.75, minimum_buoyancy_frequency=1e-14,
                  maximum_viscosity=np.inf, maximum_diffusivity=np.inf,
-                 buoyancy=None):
+                 buoyancy=None, negative_tke_damping_time_scale=60.0,
+                 tke_dissipation_time_step=None, friction_velocity=None):
         self.stability_functions = (stability_functions
                                     or VariableStabilityFunctions())
         self.equations = (tke_dissipation_equations
@@ -149,11 +167,29 @@ class TKEDissipationVerticalDiffusivity(_ClosureBase):
         self.max_visc = float(maximum_viscosity)
         self.max_diff = float(maximum_diffusivity)
         self.buoyancy = buoyancy
+        # ω for damping negative TKE back toward 0 (reference default:
+        # 1minute, tke_dissipation_vertical_diffusivity.jl:61)
+        self.omega_neg = 1.0 / float(negative_tke_damping_time_scale)
+        # Δτ for (e, ε) substepping: M = ceil(Δt/Δτ) substeps per step
+        # (reference: get_time_step, tke_dissipation_equations.jl:21)
+        self.tke_time_step = (None if tke_dissipation_time_step is None
+                              else float(tke_dissipation_time_step))
+        # surface friction velocity u★ for the ε Charnock roughness length
+        # (scalar or (x, y, t)-callable; the model derives it from the u/v
+        # top flux BCs at construction — reference: friction_velocity,
+        # tke_top_boundary_condition.jl)
+        self.friction_velocity = friction_velocity
+
+    def substeps_for(self, dt):
+        if self.tke_time_step is None:
+            return 1
+        return max(1, int(np.ceil(float(dt) / self.tke_time_step)))
 
     def _fp(self):
         return ("TKEDissipation", self.stability_functions._fp(),
                 self.equations._fp(), self.minimum_tke, self.CN,
-                self.N2_min, self.max_visc, self.max_diff)
+                self.N2_min, self.max_visc, self.max_diff,
+                self.omega_neg, self.tke_time_step)
 
     # -- state clipping ---------------------------------------------------------
 
@@ -244,6 +280,104 @@ class TKEDissipationVerticalDiffusivity(_ClosureBase):
         out["e"] = jnp.maximum(fields["e"], self.minimum_tke)
         out["eps"] = jnp.maximum(fields["eps"], 1e-12)
         return out
+
+    # -- substepped (e, ε) equations ---------------------------------------------
+
+    def step_turbulence(self, grid, fields_old, fields_new, slow_G, Gm, dt,
+                        chi0, euler, M, time):
+        """Advance (e, ε) over one baroclinic step in ``M`` AB2 substeps
+        with per-substep diffusivity/stability-function refresh (reference:
+        time_step_tke_dissipation_equations! + substep_tke_dissipation!,
+        tke_dissipation_equations.jl:23-196). ``fields_new`` holds the
+        already-updated halo-filled velocities; sinks (ω e, Cᵋϵ ωϵ ε) and
+        the Patankar-trick negative buoyancy fluxes are implicit linear
+        dampings inside the vertical implicit solve."""
+        from ..models.nonhydrostatic import implicit_vertical_diffusion
+        eq = self.equations
+        e = fields_new["e"]
+        eps = fields_new["eps"]
+        dtau = dt / M
+        Gm_e, Gm_eps = Gm["e"], Gm["eps"]
+        # ε surface flux −(𝕊u₀⁴/σϵ)·e★²/(d+ℓᵣ) with the Charnock roughness
+        # ℓᵣ = max(ℓmin, Cᵂα u★²/g) (reference: _top_dissipation_flux,
+        # tke_dissipation_equations.jl:242-263; d there is −z of the top
+        # cell center assuming the surface at z = 0 — here the equivalent
+        # surface distance Δz_top/2). Applied as a top-cell source
+        # G_ε[top] += |q|/Δz_top.
+        h, n = grid.H[2], grid.N[2]
+        kt = h + n - 1
+        dz_all = np.broadcast_to(np.asarray(grid.dz(("c", "c", "c")), float),
+                                 grid.padded_shape)
+        dz_top = float(dz_all[0, 0, kt])
+        top = np.zeros(grid.padded_shape, bool)
+        top[:, :, kt] = True
+        top = jnp.asarray(top, e.dtype)
+        ustar = self.friction_velocity
+        if callable(ustar):
+            from ..grids.base import broadcastable_1d
+            x1 = broadcastable_1d(grid.coord_padded(0, "c"), 0)
+            x2 = broadcastable_1d(grid.coord_padded(1, "c"), 1)
+            ustar = ustar(x1, x2, time)
+        ell_r = eq.min_roughness if ustar is None else jnp.maximum(
+            eq.min_roughness, eq.Cw_alpha * jnp.square(ustar) / eq.g)
+        Su0 = self.stability_functions.Su0
+        eps_srf_coeff = (Su0 ** 4 / self.stability_functions.Csigma_eps
+                         / (0.5 * dz_top + ell_r) / dz_top)
+        for m in range(M):
+            if M > 1 and m == 0:
+                chi = -0.5  # Euler first substep (β = 0 kills G⁻)
+            elif M > 1:
+                chi = chi0
+            else:
+                chi = jnp.where(euler, -0.5, chi0)
+            fe = dict(fields_new)
+            fe["e"] = e
+            fe["eps"] = eps
+            aux = self.compute_diffusivities(grid, fe, time)
+            N2 = aux["N2_ccf"]
+            estar = self._estar(fe)
+            epsstar = self._epsstar(grid, fe, N2)
+            # destruction time scales: ω★ = ε★/e★ for e (with the
+            # negative-TKE damping rate when e < 0), ωϵ = ε/e★ for ε
+            omega_star = epsstar / estar
+            omega_e = jnp.where(e < 0, self.omega_neg, omega_star)
+            omega_eps = eps / estar
+            wb = iz_c(grid, -aux["kappa_ccf"] * N2)
+            wb_plus = jnp.maximum(wb, 0.0)
+            wb_minus = jnp.minimum(wb, 0.0)
+            wb_minus_e = wb_minus / estar * (e > self.minimum_tke)
+            Cb = jnp.where(iz_c(grid, N2) >= 0, eq.Cb_plus, eq.Cb_minus)
+            Cb_wb_plus = jnp.maximum(Cb * wb, 0.0)
+            Cb_wb_minus = jnp.minimum(Cb * wb, 0.0)
+            P = shear_production(grid, aux["nu_ccf"],
+                                 fields_old["u"], fields_new["u"],
+                                 fields_old["v"], fields_new["v"])
+            fast_Ge = P + wb_plus
+            fast_Geps = omega_eps * (eq.CP_eps * P + Cb_wb_plus) \
+                + top * eps_srf_coeff * jnp.square(estar)
+            total_Ge = slow_G["e"] + fast_Ge
+            total_Geps = slow_G["eps"] + fast_Geps
+            alpha = 1.5 + chi
+            beta = 0.5 + chi
+            e_star_rhs = e + dtau * (alpha * total_Ge - beta * Gm_e)
+            eps_star_rhs = eps + dtau * (alpha * total_Geps - beta * Gm_eps)
+            Gm_e, Gm_eps = total_Ge, total_Geps
+            # implicit linear operators −Le, −Lϵ as positive damping rates
+            lam_e = omega_e - wb_minus_e
+            lam_eps = eq.Ceps_eps * omega_eps - Cb_wb_minus / estar
+            ke = aux["nu_e_ccf"]
+            keps = aux["nu_eps_ccf"]
+            if hasattr(grid, "fluid_mask"):
+                m_ccf = grid.fluid_mask(("c", "c", "f"), e.dtype)
+                ke = ke * m_ccf
+                keps = keps * m_ccf
+            e = implicit_vertical_diffusion(grid, e_star_rhs, ke, dtau,
+                                            damping=lam_e)
+            eps = implicit_vertical_diffusion(grid, eps_star_rhs, keps, dtau,
+                                              damping=lam_eps)
+            e = jnp.maximum(e, self.minimum_tke)
+            eps = jnp.maximum(eps, 1e-12)
+        return {"e": e, "eps": eps}, {"e": Gm_e, "eps": Gm_eps}
 
     def vertical_implicit_kappas(self, grid, fields, aux):
         out = {"u": aux["nu_ccf"], "v": aux["nu_ccf"]}

@@ -85,7 +85,18 @@ class HydrostaticFreeSurfaceModel:
                                    is not None else VectorInvariant())
         self.tracer_advection = (tracer_advection if tracer_advection
                                  is not None else Centered(2))
-        self.free_surface = free_surface or SplitExplicitFreeSurface()
+        if free_surface is None:
+            # reference default (hydrostatic_free_surface_model.jl:60-64):
+            # ImplicitFreeSurface on an xy-regular RectilinearGrid, else
+            # SplitExplicitFreeSurface(cfl=0.7) whose barotropic substep
+            # count satisfies the gravity-wave CFL for any Δt (a fixed
+            # substep count is unstable when Δt·√(gH)/Δx outruns it)
+            from ..grids.rectilinear import RectilinearGrid
+            xy_regular = (type(grid) is RectilinearGrid
+                          and grid.regular(0) and grid.regular(1))
+            free_surface = (ImplicitFreeSurface() if xy_regular
+                            else SplitExplicitFreeSurface(cfl=0.7))
+        self.free_surface = free_surface
         if isinstance(tracers, str):
             tracers = (tracers,)
         tracers = tuple(tracers)
@@ -141,6 +152,12 @@ class HydrostaticFreeSurfaceModel:
         self._substepped_tke = (closure is not None
                                 and getattr(closure, "substepped_tke", False)
                                 and self.prescribed_velocities is None)
+        # the substepped turbulence tracers: ("e",) for CATKE, ("e", "eps")
+        # for k-ε — advanced by closure.step_turbulence, not as ordinary
+        # tracers
+        self._substepped_names = (
+            tuple(getattr(closure, "substepped_tracers", ("e",)))
+            if self._substepped_tke else ())
         bcs_in = dict(boundary_conditions or {})
         if self._substepped_tke:
             bcs_in = self._install_tke_surface_flux(bcs_in)
@@ -416,7 +433,28 @@ class HydrostaticFreeSurfaceModel:
                 return None
             return bc.condition
 
-        clo = self.closure
+        # a ClosureTuple exposes its substepped member as tke_member
+        clo = getattr(self.closure, "tke_member", None) or self.closure
+
+        if not hasattr(clo, "surface_buoyancy_flux"):
+            # k-ε: derive the friction velocity u★ = (τx²+τy²)^¼ for the ε
+            # Charnock roughness (reference: friction_velocity,
+            # tke_top_boundary_condition.jl); surface e/ε fluxes have
+            # Cᵂu★ = CᵂwΔ = 0 reference defaults, so no flux BC to install
+            tau_x, tau_y = top_flux("u"), top_flux("v")
+            if clo.friction_velocity is None and (tau_x is not None
+                                                  or tau_y is not None):
+                if callable(tau_x) or callable(tau_y):
+                    def ustar_fn(x, y, t, _tx=tau_x, _ty=tau_y):
+                        tx = _tx(x, y, t) if callable(_tx) else (_tx or 0.0)
+                        ty = _ty(x, y, t) if callable(_ty) else (_ty or 0.0)
+                        return (tx * tx + ty * ty) ** 0.25
+                    clo.friction_velocity = ustar_fn
+                else:
+                    tx, ty = tau_x or 0.0, tau_y or 0.0
+                    clo.friction_velocity = (tx * tx + ty * ty) ** 0.25
+            return bcs_in
+
         if clo.surface_buoyancy_flux is None:
             buoy = clo.buoyancy or self.buoyancy
             Jb = None
@@ -661,14 +699,21 @@ class HydrostaticFreeSurfaceModel:
             Gc = (Gc_fused[name] if Gc_fused is not None else
                   -div_Uc(grid, self.tracer_advection, ut, vt, wt,
                           fields[name]))
-            if self.closure is not None and not (
-                    name == "e" and self._substepped_tke):
-                # substepped TKE: the production/buoyancy-flux fast terms
-                # live inside closure.step_tke; G[e] stays the slow
-                # (advective + boundary-flux) tendency
+            if self.closure is not None:
                 cf = dict(fields)
                 cf["w"] = w
-                Gc = Gc + self.closure.tracer_tendency(grid, name, cf, aux)
+                if name in self._substepped_names:
+                    # substepped turbulence: the production/buoyancy-flux
+                    # fast terms live inside closure.step_turbulence; the
+                    # slow tendency keeps only advection + boundary fluxes
+                    # (+ any NON-substepped tuple members' diffusion)
+                    fn = getattr(self.closure,
+                                 "tracer_tendency_excluding_tke", None)
+                    if fn is not None:
+                        Gc = Gc + fn(grid, name, cf, aux)
+                else:
+                    Gc = Gc + self.closure.tracer_tendency(grid, name, cf,
+                                                           aux)
             G[name] = Gc
 
         for name, F in self.forcing.items():
@@ -878,7 +923,8 @@ class HydrostaticFreeSurfaceModel:
                             self.grid, new, aux)
                         dampings = {}
                         if self._substepped_tke:
-                            kappas.pop("e", None)  # e advances in step_tke
+                            for nm in self._substepped_names:
+                                kappas.pop(nm, None)  # advance in step_turbulence
                         elif hasattr(self.closure,
                                      "vertical_implicit_damping"):
                             dampings = self.closure.vertical_implicit_damping(
@@ -896,7 +942,7 @@ class HydrostaticFreeSurfaceModel:
                         fields0, new, G, sdt, time, barotropic=bt,
                         se_settings=se_settings)
                     if self._substepped_tke:
-                        # per-stage Euler TKE step (reference:
+                        # per-stage Euler turbulence step (reference:
                         # _euler_step_turbulent_kinetic_energy!,
                         # time_step_catke_equation.jl RK3 variant):
                         # χ = −1/2 makes the AB2 combination a forward
@@ -909,13 +955,16 @@ class HydrostaticFreeSurfaceModel:
                             v=fill_halo_regions(new["v"], self.grid,
                                                 LOC_CFC, self.bcs["v"],
                                                 time),
-                            e=fields0["e"])
-                        e_new, _ = self.closure.step_tke(
-                            self.grid, ff, fnew, G["e"], G["e"], sdt,
+                            **{nm: fields0[nm]
+                               for nm in self._substepped_names})
+                        slow = {nm: G[nm] for nm in self._substepped_names}
+                        upd, _ = self.closure.step_turbulence(
+                            self.grid, ff, fnew, slow, slow, sdt,
                             -0.5, jnp.asarray(True), 1, time)
-                        if self._immersed:
-                            e_new = self.grid.mask_immersed(e_new, LOC_CCC)
-                        new["e"] = e_new
+                        for nm, val in upd.items():
+                            if self._immersed:
+                                val = self.grid.mask_immersed(val, LOC_CCC)
+                            new[nm] = val
                     fields = self._mask_state(new)
                 w_new = self._w_from_continuity(
                     fill_halo_regions(fields["u"], self.grid, LOC_FCC,
@@ -1033,9 +1082,11 @@ class HydrostaticFreeSurfaceModel:
                     self.grid, new, aux)
                 dampings = {}
                 if self._substepped_tke:
-                    # e advances inside closure.step_tke below (per-substep
-                    # κe refresh + implicit dissipation)
-                    kappas.pop("e", None)
+                    # substepped tracers advance inside closure.
+                    # step_turbulence below (per-substep diffusivity refresh
+                    # + implicit dissipation)
+                    for nm in self._substepped_names:
+                        kappas.pop(nm, None)
                 elif hasattr(self.closure, "vertical_implicit_damping"):
                     dampings = self.closure.vertical_implicit_damping(
                         self.grid, new, aux)
@@ -1092,19 +1143,25 @@ class HydrostaticFreeSurfaceModel:
             vf = fill_halo_regions(new["v"], self.grid, LOC_CFC,
                                    self.bcs["v"], time)
             if self._substepped_tke:
-                # substepped TKE equation with the updated velocities as
-                # next_velocities (reference: time_step_catke_equation.jl
-                # runs after ab2_step!)
+                # substepped turbulence equations with the updated
+                # velocities as next_velocities (reference:
+                # time_step_catke_equation.jl /
+                # time_step_tke_dissipation_equations! run after ab2_step!)
                 fnew = dict(new)
-                fnew.update(u=uf, v=vf, e=fields["e"])
-                e_new, Gm_e = self.closure.step_tke(
-                    self.grid, fields, fnew, G["e"], Gm["e"], dt, chi0,
+                fnew.update(u=uf, v=vf,
+                            **{nm: fields[nm]
+                               for nm in self._substepped_names})
+                slow = {nm: G[nm] for nm in self._substepped_names}
+                prev = {nm: Gm[nm] for nm in self._substepped_names}
+                upd, Gm_t = self.closure.step_turbulence(
+                    self.grid, fields, fnew, slow, prev, dt, chi0,
                     euler, catke_substeps, time)
-                if self._immersed:
-                    e_new = self.grid.mask_immersed(e_new, LOC_CCC)
-                new["e"] = e_new
                 G = dict(G)
-                G["e"] = Gm_e
+                for nm, val in upd.items():
+                    if self._immersed:
+                        val = self.grid.mask_immersed(val, LOC_CCC)
+                    new[nm] = val
+                    G[nm] = Gm_t[nm]
             w_new = self._w_from_continuity(uf, vf, dt_sigma=dt_sigma)
             clock = dict(time=time + dt, iteration=clock["iteration"] + 1,
                          last_dt=dt * jnp.ones_like(clock["last_dt"]))

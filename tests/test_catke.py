@@ -187,3 +187,81 @@ def test_catke_split_rk3():
     assert np.isfinite(e).all() and (e >= 0).all()
     assert e[-1] > 1e-6          # wind-driven TKE near the surface
     assert np.isfinite(b).all()
+
+
+def test_keps_substepping_and_friction_velocity():
+    """k-ε substepped (e, ε) equations (reference:
+    time_step_tke_dissipation_equations!, tke_dissipation_equations.jl:
+    23-98): M = ceil(dt/dt_keps) substeps, u* auto-derived from the u top
+    flux BC for the ε Charnock roughness, results consistent with the
+    single-substep run."""
+    from oceananigans_tpu.closures.tke_dissipation import (
+        TKEDissipationVerticalDiffusivity)
+
+    def make(dt_keps):
+        grid = RectilinearGrid(size=(1, 1, 24), z=(-50.0, 0.0),
+                               topology=("flat", "flat", "bounded"))
+        model = HydrostaticFreeSurfaceModel(
+            grid=grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+            closure=TKEDissipationVerticalDiffusivity(
+                buoyancy=BuoyancyTracer(),
+                tke_dissipation_time_step=dt_keps),
+            boundary_conditions={
+                "u": FieldBoundaryConditions(top=FluxBoundaryCondition(-1e-4))})
+        model.set(b=lambda x, y, z: 1e-5 * z, e=1e-6, eps=1e-9)
+        return model
+
+    m1 = make(None)
+    m4 = make(15.0)
+    assert m4._substepped_tke
+    assert m4.closure.substeps_for(60.0) == 4
+    # u* = (tau^2)^(1/4) derived from the u top flux BC
+    assert m4.closure.friction_velocity == pytest.approx(1e-2, rel=1e-6)
+    for _ in range(60):
+        m1.time_step(60.0)
+        m4.time_step(60.0)
+    for m in (m1, m4):
+        e = np.asarray(m.field("e").interior)[0, 0]
+        eps = np.asarray(m.field("eps").interior)[0, 0]
+        assert np.isfinite(e).all() and np.isfinite(eps).all()
+        assert (e >= 0).all() and (eps > 0).all()
+        assert e[-1] > e[0]
+    e1 = np.asarray(m1.field("e").interior)[0, 0]
+    e4 = np.asarray(m4.field("e").interior)[0, 0]
+    assert abs(e4.sum() - e1.sum()) < 0.5 * (abs(e1.sum()) + 1e-12)
+
+
+def test_catke_inside_closure_tuple():
+    """A ClosureTuple containing CATKE drives the substepped TKE path
+    exactly like the bare closure (reference: closure tuples unwrapped by
+    time_step_catke_equation.jl); a zero-diffusivity partner changes
+    nothing."""
+    from oceananigans_tpu.closures import ClosureTuple, ScalarDiffusivity
+
+    def make(closure):
+        grid = RectilinearGrid(size=(1, 1, 24), z=(-50.0, 0.0),
+                               topology=("flat", "flat", "bounded"))
+        model = HydrostaticFreeSurfaceModel(
+            grid=grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+            closure=closure,
+            boundary_conditions={
+                "u": FieldBoundaryConditions(top=FluxBoundaryCondition(-1e-4))})
+        model.set(b=lambda x, y, z: 1e-5 * z)
+        return model
+
+    bare = make(CATKEVerticalDiffusivity(buoyancy=BuoyancyTracer()))
+    tup = make(ClosureTuple(ScalarDiffusivity(nu=0.0, kappa=0.0),
+                            CATKEVerticalDiffusivity(buoyancy=BuoyancyTracer())))
+    assert tup._substepped_tke
+    assert tup._substepped_names == ("e",)
+    # the surface TKE flux BC is installed through the tuple
+    assert tup.bcs["e"].top is not None and callable(tup.bcs["e"].top.condition)
+    for _ in range(30):
+        bare.time_step(60.0)
+        tup.time_step(60.0)
+    eb = np.asarray(bare.field("e").interior)[0, 0]
+    et = np.asarray(tup.field("e").interior)[0, 0]
+    bb = np.asarray(bare.field("b").interior)[0, 0]
+    bt = np.asarray(tup.field("b").interior)[0, 0]
+    assert np.allclose(et, eb, rtol=1e-10, atol=1e-14)
+    assert np.allclose(bt, bb, rtol=1e-10, atol=1e-14)
