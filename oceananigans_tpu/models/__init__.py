@@ -5,9 +5,16 @@ from .free_surfaces import (ExplicitFreeSurface, ImplicitFreeSurface,
                             SplitExplicitFreeSurface)
 
 from .ensemble import EnsembleModel
+from .diagnostic_operations import (ForcingOperation, ForcingField,
+                                    BoundaryConditionOperation,
+                                    BoundaryConditionField,
+                                    BoundaryAdjacentMean,
+                                    boundary_adjacent_mean)
 
 __all__ = ["NonhydrostaticModel", "ShallowWaterModel",
            "HydrostaticFreeSurfaceModel", "ExplicitFreeSurface",
            "ImplicitFreeSurface", "SplitExplicitFreeSurface",
-           "EnsembleModel"]
+           "EnsembleModel", "ForcingOperation", "ForcingField",
+           "BoundaryConditionOperation", "BoundaryConditionField",
+           "BoundaryAdjacentMean", "boundary_adjacent_mean"]
 
