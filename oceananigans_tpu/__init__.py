@@ -24,5 +24,6 @@ from .boundary_conditions import (
     BoundaryCondition, FieldBoundaryConditions, FluxBoundaryCondition,
     ValueBoundaryCondition, GradientBoundaryCondition, OpenBoundaryCondition,
     fill_halo_regions)
+from .background_fields import BackgroundField
 
 __version__ = "0.1.0"

@@ -183,8 +183,14 @@ def _div_Uc_bounded(grid, scheme, u, v, w, c, tile=None):
 
 # -- momentum advection (flux form) --------------------------------------------
 
-def div_Uu(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
+def div_Uu(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None,
+           advected=None):
     """∇·(𝐯 u) at fcc (reference: momentum_advection_operators.jl div_𝐯u).
+
+    ``advected``: reconstruct this field instead of ``u`` itself (the
+    reference's two-argument div_𝐯u(advection, U, u) form, used by the
+    background-field cross terms) — the (u, v, w) args always build the
+    advecting transports.
 
     ``tile``: slab-tile trimming (see _term_trims) — the advecting velocity
     is interpolated on the full slab (cheap, and its transverse stencil may
@@ -192,6 +198,7 @@ def div_Uu(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
     reconstruction is trimmed to the term's window."""
     if scheme is None:
         return _zeros_tiled(u, tile)
+    au = u if advected is None else advected
     Ax_u = grid.Ax(LOC_FCC) * u
     Ay_v = grid.Ay(LOC_CFC) * v
     Az_w = grid.Az(LOC_CCF) * w
@@ -199,17 +206,17 @@ def div_Uu(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
     if not grid.is_flat(X) and (only_axis is None or only_axis == X):
         wtr, otr = _term_trims(tile, X)
         ut = scheme.symmetric(grid, wtr(Ax_u), X, 1)     # fcc → ccc
-        uhat = _biased_by(scheme, grid, wtr(u), X, 1, ut)
+        uhat = _biased_by(scheme, grid, wtr(au), X, 1, ut)
         terms.append(otr(_delta_f(grid, ut * uhat, X)))  # ccc → fcc
     if not grid.is_flat(Y) and (only_axis is None or only_axis == Y):
         wtr, otr = _term_trims(tile, Y)
         vt = wtr(scheme.symmetric(grid, Ay_v, X, 0))     # cfc → ffc
-        uhat = _biased_by(scheme, grid, wtr(u), Y, 0, vt)
+        uhat = _biased_by(scheme, grid, wtr(au), Y, 0, vt)
         terms.append(otr(_delta_c(grid, vt * uhat, Y)))  # ffc → fcc
     if not grid.is_flat(Z) and (only_axis is None or only_axis == Z):
         wtr, otr = _term_trims(tile, Z)
         wt = wtr(scheme.symmetric(grid, Az_w, X, 0))     # ccf → fcf
-        uhat = _biased_by(scheme, grid, wtr(u), Z, 0, wt,
+        uhat = _biased_by(scheme, grid, wtr(au), Z, 0, wt,
                           zbc=zbc["u"] if zbc else None)
         terms.append(otr(_delta_c(grid, wt * uhat, Z)))  # fcf → fcc
     if not terms:
@@ -217,10 +224,12 @@ def div_Uu(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
     return sum(terms) / grid.V(LOC_FCC)
 
 
-def div_Uv(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
-    """∇·(𝐯 v) at cfc."""
+def div_Uv(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None,
+           advected=None):
+    """∇·(𝐯 v) at cfc; ``advected`` as in :func:`div_Uu`."""
     if scheme is None:
         return _zeros_tiled(v, tile)
+    av = v if advected is None else advected
     Ax_u = grid.Ax(LOC_FCC) * u
     Ay_v = grid.Ay(LOC_CFC) * v
     Az_w = grid.Az(LOC_CCF) * w
@@ -228,17 +237,17 @@ def div_Uv(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
     if not grid.is_flat(X) and (only_axis is None or only_axis == X):
         wtr, otr = _term_trims(tile, X)
         ut = wtr(scheme.symmetric(grid, Ax_u, Y, 0))     # fcc → ffc
-        vhat = _biased_by(scheme, grid, wtr(v), X, 0, ut)
+        vhat = _biased_by(scheme, grid, wtr(av), X, 0, ut)
         terms.append(otr(_delta_c(grid, ut * vhat, X)))  # ffc → cfc
     if not grid.is_flat(Y) and (only_axis is None or only_axis == Y):
         wtr, otr = _term_trims(tile, Y)
         vt = scheme.symmetric(grid, wtr(Ay_v), Y, 1)     # cfc → ccc
-        vhat = _biased_by(scheme, grid, wtr(v), Y, 1, vt)
+        vhat = _biased_by(scheme, grid, wtr(av), Y, 1, vt)
         terms.append(otr(_delta_f(grid, vt * vhat, Y)))  # ccc → cfc
     if not grid.is_flat(Z) and (only_axis is None or only_axis == Z):
         wtr, otr = _term_trims(tile, Z)
         wt = wtr(scheme.symmetric(grid, Az_w, Y, 0))     # ccf → cff
-        vhat = _biased_by(scheme, grid, wtr(v), Z, 0, wt,
+        vhat = _biased_by(scheme, grid, wtr(av), Z, 0, wt,
                           zbc=zbc["v"] if zbc else None)
         terms.append(otr(_delta_c(grid, wt * vhat, Z)))  # cff → cfc
     if not terms:
@@ -246,10 +255,12 @@ def div_Uv(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
     return sum(terms) / grid.V(LOC_CFC)
 
 
-def div_Uw(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
-    """∇·(𝐯 w) at ccf."""
+def div_Uw(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None,
+           advected=None):
+    """∇·(𝐯 w) at ccf; ``advected`` as in :func:`div_Uu`."""
     if scheme is None:
         return _zeros_tiled(w, tile)
+    aw = w if advected is None else advected
     Ax_u = grid.Ax(LOC_FCC) * u
     Ay_v = grid.Ay(LOC_CFC) * v
     Az_w = grid.Az(LOC_CCF) * w
@@ -261,18 +272,18 @@ def div_Uw(grid, scheme, u, v, w, zbc=None, tile=None, only_axis=None):
         # advecting velocity is u (z-centered, even parity)
         ut = wtr(scheme.symmetric(grid, Ax_u, Z, 0,
                                   zbc=zbc["u"] if zbc else None))  # fcc → fcf
-        what = _biased_by(scheme, grid, wtr(w), X, 0, ut)
+        what = _biased_by(scheme, grid, wtr(aw), X, 0, ut)
         terms.append(otr(_delta_c(grid, ut * what, X)))  # fcf → ccf
     if not grid.is_flat(Y) and (only_axis is None or only_axis == Y):
         wtr, otr = _term_trims(tile, Y)
         vt = wtr(scheme.symmetric(grid, Ay_v, Z, 0,
                                   zbc=zbc["v"] if zbc else None))  # cfc → cff
-        what = _biased_by(scheme, grid, wtr(w), Y, 0, vt)
+        what = _biased_by(scheme, grid, wtr(aw), Y, 0, vt)
         terms.append(otr(_delta_c(grid, vt * what, Y)))  # cff → ccf
     if not grid.is_flat(Z) and (only_axis is None or only_axis == Z):
         wtr, otr = _term_trims(tile, Z)
         wt = scheme.symmetric(grid, wtr(Az_w), Z, 1, zbc=zw)  # ccf → ccc
-        what = _biased_by(scheme, grid, wtr(w), Z, 1, wt, zbc=zw)
+        what = _biased_by(scheme, grid, wtr(aw), Z, 1, wt, zbc=zw)
         terms.append(otr(_delta_f(grid, wt * what, Z)))  # ccc → ccf
     if not terms:
         return _zeros_tiled(w, tile)

@@ -436,19 +436,29 @@ class NonhydrostaticModel:
             out[name] = out[name].at[sl].add(-corr if is_left else corr)
         return out
 
-    def _total_velocities(self, fields, time):
+    def _background_arrays(self, time):
+        """Evaluate every background entry at ``time`` into padded arrays
+        (reference: src/Models/NonhydrostaticModels/background_fields.jl —
+        backgrounds may be time-dependent functions)."""
+        from ..background_fields import evaluate_background
+        out = {}
+        for name, bg in self.background_fields.items():
+            loc = {"u": LOC_FCC, "v": LOC_CFC, "w": LOC_CCF}.get(name,
+                                                                 LOC_CCC)
+            out[name] = evaluate_background(self.grid, loc, bg, time)
+        return out
+
+    def _total_velocities(self, fields, time, bg=None):
         """Add background (mean-flow) velocities for advection (reference:
         src/Models/NonhydrostaticModels/background_fields.jl)."""
         u, v, w = fields["u"], fields["v"], fields["w"]
-        bg = self.background_fields
-        if not bg:
+        if not self.background_fields:
             return u, v, w
-        def add(q, name, loc):
-            if name not in bg:
-                return q
-            return q + set_on_padded(self.grid, loc, bg[name])
-        return (add(u, "u", LOC_FCC), add(v, "v", LOC_CFC),
-                add(w, "w", LOC_CCF))
+        if bg is None:
+            bg = self._background_arrays(time)
+        return (u + bg["u"] if "u" in bg else u,
+                v + bg["v"] if "v" in bg else v,
+                w + bg["w"] if "w" in bg else w)
 
     def _compute_tendencies(self, fields, time):
         """The hot stencil assembly (reference:
@@ -456,7 +466,8 @@ class NonhydrostaticModel:
         compute_nonhydrostatic_tendencies.jl:97-131)."""
         grid = self.grid
         u, v, w = fields["u"], fields["v"], fields["w"]
-        ua, va, wa = self._total_velocities(fields, time)
+        bg = self._background_arrays(time) if self.background_fields else {}
+        ua, va, wa = self._total_velocities(fields, time, bg)
         adv = self.advection
 
         zbc = ({"u": "even", "v": "even", "w": "odd_face", "c": "even"}
@@ -466,6 +477,19 @@ class NonhydrostaticModel:
         if self._fused_advection is not None:
             G["u"], G["v"], G["w"], Gc_fused = self._fused_advection(
                 ua, va, wa, {n: fields[n] for n in self.tracer_names})
+        elif bg:
+            # perturbation decomposition (reference:
+            # nonhydrostatic_tendency_kernel_functions.jl:93-94): advect the
+            # PERTURBATION by the total velocity, plus the cross term of the
+            # perturbation advecting the background; the background's
+            # self-advection is excluded (it satisfies its own balance)
+            G["u"] = -div_Uu(grid, adv, ua, va, wa, zbc=zbc, advected=u)
+            G["v"] = -div_Uv(grid, adv, ua, va, wa, zbc=zbc, advected=v)
+            G["w"] = -div_Uw(grid, adv, ua, va, wa, zbc=zbc, advected=w)
+            for comp, div in (("u", div_Uu), ("v", div_Uv), ("w", div_Uw)):
+                if comp in bg:
+                    G[comp] = G[comp] - div(grid, adv, u, v, w, zbc=zbc,
+                                            advected=bg[comp])
         else:
             G["u"] = -div_Uu(grid, adv, ua, va, wa, zbc=zbc)
             G["v"] = -div_Uv(grid, adv, ua, va, wa, zbc=zbc)
@@ -513,6 +537,10 @@ class NonhydrostaticModel:
             Gc = (Gc_fused[name] if Gc_fused is not None
                   else -div_Uc(grid, adv, uat, vat, wat, fields[name],
                                zbc=zbc))
+            if name in bg:
+                # perturbation advecting the background tracer (reference:
+                # nonhydrostatic_tendency_kernel_functions.jl:293)
+                Gc = Gc - div_Uc(grid, adv, u, v, w, bg[name], zbc=zbc)
             if self.closure is not None:
                 Gc = Gc + self.closure.tracer_tendency(grid, name, fields, aux)
             if self.biogeochemistry is not None:
