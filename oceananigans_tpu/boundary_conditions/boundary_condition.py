@@ -69,12 +69,17 @@ class PolarValue:
 
 
 class BoundaryCondition:
-    __slots__ = ("classification", "condition", "scheme")
+    __slots__ = ("classification", "condition", "scheme",
+                 "field_dependencies")
 
-    def __init__(self, classification, condition=None, scheme=None):
+    def __init__(self, classification, condition=None, scheme=None,
+                 field_dependencies=()):
         self.classification = classification
         self.condition = condition
         self.scheme = scheme
+        if isinstance(field_dependencies, str):
+            field_dependencies = (field_dependencies,)
+        self.field_dependencies = tuple(field_dependencies)
 
     def _fp(self):
         c = self.condition
@@ -87,7 +92,7 @@ class BoundaryCondition:
         else:
             cf = np.asarray(c).tobytes()
         sf = self.scheme._fp() if self.scheme is not None else None
-        return (self.classification, cf, sf)
+        return (self.classification, cf, sf, self.field_dependencies)
 
     def __hash__(self):
         return hash(self._fp())
@@ -104,8 +109,15 @@ def PeriodicBoundaryCondition():
     return BoundaryCondition(PERIODIC_BC)
 
 
-def FluxBoundaryCondition(condition=None):
-    return BoundaryCondition(FLUX, condition)
+def FluxBoundaryCondition(condition=None, field_dependencies=()):
+    """``field_dependencies`` names prognostic fields whose
+    boundary-adjacent values are passed as trailing arguments to a callable
+    condition: ``f(ξ1, ξ2, t, *values)`` (reference:
+    continuous_boundary_function.jl — e.g. quadratic drag laws).
+    Supported for flux conditions, which enter the tendencies where the
+    model state is available."""
+    return BoundaryCondition(FLUX, condition,
+                             field_dependencies=field_dependencies)
 
 
 def ValueBoundaryCondition(condition=None):

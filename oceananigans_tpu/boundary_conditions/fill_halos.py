@@ -36,9 +36,13 @@ def _idx(ndim, axis, sl):
     return tuple(out)
 
 
-def eval_bc(bc, grid, loc, axis, time):
+def eval_bc(bc, grid, loc, axis, time, dep_values=()):
     """Evaluate a BC's condition into something broadcastable against a
-    keep-dims boundary slice. Returns None for a homogeneous condition."""
+    keep-dims boundary slice. Returns None for a homogeneous condition.
+
+    ``dep_values``: boundary-adjacent field slices passed as trailing
+    arguments to a callable condition (reference:
+    continuous_boundary_function.jl field_dependencies)."""
     cond = bc.condition
     if cond is None:
         return None
@@ -48,7 +52,7 @@ def eval_bc(bc, grid, loc, axis, time):
     if callable(cond):
         x1 = broadcastable_1d(grid.coord_padded(t_axes[0], loc[t_axes[0]]), t_axes[0])
         x2 = broadcastable_1d(grid.coord_padded(t_axes[1], loc[t_axes[1]]), t_axes[1])
-        return cond(x1, x2, time)
+        return cond(x1, x2, time, *dep_values)
     arr = np.asarray(cond)
     exp = tuple(grid.N[ax] for ax in t_axes)
     if arr.shape == exp:
@@ -129,14 +133,16 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False, dt=None):
 
         def halo_strip(bc, is_left):
             cls = bc.classification
+            if cls in (FLUX, OPEN):
+                # mirror copy (no-flux fill; flux applied to tendencies —
+                # so field-dependent flux conditions are never evaluated
+                # here)
+                return (flip(a[S(slice(H, 2 * H))]) if is_left
+                        else flip(a[S(slice(N, H + N))]))
             if isinstance(bc.condition, PolarValue):
                 v = _polar_row_mean(a, grid, nd, axis, H, N, is_left)
             else:
                 v = eval_bc(bc, grid, loc, axis, time)
-            if cls in (FLUX, OPEN):
-                # mirror copy (no-flux fill; flux applied to tendencies)
-                return (flip(a[S(slice(H, 2 * H))]) if is_left
-                        else flip(a[S(slice(N, H + N))]))
             if cls in (VALUE, GRADIENT):
                 vv = 0.0 if v is None else v
                 if is_left:
@@ -291,13 +297,18 @@ def fill_halo_regions(a, grid, loc, bcs, time=0.0, dt=None):
     return fill_halo_axes(a, grid, loc, bcs, time, (0, 1, 2), dt=dt)
 
 
-def apply_flux_bcs(G, grid, loc, bcs, time=0.0):
+def apply_flux_bcs(G, grid, loc, bcs, time=0.0, fields=None, locs=None):
     """Add boundary-flux divergences to a tendency array (reference:
     compute_flux_bcs.jl — ``G[1] += q·A/V``, ``G[N] -= q·A/V``).
 
     Because tendency = -∇·flux, a positive left-side (west/south/bottom) flux
     increases the tendency in the boundary-adjacent cell; a positive
-    right-side flux decreases it."""
+    right-side flux decreases it.
+
+    ``fields``/``locs``: model state arrays and their locations, used to
+    evaluate conditions with ``field_dependencies`` (the dependency's
+    boundary-adjacent keep-dims slice, interpolated to the target field's
+    tangent locations, is passed as a trailing argument)."""
     nd = G.ndim
     for side, (axis, is_left) in SIDE_AXIS.items():
         if grid.topology[axis] != BOUNDED:
@@ -305,7 +316,25 @@ def apply_flux_bcs(G, grid, loc, bcs, time=0.0):
         bc = bcs.side(side)
         if bc is None or bc.classification != FLUX or bc.condition is None:
             continue
-        q = eval_bc(bc, grid, loc, axis, time)
+        deps = ()
+        if getattr(bc, "field_dependencies", ()):
+            if fields is None:
+                raise ValueError(
+                    "a flux BC with field_dependencies needs the model "
+                    "state; this path did not supply it")
+            from ..operators.operators import interp_to
+            Hd, Nd = grid.H[axis], grid.N[axis]
+            cell_d = Hd if is_left else Hd + Nd - 1
+            vals = []
+            for dep in bc.field_dependencies:
+                a = fields[dep]
+                src = (locs or {}).get(dep)
+                if src is not None and tuple(src) != tuple(loc):
+                    a = interp_to(grid, a, tuple(src), tuple(loc))
+                vals.append(a[_idx(a.ndim, axis,
+                                   slice(cell_d, cell_d + 1))])
+            deps = tuple(vals)
+        q = eval_bc(bc, grid, loc, axis, time, dep_values=deps)
         if q is None:
             continue
         H, N = grid.H[axis], grid.N[axis]

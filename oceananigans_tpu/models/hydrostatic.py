@@ -720,9 +720,11 @@ class HydrostaticFreeSurfaceModel:
             G[name] = G[name] + (F(grid, fields, time) if callable(F) else F)
         from ..boundary_conditions.fill_halos import (apply_immersed_flux_bcs,
                                                       immersed_diffusivity)
+        locs = {n: self.loc(n) for n in fields}
         for name in list(G):
             G[name] = apply_flux_bcs(G[name], grid, self.loc(name),
-                                     self.bcs[name], time)
+                                     self.bcs[name], time, fields=fields,
+                                     locs=locs)
             ibc = getattr(self.bcs[name], "immersed", None)
             if self._immersed and ibc is not None:
                 G[name] = apply_immersed_flux_bcs(
@@ -1019,10 +1021,11 @@ class HydrostaticFreeSurfaceModel:
                     if name in G:
                         G[name] = G[name] + (F(self.grid, fields, time)
                                              if callable(F) else F)
+                locs = {n: self.loc(n) for n in fields}
                 for name in list(G):
                     G[name] = apply_flux_bcs(G[name], self.grid,
                                              self.loc(name), self.bcs[name],
-                                             time)
+                                             time, fields=fields, locs=locs)
                 new = {name: fields[name] + dt * ((1.5 + chi) * G[name]
                        - (0.5 + chi) * Gm[name] * not_euler)
                        for name in self.tracer_names}

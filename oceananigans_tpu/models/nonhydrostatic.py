@@ -566,9 +566,12 @@ class NonhydrostaticModel:
         # boundary flux divergences (reference: compute_flux_bc_tendencies!)
         from ..boundary_conditions.fill_halos import (apply_immersed_flux_bcs,
                                                       immersed_diffusivity)
+        locs = {n: self.loc(n) for n in fields if n in G or n in
+                ("u", "v", "w")}
         for name in G:
             G[name] = apply_flux_bcs(G[name], grid, self.loc(name),
-                                     self.bcs[name], time)
+                                     self.bcs[name], time, fields=fields,
+                                     locs=locs)
             ibc = getattr(self.bcs[name], "immersed", None)
             if self.immersed and ibc is not None:
                 G[name] = apply_immersed_flux_bcs(

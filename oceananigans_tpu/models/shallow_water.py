@@ -311,9 +311,11 @@ class ShallowWaterModel:
 
         for name, F in self.forcing.items():
             G[name] = G[name] + (F(grid, fields, time) if callable(F) else F)
+        locs = {n: self.loc(n) for n in fields}
         for name in G:
             G[name] = apply_flux_bcs(G[name], grid, self.loc(name),
-                                     self.bcs[name], time)
+                                     self.bcs[name], time, fields=fields,
+                                     locs=locs)
         return G
 
     def _fill_all(self, fields, time):
