@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     ("internal_wave", dict(n=32, periods=0.05)),
     ("kelvin_helmholtz_instability", dict(nx=16, nz=16, stop_time=0.2)),
     ("horizontal_convection", dict(nx=16, nz=8, stop_time=0.05)),
+    ("one_dimensional_diffusion", dict(n=32, stop_iteration=200)),
+    ("tilted_bottom_boundary_layer", dict(nx=16, nz=16, stop_time=120.0)),
+    ("convecting_plankton", dict(n=16, stop_time=900.0)),
 ])
 def test_example_smokes(name, kwargs, tmp_path):
     import importlib
