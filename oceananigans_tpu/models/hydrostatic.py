@@ -41,6 +41,19 @@ from .free_surfaces import (ExplicitFreeSurface, ImplicitFreeSurface,
                             SplitExplicitFreeSurface)
 from .nonhydrostatic import implicit_vertical_diffusion, _vertical_spacings
 
+
+def _dzc_interior(grid):
+    """Interior Δz at centers: (n,) for 1D spacings, or the interior
+    (Nx, Ny, n) block when the grid carries horizontally-varying effective
+    Δz (PartialCellBottom shrinks bottom cells; immersed.py)."""
+    h, n = grid.H[2], grid.N[2]
+    dz = np.asarray(grid.dz(LOC_CCC), np.float64)
+    if dz.ndim == 3 and (dz.shape[0] > 1 or dz.shape[1] > 1):
+        sx, sy = grid.interior_slices[0], grid.interior_slices[1]
+        return np.ascontiguousarray(
+            np.broadcast_to(dz, grid.padded_shape)[sx, sy, h:h + n])
+    return _vertical_spacings(grid)[0]
+
 PROGNOSTIC_LOCS = {"u": LOC_FCC, "v": LOC_CFC}
 
 
@@ -555,7 +568,7 @@ class HydrostaticFreeSurfaceModel:
         Az_Δr_∂t_σ)."""
         grid = self.grid
         h, n = grid.H[2], grid.N[2]
-        dzc, _ = _vertical_spacings(grid)
+        dzc = _dzc_interior(grid)
         div_h = div_xy_ccc(grid, u, v)
         sx, sy = grid.interior_slices[0], grid.interior_slices[1]
         d = div_h[sx, sy, h:h + n] * jnp.asarray(dzc, div_h.dtype)
@@ -576,7 +589,7 @@ class HydrostaticFreeSurfaceModel:
             return None
         b = self.buoyancy.buoyancy_ccc(grid, fields)
         h, n = grid.H[2], grid.N[2]
-        dzc, dzf = _vertical_spacings(grid)
+        dzc = _dzc_interior(grid)
         sx, sy = grid.interior_slices[0], grid.interior_slices[1]
         b_int = b[sx, sy, h:h + n]
         # p[k] = -(b[k] dz[k]/2 + Σ_{k'>k} b[k'] dz[k'])  (centered integral)
@@ -611,11 +624,20 @@ class HydrostaticFreeSurfaceModel:
         return kz * self.grid.fluid_mask(LOC_CCF, self.grid.dtype)
 
     def _depth_integral(self, q, loc):
-        """∫ q dz over the fluid column as a padded 2D (…,1) array."""
+        """∫ q dz over the fluid column as a padded 2D (…,1) array.
+        PartialCellBottom grids carry horizontally-varying effective Δz
+        (shrunken bottom cells), so the spacing may be 1D or 3D."""
         grid = self.grid
         h, n = grid.H[2], grid.N[2]
-        dzc, _ = _vertical_spacings(grid)
-        integrand = q[:, :, h:h + n] * jnp.asarray(dzc, q.dtype)
+        dz = np.asarray(grid.dz(LOC_CCC), np.float64)
+        if dz.ndim == 3 and (dz.shape[0] > 1 or dz.shape[1] > 1):
+            dzc = jnp.asarray(
+                np.broadcast_to(dz, grid.padded_shape)[:, :, h:h + n],
+                q.dtype)
+        else:
+            dzc1, _ = _vertical_spacings(grid)
+            dzc = jnp.asarray(dzc1, q.dtype)
+        integrand = q[:, :, h:h + n] * dzc
         if self._immersed:
             integrand = integrand * self._fluid_int[tuple(loc)].astype(
                 q.dtype)
