@@ -35,12 +35,16 @@ class ContinuousForcing(Forcing):
     field_dependencies name prognostic fields passed (interpolated to the
     forcing location) as trailing arguments."""
 
-    def __init__(self, func, loc=LOC_CCC, field_dependencies=()):
+    def __init__(self, func, loc=LOC_CCC, field_dependencies=(),
+                 parameters=None):
         self.func = func
         self.loc = tuple(loc)
         if isinstance(field_dependencies, str):
             field_dependencies = (field_dependencies,)
         self.field_dependencies = tuple(field_dependencies)
+        # trailing parameters argument (reference: continuous_forcing.jl
+        # `Forcing(func; parameters)` — func(x, y, z, t, fields..., p))
+        self.parameters = parameters
 
     def __call__(self, grid, fields, time):
         coords = [broadcastable_1d(grid.coord_padded(ax, self.loc[ax]), ax)
@@ -50,17 +54,39 @@ class ContinuousForcing(Forcing):
         for name in self.field_dependencies:
             src_loc = PROGNOSTIC_LOCS.get(name, LOC_CCC)
             deps.append(interp_to(grid, fields[name], src_loc, self.loc))
+        if self.parameters is not None:
+            deps.append(self.parameters)
         return self.func(*coords, time, *deps)
 
 
 class DiscreteForcing(Forcing):
-    """f(grid, fields, t) raw form (reference: discrete_forcing.jl)."""
+    """f(grid, fields, t[, parameters]) raw form (reference:
+    discrete_forcing.jl)."""
 
-    def __init__(self, func):
+    def __init__(self, func, parameters=None):
         self.func = func
+        self.parameters = parameters
 
     def __call__(self, grid, fields, time):
+        if self.parameters is not None:
+            return self.func(grid, fields, time, self.parameters)
         return self.func(grid, fields, time)
+
+
+def make_forcing(func=None, parameters=None, field_dependencies=(),
+                 discrete_form=False, loc=LOC_CCC):
+    """The reference's ``Forcing(func; parameters, field_dependencies,
+    discrete_form)`` convenience constructor (src/Forcings/forcing.jl):
+    dispatches to :class:`ContinuousForcing` or :class:`DiscreteForcing`."""
+    if discrete_form:
+        if field_dependencies:
+            raise ValueError("field_dependencies only apply to the "
+                             "continuous form (the discrete form receives "
+                             "all fields)")
+        return DiscreteForcing(func, parameters=parameters)
+    return ContinuousForcing(func, loc=loc,
+                             field_dependencies=field_dependencies,
+                             parameters=parameters)
 
 
 class GaussianMask:
