@@ -17,6 +17,12 @@ minutes = minute
 hours = hour
 days = day
 
+# Length units in meters (reference: src/Units.jl meters/kilometers)
+meter = 1.0
+meters = meter
+kilometer = 1000.0
+kilometers = kilometer
+
 
 def prettytime(t):
     """Human-readable time, e.g. '1.500 days' (reference: prettytime)."""
