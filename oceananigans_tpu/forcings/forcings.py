@@ -188,6 +188,18 @@ class FieldTimeSeriesForcing(Forcing):
         return set_on_padded(grid, self.loc, self.fts.traced(time))
 
 
+def regularize_forcing(forcing):
+    """Normalize a per-field ``forcing=`` dict: tuples/lists of forcings
+    collapse into :class:`MultipleForcings` (reference: model_forcing.jl —
+    `Forcing` tuples are summed)."""
+    out = {}
+    for name, F in dict(forcing or {}).items():
+        if isinstance(F, (tuple, list)):
+            F = MultipleForcings(*F)
+        out[name] = F
+    return out
+
+
 class MultipleForcings(Forcing):
     """Sum of forcings (reference: multiple_forcings.jl)."""
 

@@ -125,7 +125,8 @@ class HydrostaticFreeSurfaceModel:
         self.buoyancy = buoyancy
         self.coriolis = coriolis
         self.closure = closure
-        self.forcing = dict(forcing or {})
+        from ..forcings.forcings import regularize_forcing
+        self.forcing = regularize_forcing(forcing)
         for _name, _F in self.forcing.items():
             if hasattr(_F, "bind"):
                 _F.bind(_name)
@@ -925,7 +926,73 @@ class HydrostaticFreeSurfaceModel:
         new["eta"] = eta
         return new
 
+    def _prescribed_tracer_tendencies(self, fields, time):
+        """Tracer tendencies in prescribed-velocity (tracer-only) mode.
+        ``fields`` must have filled halos. Returns (G, aux, w)."""
+        u, v, w = self.prescribed_velocities.evaluate(self.grid, time)
+        G = {}
+        aux = {}
+        cf = dict(fields, u=u, v=v, w=w)
+        if self.closure is not None:
+            aux = self.closure.compute_diffusivities(self.grid, cf, time)
+        ut, vt, wt = u, v, w
+        if self.closure is not None and getattr(
+                self.closure, "has_eddy_velocities", False):
+            ue, ve, we = self.closure.eddy_velocities(self.grid, cf)
+            ut, vt, wt = u + ue, v + ve, w + we
+        for name in self.tracer_names:
+            Gc = -div_Uc(self.grid, self.tracer_advection, ut, vt,
+                         wt, fields[name])
+            if self.closure is not None:
+                Gc = Gc + self.closure.tracer_tendency(
+                    self.grid, name, cf, aux)
+            G[name] = Gc
+        for name, F in self.forcing.items():
+            if name in G:
+                G[name] = G[name] + (F(self.grid, fields, time)
+                                     if callable(F) else F)
+        locs = {n: self.loc(n) for n in fields}
+        for name in list(G):
+            G[name] = apply_flux_bcs(G[name], self.grid,
+                                     self.loc(name), self.bcs[name],
+                                     time, fields=fields, locs=locs)
+        return G, aux, w
+
     def _build_step(self, se_settings=None, catke_substeps=1):
+        if isinstance(self.timestepper, SplitRungeKutta3TimeStepper) \
+                and self.prescribed_velocities is not None:
+            # tracer-only RK3 averaging variant (reference:
+            # split_hydrostatic_runge_kutta_3.jl over prescribed velocities)
+            def step(state, dt):
+                fields0 = state["fields"]
+                clock = state["clock"]
+                time = clock["time"]
+                fields = fields0
+                G = aux = w = None
+                for beta in SplitRungeKutta3TimeStepper.betas:
+                    sdt = dt / beta
+                    ff = self._fill_all(fields, time)
+                    G, aux, w = self._prescribed_tracer_tendencies(ff, time)
+                    new = {name: fields0[name] + sdt * G[name]
+                           for name in self.tracer_names}
+                    new["eta"] = fields0["eta"]
+                    new = self._mask_state(new)
+                    if self.closure is not None:
+                        kappas = self.closure.vertical_implicit_kappas(
+                            self.grid, new, aux)
+                        for name, kz in kappas.items():
+                            if name in new and name != "eta":
+                                new[name] = implicit_vertical_diffusion(
+                                    self.grid, new[name],
+                                    self._mask_kz(kz), sdt)
+                    fields = new
+                clock = dict(time=time + dt,
+                             iteration=clock["iteration"] + 1,
+                             last_dt=dt * jnp.ones_like(clock["last_dt"]))
+                return dict(fields=fields, clock=clock, w=w, Gm=G)
+
+            return step
+
         if isinstance(self.timestepper, SplitRungeKutta3TimeStepper):
             def step(state, dt):
                 fields0 = state["fields"]
@@ -1020,34 +1087,7 @@ class HydrostaticFreeSurfaceModel:
                 chi = jnp.where(euler, -0.5, chi0)
                 not_euler = jnp.where(euler, 0.0, 1.0)
                 fields = self._fill_all(fields, time)
-                u, v, w = self.prescribed_velocities.evaluate(self.grid, time)
-                G = {}
-                aux = {}
-                cf = dict(fields, u=u, v=v, w=w)
-                if self.closure is not None:
-                    aux = self.closure.compute_diffusivities(self.grid, cf,
-                                                             time)
-                ut, vt, wt = u, v, w
-                if self.closure is not None and getattr(
-                        self.closure, "has_eddy_velocities", False):
-                    ue, ve, we = self.closure.eddy_velocities(self.grid, cf)
-                    ut, vt, wt = u + ue, v + ve, w + we
-                for name in self.tracer_names:
-                    Gc = -div_Uc(self.grid, self.tracer_advection, ut, vt,
-                                 wt, fields[name])
-                    if self.closure is not None:
-                        Gc = Gc + self.closure.tracer_tendency(
-                            self.grid, name, cf, aux)
-                    G[name] = Gc
-                for name, F in self.forcing.items():
-                    if name in G:
-                        G[name] = G[name] + (F(self.grid, fields, time)
-                                             if callable(F) else F)
-                locs = {n: self.loc(n) for n in fields}
-                for name in list(G):
-                    G[name] = apply_flux_bcs(G[name], self.grid,
-                                             self.loc(name), self.bcs[name],
-                                             time, fields=fields, locs=locs)
+                G, aux, w = self._prescribed_tracer_tendencies(fields, time)
                 new = {name: fields[name] + dt * ((1.5 + chi) * G[name]
                        - (0.5 + chi) * Gm[name] * not_euler)
                        for name in self.tracer_names}

@@ -98,7 +98,8 @@ class NonhydrostaticModel:
         self.buoyancy = buoyancy
         self.coriolis = coriolis
         self.closure = closure
-        self.forcing = dict(forcing or {})
+        from ..forcings.forcings import regularize_forcing
+        self.forcing = regularize_forcing(forcing)
         for _name, _F in self.forcing.items():
             if hasattr(_F, "bind"):
                 _F.bind(_name)

@@ -144,7 +144,8 @@ class ShallowWaterModel:
         if isinstance(tracers, str):
             tracers = (tracers,)
         self.tracer_names = tuple(tracers)
-        self.forcing = dict(forcing or {})
+        from ..forcings.forcings import regularize_forcing
+        self.forcing = regularize_forcing(forcing)
         for _name, _F in self.forcing.items():
             if hasattr(_F, "bind"):
                 _F.bind(_name)

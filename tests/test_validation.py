@@ -75,3 +75,118 @@ def test_internal_wave_frequency():
     # amplitude conserved to a few percent (no spurious damping)
     amp_ratio = np.sqrt((w1 ** 2).sum() / (w0 ** 2).sum())
     assert 0.9 < amp_ratio < 1.1, amp_ratio
+
+
+def test_stommel_gyre_steady_state():
+    """Wind-driven Stommel (1948) gyre: linear barotropic vorticity balance
+    β∂ψ/∂x + r∇²ψ = curl(τ)/ρH with bottom drag has the classic analytic
+    western-intensified streamfunction. The hydrostatic model with an
+    implicit free surface, beta-plane rotation, a steady zonal wind-stress
+    body force, and a linear-drag forcing must spin up to it (reference
+    analogue: validation/stommel_gyre)."""
+    import jax.numpy as jnp
+
+    from oceananigans_tpu.coriolis import BetaPlane
+    from oceananigans_tpu.forcings import ContinuousForcing
+    from oceananigans_tpu.models.free_surfaces import ImplicitFreeSurface
+    from oceananigans_tpu.models.hydrostatic import HydrostaticFreeSurfaceModel
+
+    beta, r, tau0, n = 1.0, 0.12, 1e-4, 48
+    grid = RectilinearGrid(size=(n, n, 1), x=(0.0, 1.0), y=(0.0, 1.0),
+                           z=(-1.0, 0.0),
+                           topology=("bounded", "bounded", "bounded"))
+    wind = ContinuousForcing(
+        lambda x, y, z, t: -tau0 * jnp.cos(jnp.pi * y), loc=("f", "c", "c"))
+    drag_u = ContinuousForcing(lambda x, y, z, t, u: -r * u,
+                               loc=("f", "c", "c"), field_dependencies=("u",))
+    drag_v = ContinuousForcing(lambda x, y, z, t, v: -r * v,
+                               loc=("c", "f", "c"), field_dependencies=("v",))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, momentum_advection=None, tracers=(),
+        coriolis=BetaPlane(f0=2.0, beta=beta),
+        free_surface=ImplicitFreeSurface(gravitational_acceleration=10.0),
+        forcing=dict(u=(wind, drag_u), v=drag_v))
+    dt, T = 0.01, 10.0 / r
+    for _ in range(int(T / dt)):
+        model.time_step(dt)
+
+    u = np.asarray(model.field("u").interior)[:, :, 0]
+    v = np.asarray(model.field("v").interior)[:, :, 0]
+
+    # analytic Stommel solution: ψ = γ(b/π)² sin(πy/b)(1 - p e^{Ax} - q e^{Bx})
+    lam = b = 1.0
+    gamma = tau0 * np.pi / (r * b)
+    disc = np.sqrt(beta ** 2 + 4 * r ** 2 * (np.pi / b) ** 2)
+    A = (-beta + disc) / (2 * r)
+    B = (-beta - disc) / (2 * r)
+    p = (1 - np.exp(B * lam)) / (np.exp(A * lam) - np.exp(B * lam))
+    q = 1 - p
+    xf = np.asarray(grid.xnodes("f"))
+    yc = np.asarray(grid.ynodes("c"))
+    xc = np.asarray(grid.xnodes("c"))
+    yf = np.asarray(grid.ynodes("f"))
+    Xf, Yc = np.meshgrid(xf, yc, indexing="ij")
+    Xc, Yf = np.meshgrid(xc, yf, indexing="ij")
+    u_exact = -gamma * (b / np.pi) * np.cos(np.pi * Yc / b) * (
+        1 - p * np.exp(A * Xf) - q * np.exp(B * Xf))
+    v_exact = -gamma * (b / np.pi) ** 2 * np.sin(np.pi * Yf / b) * (
+        p * A * np.exp(A * Xc) + q * B * np.exp(B * Xc))
+
+    for num, ex in ((u, u_exact), (v, v_exact)):
+        corr = (num * ex).sum() / np.sqrt((num ** 2).sum() * (ex ** 2).sum())
+        rel = np.linalg.norm(num - ex) / np.linalg.norm(ex)
+        assert corr > 0.97, corr
+        assert rel < 0.4, rel       # boundary-layer resolution limited
+    # western intensification: the boundary current on the western quarter
+    # dwarfs the eastern interior return flow
+    v_west = np.abs(v[: n // 4]).max()
+    v_east = np.abs(v[n // 2:]).max()
+    assert v_west > 3 * v_east, (v_west, v_east)
+
+
+def test_solid_body_rotation_cosine_bell():
+    """Williamson et al. (1992) test case 1 (equatorial flow): a cosine bell
+    advected once around the sphere by solid-body rotation u = U cos φ must
+    return to its initial position with small shape error and exact mass
+    conservation — an end-to-end check of the LatitudeLongitudeGrid metric
+    terms (reference analogue: validation/solid_body_rotation)."""
+    import jax.numpy as jnp
+
+    from oceananigans_tpu import LatitudeLongitudeGrid
+    from oceananigans_tpu.advection import WENO
+    from oceananigans_tpu.models.hydrostatic import (
+        HydrostaticFreeSurfaceModel, PrescribedVelocityFields)
+
+    R, U, nlam, nphi = 1.0, 1.0, 128, 64
+    grid = LatitudeLongitudeGrid(size=(nlam, nphi, 1),
+                                 longitude=(-180.0, 180.0),
+                                 latitude=(-80.0, 80.0), z=(-1.0, 0.0),
+                                 radius=R)
+    vel = PrescribedVelocityFields(
+        u=lambda lam, phi, z, t: U * jnp.cos(jnp.deg2rad(phi)))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("c",), tracer_advection=WENO(5), velocities=vel,
+        timestepper="SplitRungeKutta3")
+
+    lam0, phi0, rr = np.deg2rad(-90.0), 0.0, 0.5
+
+    def bell(lam, phi, z):
+        lamr, phir = jnp.deg2rad(lam), jnp.deg2rad(phi)
+        d = R * jnp.arccos(jnp.clip(
+            np.sin(phi0) * jnp.sin(phir)
+            + np.cos(phi0) * jnp.cos(phir) * jnp.cos(lamr - lam0), -1, 1))
+        return jnp.where(d < rr, 0.5 * (1 + jnp.cos(np.pi * d / rr)), 0.0)
+
+    model.set(c=bell)
+    c0 = np.asarray(model.field("c").interior)[:, :, 0]
+    T = 2 * np.pi * R / U
+    steps = int(round(T / (0.4 * (2 * np.pi * R / nlam) / U)))
+    dt = T / steps
+    for _ in range(steps):
+        model.time_step(dt)
+    c1 = np.asarray(model.field("c").interior)[:, :, 0]
+    l2 = np.linalg.norm(c1 - c0) / np.linalg.norm(c0)
+    assert l2 < 0.05, l2
+    assert abs(c1.sum() - c0.sum()) < 1e-10 * abs(c0.sum())
+    assert c1.min() > -1e-3                       # essentially non-oscillatory
+    assert abs(c1.max() - 1.0) < 0.05             # peak retained
