@@ -104,6 +104,10 @@ class ScalarDiffusivity(_ClosureBase):
         if self.time_discretization != "vertically_implicit":
             return {}
         out = {"u": self.nu, "v": self.nu}
+        if "w" in fields:
+            # w's implicit coefficient is νᶜᶜᶜ (reference:
+            # vertically_implicit_diffusion_solver.jl ivd_diffusivity ::C::C::C)
+            out["w"] = self.nu
         for name in fields:
             if name not in ("u", "v", "w"):
                 out[name] = _kappa_for(self.kappa, name)

@@ -645,7 +645,12 @@ class NonhydrostaticModel:
         out = dict(fields)
         for name, kz in kappas.items():
             if name == "w":
-                continue  # w implicit solve handled separately (future work)
+                # face-located solve with Dirichlet walls (reference:
+                # ivd_upper/lower_diagonal ::Face variants)
+                if not self.grid.is_flat(2):
+                    out[name] = implicit_vertical_diffusion_w(
+                        self.grid, fields[name], kz, dtt)
+                continue
             out[name] = implicit_vertical_diffusion(
                 self.grid, fields[name], kz, dtt,
                 damping=dampings.get(name))
@@ -848,3 +853,50 @@ def implicit_vertical_diffusion(grid, q, kappa, dtt, damping=None):
         diag = diag + dtt * lam
     sol = solve_batched_tridiagonal(lo, diag, up, grid.interior(q))
     return q.at[grid.interior_slices].set(sol)
+
+
+def implicit_vertical_diffusion_w(grid, w, nu, dtt):
+    """Solve (1 - Δt ∂z ν ∂z) w' = w for the FACE-located vertical velocity
+    (reference: vertically_implicit_diffusion_solver.jl — the (C,C,F)
+    coefficient variants used by implicit_step! on w), with Dirichlet w = 0
+    on both boundary faces (impenetrability at the walls).
+
+    Stored faces are k = 0..n-1 (face 0 = bottom wall, pinned to 0; the lid
+    face n is not stored and is identically 0 — see the z-compact layout in
+    kernels/fused_projection.py). ``nu`` is a scalar or a padded
+    (c,c,c)-located 3D array (ν in the cell above face k)."""
+    h, n = grid.H[2], grid.N[2]
+    dzc, dzf = _vertical_spacings(grid)
+
+    # face k couples w[k-1] through cell k-1 and w[k+1] through cell k
+    inv_lo = np.zeros(n)            # ν_c[k-1]/(dzc[k-1]·dzf[k])
+    inv_up = np.zeros(n)            # ν_c[k]  /(dzc[k]  ·dzf[k])
+    inv_lo[1:] = 1.0 / (dzc[:-1] * dzf[1:n])
+    inv_up[1:] = 1.0 / (dzc[1:] * dzf[1:n])
+
+    if hasattr(nu, "ndim") and np.ndim(nu) == 3:
+        sx, sy, _ = grid.interior_slices
+        nc = nu[sx, sy, h:h + n]            # ν at cell centers 0..n-1
+        lo_t = -dtt * jnp.asarray(inv_lo) * jnp.concatenate(
+            [jnp.zeros_like(nc[..., :1]), nc[..., :-1]], axis=-1)
+        up_t = -dtt * jnp.asarray(inv_up) * nc
+    else:
+        lo_t = -dtt * nu * jnp.asarray(inv_lo)
+        up_t = -dtt * nu * jnp.asarray(inv_up)
+    # Dirichlet walls: the couplings to the pinned faces w[0] = 0 and
+    # w[n] = 0 stay in the diagonal but drop out of the off-diagonals
+    diag = 1.0 - lo_t - up_t
+    lo = jnp.where(_zmask(n, 1), 0.0, lo_t)          # row 1 couples face 0
+    up = jnp.where(_zmask(n, n - 1), 0.0, up_t)      # row n-1 couples face n
+    # row 0 = identity: the pinned boundary face passes through unchanged
+    diag = jnp.where(_zmask(n, 0), 1.0, diag)
+    lo = jnp.where(_zmask(n, 0), 0.0, lo)
+    up = jnp.where(_zmask(n, 0), 0.0, up)
+    sol = solve_batched_tridiagonal(lo, diag, up, grid.interior(w))
+    return w.at[grid.interior_slices].set(sol)
+
+
+def _zmask(n, k):
+    m = np.zeros(n, bool)
+    m[k] = True
+    return jnp.asarray(m)

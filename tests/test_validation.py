@@ -190,3 +190,39 @@ def test_solid_body_rotation_cosine_bell():
     assert abs(c1.sum() - c0.sum()) < 1e-10 * abs(c0.sum())
     assert c1.min() > -1e-3                       # essentially non-oscillatory
     assert abs(c1.max() - 1.0) < 0.05             # peak retained
+
+
+def test_vertically_implicit_w_diffusion_taylor_green():
+    """x-z Taylor-Green vortex (u = sin x cos z, w = -cos x sin z) between
+    free-slip walls decays as e^{-2νt}. With VerticallyImplicitTimeDiscretization
+    the vertical half of w's dissipation comes from the face-located implicit
+    solve (reference: vertically_implicit_diffusion_solver.jl ::Face
+    coefficients) — if that solve were skipped, w would decay as e^{-νt}."""
+    from oceananigans_tpu.closures import VerticalScalarDiffusivity
+    from oceananigans_tpu.closures.scalar_diffusivity import ScalarDiffusivity
+
+    nu, T, dt, n = 0.05, 0.5, 2.5e-3, 32
+    for closure in (
+            ScalarDiffusivity(nu=nu, time_discretization="vertically_implicit"),
+            ScalarDiffusivity(nu=nu)):
+        grid = RectilinearGrid(size=(n, 1, n), x=(0, 2 * np.pi),
+                               z=(0, np.pi),
+                               topology=("periodic", "flat", "bounded"))
+        model = NonhydrostaticModel(grid=grid, advection=Centered(2),
+                                    closure=closure)
+        xf, zc = np.meshgrid(grid.xnodes("f"), grid.znodes("c"),
+                             indexing="ij")
+        xc, zf = np.meshgrid(grid.xnodes("c"), grid.znodes("f")[:n],
+                             indexing="ij")
+        model.set(u=np.sin(xf)[:, None, :] * np.cos(zc)[:, None, :],
+                  w=-np.cos(xc)[:, None, :] * np.sin(zf)[:, None, :])
+        steps = int(round(T / dt))
+        for _ in range(steps):
+            model.time_step(dt)
+        decay = np.exp(-2 * nu * steps * dt)
+        u = np.asarray(model.field("u").interior)[:, 0, :]
+        w = np.asarray(model.field("w").interior)[:, 0, :n]
+        eu = np.abs(u - np.sin(xf) * np.cos(zc) * decay).max()
+        ew = np.abs(w + np.cos(xc) * np.sin(zf) * decay).max()
+        assert eu < 6e-3, (closure.time_discretization, eu)
+        assert ew < 6e-3, (closure.time_discretization, ew)
