@@ -123,7 +123,8 @@ class CubedSphereShallowWaterModel:
     ẑ (f = 2Ω sinφ evaluated exactly at the ffc nodes)."""
 
     def __init__(self, grid: ConformalCubedSphereGrid, gravity=None,
-                 rotation_rate=0.0):
+                 rotation_rate=0.0, reference_datetime=None):
+        self.reference_datetime = reference_datetime
         self.grid = grid
         self.gravity = float(gravity if gravity is not None
                              else defaults.gravitational_acceleration)
@@ -294,6 +295,13 @@ class CubedSphereShallowWaterModel:
     @property
     def time(self):
         return float(self.state["time"])
+
+    @property
+    def datetime(self):
+        """Calendar time = reference_datetime + model seconds (reference:
+        clock.jl DateTime clocks); None without a reference_datetime."""
+        from ..utils.dateclock import datetime_of
+        return datetime_of(self.time, self.reference_datetime)
 
     @property
     def iteration(self):

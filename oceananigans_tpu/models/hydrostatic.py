@@ -88,7 +88,9 @@ class HydrostaticFreeSurfaceModel:
                  free_surface=None, tracers=(), buoyancy=None, coriolis=None,
                  closure=None, forcing=None, boundary_conditions=None,
                  velocities=None, timestepper="QuasiAdamsBashforth2",
-                 vertical_coordinate="z", fused_tendencies="auto"):
+                 vertical_coordinate="z", fused_tendencies="auto",
+                 reference_datetime=None):
+        self.reference_datetime = reference_datetime
         if vertical_coordinate not in ("z", "zstar"):
             raise ValueError(vertical_coordinate)
         self.vertical_coordinate = vertical_coordinate
@@ -383,6 +385,13 @@ class HydrostaticFreeSurfaceModel:
     @property
     def time(self):
         return float(self.state["clock"]["time"])
+
+    @property
+    def datetime(self):
+        """Calendar time = reference_datetime + model seconds (reference:
+        clock.jl DateTime clocks); None without a reference_datetime."""
+        from ..utils.dateclock import datetime_of
+        return datetime_of(self.time, self.reference_datetime)
 
     @property
     def iteration(self):

@@ -72,7 +72,9 @@ class NonhydrostaticModel:
                  boundary_conditions=None, timestepper="RungeKutta3",
                  pressure_solver=None, background_fields=None,
                  stokes_drift=None, biogeochemistry=None, particles=None,
-                 fused_advection="auto", z_compact="auto", architecture=None):
+                 fused_advection="auto", z_compact="auto", architecture=None,
+                 reference_datetime=None):
+        self.reference_datetime = reference_datetime
         if advection is None:
             advection = Centered(order=2)
         self.advection = advection
@@ -289,6 +291,13 @@ class NonhydrostaticModel:
     @property
     def time(self):
         return float(self.state["clock"]["time"])
+
+    @property
+    def datetime(self):
+        """Calendar time = reference_datetime + model seconds (reference:
+        clock.jl DateTime clocks); None without a reference_datetime."""
+        from ..utils.dateclock import datetime_of
+        return datetime_of(self.time, self.reference_datetime)
 
     @property
     def iteration(self):

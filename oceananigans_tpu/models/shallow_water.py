@@ -102,7 +102,8 @@ class ShallowWaterModel:
                  advection=None, coriolis=None, bathymetry=0.0,
                  tracers=(), forcing=None, boundary_conditions=None,
                  formulation=CONSERVATIVE, closure=None,
-                 fused="auto", architecture=None):
+                 fused="auto", architecture=None, reference_datetime=None):
+        self.reference_datetime = reference_datetime
         if not grid.is_flat(2):
             raise ValueError("ShallowWaterModel requires a z-Flat grid "
                              "(reference: shallow_water_model.jl validation)")
@@ -204,6 +205,13 @@ class ShallowWaterModel:
     @property
     def time(self):
         return float(self.state["clock"]["time"])
+
+    @property
+    def datetime(self):
+        """Calendar time = reference_datetime + model seconds (reference:
+        clock.jl DateTime clocks); None without a reference_datetime."""
+        from ..utils.dateclock import datetime_of
+        return datetime_of(self.time, self.reference_datetime)
 
     @property
     def iteration(self):

@@ -58,8 +58,14 @@ class NaNChecker:
 class Simulation:
     def __init__(self, model, dt, stop_time=None, stop_iteration=None,
                  wall_time_limit=None, verbose=False):
+        from ..utils.dateclock import interval_seconds, seconds_since
         self.model = model
-        self.dt = float(dt)
+        self.dt = interval_seconds(dt)
+        # datetimes convert against the model's reference_datetime
+        # (reference: Clock{DateTime}, clock.jl)
+        if stop_time is not None:
+            stop_time = seconds_since(
+                stop_time, getattr(model, "reference_datetime", None))
         self.stop_time = stop_time
         self.stop_iteration = stop_iteration
         self.wall_time_limit = wall_time_limit

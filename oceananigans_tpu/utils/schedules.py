@@ -28,10 +28,13 @@ class Schedule:
 
 
 class TimeInterval(Schedule):
-    """Actuates every ``interval`` of model time."""
+    """Actuates every ``interval`` of model time (a number of seconds or a
+    datetime.timedelta / np.timedelta64 — reference: schedules.jl +
+    DateTime clocks, clock.jl)."""
 
     def __init__(self, interval):
-        self.interval = float(interval)
+        from .dateclock import interval_seconds
+        self.interval = interval_seconds(interval)
         self.previous_actuation_time = None
 
     def initialize(self, model):
@@ -79,24 +82,39 @@ class WallTimeInterval(Schedule):
 
 
 class SpecifiedTimes(Schedule):
+    """Actuates at the given model times — numbers of seconds, or datetimes
+    when the model carries a ``reference_datetime``."""
+
     def __init__(self, *times):
-        if len(times) == 1 and np.iterable(times[0]):
+        from .dateclock import is_datetime
+        if len(times) == 1 and np.iterable(times[0]) \
+                and not is_datetime(times[0]):
             times = tuple(times[0])
-        self.times = sorted(float(t) for t in times)
+        self._raw = times
+        self.times = None
         self._next = 0
 
+    def _resolve(self, model):
+        if self.times is None:
+            from .dateclock import seconds_since
+            ref = getattr(model, "reference_datetime", None)
+            self.times = sorted(seconds_since(t, ref) for t in self._raw)
+        return self.times
+
     def __call__(self, model):
-        if self._next >= len(self.times):
+        times = self._resolve(model)
+        if self._next >= len(times):
             return False
-        if model.time >= self.times[self._next] - 1e-12:
+        if model.time >= times[self._next] - 1e-12:
             self._next += 1
             return True
         return False
 
     def aligned_time_step(self, model, dt):
-        if self._next >= len(self.times):
+        times = self._resolve(model)
+        if self._next >= len(times):
             return dt
-        return min(dt, max(self.times[self._next] - model.time, 1e-12))
+        return min(dt, max(times[self._next] - model.time, 1e-12))
 
 
 class AndSchedule(Schedule):

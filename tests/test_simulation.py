@@ -308,3 +308,53 @@ def test_field_time_series_forcing_drives_tracer(tmp_path):
     c = np.asarray(m.field("c").interior)
     # dc/dt = 1 -> c = t = 0.1 (no advection: velocities are zero)
     assert np.abs(c - 0.1).max() < 1e-6
+
+
+def test_calendar_datetime_clock():
+    """Calendar clocks (reference: clock.jl Clock{DateTime} +
+    validation/dateclocks): a model built with reference_datetime exposes
+    model.datetime, Simulation accepts datetime stop_time and timedelta dt,
+    and SpecifiedTimes fires on datetimes."""
+    import datetime as dtm
+
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.simulation.simulation import Simulation
+    from oceananigans_tpu.utils.schedules import SpecifiedTimes, TimeInterval
+
+    grid = RectilinearGrid(size=(8, 8), extent=(1.0, 1.0),
+                           topology=("periodic", "periodic", "flat"))
+    t0 = dtm.datetime(2020, 1, 1)
+    model = NonhydrostaticModel(grid=grid, reference_datetime=t0)
+    assert model.datetime == np.datetime64("2020-01-01T00:00:00", "ns")
+
+    sim = Simulation(model, dt=dtm.timedelta(minutes=1),
+                     stop_time=dtm.datetime(2020, 1, 1, 1, 0))
+    hits = []
+    sim.add_callback(lambda s: hits.append(np.datetime64(s.model.datetime)),
+                     SpecifiedTimes(dtm.datetime(2020, 1, 1, 0, 30)))
+    ticks = []
+    sim.add_callback(lambda s: ticks.append(s.model.time),
+                     TimeInterval(dtm.timedelta(minutes=15)))
+    sim.run()
+    assert abs(float(model.time) - 3600.0) < 1e-3
+    assert model.datetime == np.datetime64("2020-01-01T01:00:00", "ns")
+    assert len(hits) == 1
+    assert hits[0] == np.datetime64("2020-01-01T00:30:00", "ns")
+    assert len(ticks) >= 4
+
+
+def test_datetime_requires_reference():
+    import datetime as dtm
+
+    import pytest as _pytest
+
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.simulation.simulation import Simulation
+
+    grid = RectilinearGrid(size=(4, 4), extent=(1.0, 1.0),
+                           topology=("periodic", "periodic", "flat"))
+    model = NonhydrostaticModel(grid=grid)
+    with _pytest.raises(ValueError, match="reference_datetime"):
+        Simulation(model, dt=1.0, stop_time=dtm.datetime(2020, 1, 2))
