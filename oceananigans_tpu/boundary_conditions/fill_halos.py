@@ -99,7 +99,12 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False, dt=None):
         return jnp.concatenate(parts, axis=axis)
 
     def cat_full(parts):
-        # full-axis assembly: carry the lane-tail slots through unchanged
+        # full-axis assembly: carry the lane-tail slots through unchanged.
+        # Halo strips computed with float64 metric scalars (grid coordinate
+        # arrays are numpy f64) or f64 user conditions must not promote the
+        # field dtype — cast strips back before the concat.
+        parts = [p.astype(a.dtype) if p.dtype != a.dtype else p
+                 for p in parts]
         if tail > 0:
             parts = list(parts) + [a[S(slice(N + 2 * H, None))]]
         return jnp.concatenate(parts, axis=axis)

@@ -226,3 +226,45 @@ def test_vertically_implicit_w_diffusion_taylor_green():
         ew = np.abs(w + np.cos(xc) * np.sin(zf) * decay).max()
         assert eu < 6e-3, (closure.time_discretization, eu)
         assert ew < 6e-3, (closure.time_discretization, ew)
+
+
+def test_lid_driven_cavity_ghia():
+    """Steady lid-driven cavity at Re = 100 vs the Ghia, Ghia & Shin (1982)
+    benchmark (Table I/II): centerline velocity extrema and their positions
+    (reference analogue: validation/lid_driven_cavity). Exercises Value
+    (no-slip / moving-wall) boundary conditions, the pressure projection on
+    a doubly-bounded grid, and viscous steady states."""
+    from oceananigans_tpu.boundary_conditions import (FieldBoundaryConditions,
+                                                      ValueBoundaryCondition)
+    from oceananigans_tpu.closures import ScalarDiffusivity as _SD
+
+    Re, n, dt, T = 100.0, 64, 0.004, 25.0
+    grid = RectilinearGrid(size=(n, 1, n), x=(0.0, 1.0), y=(0, 1),
+                           z=(0.0, 1.0),
+                           topology=("bounded", "flat", "bounded"))
+    u_bcs = FieldBoundaryConditions(top=ValueBoundaryCondition(1.0),
+                                    bottom=ValueBoundaryCondition(0.0))
+    w_bcs = FieldBoundaryConditions(west=ValueBoundaryCondition(0.0),
+                                    east=ValueBoundaryCondition(0.0))
+    model = NonhydrostaticModel(grid=grid, advection=Centered(2),
+                                closure=_SD(nu=1.0 / Re),
+                                boundary_conditions=dict(u=u_bcs, w=w_bcs))
+    for _ in range(int(T / dt)):
+        model.time_step(dt)
+
+    u = np.asarray(model.field("u").interior)[:, 0, :]
+    w = np.asarray(model.field("w").interior)[:, 0, :]
+    zc = np.asarray(grid.znodes("c"))
+    xc = np.asarray(grid.xnodes("c"))
+    u_line = u[n // 2, :]      # vertical centerline x = 0.5
+    w_line = w[:, n // 2]      # horizontal centerline z = 0.5
+
+    # Ghia et al. (1982), Re = 100 (129² fine-grid reference values):
+    # u_min = -0.21090 at y = 0.4531; v_max = 0.17527 at x = 0.2344;
+    # v_min = -0.24533 at x = 0.8047
+    assert abs(u_line.min() - (-0.21090)) < 0.01, u_line.min()
+    assert abs(zc[np.argmin(u_line)] - 0.4531) < 2.5 / n
+    assert abs(w_line.max() - 0.17527) < 0.01, w_line.max()
+    assert abs(xc[np.argmax(w_line)] - 0.2344) < 2.5 / n
+    assert abs(w_line.min() - (-0.24533)) < 0.012, w_line.min()
+    assert abs(xc[np.argmin(w_line)] - 0.8047) < 2.5 / n
