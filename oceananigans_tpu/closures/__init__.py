@@ -1,8 +1,14 @@
 from .scalar_diffusivity import (ScalarDiffusivity, VerticalScalarDiffusivity,
                                  HorizontalScalarDiffusivity,
-                                 ScalarBiharmonicDiffusivity, ClosureTuple)
-from .smagorinsky import (Smagorinsky, SmagorinskyLilly, DynamicCoefficient,
-                          DynamicSmagorinsky, LagrangianAveraging)
+                                 ScalarBiharmonicDiffusivity,
+                                 VerticalScalarBiharmonicDiffusivity,
+                                 HorizontalScalarBiharmonicDiffusivity,
+                                 ExplicitTimeDiscretization,
+                                 VerticallyImplicitTimeDiscretization,
+                                 ClosureTuple)
+from .smagorinsky import (Smagorinsky, SmagorinskyLilly, LillyCoefficient,
+                          DynamicCoefficient, DynamicSmagorinsky,
+                          LagrangianAveraging)
 from .amd import AnisotropicMinimumDissipation
 from .vertical_diffusivities import (ConvectiveAdjustmentVerticalDiffusivity,
                                      RiBasedVerticalDiffusivity,
@@ -14,6 +20,10 @@ from .tke_dissipation import TKEDissipationVerticalDiffusivity
 
 __all__ = ["ScalarDiffusivity", "VerticalScalarDiffusivity",
            "HorizontalScalarDiffusivity", "ScalarBiharmonicDiffusivity",
+           "VerticalScalarBiharmonicDiffusivity",
+           "HorizontalScalarBiharmonicDiffusivity",
+           "ExplicitTimeDiscretization",
+           "VerticallyImplicitTimeDiscretization", "LillyCoefficient",
            "Smagorinsky", "SmagorinskyLilly", "DynamicCoefficient",
            "DynamicSmagorinsky", "LagrangianAveraging",
            "AnisotropicMinimumDissipation",

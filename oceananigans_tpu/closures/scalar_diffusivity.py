@@ -53,13 +53,30 @@ def _kappa_for(kappa, name):
     return kappa
 
 
+def time_discretization_str(td):
+    """Normalize a time-discretization spec: the reference's
+    ExplicitTimeDiscretization() / VerticallyImplicitTimeDiscretization()
+    marker objects or the strings used internally."""
+    return getattr(td, "name", td)
+
+
+class ExplicitTimeDiscretization:
+    """Marker matching the reference's trait type
+    (implicit_explicit_time_discretization.jl)."""
+    name = "explicit"
+
+
+class VerticallyImplicitTimeDiscretization:
+    name = "vertically_implicit"
+
+
 class ScalarDiffusivity(_ClosureBase):
     def __init__(self, nu=0.0, kappa=0.0, formulation=ISO,
                  time_discretization="explicit"):
         self.nu = nu
         self.kappa = kappa
         self.formulation = formulation
-        self.time_discretization = time_discretization
+        self.time_discretization = time_discretization_str(time_discretization)
         if formulation not in (ISO, HORIZONTAL, VERTICAL):
             raise ValueError(formulation)
 
@@ -157,6 +174,14 @@ class ScalarBiharmonicDiffusivity(_ClosureBase):
     def tracer_tendency(self, grid, name, fields, aux):
         k = _kappa_for(self.kappa, name)
         return self._biharm(grid, fields[name], ("c", "c", "c"), k)
+
+
+def VerticalScalarBiharmonicDiffusivity(nu=0.0, kappa=0.0):
+    return ScalarBiharmonicDiffusivity(nu, kappa, VERTICAL)
+
+
+def HorizontalScalarBiharmonicDiffusivity(nu=0.0, kappa=0.0):
+    return ScalarBiharmonicDiffusivity(nu, kappa, HORIZONTAL)
 
 
 class ClosureTuple(_ClosureBase):

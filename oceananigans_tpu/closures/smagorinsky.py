@@ -57,6 +57,11 @@ class Smagorinsky(_ClosureBase):
 
     def __init__(self, coefficient=0.16, Pr=1.0, buoyancy_modified=False,
                  buoyancy=None):
+        if isinstance(coefficient, LillyCoefficient):
+            # reference: Smagorinsky(coefficient=LillyCoefficient(...))
+            Pr = coefficient.Pr
+            buoyancy_modified = True
+            coefficient = coefficient.smagorinsky
         self.C = (coefficient if hasattr(coefficient, "_fp")
                   else float(coefficient))
         self.Pr = Pr
@@ -152,6 +157,16 @@ class Smagorinsky(_ClosureBase):
     def tracer_tendency(self, grid, name, fields, aux):
         kappa = aux["nu_e"] / self._pr_for(name)
         return div_kappa_grad(grid, fields[name], LOC_CCC, kappa)
+
+
+class LillyCoefficient:
+    """Coefficient spec selecting the Lilly (1962) buoyancy-modified
+    Smagorinsky variant (reference: Smagorinskys/lilly_coefficient.jl):
+    ``Smagorinsky(coefficient=LillyCoefficient(smagorinsky=0.16, Pr=1.0))``."""
+
+    def __init__(self, smagorinsky=0.16, Pr=1.0):
+        self.smagorinsky = smagorinsky
+        self.Pr = Pr
 
 
 def SmagorinskyLilly(coefficient=0.16, Pr=1.0, buoyancy=None):

@@ -1,9 +1,9 @@
 from .forcings import (Forcing, ContinuousForcing, DiscreteForcing,
                        Relaxation, AdvectiveForcing, MultipleForcings,
                        FieldTimeSeriesForcing,
-                       GaussianMask, LinearTarget, make_forcing)
+                       GaussianMask, PiecewiseLinearMask, LinearTarget, make_forcing)
 
 __all__ = ["Forcing", "ContinuousForcing", "DiscreteForcing", "Relaxation",
            "AdvectiveForcing", "MultipleForcings", "FieldTimeSeriesForcing",
-           "GaussianMask",
+           "GaussianMask", "PiecewiseLinearMask",
            "LinearTarget", "make_forcing"]

@@ -101,6 +101,18 @@ class GaussianMask:
         return jnp.exp(-((xi - self.center) ** 2) / (2 * self.width ** 2))
 
 
+class PiecewiseLinearMask:
+    """Triangular mask: 1 at ``center``, linear to 0 at |ξ-center| = width
+    (reference: relaxation.jl PiecewiseLinearMask)."""
+
+    def __init__(self, center, width, axis=2):
+        self.center, self.width, self.axis = center, width, axis
+
+    def __call__(self, x, y, z):
+        xi = (x, y, z)[self.axis]
+        return jnp.maximum(0.0, 1 - abs(xi - self.center) / self.width)
+
+
 class LinearTarget:
     """target = intercept + gradient·ξ (reference: relaxation.jl
     LinearTarget)."""

@@ -37,6 +37,16 @@ class AbstractGrid:
     - coordinate methods ``x(lx) / y(ly) / z(lz)`` (padded 1D numpy arrays)
     """
 
+    def minimum_xspacing(self):
+        """Reference: nodes_and_spacings.jl minimum_xspacing."""
+        return self.minimum_spacing(0)
+
+    def minimum_yspacing(self):
+        return self.minimum_spacing(1)
+
+    def minimum_zspacing(self):
+        return self.minimum_spacing(2)
+
     # -- shapes ---------------------------------------------------------------
 
     @property

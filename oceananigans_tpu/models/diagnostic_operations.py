@@ -153,3 +153,23 @@ class BoundaryAdjacentMean:
             return self.value
         self.value = float(boundary_adjacent_mean(field, side))
         return self.value
+
+
+def BuoyancyField(model):
+    """Buoyancy at (c,c,c) from the model's buoyancy formulation and current
+    tracers (reference: BuoyancyFormulations.BuoyancyField)."""
+    from ..fields import Field
+    from ..grids.topology import LOC_CCC
+    if model.buoyancy is None:
+        raise ValueError("model has no buoyancy formulation")
+    tracers = {n: model.state["fields"][n] for n in model.tracer_names}
+    data = model.buoyancy.buoyancy_ccc(model.grid, tracers)
+    import jax.numpy as jnp
+    data = jnp.broadcast_to(data, model.grid.padded_shape)
+    return Field(model.grid, LOC_CCC, None, data)
+
+
+def PressureField(model):
+    """The model's (nonhydrostatic kinematic) pressure as a Field
+    (reference: Models.PressureField)."""
+    return model.field("p")

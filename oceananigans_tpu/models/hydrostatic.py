@@ -57,6 +57,16 @@ def _dzc_interior(grid):
 PROGNOSTIC_LOCS = {"u": LOC_FCC, "v": LOC_CFC}
 
 
+def ZCoordinate():
+    """Reference vertical-coordinate marker (ZCoordinate/ZStarCoordinate,
+    hydrostatic_free_surface_model.jl vertical_coordinate=)."""
+    return "z"
+
+
+def ZStarCoordinate():
+    return "zstar"
+
+
 class PrescribedVelocityFields:
     """Tracer-only mode: velocities are prescribed (constants or traceable
     callables of (x, y, z, t)) and NOT stepped (reference:
@@ -91,6 +101,8 @@ class HydrostaticFreeSurfaceModel:
                  vertical_coordinate="z", fused_tendencies="auto",
                  reference_datetime=None):
         self.reference_datetime = reference_datetime
+        if callable(vertical_coordinate):
+            vertical_coordinate = vertical_coordinate()
         if vertical_coordinate not in ("z", "zstar"):
             raise ValueError(vertical_coordinate)
         self.vertical_coordinate = vertical_coordinate

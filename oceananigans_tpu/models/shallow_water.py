@@ -37,6 +37,15 @@ CONSERVATIVE = "conservative"
 VECTOR_INVARIANT = "vector_invariant"
 
 
+def ConservativeFormulation():
+    """Reference formulation marker (shallow_water_model.jl:57-59)."""
+    return CONSERVATIVE
+
+
+def VectorInvariantFormulation():
+    return VECTOR_INVARIANT
+
+
 def conservative_tendencies(grid, scheme, g, coriolis, hB, tracer_names,
                             fields):
     """Conservative-formulation tendencies G(uh, vh, h, tracers) (reference:

@@ -84,3 +84,13 @@ class StateChecker:
             fld = model.field(name)
             print(f"  {name:>4}: min {float(fld.min()):+.6e} "
                   f"max {float(fld.max()):+.6e} mean {float(fld.mean()):+.6e}")
+
+
+def conjure_time_step_wizard(simulation, schedule=None, **wizard_kwargs):
+    """Install a TimeStepWizard callback on the simulation (reference:
+    simulation.jl conjure_time_step_wizard!(sim, schedule; kwargs...))."""
+    from ..utils.schedules import IterationInterval
+    wizard = TimeStepWizard(**wizard_kwargs)
+    simulation.add_callback(wizard, schedule or IterationInterval(10),
+                            name="time_step_wizard")
+    return wizard

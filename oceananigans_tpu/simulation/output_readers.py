@@ -16,8 +16,19 @@ import os
 import numpy as np
 
 
+def InMemory():
+    """Backend marker (reference: field_time_series.jl InMemory/OnDisk)."""
+    return "in_memory"
+
+
+def OnDisk():
+    return "on_disk"
+
+
 class FieldTimeSeries:
     def __init__(self, path, name, backend="in_memory"):
+        if callable(backend):
+            backend = backend()
         self.path = path
         self.name = name
         self.backend = backend
@@ -92,3 +103,28 @@ class FieldTimeSeries:
         lo = jnp.take(data, i, axis=0)
         hi = jnp.take(data, j, axis=0)
         return (1 - w) * lo + w * hi
+
+
+def written_names(path):
+    """Output names recorded in a FieldWriter dataset (reference:
+    jld2_writer.jl written_names)."""
+    import json as _json
+    import os as _os
+    index = _json.load(open(_os.path.join(path, "series.json")))
+    return list(index["outputs"])
+
+
+class FieldDataset(dict):
+    """All outputs of a FieldWriter dataset as {name: FieldTimeSeries}
+    (reference: OutputReaders FieldDataset). Access by item or attribute."""
+
+    def __init__(self, path, backend="in_memory"):
+        super().__init__()
+        for name in written_names(path):
+            self[name] = FieldTimeSeries(path, name, backend=backend)
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e

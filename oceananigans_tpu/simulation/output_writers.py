@@ -47,6 +47,14 @@ class FieldWriter:
         self.outputs = dict(outputs)
         self.path = path
         self.schedule = schedule or IterationInterval(1)
+        self._wta = None
+        if isinstance(self.schedule, AveragedTimeInterval):
+            self._wta = {
+                name: WindowedTimeAverage(
+                    (lambda m, s=spec: fetch_output(self._resolve(s), m)),
+                    self.schedule.interval, self.schedule.window,
+                    self.schedule.stride)
+                for name, spec in self.outputs.items()}
         self.with_halos = with_halos
         self.indices = tuple(indices) if indices is not None else None
         os.makedirs(path, exist_ok=True)
@@ -84,8 +92,42 @@ class FieldWriter:
             json.dump(self.index, f)
 
     def maybe_write(self, sim, force=False):
+        if self._wta is not None:
+            for w in self._wta.values():
+                w.collect(sim.model)
+            if force or self.schedule(sim.model):
+                model = sim.model
+                it = model.iteration
+                wrote = False
+                for name, w in self._wta.items():
+                    arr = w.result()
+                    if arr is None:
+                        continue
+                    if self.indices is not None and arr.ndim >= 3:
+                        arr = arr[self.indices]
+                    np.save(os.path.join(self.path, f"{name}_{it}.npy"), arr)
+                    wrote = True
+                if wrote:
+                    self.index["times"].append(model.time)
+                    self.index["iterations"].append(it)
+                    with open(self.index_file, "w") as f:
+                        json.dump(self.index, f)
+            return
         if force or self.schedule(sim.model):
             self.write(sim)
+
+
+class AveragedTimeInterval(TimeInterval):
+    """TimeInterval whose outputs are windowed time averages (reference:
+    windowed_time_average.jl AveragedTimeInterval): pass as a writer
+    ``schedule=`` and the writer wraps every output in a
+    :class:`WindowedTimeAverage` over ``window`` before each actuation."""
+
+    def __init__(self, interval, window=None, stride=1):
+        super().__init__(interval)
+        self.window = float(window if window is not None else
+                            self.interval)
+        self.stride = int(stride)
 
 
 class WindowedTimeAverage:
