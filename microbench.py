@@ -11,6 +11,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # sitecustomize pins the axon TPU tunnel before env vars apply
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache"))
@@ -70,3 +73,35 @@ t_solve = timeit("poisson solve", solve, rhs)
 t_proj = timeit("projection (fill+solve+grad)", proj, ff["u"], ff["v"], ff["w"])
 t_step = timeit("full RK3 step", step, state, dt)
 print(f"sum of phases ×3 stages ≈ {(t_fill + t_tend + t_proj) * 3 * 1e3:.1f} ms")
+
+# -- fused fast-path kernels (when engaged) ---------------------------------
+if model._fused_update is not None:
+    tr = {n: f[n] for n in model.tracer_names}
+    up1 = jax.jit(lambda u, v, w: model._fused_update(u, v, w, tr, None,
+                                                      dt, 0.0 * dt))
+    Gm, new = up1(ff["u"], ff["v"], ff["w"])
+    t_up1 = timeit("fused update (stage 1)", up1, ff["u"], ff["v"], ff["w"])
+    up2 = jax.jit(lambda u, v, w, Gm: model._fused_update(
+        u, v, w, tr, Gm, dt, 0.5 * dt))
+    t_up2 = timeit("fused update (stage 2+)", up2,
+                   new["u"], new["v"], new["w"], Gm)
+    if model._fuse_correction:
+        Hx, Hy, _ = model.grid.H
+        p = jnp.pad(jnp.zeros(model.grid.N, model.grid.dtype),
+                    ((Hx, Hx), (Hy, Hy), (0, 0)), mode="wrap")
+        upc = jax.jit(lambda u, v, w, Gm, p: model._fused_update(
+            u, v, w, tr, Gm, dt, 0.5 * dt, p=p, corr_dt=dt))
+        t_upc = timeit("fused update (corr-fused)", upc,
+                       new["u"], new["v"], new["w"], Gm, p)
+if model._fused_div is not None:
+    fd = jax.jit(lambda u, v, w: model._fused_div(u, v, w, 1.0 / dt))
+    t_div = timeit("fused divergence", fd, ff["u"], ff["v"], ff["w"])
+    rhs_i = fd(ff["u"], ff["v"], ff["w"])
+    Hx, Hy, _ = model.grid.H
+    embed = jax.jit(lambda pi: jnp.pad(pi, ((Hx, Hx), (Hy, Hy), (0, 0)),
+                                       mode="wrap"))
+    t_embed = timeit("p pad-wrap embed", embed, rhs_i)
+if model._fused_correct is not None:
+    pp = jnp.pad(rhs_i, ((Hx, Hx), (Hy, Hy), (0, 0)), mode="wrap")
+    fc = jax.jit(lambda p, u, v, w: model._fused_correct(p, u, v, w, dt))
+    t_corr = timeit("fused correct", fc, pp, ff["u"], ff["v"], ff["w"])

@@ -266,12 +266,20 @@ def build_fused_advection(grid, scheme, tracer_names):
     return fused
 
 
-def _build_update_group(grid, scheme, tracer_names, include_momentum):
+def _build_update_group(grid, scheme, tracer_names, include_momentum,
+                        with_corr=False):
     """One advection+RK3-update kernel over a GROUP of advected fields:
     momentum (u, v, w) and/or a batch of tracers. u, v, w are always
     inputs (advecting velocities); G and ``new`` outputs exist only for
     the advected fields. Tracer batching keeps VMEM tiles large for
-    many-tracer runs (see build_fused_advection_update)."""
+    many-tracer runs (see build_fused_advection_update).
+
+    ``with_corr``: fold the PREVIOUS stage's pressure correction into this
+    kernel — inputs are the uncorrected (u*, v*, w*) plus the padded
+    pressure p; the kernel applies q ← q* − Δt_prev ∇p on the VMEM slabs
+    before advecting (eliminating the separate fused_correct HBM pass for
+    all but the last RK3 stage). Requires H ≥ required_halo + 1 in x and y
+    (the correction consumes one extra stencil ring on the slab)."""
     Hx, Hy, Hz = grid.H
     z_compact = (Hz == 0 and not grid.is_flat(2))
     zbc = None
@@ -282,13 +290,22 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
     tgrid = _TileGrid(grid)
     names = tuple(tracer_names)
     nf = 3 + len(names)          # input slabs (u, v, w + batch tracers)
+    n_in = nf + (1 if with_corr else 0)      # [+ the pressure slab]
     nfo = (3 if include_momentum else 0) + len(names)   # advected fields
     src_of = (list(range(3)) if include_momentum else []) \
         + [3 + t for t in range(len(names))]
+    if with_corr:
+        req = getattr(scheme, "required_halo", 1)
+        if Hx < req + 1 or Hy < req + 1:
+            raise ValueError("with_corr needs one spare halo ring beyond "
+                             "the advection stencil (bump Hx/Hy)")
+        inv_dx = 1.0 / float(tgrid.dx(None))
+        inv_dy = 1.0 / float(tgrid.dy(None))
+        inv_dz = 1.0 / float(tgrid.dz(None))
     ZPAD0 = -(-ZP // 128) * 128
-    # double-buffered slabs (2·nf) + pipelined G outs + Gm input tiles +
+    # double-buffered slabs (2·n_in) + pipelined G outs + Gm input tiles +
     # new-slabs (2·nfo each)
-    TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, 2 * nf,
+    TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, 2 * n_in,
                               max(0, 6 * nfo - 4 * nf))
     import os as _os
     _tiles_env = _os.environ.get("FUSED_UPDATE_TILES")
@@ -321,15 +338,18 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
     def make_call(with_gm):
         def kernel(*refs):
             k0 = 0
-            ins = refs[k0:k0 + nf]; k0 += nf
+            ins = refs[k0:k0 + n_in]; k0 += n_in
             gms = refs[k0:k0 + (nfo if with_gm else 0)]
             k0 += nfo if with_gm else 0
             gdt_ref = refs[k0]; k0 += 1
             zdt_ref = None
             if with_gm:
                 zdt_ref = refs[k0]; k0 += 1
+            cdt_ref = None
+            if with_corr:
+                cdt_ref = refs[k0]; k0 += 1
             outs = refs[k0:k0 + 2 * nfo]; k0 += 2 * nfo
-            slabs = refs[k0:k0 + nf]; k0 += nf
+            slabs = refs[k0:k0 + n_in]; k0 += n_in
             newslabs = refs[k0:k0 + nfo]; k0 += nfo
             gm_slabs = g_slabs = acc_slabs = None
             if dma_io:
@@ -361,12 +381,12 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
 
             @pl.when(t == 0)
             def _():
-                for k in range(nf):
+                for k in range(n_in):
                     dma_in(i, j, cur, k).start()
 
             @pl.when(t + 1 < NT)
             def _():
-                for k in range(nf):
+                for k in range(n_in):
                     dma_in(i_next, j_next, nxt, k).start()
 
             if dma_io and with_gm:
@@ -380,12 +400,26 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
                 for cp in gm_copies:
                     cp.wait()
 
-            for k in range(nf):
+            for k in range(n_in):
                 dma_in(i, j, cur, k).wait()
 
             u = slabs[0][cur]
             v = slabs[1][cur]
             w = slabs[2][cur]
+            if with_corr:
+                # previous stage's projection applied in VMEM: q ← q* − Δt∇p
+                # (see build_fused_correct for the stencil/pin conventions;
+                # slab index 0 of each horizontal axis has no p[i−1] — it is
+                # never consumed because H ≥ required_halo + 1)
+                cdt = cdt_ref[0, 0]
+                p = slabs[nf][cur]
+                dpx = p - jnp.pad(p[:-1], [(1, 0), (0, 0), (0, 0)])
+                dpy = p - jnp.pad(p[:, :-1], [(0, 0), (1, 0), (0, 0)])
+                dpz = p - jnp.pad(p[:, :, :-1], [(0, 0), (0, 0), (1, 0)])
+                kidx = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2)
+                u = u - cdt * inv_dx * dpx
+                v = v - cdt * inv_dy * dpy
+                w = jnp.where(kidx == 0, 0.0, w - cdt * inv_dz * dpz)
             gdt = gdt_ref[0, 0]
 
             tile = (slice(Hx, Hx + TX), slice(Hy, Hy + TY))
@@ -536,7 +570,7 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
                     for k in range(nfo):
                         dma_out(nxt, k, i, j).wait()
 
-        n_scal = 2 if with_gm else 1
+        n_scal = (2 if with_gm else 1) + (1 if with_corr else 0)
         tile_spec = pl.BlockSpec((TX, TY, ZP), lambda i, j: (i, j, 0),
                                  memory_space=pltpu.VMEM)
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -546,8 +580,12 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
         if with_gm:
             in_specs += ([any_spec] if dma_io else [tile_spec]) * nfo
         in_specs += [smem_spec] * n_scal
+        if with_corr:
+            # the padded pressure rides as the last DMA'd input (after the
+            # scalars in the ref list order established by the kernel body)
+            in_specs = in_specs[:nf] + [any_spec] + in_specs[nf:]
         NP = grid.padded_shape
-        scratch = [pltpu.VMEM((2,) + slab_shape, grid.dtype)] * nf \
+        scratch = [pltpu.VMEM((2,) + slab_shape, grid.dtype)] * n_in \
             + [pltpu.VMEM((2, TX, TY, ZP), grid.dtype)] * nfo
         if dma_io:
             if with_gm:
@@ -555,7 +593,7 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
             scratch += [pltpu.VMEM((TX, TY, ZP), grid.dtype)] * nfo
         elif split_terms:
             scratch += [pltpu.VMEM((TX, TY, ZP), grid.dtype)] * nfo
-        scratch += [pltpu.SemaphoreType.DMA((2, nf)),
+        scratch += [pltpu.SemaphoreType.DMA((2, n_in)),
                     pltpu.SemaphoreType.DMA((2, max(nfo, 1))),
                     pltpu.SemaphoreType.DMA((4,))]
         return pl.pallas_call(
@@ -580,15 +618,24 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
     zpad = [(0, 0), (0, 0), (0, ZPAD - ZP)]
     out_names = (("u", "v", "w") if include_momentum else ()) + names
 
-    def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt):
+    def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt,
+                     p=None, corr_dt=None):
         args = [jnp.pad(a, zpad) for a in
                 [u, v, w] + [tracers[n] for n in names]]
+        if with_corr:
+            if p is None:
+                raise ValueError("with_corr kernel needs p and corr_dt")
+            args.append(jnp.pad(p, zpad))
         g = jnp.asarray(gamma_dt, grid.dtype).reshape(1, 1)
+        scal = [g]
+        if Gm is not None:
+            scal.append(jnp.asarray(zeta_dt, grid.dtype).reshape(1, 1))
+        if with_corr:
+            scal.append(jnp.asarray(corr_dt, grid.dtype).reshape(1, 1))
         if Gm is None:
-            outs = call0(*args, g)
+            outs = call0(*args, *scal)
         else:
-            z = jnp.asarray(zeta_dt, grid.dtype).reshape(1, 1)
-            outs = call1(*args, *Gm, g, z)
+            outs = call1(*args, *Gm, *scal)
         G_int = list(outs[:nfo])
         new = {n: outs[nfo + k] for k, n in enumerate(out_names)}
         return G_int, new
@@ -597,7 +644,7 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum):
 
 
 def build_fused_advection_update(grid, scheme, tracer_names,
-                                 tracer_batch="auto"):
+                                 tracer_batch="auto", with_corr=False):
     """Advection megakernel with the RK3 stage update FUSED in: G = -∇·(𝐯 q)
     AND new = q + γΔt·G + ζΔt·G⁻ for every prognostic field in Pallas,
     with halo-valid outputs. Many-tracer runs split into a momentum call +
@@ -623,15 +670,34 @@ def build_fused_advection_update(grid, scheme, tracer_names,
     elif isinstance(tracer_batch, int):
         single = ntr <= tracer_batch
     if single:
-        return _build_update_group(grid, scheme, names, True)
+        plain = _build_update_group(grid, scheme, names, True)
+        if not with_corr:
+            return plain
+        corr = _build_update_group(grid, scheme, names, True,
+                                   with_corr=True)
+
+        def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt,
+                         p=None, corr_dt=None):
+            if p is None:
+                return plain(u, v, w, tracers, Gm, gamma_dt, zeta_dt)
+            return corr(u, v, w, tracers, Gm, gamma_dt, zeta_dt,
+                        p=p, corr_dt=corr_dt)
+
+        return fused_update
 
     K = tracer_batch if isinstance(tracer_batch, int) else 2
     batches = [names[b:b + K] for b in range(0, ntr, K)]
-    mom = _build_update_group(grid, scheme, (), True)
-    groups = [_build_update_group(grid, scheme, bn, False)
-              for bn in batches]
+    variants = [False, True] if with_corr else [False]
+    mom = {wc: _build_update_group(grid, scheme, (), True, with_corr=wc)
+           for wc in variants}
+    groups = {wc: [_build_update_group(grid, scheme, bn, False,
+                                       with_corr=wc) for bn in batches]
+              for wc in variants}
 
-    def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt):
+    def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt,
+                     p=None, corr_dt=None):
+        wc = p is not None
+        kw = dict(p=p, corr_dt=corr_dt) if wc else {}
         if Gm is None:
             parts = [None] * (1 + len(batches))
         else:
@@ -640,11 +706,11 @@ def build_fused_advection_update(grid, scheme, tracer_names,
             for bn in batches:
                 parts.append(Gm[o:o + len(bn)])
                 o += len(bn)
-        G_all, new = mom(u, v, w, {}, parts[0], gamma_dt, zeta_dt)
+        G_all, new = mom[wc](u, v, w, {}, parts[0], gamma_dt, zeta_dt, **kw)
         G_all = list(G_all)
-        for gfn, bn, pm in zip(groups, batches, parts[1:]):
+        for gfn, bn, pm in zip(groups[wc], batches, parts[1:]):
             gb, nb = gfn(u, v, w, {n: tracers[n] for n in bn}, pm,
-                         gamma_dt, zeta_dt)
+                         gamma_dt, zeta_dt, **kw)
             G_all += gb
             new.update(nb)
         return G_all, new

@@ -73,7 +73,7 @@ class NonhydrostaticModel:
                  pressure_solver=None, background_fields=None,
                  stokes_drift=None, biogeochemistry=None, particles=None,
                  fused_advection="auto", z_compact="auto", architecture=None,
-                 reference_datetime=None):
+                 reference_datetime=None, fuse_correction="auto"):
         self.reference_datetime = reference_datetime
         if advection is None:
             advection = Centered(order=2)
@@ -153,6 +153,14 @@ class NonhydrostaticModel:
             if eligible_zc:
                 halo[2] = 0
                 self._z_compact = True
+                if fuse_correction in (True, "auto"):
+                    # the correction-fused update kernel consumes one extra
+                    # stencil ring on the slab (q ← q* − Δt∇p before the
+                    # reconstruction) — reserve it in x and y
+                    halo[0] = max(halo[0], required + 1)
+                    halo[1] = max(halo[1], required + 1)
+                    while halo[1] % 8:
+                        halo[1] += 1
             elif z_compact is True:
                 raise ValueError("model configuration is not eligible for "
                                  "the z-compact layout")
@@ -251,13 +259,11 @@ class NonhydrostaticModel:
         # particles/backgrounds) the stage update q + γΔt·G + ζΔt·G⁻ fuses
         # INTO the megakernel, removing a full elementwise HBM pass per stage
         self._fused_update = None
-        if (self._fused_advection is not None and self._z_compact
-                and architecture is None
-                and self.coriolis is None and self.buoyancy is None
-                and isinstance(self.timestepper, RungeKutta3TimeStepper)):
-            from ..kernels.fused_advection import build_fused_advection_update
-            self._fused_update = build_fused_advection_update(
-                self.grid, self.advection, self.tracer_names)
+        self._fused_update_planned = (
+            self._fused_advection is not None and self._z_compact
+            and architecture is None
+            and self.coriolis is None and self.buoyancy is None
+            and isinstance(self.timestepper, RungeKutta3TimeStepper))
 
         # fused projection kernels (z-compact + regular + FFT solver): the
         # divergence source and the pressure-gradient correction each become
@@ -272,6 +278,19 @@ class NonhydrostaticModel:
                 self._fused_correct = build_fused_correct(self.grid)
             except ValueError:
                 pass
+
+        # correction-fused update: stages 2-3 apply the previous stage's
+        # pressure correction inside the update megakernel, dropping two of
+        # the three fused_correct HBM passes per RK3 step
+        self._fuse_correction = (fuse_correction in (True, "auto")
+                                 and self._fused_div is not None)
+        if self._fused_update_planned:
+            from ..kernels.fused_advection import build_fused_advection_update
+            self._fused_update = build_fused_advection_update(
+                self.grid, self.advection, self.tracer_names,
+                with_corr=self._fuse_correction)
+        self._fuse_correction = (self._fuse_correction
+                                 and self._fused_update is not None)
 
         self._step = jax.jit(self._build_step())
 
@@ -679,6 +698,8 @@ class NonhydrostaticModel:
                 p = state["pressure"]
                 Gm = None
                 fast_proj = self._fused_div is not None
+                fuse_corr = self._fuse_correction and fast_proj
+                pend = None        # (padded p, stage_dt) awaiting correction
                 for m, (gamma, zeta) in enumerate(zip(RK3_GAMMAS,
                                                       RK3_ZETAS)):
                     stage_dt = (gamma + zeta) * dt
@@ -687,17 +708,32 @@ class NonhydrostaticModel:
                         # outputs directly (edge tiles mirror their strips
                         # into the periodic halo slots)
                         fields = self._fill_all(fields, time, dt=stage_dt)
+                    kw = {} if pend is None else dict(p=pend[0],
+                                                      corr_dt=pend[1])
                     Gm, new = self._fused_update(
                         fields["u"], fields["v"], fields["w"],
                         {n: fields[n] for n in self.tracer_names},
-                        Gm, gamma * dt, zeta * dt)
+                        Gm, gamma * dt, zeta * dt, **kw)
                     if not fast_proj:
                         # fast projection pins w's boundary face in-kernel
                         new["w"] = new["w"] * self._w_face_mask
-                    u, v, w, p = self._project(new["u"], new["v"], new["w"],
-                                               stage_dt, time,
-                                               halos_valid=fast_proj)
-                    new.update(u=u, v=v, w=w)
+                    if fuse_corr and m < 2:
+                        # defer the correction into the NEXT stage's update
+                        # kernel: only solve for p here (two of the three
+                        # fused_correct HBM passes per step disappear)
+                        rhs = self._fused_div(new["u"], new["v"], new["w"],
+                                              1.0 / stage_dt)
+                        p_int = self.pressure_solver.solve(rhs)
+                        Hx, Hy, _ = self.grid.H
+                        p = jnp.pad(p_int, ((Hx, Hx), (Hy, Hy), (0, 0)),
+                                    mode="wrap")
+                        pend = (p, stage_dt)
+                    else:
+                        u, v, w, p = self._project(
+                            new["u"], new["v"], new["w"], stage_dt, time,
+                            halos_valid=fast_proj)
+                        new.update(u=u, v=v, w=w)
+                        pend = None
                     fields = new
                     time = time + stage_dt
                 clock = dict(time=time, iteration=clock["iteration"] + 1,

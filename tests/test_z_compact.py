@@ -141,7 +141,8 @@ def test_fused_projection_matches(rng):
 
     def build(want_fused_proj):
         m = NonhydrostaticModel(grid=grid, advection=WENO(5), tracers=("c",),
-                                z_compact=True, fused_advection=True)
+                                z_compact=True, fused_advection=True,
+                                fuse_correction=False)
         if not want_fused_proj:
             m._fused_div = m._fused_correct = None
             m._step = jax.jit(m._build_step())
@@ -185,3 +186,37 @@ def test_halo_valid_outputs(rng):
                                       err_msg=f"{name} left-y halo")
         np.testing.assert_array_equal(a[:, Hy + ny:], a[:, Hy:2 * Hy],
                                       err_msg=f"{name} right-y halo")
+
+
+def test_correction_fused_update_matches_separate_correct():
+    """The correction-fused update kernel (previous stage's pressure
+    correction applied in VMEM inside the advection megakernel,
+    kernels/fused_advection.py with_corr) must reproduce the separate
+    fused_correct chain to f32 roundoff."""
+    import jax.numpy as jnp
+
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.advection import WENO
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    n = 128
+    rng = np.random.default_rng(0)
+    u0 = 0.1 * rng.standard_normal((32, 32, n)).astype(np.float32)
+    v0 = 0.1 * rng.standard_normal((32, 32, n)).astype(np.float32)
+    c0 = rng.random((32, 32, n), dtype=np.float32)
+    res = {}
+    for fc in (False, True):
+        grid = RectilinearGrid(size=(32, 32, n), extent=(1.0, 1.0, 1.0),
+                               topology=("periodic", "periodic", "bounded"),
+                               dtype=jnp.float32)
+        m = NonhydrostaticModel(grid=grid, advection=WENO(5), tracers=("c",),
+                                fuse_correction=fc)
+        assert m._fuse_correction == fc
+        m.set(u=u0, v=v0, c=c0)
+        for _ in range(3):
+            m.time_step(1e-3)
+        res[fc] = {k: np.asarray(m.field(k).interior)
+                   for k in ("u", "v", "w", "c")}
+    for k in ("u", "v", "w", "c"):
+        d = np.abs(res[True][k] - res[False][k]).max()
+        assert d < 5e-6, (k, d)
