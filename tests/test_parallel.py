@@ -263,3 +263,52 @@ def test_sharded_hydrostatic_matches_serial():
         a = np.asarray(m_serial.state["fields"][name])
         b = np.asarray(m_shard.state["fields"][name])
         assert np.allclose(a, b, atol=1e-11), (name, np.abs(a - b).max())
+
+
+def test_sharded_latlon_hydrostatic_matches_serial():
+    """Distributed equivalence on a curvilinear (LatitudeLongitudeGrid)
+    hydrostatic configuration: 1D spherical metric terms are trace-baked
+    constants and must shard transparently under GSPMD."""
+    need_devices(8)
+    from jax.sharding import NamedSharding
+    from oceananigans_tpu import LatitudeLongitudeGrid
+    from oceananigans_tpu.advection.vector_invariant import (
+        WENOVectorInvariant)
+    from oceananigans_tpu.coriolis import HydrostaticSphericalCoriolis
+    from oceananigans_tpu.models import (HydrostaticFreeSurfaceModel,
+                                         SplitExplicitFreeSurface)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("x", "y"))
+    grid = LatitudeLongitudeGrid(size=(16, 16, 4), longitude=(0, 360),
+                                 latitude=(20, 52), z=(-200.0, 0.0))
+
+    def build():
+        m = HydrostaticFreeSurfaceModel(
+            grid=grid, momentum_advection=WENOVectorInvariant(order=5),
+            coriolis=HydrostaticSphericalCoriolis(), tracers=("T",),
+            free_surface=SplitExplicitFreeSurface(substeps=8),
+            fused_tendencies=False)
+        rng = np.random.default_rng(7)
+        m.set(u=0.1 * rng.standard_normal((16, 16, 4)),
+              v=0.1 * rng.standard_normal((16, 16, 4)),
+              T=lambda lam, phi, z: 10 + 1e-3 * z + 1e-2 * phi,
+              eta=lambda lam, phi, z: 0.05 * jnp.sin(jnp.deg2rad(lam)))
+        return m
+
+    m_serial = build()
+    m_shard = build()
+
+    def shard(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim == 3:
+            return jax.device_put(leaf, NamedSharding(mesh, P("x", "y",
+                                                              None)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    m_shard.state = jax.tree.map(shard, m_shard.state)
+    for _ in range(2):
+        m_serial.time_step(50.0)
+        m_shard.time_step(50.0)
+    for name in ("u", "v", "T", "eta"):
+        a = np.asarray(m_serial.field(name).interior)
+        b = np.asarray(m_shard.field(name).interior)
+        assert np.abs(a - b).max() < 1e-11, name
