@@ -306,7 +306,7 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum,
     # double-buffered slabs (2·n_in) + pipelined G outs + Gm input tiles +
     # new-slabs (2·nfo each)
     TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, 2 * n_in,
-                              max(0, 6 * nfo - 4 * nf))
+                              max(0, 6 * nfo - 4 * n_in))
     import os as _os
     _tiles_env = _os.environ.get("FUSED_UPDATE_TILES")
     dma_io = False
