@@ -139,6 +139,13 @@ class HydrostaticFreeSurfaceModel:
         self.buoyancy = buoyancy
         self.coriolis = coriolis
         self.closure = closure
+        # buoyancy-modified closures (SmagorinskyLilly / LillyCoefficient)
+        # inherit the model's buoyancy formulation when none was given
+        _cls = getattr(closure, "closures", (closure,)) if closure else ()
+        for _c in _cls:
+            if getattr(_c, "buoyancy_modified", False) \
+                    and getattr(_c, "buoyancy", None) is None:
+                _c.buoyancy = buoyancy
         from ..forcings.forcings import regularize_forcing
         self.forcing = regularize_forcing(forcing)
         for _name, _F in self.forcing.items():

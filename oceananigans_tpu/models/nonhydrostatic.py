@@ -100,6 +100,13 @@ class NonhydrostaticModel:
         self.buoyancy = buoyancy
         self.coriolis = coriolis
         self.closure = closure
+        # buoyancy-modified closures (SmagorinskyLilly / LillyCoefficient)
+        # inherit the model's buoyancy formulation when none was given
+        _cls = getattr(closure, "closures", (closure,)) if closure else ()
+        for _c in _cls:
+            if getattr(_c, "buoyancy_modified", False) \
+                    and getattr(_c, "buoyancy", None) is None:
+                _c.buoyancy = buoyancy
         from ..forcings.forcings import regularize_forcing
         self.forcing = regularize_forcing(forcing)
         for _name, _F in self.forcing.items():
@@ -153,7 +160,12 @@ class NonhydrostaticModel:
             if eligible_zc:
                 halo[2] = 0
                 self._z_compact = True
-                if fuse_correction in (True, "auto"):
+                fuse_corr_prospect = (
+                    fuse_correction in (True, "auto")
+                    and coriolis is None and buoyancy is None
+                    and (timestepper in ("RungeKutta3", "rk3")
+                         or isinstance(timestepper, RungeKutta3TimeStepper)))
+                if fuse_corr_prospect:
                     # the correction-fused update kernel consumes one extra
                     # stencil ring on the slab (q ← q* − Δt∇p before the
                     # reconstruction) — reserve it in x and y
@@ -284,6 +296,11 @@ class NonhydrostaticModel:
         # the three fused_correct HBM passes per RK3 step
         self._fuse_correction = (fuse_correction in (True, "auto")
                                  and self._fused_div is not None)
+        if fuse_correction is True and not (
+                self._fuse_correction and self._fused_update_planned):
+            raise ValueError("model configuration is not eligible for "
+                             "fuse_correction (needs the z-compact fused "
+                             "RK3 path with the FFT solver)")
         if self._fused_update_planned:
             from ..kernels.fused_advection import build_fused_advection_update
             self._fused_update = build_fused_advection_update(

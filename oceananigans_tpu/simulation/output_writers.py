@@ -78,40 +78,40 @@ class FieldWriter:
             return self.model.field(spec)
         return spec
 
-    def write(self, sim):
-        model = sim.model
+    def _write_arrays(self, model, arrays):
         it = model.iteration
-        for name, spec in self.outputs.items():
-            arr = fetch_output(self._resolve(spec), model)
+        wrote = False
+        for name, arr in arrays.items():
+            if arr is None:
+                continue
             if self.indices is not None and arr.ndim >= 3:
                 arr = arr[self.indices]
             np.save(os.path.join(self.path, f"{name}_{it}.npy"), arr)
-        self.index["times"].append(model.time)
-        self.index["iterations"].append(it)
-        with open(self.index_file, "w") as f:
-            json.dump(self.index, f)
+            wrote = True
+        if wrote:
+            self.index["times"].append(model.time)
+            self.index["iterations"].append(it)
+            with open(self.index_file, "w") as f:
+                json.dump(self.index, f)
+
+    def write(self, sim):
+        model = sim.model
+        self._write_arrays(model, {
+            name: fetch_output(self._resolve(spec), model)
+            for name, spec in self.outputs.items()})
 
     def maybe_write(self, sim, force=False):
         if self._wta is not None:
             for w in self._wta.values():
                 w.collect(sim.model)
-            if force or self.schedule(sim.model):
-                model = sim.model
-                it = model.iteration
-                wrote = False
-                for name, w in self._wta.items():
-                    arr = w.result()
-                    if arr is None:
-                        continue
-                    if self.indices is not None and arr.ndim >= 3:
-                        arr = arr[self.indices]
-                    np.save(os.path.join(self.path, f"{name}_{it}.npy"), arr)
-                    wrote = True
-                if wrote:
-                    self.index["times"].append(model.time)
-                    self.index["iterations"].append(it)
-                    with open(self.index_file, "w") as f:
-                        json.dump(self.index, f)
+            if self.schedule(sim.model):
+                self._write_arrays(sim.model, {name: w.result()
+                                               for name, w in
+                                               self._wta.items()})
+            elif force:
+                # forced (e.g. iteration-0) output of an averaging writer is
+                # instantaneous — it must NOT consume or desync the windows
+                self.write(sim)
             return
         if force or self.schedule(sim.model):
             self.write(sim)
@@ -124,9 +124,10 @@ class AveragedTimeInterval(TimeInterval):
     :class:`WindowedTimeAverage` over ``window`` before each actuation."""
 
     def __init__(self, interval, window=None, stride=1):
+        from ..utils.dateclock import interval_seconds
         super().__init__(interval)
-        self.window = float(window if window is not None else
-                            self.interval)
+        self.window = (self.interval if window is None
+                       else interval_seconds(window))
         self.stride = int(stride)
 
 
@@ -142,12 +143,21 @@ class WindowedTimeAverage:
         self.stride = int(stride)
         self._accum = None
         self._count = 0
+        self._calls = 0
         self._next_output = None
 
     def collect(self, model):
+        t = model.time
         if self._next_output is None:
-            self._next_output = model.time + self.interval
-        if model.time >= self._next_output - self.window:
+            self._next_output = t + self.interval
+        # re-anchor after missed/forced actuations so windows stay aligned
+        # to the schedule grid (reference: windowed_time_average.jl)
+        while t > self._next_output + 1e-9 * self.interval:
+            self._next_output += self.interval
+        if t >= self._next_output - self.window - 1e-9 * self.interval:
+            self._calls += 1
+            if (self._calls - 1) % self.stride:
+                return          # sample every stride-th collection
             val = fetch_output(self.output, model)
             if self._accum is None:
                 self._accum = np.zeros_like(val)
@@ -160,6 +170,7 @@ class WindowedTimeAverage:
         out = self._accum / self._count
         self._accum = None
         self._count = 0
+        self._calls = 0
         self._next_output += self.interval
         return out
 

@@ -109,3 +109,83 @@ def test_averaged_time_interval_writer_and_field_dataset(tmp_path):
     ds = FieldDataset(d)
     assert len(ds.b.times) >= 2
     assert np.isfinite(ds.b[0]).all()
+
+
+def test_averaged_time_interval_truly_averages(tmp_path):
+    """Regression: the default-window AveragedTimeInterval must write window
+    averages, not instantaneous snapshots (the forced iteration-0 output
+    must not desync the averaging windows)."""
+    import json
+    import os
+
+    from oceananigans_tpu.simulation import Simulation
+    from oceananigans_tpu.simulation.output_writers import (
+        AveragedTimeInterval, FieldWriter)
+
+    grid = RectilinearGrid(size=(4, 4), extent=(1.0, 1.0),
+                           topology=("periodic", "periodic", "flat"))
+    model = NonhydrostaticModel(grid=grid)
+    d = str(tmp_path / "avg2")
+    sim = Simulation(model, dt=0.05, stop_iteration=60)
+    sim.add_output_writer(FieldWriter(
+        model, {"t": lambda m: np.asarray([m.time])}, d,
+        schedule=AveragedTimeInterval(1.0)))
+    sim.run()
+    idx = json.load(open(os.path.join(d, "series.json")))
+    # the [t-1, t] window average of "model time" is t - 0.5 (+dt/2 bias)
+    for t, it in zip(idx["times"], idx["iterations"]):
+        if t == 0.0:
+            continue          # forced initial output is instantaneous
+        v = float(np.load(os.path.join(d, f"t_{it}.npy"))[0])
+        assert abs(v - (t - 0.5)) < 0.06, (t, v)
+
+
+def test_averaged_time_interval_stride_and_timedelta():
+    import datetime as dtm
+
+    from oceananigans_tpu.simulation.output_writers import (
+        AveragedTimeInterval, WindowedTimeAverage)
+
+    s = AveragedTimeInterval(dtm.timedelta(hours=1),
+                             window=dtm.timedelta(minutes=30), stride=2)
+    assert s.interval == 3600.0 and s.window == 1800.0 and s.stride == 2
+
+    class _M:
+        time = 0.0
+        iteration = 0
+
+    m = _M()
+    w = WindowedTimeAverage(lambda model: np.asarray([model.time]),
+                            1.0, window=1.0, stride=2)
+    for k in range(11):
+        m.time = k * 0.1
+        w.collect(m)
+    # stride=2 keeps samples at t = 0.0, 0.2, ..., 1.0 (6 of 11)
+    assert w._count == 6, w._count
+
+
+def test_lilly_coefficient_inherits_model_buoyancy():
+    """Smagorinsky(coefficient=LillyCoefficient(...)) must actually apply
+    the Lilly stability correction: the model injects its buoyancy
+    formulation into the closure (regression: the correction was silently
+    skipped because closure.buoyancy stayed None)."""
+    from oceananigans_tpu.closures import LillyCoefficient, Smagorinsky
+
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1.0, 1.0, 1.0))
+    closure = Smagorinsky(coefficient=LillyCoefficient())
+    model = NonhydrostaticModel(grid=grid, tracers=("b",),
+                                buoyancy=BuoyancyTracer(), closure=closure)
+    assert closure.buoyancy is model.buoyancy
+    # stable stratification reduces the eddy viscosity vs neutral
+    rng = np.random.default_rng(0)
+    model.set(u=0.1 * rng.standard_normal((8, 8, 8)),
+              b=lambda x, y, z: 25.0 * z)
+    f = model._fill_all(model.state["fields"], 0.0)
+    aux_strat = closure.compute_diffusivities(model.grid, f, 0.0)
+    model.set(b=0.0)
+    f0 = model._fill_all(model.state["fields"], 0.0)
+    aux_neut = closure.compute_diffusivities(model.grid, f0, 0.0)
+    sl = model.grid.interior_slices
+    nu_s = float(np.mean(np.asarray(aux_strat["nu_e"])[sl]))
+    nu_n = float(np.mean(np.asarray(aux_neut["nu_e"])[sl]))
+    assert nu_s < 0.2 * nu_n, (nu_s, nu_n)
