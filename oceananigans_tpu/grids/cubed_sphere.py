@@ -345,6 +345,9 @@ class ConformalCubedSphereGrid:
         N = panel_size[0]
         if panel_size[1] != N:
             raise ValueError("cubed-sphere panels are square: Nx == Ny")
+        if z is not None and len(panel_size) < 3:
+            raise ValueError("a z-structured cubed sphere needs "
+                             "panel_size=(N, N, Nz)")
         self.connectivity = derive_connectivity(N)
         self.edge_rotations = derive_edge_rotations(N, self.connectivity)
         if mesh not in ("conformal", "elliptic", "equiangular"):

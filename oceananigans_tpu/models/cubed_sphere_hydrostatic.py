@@ -1,0 +1,330 @@
+"""Hydrostatic primitive equations on the composed (6-panel) cubed sphere.
+
+Reference analogue: HydrostaticFreeSurfaceModel running on a MultiRegion
+ConformalCubedSphereGrid (src/MultiRegion/cubed_sphere_grid.jl +
+src/Models/HydrostaticFreeSurfaceModels/ — per-region kernel launches with
+connectivity-driven halo exchange). TPU-native composition: ONE stacked
+(6, NP, NP, ZP) array per field, panels unrolled inside a single jitted
+step, static-gather inter-panel exchanges between stages
+(grids/cubed_sphere.py), and the valence-3 vertex vorticity treatment
+shared with the cubed-sphere shallow-water model.
+
+Dynamics (per panel, z-structured):
+* vector-invariant momentum with the Sadourny energy-conserving vorticity
+  flux q = ζ + f (hydrostatic_free_surface_tendency_kernel_functions.jl's
+  EnergyConserving VectorInvariant), the KE gradient, and flux-form
+  vertical momentum advection;
+* w diagnosed from continuity (compute_w_from_continuity.jl) by a
+  cumulative sum of the horizontal transport divergence;
+* buoyancy tracer with the hydrostatic pressure anomaly
+  pHY' = -∫_z^0 b dz' (update_hydrostatic_pressure.jl);
+* EXPLICIT free surface: ∂t η = -∇·∫ u dz (explicit_free_surface.jl) —
+  Δt is gravity-wave limited, appropriate for the validation-scale global
+  configurations this model targets;
+* flux-form tracer advection through any 1D advection scheme
+  (advection/fluxes.py div_Uc evaluates on the panel's 2D metrics).
+
+Stepping: Wicker-Skamarock RK3 (the cubed-sphere shallow-water model's
+stepper), each stage re-exchanging panel halos.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..advection import Centered
+from ..advection.fluxes import div_Uc
+from ..defaults import defaults
+from ..grids.cubed_sphere import (ConformalCubedSphereGrid,
+                                  fill_cubed_sphere_halos,
+                                  fill_cubed_sphere_velocity_halos,
+                                  sync_shared_velocity_faces)
+from ..operators.operators import (LOC_CCC, LOC_CFC, LOC_FCC,
+                                   ddx, ddy, dx_c, dy_c, ix_c, ix_f,
+                                   iy_c, iy_f, zeta3_ffc)
+from .cubed_sphere_shallow_water import (CubedSphereShallowWaterModel,
+                                         _vertex_corner_info,
+                                         staggered_points_and_bases)
+
+
+class CubedSphereHydrostaticModel:
+    """Hydrostatic free-surface dynamics on a
+    :class:`ConformalCubedSphereGrid` built with a z coordinate.
+
+    state: ``u``/``v`` (staggered local components), tracers (centers),
+    ``eta`` (surface displacement, (6, NP, NP, 1)); ``w`` diagnosed.
+    ``rotation_rate``: planetary Ω about ẑ (f = 2Ω sinφ exactly at the
+    ffc nodes)."""
+
+    def __init__(self, grid: ConformalCubedSphereGrid, tracers=("b",),
+                 gravity=None, rotation_rate=0.0, tracer_advection=None,
+                 buoyancy_tracer="b", reference_datetime=None):
+        if grid.panel_grids[0].is_flat(2):
+            raise ValueError("CubedSphereHydrostaticModel needs a grid "
+                             "built with z=(bottom, top)")
+        self.reference_datetime = reference_datetime
+        self.grid = grid
+        self.gravity = float(gravity if gravity is not None
+                             else defaults.gravitational_acceleration)
+        self.rotation_rate = float(rotation_rate)
+        if isinstance(tracers, str):
+            tracers = (tracers,)
+        self.tracer_names = tuple(tracers)
+        # buoyancy_tracer: name of the tracer acting as buoyancy (b [m/s²],
+        # BuoyancyTracer semantics) or None for passive-tracer-only dynamics
+        self.buoyancy_tracer = (buoyancy_tracer
+                                if buoyancy_tracer in self.tracer_names
+                                else None)
+        self.tracer_advection = (tracer_advection if tracer_advection
+                                 is not None else Centered(2))
+        H, N = grid.H[0], grid.N[0]
+        NP = N + 2 * H
+        ZP = grid.panel_grids[0].padded_shape[2]
+        dtype = grid.dtype
+        f = np.stack([2.0 * self.rotation_rate * ext[:NP, :NP, 2]
+                      for ext in grid.extended_nodes])[..., None]
+        self._f = jnp.asarray(f, dtype)
+        shape3 = (6, NP, NP, ZP)
+        self.state = {"u": jnp.zeros(shape3, dtype),
+                      "v": jnp.zeros(shape3, dtype),
+                      "eta": jnp.zeros((6, NP, NP, 1), dtype),
+                      "time": jnp.zeros((), dtype),
+                      "iteration": jnp.zeros((), jnp.int32)}
+        for name in self.tracer_names:
+            self.state[name] = jnp.zeros(shape3, dtype)
+        self._geom = staggered_points_and_bases(grid)
+        self._corner_info = _vertex_corner_info(grid)
+        # interior Δz at centers / faces (1D, identical on every panel)
+        g0 = grid.panel_grids[0]
+        self._dz_c = jnp.asarray(np.asarray(g0.dz(LOC_CCC)).reshape(-1),
+                                 dtype)
+        self._step = jax.jit(self._make_step())
+
+    # -- initialization -------------------------------------------------------
+
+    set_geographic = CubedSphereShallowWaterModel.set_geographic
+
+    def set(self, **fields):
+        """Set tracers / eta from arrays (interior (6, N, N, Nz) or padded)
+        or callables of geographic (lon_rad, lat_rad, z)."""
+        grid = self.grid
+        H, N = grid.H[0], grid.N[0]
+        g0 = grid.panel_grids[0]
+        hz, nz = g0.H[2], g0.N[2]
+        zc = np.asarray(g0.znodes("c"))
+        st = dict(self.state)
+        for name, val in fields.items():
+            tgt = st[name]
+            if callable(val):
+                panels = []
+                for p in range(6):
+                    ext = grid.extended_nodes[p]
+                    NPp = N + 2 * H
+                    Pxm = ext[:-1] + ext[1:]
+                    Pxm = Pxm / np.linalg.norm(Pxm, axis=-1, keepdims=True)
+                    Pc = Pxm[:, :-1] + Pxm[:, 1:]
+                    Pc = (Pc / np.linalg.norm(Pc, axis=-1,
+                                              keepdims=True))[:NPp, :NPp]
+                    lam = np.arctan2(Pc[..., 1], Pc[..., 0])
+                    phi = np.arcsin(np.clip(Pc[..., 2], -1, 1))
+                    if name == "eta":
+                        panels.append(np.broadcast_to(
+                            np.asarray(val(lam, phi), np.float64),
+                            lam.shape)[..., None])
+                    else:
+                        panels.append(np.stack(
+                            [np.broadcast_to(
+                                np.asarray(val(lam, phi, z), np.float64),
+                                lam.shape) for z in zc], axis=-1))
+                arr = np.stack(panels)
+                if name != "eta":
+                    full = np.zeros(tgt.shape, np.float64)
+                    full[..., hz:hz + nz] = arr
+                    arr = full
+                st[name] = jnp.asarray(arr, grid.dtype)
+            else:
+                val = np.asarray(val)
+                if val.shape == tgt.shape:
+                    st[name] = jnp.asarray(val, grid.dtype)
+                else:
+                    full = np.zeros(tgt.shape, np.float64)
+                    if name == "eta":
+                        full[:, H:H + N, H:H + N, :] = val.reshape(
+                            (6, N, N, 1))
+                    else:
+                        full[:, H:H + N, H:H + N, hz:hz + nz] = val
+                    st[name] = jnp.asarray(full, grid.dtype)
+        self.state = st
+
+    # -- diagnostics ----------------------------------------------------------
+
+    def _w_from_continuity(self, u, v):
+        """w at cell interfaces from ∂z w = -∇·u (per panel; bottom w = 0).
+        Returns (6, NP, NP, ZP) with w[..., k] the face BELOW cell k (the
+        padded-face convention of the rectilinear models)."""
+        grid = self.grid
+        ws = []
+        for p in range(6):
+            g = grid.panel_grids[p]
+            dy_fcc, dx_cfc = g.dy(LOC_FCC), g.dx(LOC_CFC)
+            dzc = self._dz_c_full(g)
+            divU = (dx_c(g, dy_fcc * dzc * u[p])
+                    + dy_c(g, dx_cfc * dzc * v[p])) / g.Az(LOC_CCC)
+            hz, nz = g.H[2], g.N[2]
+            inc = divU[..., hz:hz + nz]
+            wint = -jnp.cumsum(inc, axis=-1)
+            # face k sits BELOW cell k: w[0] = 0, w[k] = -sum_{k'<k} div dz
+            w = jnp.zeros_like(u[p])
+            w = w.at[..., hz + 1:hz + nz].set(wint[..., :-1])
+            ws.append(w)
+        return jnp.stack(ws)
+
+    def _dz_c_full(self, g):
+        dz = jnp.zeros((g.padded_shape[2],), self.grid.dtype)
+        hz, nz = g.H[2], g.N[2]
+        return dz.at[hz:hz + nz].set(self._dz_c)
+
+    def _hydrostatic_pressure(self, b):
+        """pHY'/ρ0 at centers: -∫_z^0 b dz' (downward cumulative sum from
+        the surface; update_hydrostatic_pressure.jl)."""
+        grid = self.grid
+        g0 = grid.panel_grids[0]
+        hz, nz = g0.H[2], g0.N[2]
+        bi = b[..., hz:hz + nz] * self._dz_c
+        # integral from cell k to the top, half-weighting cell k itself
+        csum = jnp.cumsum(bi[..., ::-1], axis=-1)[..., ::-1]
+        ph = -(csum - 0.5 * bi)
+        out = jnp.zeros_like(b)
+        return out.at[..., hz:hz + nz].set(ph)
+
+    # -- dynamics -------------------------------------------------------------
+
+    def _tendencies(self, st, w):
+        grid = self.grid
+        gy = self.gravity
+        u, v, eta = st["u"], st["v"], st["eta"]
+        # vorticity + valence-3 vertex fix (thickness 1: pure ζ)
+        zetas, ones_ff = [], []
+        for p in range(6):
+            g = grid.panel_grids[p]
+            zetas.append(zeta3_ffc(g, u[p], v[p]))
+            ones_ff.append(jnp.ones_like(zetas[p]))
+        sw = CubedSphereShallowWaterModel
+        zetas, _ = sw._vertex_zeta(self, zetas, ones_ff,
+                                   jnp.ones_like(st["u"]), u, v)
+        ph = None
+        if self.buoyancy_tracer is not None:
+            ph = self._hydrostatic_pressure(st[self.buoyancy_tracer])
+        G = {n: [] for n in ("u", "v", "eta") + self.tracer_names}
+        for p in range(6):
+            g = grid.panel_grids[p]
+            up, vp, fp = u[p], v[p], self._f[p]
+            dy_fcc, dx_cfc = g.dy(LOC_FCC), g.dx(LOC_CFC)
+            Uf = dy_fcc * up                     # x line transport (fcc)
+            Vf = dx_cfc * vp                     # y line transport (cfc)
+            q = zetas[p] + fp
+            # Sadourny energy-conserving vorticity flux (thickness-free
+            # 3D vector-invariant form)
+            cor_u = +iy_c(g, q * ix_f(g, Vf)) / g.dx(LOC_FCC)
+            cor_v = -ix_c(g, q * iy_f(g, Uf)) / g.dy(LOC_CFC)
+            K = 0.5 * (ix_c(g, up * up) + iy_c(g, vp * vp))
+            # vertical momentum advection (flux form on centers of faces):
+            # -(1/Δz) δz( w̄ˣᶻ ūᶻ ) with w at (c,c,f)
+            wp = w[p]
+            dzf = self._dz_c_full(g)
+            dzs = jnp.where(dzf == 0, 1.0, dzf)
+            wxu = ix_f(g, wp)                    # w at (f,c,f)
+            wyv = iy_f(g, wp)                    # w at (c,f,f)
+
+            def vadv(q3, wf):
+                # flux at face k = wf[k]·(q3[k-1]+q3[k])/2; tendency =
+                # -(flux[k+1]-flux[k])/dz
+                qm = 0.5 * (q3 + jnp.roll(q3, 1, axis=-1))
+                flux = wf * qm
+                return -(jnp.roll(flux, -1, axis=-1) - flux) / dzs
+
+            Bu = gy * ddx(g, eta[p], LOC_FCC) + ddx(g, K, LOC_FCC)
+            Bv = gy * ddy(g, eta[p], LOC_CFC) + ddy(g, K, LOC_CFC)
+            Gu = cor_u - Bu + vadv(up, wxu)
+            Gv = cor_v - Bv + vadv(vp, wyv)
+            if ph is not None:
+                Gu = Gu - ddx(g, ph[p], LOC_FCC)
+                Gv = Gv - ddy(g, ph[p], LOC_CFC)
+            G["u"].append(Gu)
+            G["v"].append(Gv)
+            # explicit free surface: ∂t η = -∇·∫u dz
+            dzc = self._dz_c_full(g)
+            Ubt = jnp.sum(Uf * dzc, axis=-1, keepdims=True)
+            Vbt = jnp.sum(Vf * dzc, axis=-1, keepdims=True)
+            G["eta"].append(-(dx_c(g, Ubt) + dy_c(g, Vbt)) / g.Az(LOC_CCC))
+            for name in self.tracer_names:
+                G[name].append(-div_Uc(g, self.tracer_advection, up, vp,
+                                       wp, st[name][p]))
+        return {k: jnp.stack(vs) for k, vs in G.items()}
+
+    def _make_step(self):
+        grid = self.grid
+
+        def filled(st):
+            out = dict(st)
+            u, v = sync_shared_velocity_faces(st["u"], st["v"], grid)
+            u, v = fill_cubed_sphere_velocity_halos(u, v, grid)
+            out["u"], out["v"] = u, v
+            out["eta"] = fill_cubed_sphere_halos(st["eta"], grid)
+            for name in self.tracer_names:
+                out[name] = fill_cubed_sphere_halos(st[name], grid)
+            return out
+
+        prog = ("u", "v", "eta") + self.tracer_names
+
+        def step(state, dt):
+            st0 = {n: state[n] for n in prog}
+            st = st0
+            for frac in (1.0 / 3.0, 0.5, 1.0):   # Wicker-Skamarock RK3
+                sf = filled(st)
+                w = self._w_from_continuity(sf["u"], sf["v"])
+                G = self._tendencies(sf, w)
+                st = {n: st0[n] + frac * dt * G[n] for n in prog}
+            st = filled(st)
+            out = dict(st)
+            out["time"] = state["time"] + dt
+            out["iteration"] = state["iteration"] + 1
+            return out
+
+        return step
+
+    def time_step(self, dt):
+        self.state = self._step(self.state,
+                                jnp.asarray(dt, self.grid.dtype))
+
+    @property
+    def time(self):
+        return float(self.state["time"])
+
+    @property
+    def datetime(self):
+        from ..utils.dateclock import datetime_of
+        return datetime_of(self.time, self.reference_datetime)
+
+    @property
+    def iteration(self):
+        return int(self.state["iteration"])
+
+    def total_tracer(self, name):
+        """Global volume integral of a tracer (exactly conserved by the
+        flux-form advection with exchanged shared-face values)."""
+        grid = self.grid
+        H, N = grid.H[0], grid.N[0]
+        g0 = grid.panel_grids[0]
+        hz, nz = g0.H[2], g0.N[2]
+        dz = np.asarray(self._dz_c)
+        tot = 0.0
+        for p in range(6):
+            Azp = np.asarray(grid.panel_grids[p].Az(LOC_CCC))[..., 0]
+            cp = np.asarray(self.state[name][p])[H:H + N, H:H + N,
+                                                 hz:hz + nz]
+            col = (cp * dz).sum(axis=-1)
+            tot += float((col * Azp[H:H + N, H:H + N]).sum())
+        return tot

@@ -1,0 +1,82 @@
+"""Hydrostatic primitive equations on the composed cubed sphere
+(reference analogue: HydrostaticFreeSurfaceModel on a MultiRegion
+ConformalCubedSphereGrid)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from oceananigans_tpu.grids.cubed_sphere import ConformalCubedSphereGrid
+from oceananigans_tpu.models.cubed_sphere_hydrostatic import (
+    CubedSphereHydrostaticModel)
+
+R, OMEGA, G = 6.371e6, 7.292e-5, 9.81
+
+
+def test_stratified_rest_state_stays_at_rest():
+    """Horizontally-uniform stratification over a flat bottom must generate
+    NO spurious flow (discrete pressure-gradient consistency on the
+    curvilinear panels, including at the valence-3 vertices)."""
+    grid = ConformalCubedSphereGrid((8, 8, 3), z=(-1000.0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    m = CubedSphereHydrostaticModel(grid, tracers=("b",),
+                                    rotation_rate=OMEGA)
+    m.set(b=lambda lam, phi, z: 1e-5 * z)
+    for _ in range(6):
+        m.time_step(900.0)
+    assert float(jnp.abs(m.state["u"]).max()) == 0.0
+    assert float(jnp.abs(m.state["eta"]).max()) == 0.0
+
+
+def test_geostrophic_balance_and_tracer_conservation():
+    """Williamson TC2 analogue with z structure: a balanced barotropic
+    zonal flow u = U cos φ with gη = -(ΩRU + U²/2) sin²φ stays steady
+    (small drift at coarse resolution) and flux-form tracer advection
+    conserves the global tracer integral to roundoff across the shared
+    panel faces."""
+    U, H0 = 20.0, 1000.0
+    grid = ConformalCubedSphereGrid((12, 12, 3), z=(-H0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    m = CubedSphereHydrostaticModel(grid, tracers=("c",),
+                                    rotation_rate=OMEGA,
+                                    buoyancy_tracer=None, gravity=G)
+    m.set_geographic(u_east=lambda lam, phi: U * np.cos(phi),
+                     v_north=lambda lam, phi: 0.0 * lam)
+    m.set(eta=lambda lam, phi: -(R * OMEGA * U + 0.5 * U * U)
+          * np.sin(phi) ** 2 / G,
+          c=lambda lam, phi, z: np.exp(-((lam + np.pi / 2) ** 2 + phi ** 2)
+                                       / 0.18))
+    u0 = np.asarray(m.state["u"]).copy()
+    c0 = m.total_tracer("c")
+    for _ in range(18):
+        m.time_step(1200.0)
+    H, N = grid.H[0], grid.N[0]
+    sl = (slice(None), slice(H, H + N), slice(H, H + N))
+    drift = np.abs(np.asarray(m.state["u"]) - u0)[sl].max() / U
+    assert drift < 0.03, drift
+    assert abs(m.total_tracer("c") - c0) < 1e-10 * abs(c0)
+    assert np.isfinite(np.asarray(m.state["v"])).all()
+
+
+def test_internal_gravity_wave_adjustment_finite():
+    """A buoyancy anomaly over a panel edge radiates internal/surface
+    gravity waves across panels without blowup; w is diagnosed from
+    continuity and the vertical advection terms stay bounded."""
+    grid = ConformalCubedSphereGrid((8, 8, 4), z=(-500.0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    m = CubedSphereHydrostaticModel(grid, tracers=("b",),
+                                    rotation_rate=OMEGA)
+    m.set(b=lambda lam, phi, z: 2e-5 * z + 1e-4
+          * np.exp(-((lam - np.pi / 4) ** 2 + phi ** 2) / 0.05)
+          * np.exp(-((z + 250) / 150) ** 2))
+    e0 = float(jnp.sum(m.state["b"] ** 2))
+    for _ in range(8):
+        m.time_step(600.0)
+    u = np.asarray(m.state["u"])
+    assert np.isfinite(u).all() and np.abs(u).max() < 1.0
+    w = np.asarray(m._w_from_continuity(m.state["u"], m.state["v"]))
+    H, N = grid.H[0], grid.N[0]
+    g0 = grid.panel_grids[0]
+    wi = w[:, H:H + N, H:H + N, g0.H[2]:g0.H[2] + g0.N[2]]
+    assert np.isfinite(wi).all() and np.abs(wi).max() < 0.1
+    # buoyancy variance bounded (advection is non-amplifying)
+    assert float(jnp.sum(m.state["b"] ** 2)) < 1.5 * e0

@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     ("tilted_bottom_boundary_layer", dict(nx=16, nz=16, stop_time=120.0)),
     ("convecting_plankton", dict(n=16, stop_time=900.0)),
     ("internal_tide", dict(nx=32, nz=8, days=0.02)),
+    ("global_cubed_sphere_ocean", dict(N=8, nz=2, hours=0.5)),  # >=2 steps
 ])
 def test_example_smokes(name, kwargs, tmp_path):
     import importlib
