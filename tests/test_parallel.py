@@ -312,3 +312,43 @@ def test_sharded_latlon_hydrostatic_matches_serial():
         a = np.asarray(m_serial.field(name).interior)
         b = np.asarray(m_shard.field(name).interior)
         assert np.abs(a - b).max() < 1e-11, name
+
+
+def test_sharded_cubed_sphere_panels_match_serial():
+    """The MultiRegion analogue (PARITY §2.15): cubed-sphere panel fields
+    shard over a device mesh along the PANEL axis; the inter-panel
+    exchanges become XLA collectives under GSPMD and the sharded step must
+    match the serial one."""
+    need_devices(6)
+    from jax.sharding import NamedSharding
+    from oceananigans_tpu.grids.cubed_sphere import ConformalCubedSphereGrid
+    from oceananigans_tpu.models import CubedSphereHydrostaticModel
+
+    mesh = Mesh(np.asarray(jax.devices()[:6]), ("panels",))
+    grid = ConformalCubedSphereGrid((8, 8, 2), z=(-500.0, 0.0),
+                                    radius=6.371e6, dtype=jnp.float64)
+
+    def build():
+        m = CubedSphereHydrostaticModel(grid, tracers=("b",),
+                                        rotation_rate=7.292e-5)
+        m.set(b=lambda lam, phi, z: 1e-5 * z + 1e-4
+              * np.exp(-((lam - np.pi / 4) ** 2 + phi ** 2) / 0.05))
+        m.set_geographic(u_east=lambda lam, phi: 5.0 * np.cos(phi))
+        return m
+
+    m_serial = build()
+    m_shard = build()
+
+    def shard(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim == 4:
+            return jax.device_put(leaf, NamedSharding(mesh, P("panels")))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    m_shard.state = jax.tree.map(shard, m_shard.state)
+    for _ in range(2):
+        m_serial.time_step(300.0)
+        m_shard.time_step(300.0)
+    for name in ("u", "v", "b", "eta"):
+        a = np.asarray(m_serial.state[name])
+        b = np.asarray(m_shard.state[name])
+        assert np.abs(a - b).max() < 1e-11, name
