@@ -60,7 +60,7 @@ class CubedSphereHydrostaticModel:
 
     def __init__(self, grid: ConformalCubedSphereGrid, tracers=("b",),
                  gravity=None, rotation_rate=0.0, tracer_advection=None,
-                 buoyancy_tracer="b", reference_datetime=None):
+                 buoyancy_tracer="b", closure=None, reference_datetime=None):
         if grid.panel_grids[0].is_flat(2):
             raise ValueError("CubedSphereHydrostaticModel needs a grid "
                              "built with z=(bottom, top)")
@@ -79,6 +79,15 @@ class CubedSphereHydrostaticModel:
                                 else None)
         self.tracer_advection = (tracer_advection if tracer_advection
                                  is not None else Centered(2))
+        # vertically-implicit closures only (VerticalScalarDiffusivity with
+        # time_discretization="vertically_implicit"): per-panel tridiagonal
+        # solves after each RK3 stage (implicit_step!, the reference's
+        # vertically_implicit_diffusion_solver.jl)
+        self.closure = closure
+        if closure is not None and not hasattr(closure,
+                                               "vertical_implicit_kappas"):
+            raise ValueError("CubedSphereHydrostaticModel supports "
+                             "vertically-implicit closures only")
         H, N = grid.H[0], grid.N[0]
         NP = N + 2 * H
         ZP = grid.panel_grids[0].padded_shape[2]
@@ -264,6 +273,22 @@ class CubedSphereHydrostaticModel:
                                        wp, st[name][p]))
         return {k: jnp.stack(vs) for k, vs in G.items()}
 
+    def _implicit_step(self, st, sdt):
+        """Per-panel vertically-implicit diffusion solves (reference:
+        implicit_step!; no-flux walls)."""
+        from .nonhydrostatic import implicit_vertical_diffusion
+        kappas = self.closure.vertical_implicit_kappas(
+            self.grid.panel_grids[0], st, {})
+        out = dict(st)
+        for name, kz in kappas.items():
+            if name in ("w", "eta") or name not in st:
+                continue
+            cols = [implicit_vertical_diffusion(
+                self.grid.panel_grids[p], st[name][p], kz, sdt)
+                for p in range(6)]
+            out[name] = jnp.stack(cols)
+        return out
+
     def _make_step(self):
         grid = self.grid
 
@@ -287,6 +312,8 @@ class CubedSphereHydrostaticModel:
                 w = self._w_from_continuity(sf["u"], sf["v"])
                 G = self._tendencies(sf, w)
                 st = {n: st0[n] + frac * dt * G[n] for n in prog}
+                if self.closure is not None:
+                    st = self._implicit_step(st, frac * dt)
             st = filled(st)
             out = dict(st)
             out["time"] = state["time"] + dt

@@ -80,3 +80,34 @@ def test_internal_gravity_wave_adjustment_finite():
     assert np.isfinite(wi).all() and np.abs(wi).max() < 0.1
     # buoyancy variance bounded (advection is non-amplifying)
     assert float(jnp.sum(m.state["b"] ** 2)) < 1.5 * e0
+
+
+def test_vertically_implicit_closure_column_decay():
+    """VerticalScalarDiffusivity (vertically-implicit) on the cubed sphere:
+    an interior column with the m=1 insulating vertical mode decays at the
+    discrete eigenvalue rate e^{-lambda_d dt} per step,
+    lambda_d = 2nu(1-cos(pi/nz))/dz^2."""
+    from oceananigans_tpu.closures import VerticalScalarDiffusivity
+
+    H0, nz, nu = 100.0, 8, 1e-2
+    grid = ConformalCubedSphereGrid((8, 8, nz), z=(-H0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    m = CubedSphereHydrostaticModel(
+        grid, tracers=(), buoyancy_tracer=None, rotation_rate=0.0,
+        closure=VerticalScalarDiffusivity(
+            nu=nu, time_discretization="vertically_implicit"))
+    g0 = grid.panel_grids[0]
+    hz = g0.H[2]
+    prof = 1e-3 * np.cos(np.pi * (np.arange(nz) + 0.5) / nz)
+    u = np.zeros(m.state["u"].shape)
+    u[..., hz:hz + nz] = prof
+    m.state = dict(m.state, u=jnp.asarray(u))
+    dt, steps = 200.0, 5
+    for _ in range(steps):
+        m.time_step(dt)
+    col = np.asarray(m.state["u"])[0, 7, 7, hz:hz + nz]
+    ratio = (col / prof)
+    dz = H0 / nz
+    lam_d = 2 * nu * (1 - np.cos(np.pi / nz)) / dz ** 2
+    expected = np.exp(-lam_d * dt * steps)
+    assert np.allclose(ratio, expected, rtol=2e-3), (ratio[0], expected)
