@@ -339,6 +339,11 @@ class CubedSphereHydrostaticModel:
     def iteration(self):
         return int(self.state["iteration"])
 
+    def field(self, name):
+        """Writer/diagnostic accessor (see the shallow-water model)."""
+        from .cubed_sphere_shallow_water import _PanelFieldView
+        return _PanelFieldView(self.grid.interior(self.state[name]))
+
     def total_tracer(self, name):
         """Global volume integral of a tracer (exactly conserved by the
         flux-form advection with exchanged shared-face values)."""

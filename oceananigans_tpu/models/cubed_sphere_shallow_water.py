@@ -307,6 +307,13 @@ class CubedSphereShallowWaterModel:
     def iteration(self):
         return int(self.state["iteration"])
 
+    def field(self, name):
+        """Writer/diagnostic accessor: a view with ``.interior`` =
+        (6, N, N, Nz) panel interiors (fetch_output protocol — lets the
+        Simulation layer, FieldWriter, and NaNChecker drive cubed-sphere
+        models like the rectilinear ones)."""
+        return _PanelFieldView(self.grid.interior(self.state[name]))
+
     def total_mass(self):
         grid = self.grid
         H, N = grid.H[0], grid.N[0]
@@ -317,3 +324,8 @@ class CubedSphereShallowWaterModel:
             tot += float((hp[H:H + N, H:H + N]
                           * Azp[H:H + N, H:H + N]).sum())
         return tot
+
+
+class _PanelFieldView:
+    def __init__(self, interior):
+        self.interior = interior

@@ -68,8 +68,9 @@ class FieldWriter:
 
     def _grid_metadata(self):
         g = self.model.grid
-        meta = dict(size=list(g.N), halo=list(g.H), topology=list(g.topology),
-                    extent=[float(e) for e in g.extent])
+        meta = dict(size=list(g.N), halo=list(g.H),
+                    topology=list(getattr(g, "topology", ())),
+                    extent=[float(e) for e in getattr(g, "extent", ())])
         with open(os.path.join(self.path, "grid.json"), "w") as f:
             json.dump(meta, f)
 

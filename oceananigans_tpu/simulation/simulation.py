@@ -40,7 +40,10 @@ class NaNChecker:
         if names is None:
             # first prognostic field of the model (reference default: the
             # first velocity) — "u" for 3D models, "uh" for shallow water
-            avail = sim.model.state["fields"]
+            st = sim.model.state
+            avail = st["fields"] if "fields" in st else \
+                {k: v for k, v in st.items()
+                 if getattr(v, "ndim", 0) >= 2}
             names = ("u",) if "u" in avail else (next(iter(avail)),)
         for name in names:
             # sample the interior only: halo slots may legitimately hold

@@ -111,3 +111,29 @@ def test_vertically_implicit_closure_column_decay():
     lam_d = 2 * nu * (1 - np.cos(np.pi / nz)) / dz ** 2
     expected = np.exp(-lam_d * dt * steps)
     assert np.allclose(ratio, expected, rtol=2e-3), (ratio[0], expected)
+
+
+def test_simulation_layer_drives_cubed_sphere_model(tmp_path):
+    """The Simulation/run layer (callbacks, NaNChecker, FieldWriter) drives
+    cubed-sphere models like the rectilinear ones via the field() view."""
+    import json
+    import os
+
+    from oceananigans_tpu.simulation import Simulation
+    from oceananigans_tpu.simulation.output_writers import FieldWriter
+    from oceananigans_tpu.utils.schedules import IterationInterval
+
+    grid = ConformalCubedSphereGrid((8, 8, 2), z=(-500.0, 0.0), radius=R)
+    m = CubedSphereHydrostaticModel(grid, tracers=("b",),
+                                    rotation_rate=OMEGA)
+    m.set(b=lambda lam, phi, z: 1e-5 * z
+          + 1e-4 * np.exp(-(lam ** 2 + phi ** 2) / 0.1))
+    d = str(tmp_path / "cs_out")
+    sim = Simulation(m, dt=300.0, stop_iteration=4)
+    sim.add_output_writer(FieldWriter(m, dict(b="b", eta="eta"), d,
+                                      schedule=IterationInterval(2)))
+    sim.run()
+    idx = json.load(open(os.path.join(d, "series.json")))
+    assert idx["iterations"] == [0, 2, 4]
+    arr = np.load(os.path.join(d, f"b_{idx['iterations'][-1]}.npy"))
+    assert arr.shape == (6, 8, 8, 2) and np.isfinite(arr).all()
