@@ -294,6 +294,10 @@ class NonhydrostaticModel:
         # correction-fused update: stages 2-3 apply the previous stage's
         # pressure correction inside the update megakernel, dropping two of
         # the three fused_correct HBM passes per RK3 step
+        import os as _os
+        if fuse_correction == "auto" \
+                and _os.environ.get("OCEANANIGANS_TPU_FUSE_CORRECTION") == "0":
+            fuse_correction = False          # emergency kill-switch
         self._fuse_correction = (fuse_correction in (True, "auto")
                                  and self._fused_div is not None)
         if fuse_correction is True and not (
