@@ -60,7 +60,8 @@ class CubedSphereHydrostaticModel:
 
     def __init__(self, grid: ConformalCubedSphereGrid, tracers=("b",),
                  gravity=None, rotation_rate=0.0, tracer_advection=None,
-                 buoyancy_tracer="b", closure=None, reference_datetime=None):
+                 buoyancy_tracer="b", closure=None, free_surface="explicit",
+                 implicit_solver_tol=1e-8, reference_datetime=None):
         if grid.panel_grids[0].is_flat(2):
             raise ValueError("CubedSphereHydrostaticModel needs a grid "
                              "built with z=(bottom, top)")
@@ -88,6 +89,15 @@ class CubedSphereHydrostaticModel:
                                                "vertical_implicit_kappas"):
             raise ValueError("CubedSphereHydrostaticModel supports "
                              "vertically-implicit closures only")
+        # free surface: "explicit" (∂t η = -∇·∫u dz inside the RK stage —
+        # gravity-wave-limited Δt) or "implicit" (backward-Euler η solve by
+        # matrix-free CG over the composed panels with exchanges inside the
+        # operator — the reference's PCG ImplicitFreeSurface analogue,
+        # pcg_implicit_free_surface_solver.jl, without the Δt restriction)
+        if free_surface not in ("explicit", "implicit"):
+            raise ValueError(free_surface)
+        self.free_surface = free_surface
+        self.implicit_solver_tol = float(implicit_solver_tol)
         H, N = grid.H[0], grid.N[0]
         NP = N + 2 * H
         ZP = grid.panel_grids[0].padded_shape[2]
@@ -263,11 +273,16 @@ class CubedSphereHydrostaticModel:
                 Gv = Gv - ddy(g, ph[p], LOC_CFC)
             G["u"].append(Gu)
             G["v"].append(Gv)
-            # explicit free surface: ∂t η = -∇·∫u dz
+            # explicit free surface: ∂t η = -∇·∫u dz (implicit mode
+            # advances η inside the solve; tendency 0 keeps the pytree)
             dzc = self._dz_c_full(g)
             Ubt = jnp.sum(Uf * dzc, axis=-1, keepdims=True)
             Vbt = jnp.sum(Vf * dzc, axis=-1, keepdims=True)
-            G["eta"].append(-(dx_c(g, Ubt) + dy_c(g, Vbt)) / g.Az(LOC_CCC))
+            if self.free_surface == "explicit":
+                G["eta"].append(-(dx_c(g, Ubt) + dy_c(g, Vbt))
+                                / g.Az(LOC_CCC))
+            else:
+                G["eta"].append(jnp.zeros_like(eta[p]))
             for name in self.tracer_names:
                 G[name].append(-div_Uc(g, self.tracer_advection, up, vp,
                                        wp, st[name][p]))
@@ -287,6 +302,71 @@ class CubedSphereHydrostaticModel:
                 self.grid.panel_grids[p], st[name][p], kz, sdt)
                 for p in range(6)]
             out[name] = jnp.stack(cols)
+        return out
+
+    def _implicit_eta_step(self, st, sdt):
+        """Backward-Euler free-surface step on the composed sphere:
+        solve  Az·η − gΔt² δ(H A_edge ∂η) = Az·η⁰ − Δt δ(A_edge ∫u* dz)
+        by matrix-free CG with the inter-panel exchange inside the operator
+        (reference: pcg_implicit_free_surface_solver.jl), then correct
+        u ← u* − gΔt ∂η per level."""
+        from ..solvers.conjugate_gradient import conjugate_gradient
+        grid = self.grid
+        gy = self.gravity
+        g0 = grid.panel_grids[0]
+        Hdepth = float(np.sum(np.asarray(self._dz_c)))
+        u, v, eta0 = st["u"], st["v"], st["eta"]
+        # increment (θ = 1) form: u* already carries the EXPLICIT −g∇η⁰;
+        # solve (I − gHΔt²∇²) δ = −Δt ∇·∫u* dz for δ = η¹ − η⁰, then
+        # correct u ← u* − gΔt ∂δ. For a balanced state ∇·U* ≈ 0 ⇒ δ ≈ 0,
+        # so the implicit step adds no splitting noise (unlike the full-η
+        # backward-Euler form).
+
+        def div_transport(a_fcc, a_cfc):
+            outs = []
+            for p in range(6):
+                g = grid.panel_grids[p]
+                outs.append(dx_c(g, g.dy(LOC_FCC) * a_fcc[p])
+                            + dy_c(g, g.dx(LOC_CFC) * a_cfc[p]))
+            return jnp.stack(outs)
+
+        dzc = self._dz_c_full(g0)
+        Ustar = jnp.sum(u * dzc, axis=-1, keepdims=True)
+        Vstar = jnp.sum(v * dzc, axis=-1, keepdims=True)
+        Az = jnp.stack([jnp.broadcast_to(
+            jnp.asarray(np.asarray(grid.panel_grids[p].Az(LOC_CCC)),
+                        grid.dtype), eta0[p].shape) for p in range(6)])
+        # CG lives in the interior subspace: halo slots carry degenerate
+        # metrics and must not contribute to the Krylov inner products
+        Hh, N = grid.H[0], grid.N[0]
+        mask = np.zeros(eta0.shape, bool)
+        mask[:, Hh:Hh + N, Hh:Hh + N] = True
+        mask = jnp.asarray(mask)
+        rhs = jnp.where(mask, -sdt * div_transport(Ustar, Vstar), 0.0)
+
+        def A(x):
+            xf = fill_cubed_sphere_halos(jnp.where(mask, x, 0.0), grid)
+            gx, gyy = [], []
+            for p in range(6):
+                g = grid.panel_grids[p]
+                gx.append(ddx(g, xf[p], LOC_FCC))
+                gyy.append(ddy(g, xf[p], LOC_CFC))
+            lap = div_transport(jnp.stack(gx), jnp.stack(gyy))
+            return jnp.where(mask, Az * x - gy * Hdepth * sdt * sdt * lap,
+                             0.0)
+
+        delta, _, _ = conjugate_gradient(A, rhs,
+                                         reltol=self.implicit_solver_tol,
+                                         maxiter=200)
+        deltaf = fill_cubed_sphere_halos(delta, grid)
+        un, vn = [], []
+        for p in range(6):
+            g = grid.panel_grids[p]
+            un.append(u[p] - gy * sdt * ddx(g, deltaf[p], LOC_FCC))
+            vn.append(v[p] - gy * sdt * ddy(g, deltaf[p], LOC_CFC))
+        out = dict(st)
+        out["u"], out["v"] = jnp.stack(un), jnp.stack(vn)
+        out["eta"] = eta0 + delta
         return out
 
     def _make_step(self):
@@ -312,6 +392,11 @@ class CubedSphereHydrostaticModel:
                 w = self._w_from_continuity(sf["u"], sf["v"])
                 G = self._tendencies(sf, w)
                 st = {n: st0[n] + frac * dt * G[n] for n in prog}
+                if self.free_surface == "implicit":
+                    # per-stage backward-Euler surface step (the rectilinear
+                    # SplitRK3 + ImplicitFreeSurface arrangement)
+                    st["eta"] = st0["eta"]
+                    st = self._implicit_eta_step(st, frac * dt)
                 if self.closure is not None:
                     st = self._implicit_step(st, frac * dt)
             st = filled(st)

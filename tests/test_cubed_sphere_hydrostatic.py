@@ -137,3 +137,39 @@ def test_simulation_layer_drives_cubed_sphere_model(tmp_path):
     assert idx["iterations"] == [0, 2, 4]
     arr = np.load(os.path.join(d, f"b_{idx['iterations'][-1]}.npy"))
     assert arr.shape == (6, 8, 8, 2) and np.isfinite(arr).all()
+
+
+def test_implicit_free_surface_matches_explicit_and_extends_dt():
+    """The matrix-free CG implicit free surface (increment form, exchanges
+    inside the operator — the PCG ImplicitFreeSurface analogue on the
+    composed sphere) reproduces the explicit solution at equal dt and stays
+    stable/accurate at ~1.8x the explicit gravity-wave limit."""
+    U, H0 = 20.0, 1000.0
+    grid = ConformalCubedSphereGrid((12, 12, 2), z=(-H0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    dt_explicit_limit = 0.5 * (2 * np.pi * R / 48 * 0.6) / np.sqrt(G * H0)
+
+    def run(fs, dt, nst):
+        m = CubedSphereHydrostaticModel(grid, tracers=(),
+                                        rotation_rate=OMEGA,
+                                        buoyancy_tracer=None, gravity=G,
+                                        free_surface=fs)
+        m.set_geographic(u_east=lambda lam, phi: U * np.cos(phi),
+                         v_north=lambda lam, phi: 0.0 * lam)
+        m.set(eta=lambda lam, phi: -(R * OMEGA * U + 0.5 * U * U)
+              * np.sin(phi) ** 2 / G)
+        u0 = np.asarray(m.state["u"]).copy()
+        for _ in range(nst):
+            m.time_step(dt)
+        H, N = grid.H[0], grid.N[0]
+        sl = (slice(None), slice(H, H + N), slice(H, H + N))
+        u1 = np.asarray(m.state["u"])
+        return np.abs(u1 - u0)[sl].max() / U, np.isfinite(u1).all()
+
+    d_exp, ok_exp = run("explicit", 2000.0, 20)
+    d_imp, ok_imp = run("implicit", 2000.0, 20)
+    assert ok_exp and ok_imp
+    assert d_imp < 1.5 * d_exp + 0.01, (d_imp, d_exp)
+    # beyond the explicit limit
+    d_big, ok_big = run("implicit", 1.8 * dt_explicit_limit, 12)
+    assert ok_big and d_big < 0.05, d_big
