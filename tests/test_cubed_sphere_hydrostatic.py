@@ -173,3 +173,29 @@ def test_implicit_free_surface_matches_explicit_and_extends_dt():
     # beyond the explicit limit
     d_big, ok_big = run("implicit", 1.8 * dt_explicit_limit, 12)
     assert ok_big and d_big < 0.05, d_big
+
+
+def test_checkpoint_restore_bitwise(tmp_path):
+    from oceananigans_tpu.simulation import Simulation
+    from oceananigans_tpu.simulation.checkpointer import (Checkpointer,
+                                                          restore)
+    from oceananigans_tpu.utils.schedules import IterationInterval
+
+    grid = ConformalCubedSphereGrid((8, 8, 2), z=(-500.0, 0.0), radius=R)
+    m = CubedSphereHydrostaticModel(grid, tracers=("b",),
+                                    rotation_rate=OMEGA)
+    m.set(b=lambda lam, phi, z: 1e-5 * z
+          + 1e-4 * np.exp(-(lam ** 2 + phi ** 2) / 0.1))
+    sim = Simulation(m, dt=300.0, stop_iteration=3)
+    ck = Checkpointer(m, IterationInterval(3), dir=str(tmp_path))
+    sim.add_output_writer(ck)
+    sim.run()
+    ref = {k: np.asarray(v) for k, v in m.state.items()}
+
+    m2 = CubedSphereHydrostaticModel(grid, tracers=("b",),
+                                     rotation_rate=OMEGA)
+    import glob
+    ckpt = sorted(glob.glob(str(tmp_path / "checkpoint_iteration*.npz")))[-1]
+    restore(m2, ckpt)
+    for k, v in ref.items():
+        np.testing.assert_array_equal(v, np.asarray(m2.state[k]), err_msg=k)
