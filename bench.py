@@ -48,9 +48,9 @@ def main():
     if platform == "cpu" and "BENCH_N" not in os.environ:
         n = 64  # keep CPU smoke-runs fast
 
-    rng = np.random.default_rng(0)
-
     def build(**kw):
+        rng = np.random.default_rng(0)   # fresh seed per build: the
+        # fallback model must see identical initial fields
         grid = RectilinearGrid(size=(n, n, n), extent=(1.0, 1.0, 1.0),
                                topology=("periodic", "periodic", "bounded"),
                                dtype=jnp.float32)

@@ -49,6 +49,28 @@ from .cubed_sphere_shallow_water import (CubedSphereShallowWaterModel,
                                          staggered_points_and_bases)
 
 
+class _AllColumnsProxy:
+    """Grid view whose 'interior' spans every (x, y) column but only the
+    interior z window — lets the batched tridiagonal solve cover halo-slot
+    columns (shared-edge faces) too."""
+
+    def __init__(self, g):
+        self._g = g
+        self.H, self.N = g.H, g.N
+        self.padded_shape = g.padded_shape
+
+    def dz(self, loc):
+        return self._g.dz(loc)
+
+    @property
+    def interior_slices(self):
+        h, n = self._g.H[2], self._g.N[2]
+        return (slice(None), slice(None), slice(h, h + n))
+
+    def interior(self, a):
+        return a[self.interior_slices]
+
+
 class CubedSphereHydrostaticModel:
     """Hydrostatic free-surface dynamics on a
     :class:`ConformalCubedSphereGrid` built with a z coordinate.
@@ -85,10 +107,12 @@ class CubedSphereHydrostaticModel:
         # solves after each RK3 stage (implicit_step!, the reference's
         # vertically_implicit_diffusion_solver.jl)
         self.closure = closure
-        if closure is not None and not hasattr(closure,
-                                               "vertical_implicit_kappas"):
-            raise ValueError("CubedSphereHydrostaticModel supports "
-                             "vertically-implicit closures only")
+        if closure is not None and getattr(
+                closure, "time_discretization", None) != "vertically_implicit":
+            raise ValueError(
+                "CubedSphereHydrostaticModel supports vertically-implicit "
+                "closures only (e.g. VerticalScalarDiffusivity(..., "
+                "time_discretization='vertically_implicit'))")
         # free surface: "explicit" (∂t η = -∇·∫u dz inside the RK stage —
         # gravity-wave-limited Δt) or "implicit" (backward-Euler η solve by
         # matrix-free CG over the composed panels with exchanges inside the
@@ -282,6 +306,7 @@ class CubedSphereHydrostaticModel:
                 G["eta"].append(-(dx_c(g, Ubt) + dy_c(g, Vbt))
                                 / g.Az(LOC_CCC))
             else:
+                # implicit mode: eta advances inside _implicit_eta_step
                 G["eta"].append(jnp.zeros_like(eta[p]))
             for name in self.tracer_names:
                 G[name].append(-div_Uc(g, self.tracer_advection, up, vp,
@@ -290,17 +315,21 @@ class CubedSphereHydrostaticModel:
 
     def _implicit_step(self, st, sdt):
         """Per-panel vertically-implicit diffusion solves (reference:
-        implicit_step!; no-flux walls)."""
+        implicit_step!; no-flux walls). The solve covers EVERY (x, y)
+        column — including halo slots — so the duplicated shared-edge
+        velocity faces (stored at slot H+N, outside interior_slices)
+        diffuse identically on both panels; restricting to the interior
+        left an undiffused seam along owner-high-side edges."""
         from .nonhydrostatic import implicit_vertical_diffusion
         kappas = self.closure.vertical_implicit_kappas(
             self.grid.panel_grids[0], st, {})
         out = dict(st)
+        proxy = _AllColumnsProxy(self.grid.panel_grids[0])
         for name, kz in kappas.items():
             if name in ("w", "eta") or name not in st:
                 continue
-            cols = [implicit_vertical_diffusion(
-                self.grid.panel_grids[p], st[name][p], kz, sdt)
-                for p in range(6)]
+            cols = [implicit_vertical_diffusion(proxy, st[name][p], kz, sdt)
+                    for p in range(6)]
             out[name] = jnp.stack(cols)
         return out
 
@@ -393,9 +422,8 @@ class CubedSphereHydrostaticModel:
                 G = self._tendencies(sf, w)
                 st = {n: st0[n] + frac * dt * G[n] for n in prog}
                 if self.free_surface == "implicit":
-                    # per-stage backward-Euler surface step (the rectilinear
-                    # SplitRK3 + ImplicitFreeSurface arrangement)
-                    st["eta"] = st0["eta"]
+                    # per-stage increment solve (eta's stage tendency is 0:
+                    # st["eta"] already equals st0["eta"])
                     st = self._implicit_eta_step(st, frac * dt)
                 if self.closure is not None:
                     st = self._implicit_step(st, frac * dt)
@@ -425,9 +453,15 @@ class CubedSphereHydrostaticModel:
         return int(self.state["iteration"])
 
     def field(self, name):
-        """Writer/diagnostic accessor (see the shallow-water model)."""
+        """Writer/diagnostic accessor (see the shallow-water model).
+        2D fields (eta) keep their size-1 z axis un-sliced."""
         from .cubed_sphere_shallow_water import _PanelFieldView
-        return _PanelFieldView(self.grid.interior(self.state[name]))
+        a = self.state[name]
+        g0 = self.grid.panel_grids[0]
+        H, N = self.grid.H[0], self.grid.N[0]
+        zsl = (slice(g0.H[2], g0.H[2] + g0.N[2])
+               if a.shape[-1] == g0.padded_shape[2] else slice(None))
+        return _PanelFieldView(a[:, H:H + N, H:H + N, zsl])
 
     def total_tracer(self, name):
         """Global volume integral of a tracer (exactly conserved by the

@@ -199,3 +199,46 @@ def test_checkpoint_restore_bitwise(tmp_path):
     restore(m2, ckpt)
     for k, v in ref.items():
         np.testing.assert_array_equal(v, np.asarray(m2.state[k]), err_msg=k)
+
+
+def test_review_regressions():
+    """Round-2 review fixes: (a) field('eta') keeps its size-1 z axis;
+    (b) explicit closures are rejected; (c) the implicit vertical solve
+    diffuses the duplicated shared-edge faces (no undiffused seam)."""
+    import pytest as _pytest
+
+    from oceananigans_tpu.closures import VerticalScalarDiffusivity
+
+    nz = 4
+    grid = ConformalCubedSphereGrid((8, 8, nz), z=(-100.0, 0.0), radius=R)
+    m = CubedSphereHydrostaticModel(grid, tracers=("b",),
+                                    rotation_rate=OMEGA)
+    assert m.field("eta").interior.shape == (6, 8, 8, 1)
+    assert m.field("b").interior.shape == (6, 8, 8, nz)
+
+    with _pytest.raises(ValueError, match="vertically-implicit"):
+        CubedSphereHydrostaticModel(
+            grid, tracers=(), buoyancy_tracer=None,
+            closure=VerticalScalarDiffusivity(nu=1e-2))
+
+    # seam check: a z-mode in u decays at the SAME rate on the duplicated
+    # shared-edge face slots as in panel interiors
+    import jax.numpy as jnp
+
+    m2 = CubedSphereHydrostaticModel(
+        grid, tracers=(), buoyancy_tracer=None, rotation_rate=0.0,
+        closure=VerticalScalarDiffusivity(
+            nu=1e-2, time_discretization="vertically_implicit"))
+    g0 = grid.panel_grids[0]
+    hz = g0.H[2]
+    prof = 1e-3 * np.cos(np.pi * (np.arange(nz) + 0.5) / nz)
+    u = np.zeros(m2.state["u"].shape)
+    u[..., hz:hz + nz] = prof
+    st = dict(m2.state, u=jnp.asarray(u))
+    out = m2._implicit_step({k: st[k] for k in ("u", "v", "eta")}, 200.0)
+    un = np.asarray(out["u"])
+    H, N = grid.H[0], grid.N[0]
+    r_int = un[0, H + 3, H + 3, hz] / prof[0]
+    r_edge = un[0, H + N, H + 3, hz] / prof[0]   # owner-high-side face slot
+    assert abs(r_int - r_edge) < 1e-12, (r_int, r_edge)
+    assert r_int < 0.9995
