@@ -73,3 +73,77 @@ def test_duplicated_edge_faces_stay_consistent(tc2):
         theirs = u[q, H, H:H + N, 0]
         scale = np.abs(mine).max() + 1e-30
         assert np.abs(mine - R2[0, 0] * theirs).max() / scale < 1e-5, (p, q)
+
+
+def test_rossby_haurwitz_tc6_phase_speed():
+    """Williamson et al. (1992) test case 6: the wavenumber-4
+    Rossby-Haurwitz wave translates eastward at the analytic angular speed
+    nu = [R(3+R)w - 2*Omega]/[(1+R)(2+R)] with its shape retained — a
+    global dynamics validation of the cubed-sphere shallow-water model
+    (vorticity flux, vertex treatment, panel exchanges)."""
+    import jax.numpy as jnp
+
+    a, Om, g = 6.37122e6, 7.292e-5, 9.80616
+    K = w = 7.848e-6
+    Rw, h0 = 4.0, 8000.0
+
+    def u_east(lam, phi):
+        c = np.cos(phi)
+        return a * w * c + a * K * c ** (Rw - 1) * (
+            Rw * np.sin(phi) ** 2 - c ** 2) * np.cos(Rw * lam)
+
+    def v_north(lam, phi):
+        return -a * K * Rw * np.cos(phi) ** (Rw - 1) * np.sin(phi) \
+            * np.sin(Rw * lam)
+
+    def h_field(lam, phi):
+        c = np.cos(phi)
+        A = w / 2 * (2 * Om + w) * c ** 2 + 0.25 * K ** 2 * c ** (2 * Rw) \
+            * ((Rw + 1) * c ** 2 + (2 * Rw ** 2 - Rw - 2)
+               - 2 * Rw ** 2 * c ** (-2.0))
+        B = (2 * (Om + w) * K) / ((Rw + 1) * (Rw + 2)) * c ** Rw * (
+            (Rw ** 2 + 2 * Rw + 2) - (Rw + 1) ** 2 * c ** 2)
+        C = 0.25 * K ** 2 * c ** (2 * Rw) * ((Rw + 1) * c ** 2 - (Rw + 2))
+        return h0 + (a * a * A + a * a * B * np.cos(Rw * lam)
+                     + a * a * C * np.cos(2 * Rw * lam)) / g
+
+    N = 16
+    grid = ConformalCubedSphereGrid((N, N), radius=a, dtype=jnp.float64)
+    m = CubedSphereShallowWaterModel(grid, gravity=g, rotation_rate=Om)
+    m.set_geographic(h=h_field, u_east=u_east, v_north=v_north)
+
+    nu_rh = (Rw * (3 + Rw) * w - 2 * Om) / ((1 + Rw) * (2 + Rw))
+    dt = 0.35 * (2 * np.pi * a / (4 * N) * 0.6) / np.sqrt(g * h0)
+    steps = int(2.0 * 86400 / dt)
+    for _ in range(steps):
+        m.time_step(dt)
+    t = m.time
+
+    H = grid.H[0]
+    sl = (slice(None), slice(H, H + N), slice(H, H + N))
+    h_num = np.asarray(m.state["h"])[sl]
+    lams, phis = [], []
+    for p in range(6):
+        ext = grid.extended_nodes[p]
+        NP = N + 2 * H
+        Pxm = ext[:-1] + ext[1:]
+        Pxm = Pxm / np.linalg.norm(Pxm, axis=-1, keepdims=True)
+        Pc = Pxm[:, :-1] + Pxm[:, 1:]
+        Pc = (Pc / np.linalg.norm(Pc, axis=-1, keepdims=True))[:NP, :NP]
+        lams.append(np.arctan2(Pc[..., 1], Pc[..., 0])[H:H + N, H:H + N])
+        phis.append(np.arcsin(np.clip(Pc[..., 2], -1, 1))[H:H + N, H:H + N])
+    lams, phis = np.stack(lams), np.stack(phis)
+
+    def corr_with(shift):
+        ref = h_field(lams - shift, phis)[..., None]
+        x = (h_num - h_num.mean()).ravel()
+        y = (ref - ref.mean()).ravel()
+        return (x * y).sum() / np.sqrt((x * x).sum() * (y * y).sum())
+
+    c_rot = corr_with(nu_rh * t)
+    c_sta = corr_with(0.0)
+    assert c_rot > 0.98, c_rot
+    assert c_rot - c_sta > 0.15, (c_rot, c_sta)
+    shifts = np.linspace(0, 2 * nu_rh * t, 41)
+    best = shifts[int(np.argmax([corr_with(s) for s in shifts]))]
+    assert abs(best - nu_rh * t) < 0.25 * nu_rh * t, (best, nu_rh * t)
