@@ -80,6 +80,27 @@ def main():
         state = model._step(model.state, dt)
         fetch(state)
 
+    if model._fuse_correction and platform != "cpu":
+        # auto-tune: quick A/B of the correction-fused vs separate-correct
+        # paths (both compile once, cached persistently); keep the faster
+        alt = build(fuse_correction=False)
+        alt_state = alt._step(alt.state, dt)
+        fetch(alt_state)
+
+        def time3(m, st):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                st = m._step(st, dt)
+            fetch(st)
+            return time.perf_counter() - t0
+
+        t_fused = time3(model, state)
+        t_plain = time3(alt, alt_state)
+        print(f"# corr-fusion A/B: fused {t_fused / 3 * 1e3:.2f} ms vs "
+              f"plain {t_plain / 3 * 1e3:.2f} ms", file=sys.stderr)
+        if t_plain < t_fused:
+            model, state = alt, alt_state
+
     t0 = time.perf_counter()
     for _ in range(steps):
         state = model._step(state, dt)
