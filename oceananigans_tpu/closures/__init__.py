@@ -3,6 +3,9 @@ from .scalar_diffusivity import (ScalarDiffusivity, VerticalScalarDiffusivity,
                                  ScalarBiharmonicDiffusivity,
                                  VerticalScalarBiharmonicDiffusivity,
                                  HorizontalScalarBiharmonicDiffusivity,
+                                 HorizontalDivergenceScalarDiffusivity,
+                                 HorizontalDivergenceScalarBiharmonicDiffusivity,
+                                 FluxTapering, viscosity, diffusivity,
                                  ExplicitTimeDiscretization,
                                  VerticallyImplicitTimeDiscretization,
                                  ClosureTuple)
@@ -22,6 +25,9 @@ __all__ = ["ScalarDiffusivity", "VerticalScalarDiffusivity",
            "HorizontalScalarDiffusivity", "ScalarBiharmonicDiffusivity",
            "VerticalScalarBiharmonicDiffusivity",
            "HorizontalScalarBiharmonicDiffusivity",
+           "HorizontalDivergenceScalarDiffusivity",
+           "HorizontalDivergenceScalarBiharmonicDiffusivity",
+           "FluxTapering", "viscosity", "diffusivity",
            "ExplicitTimeDiscretization",
            "VerticallyImplicitTimeDiscretization", "LillyCoefficient",
            "Smagorinsky", "SmagorinskyLilly", "DynamicCoefficient",

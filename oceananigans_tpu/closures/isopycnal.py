@@ -51,6 +51,7 @@ def _resolve_coef(grid, k):
 
 class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
     def __init__(self, kappa_redi=0.0, kappa_gm=0.0, maximum_slope=1e-2,
+                 slope_limiter=None,
                  minimum_N2=1e-11, buoyancy=None,
                  skew_flux_formulation="flux"):
         """``skew_flux_formulation``: "flux" applies the GM skew diffusivity
@@ -64,6 +65,9 @@ class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
                            else float(kappa_redi))
         self.kappa_gm = (kappa_gm if callable(kappa_gm)
                          or hasattr(kappa_gm, "ndim") else float(kappa_gm))
+        if slope_limiter is not None:
+            # reference: slope_limiter = FluxTapering(max_slope)
+            maximum_slope = getattr(slope_limiter, "max_slope", slope_limiter)
         self.maximum_slope = float(maximum_slope)
         self.minimum_N2 = float(minimum_N2)
         self.buoyancy = buoyancy
@@ -168,11 +172,14 @@ class TriadIsopycnalSkewSymmetricDiffusivity(_ClosureBase):
     under VerticallyImplicitTimeDiscretization."""
 
     def __init__(self, kappa_skew=0.0, kappa_symmetric=0.0,
-                 maximum_slope=1e-2, buoyancy=None):
+                 maximum_slope=1e-2, slope_limiter=None, buoyancy=None):
         def coef(k):
             return k if callable(k) or hasattr(k, "ndim") else float(k)
         self.kappa_skew = coef(kappa_skew)
         self.kappa_symmetric = coef(kappa_symmetric)
+        if slope_limiter is not None:
+            # reference: slope_limiter = FluxTapering(max_slope)
+            maximum_slope = getattr(slope_limiter, "max_slope", slope_limiter)
         self.maximum_slope = float(maximum_slope)
         self.buoyancy = buoyancy
 

@@ -281,3 +281,81 @@ class ClosureTuple(_ClosureBase):
         return sum((c.tracer_tendency(grid, name, fields, a)
                     for c, a in zip(self.closures, aux) if c is not tke),
                    start=jnp.zeros_like(fields[name]))
+
+
+class HorizontalDivergenceScalarDiffusivity(_ClosureBase):
+    """Divergence damping: momentum tendency (∂x, ∂y) of ν·∇h·u — damps the
+    horizontally-divergent mode only (reference: scalar_diffusivity.jl
+    HorizontalDivergenceFormulation)."""
+
+    def __init__(self, nu=0.0):
+        self.nu = nu
+
+    def _fp(self):
+        return ("HorizontalDivergenceScalarDiffusivity", self.nu)
+
+    def _delta(self, grid, fields):
+        from ..operators.operators import div_xy_ccc
+        return div_xy_ccc(grid, fields["u"], fields["v"])
+
+    def momentum_tendencies(self, grid, fields, aux):
+        from ..operators.operators import ddx, ddy
+        q = self.nu * self._delta(grid, fields)
+        out = dict(u=ddx(grid, q, ("f", "c", "c")),
+                   v=ddy(grid, q, ("c", "f", "c")))
+        if "w" in fields:
+            out["w"] = jnp.zeros_like(fields["w"])
+        return out
+
+    def tracer_tendency(self, grid, name, fields, aux):
+        return 0.0
+
+
+class HorizontalDivergenceScalarBiharmonicDiffusivity(
+        HorizontalDivergenceScalarDiffusivity):
+    """Biharmonic divergence damping: -(∂x, ∂y) of ν·∇h²(∇h·u)
+    (reference: scalar_biharmonic_diffusivity.jl
+    HorizontalDivergenceFormulation)."""
+
+    required_halo = 2
+
+    def _fp(self):
+        return ("HorizontalDivergenceScalarBiharmonicDiffusivity", self.nu)
+
+    def momentum_tendencies(self, grid, fields, aux):
+        from ..operators.operators import ddx, ddy
+        delta = self._delta(grid, fields)
+        lap = div_kappa_grad(grid, delta, ("c", "c", "c"), 1.0, (0, 1))
+        q = -self.nu * lap
+        out = dict(u=ddx(grid, q, ("f", "c", "c")),
+                   v=ddy(grid, q, ("c", "f", "c")))
+        if "w" in fields:
+            out["w"] = jnp.zeros_like(fields["w"])
+        return out
+
+
+class FluxTapering:
+    """Isopycnal slope-tapering spec (reference: FluxTapering(max_slope) —
+    isopycnal_skew_symmetric_diffusivity.jl): pass as ``slope_limiter=`` to
+    the isopycnal closures."""
+
+    def __init__(self, max_slope):
+        self.max_slope = float(max_slope)
+
+
+def viscosity(closure, diffusivity_fields):
+    """The closure's (eddy) viscosity — a constant or the aux field
+    (reference: TurbulenceClosures.viscosity)."""
+    if isinstance(diffusivity_fields, dict) and "nu_e" in diffusivity_fields:
+        return diffusivity_fields["nu_e"]
+    return getattr(closure, "nu", 0.0)
+
+
+def diffusivity(closure, diffusivity_fields, tracer="b"):
+    """The closure's (eddy) tracer diffusivity (reference:
+    TurbulenceClosures.diffusivity)."""
+    if isinstance(diffusivity_fields, dict):
+        for key in (f"kappa_{tracer}", "kappa_e", "nu_e"):
+            if key in diffusivity_fields:
+                return diffusivity_fields[key]
+    return _kappa_for(getattr(closure, "kappa", 0.0), tracer)

@@ -189,3 +189,55 @@ def test_lilly_coefficient_inherits_model_buoyancy():
     nu_s = float(np.mean(np.asarray(aux_strat["nu_e"])[sl]))
     nu_n = float(np.mean(np.asarray(aux_neut["nu_e"])[sl]))
     assert nu_s < 0.2 * nu_n, (nu_s, nu_n)
+
+
+def test_horizontal_divergence_damping_closures():
+    """HorizontalDivergence(Scalar|ScalarBiharmonic)Diffusivity damp only
+    the divergent mode: a discretely divergence-free flow gets zero
+    tendency; a divergent flow is damped."""
+    import jax.numpy as jnp
+
+    from oceananigans_tpu.closures import (
+        HorizontalDivergenceScalarBiharmonicDiffusivity,
+        HorizontalDivergenceScalarDiffusivity)
+
+    grid = RectilinearGrid(size=(32, 32), extent=(2 * np.pi, 2 * np.pi),
+                           topology=("periodic", "periodic", "flat"))
+    for closure in (HorizontalDivergenceScalarDiffusivity(nu=0.1),
+                    HorizontalDivergenceScalarBiharmonicDiffusivity(nu=0.1)):
+        m = NonhydrostaticModel(grid=grid, closure=closure)
+        xf, yc = np.meshgrid(grid.xnodes("f"), grid.ynodes("c"),
+                             indexing="ij")
+        xc, yf = np.meshgrid(grid.xnodes("c"), grid.ynodes("f"),
+                             indexing="ij")
+        sl = m.grid.interior_slices
+        # rotational (discretely divergence-free): zero tendency
+        m.set(u=np.sin(xf) * np.cos(yc), v=-np.cos(xc) * np.sin(yf))
+        f0 = m._fill_all(m.state["fields"], 0.0)
+        G = closure.momentum_tendencies(m.grid, f0, {})
+        assert float(jnp.abs(G["u"][sl]).max()) < 1e-5
+        # divergent: damping opposes the divergence (set must not
+        # project the divergent mode away for this check)
+        m.set(u=np.sin(xf) * np.cos(yc), v=np.cos(xc) * np.sin(yf),
+              enforce_incompressibility=False)
+        f1 = m._fill_all(m.state["fields"], 0.0)
+        G1 = closure.momentum_tendencies(m.grid, f1, {})
+        assert float(jnp.abs(G1["u"][sl]).max()) > 1e-3
+
+
+def test_flux_tapering_and_extractors():
+    from oceananigans_tpu.closures import (FluxTapering,
+                                           IsopycnalSkewSymmetricDiffusivity,
+                                           ScalarDiffusivity, SmagorinskyLilly,
+                                           TriadIsopycnalSkewSymmetricDiffusivity,
+                                           diffusivity, viscosity)
+    iso = IsopycnalSkewSymmetricDiffusivity(kappa_redi=100.0,
+                                            slope_limiter=FluxTapering(5e-3))
+    assert iso.maximum_slope == 5e-3
+    tri = TriadIsopycnalSkewSymmetricDiffusivity(
+        kappa_skew=10.0, slope_limiter=FluxTapering(2e-3))
+    assert tri.maximum_slope == 2e-3
+    assert viscosity(SmagorinskyLilly(), {"nu_e": 7}) == 7
+    sd = ScalarDiffusivity(nu=1e-2, kappa={"b": 3e-2})
+    assert viscosity(sd, {}) == 1e-2
+    assert diffusivity(sd, {}, "b") == 3e-2
