@@ -904,14 +904,15 @@ def implicit_vertical_diffusion(grid, q, kappa, dtt, damping=None):
     inv_lo[1:] = 1.0 / (dzc[1:] * dzf[1:n])
     inv_up[:-1] = 1.0 / (dzc[:-1] * dzf[1:n])
 
+    dt_c = jnp.asarray(dtt, q.dtype)
     if hasattr(kappa, "ndim") and np.ndim(kappa) == 3:
         sx, sy, _ = grid.interior_slices
-        kfaces = kappa[sx, sy, h:h + n + 1]
-        lo = -dtt * jnp.asarray(inv_lo) * kfaces[..., :n]
-        up = -dtt * jnp.asarray(inv_up) * kfaces[..., 1:n + 1]
+        kfaces = kappa[sx, sy, h:h + n + 1].astype(q.dtype)
+        lo = -dt_c * jnp.asarray(inv_lo, q.dtype) * kfaces[..., :n]
+        up = -dt_c * jnp.asarray(inv_up, q.dtype) * kfaces[..., 1:n + 1]
     else:
-        lo = -dtt * kappa * jnp.asarray(inv_lo)
-        up = -dtt * kappa * jnp.asarray(inv_up)
+        lo = -dt_c * jnp.asarray(kappa * inv_lo, q.dtype)
+        up = -dt_c * jnp.asarray(kappa * inv_up, q.dtype)
     diag = 1.0 - lo - up
     if damping is not None:
         lam = damping[grid.interior_slices] if jnp.ndim(damping) == 3 \
@@ -940,15 +941,16 @@ def implicit_vertical_diffusion_w(grid, w, nu, dtt):
     inv_lo[1:] = 1.0 / (dzc[:-1] * dzf[1:n])
     inv_up[1:] = 1.0 / (dzc[1:] * dzf[1:n])
 
+    dt_c = jnp.asarray(dtt, w.dtype)
     if hasattr(nu, "ndim") and np.ndim(nu) == 3:
         sx, sy, _ = grid.interior_slices
-        nc = nu[sx, sy, h:h + n]            # ν at cell centers 0..n-1
-        lo_t = -dtt * jnp.asarray(inv_lo) * jnp.concatenate(
+        nc = nu[sx, sy, h:h + n].astype(w.dtype)   # ν at centers 0..n-1
+        lo_t = -dt_c * jnp.asarray(inv_lo, w.dtype) * jnp.concatenate(
             [jnp.zeros_like(nc[..., :1]), nc[..., :-1]], axis=-1)
-        up_t = -dtt * jnp.asarray(inv_up) * nc
+        up_t = -dt_c * jnp.asarray(inv_up, w.dtype) * nc
     else:
-        lo_t = -dtt * nu * jnp.asarray(inv_lo)
-        up_t = -dtt * nu * jnp.asarray(inv_up)
+        lo_t = -dt_c * jnp.asarray(nu * inv_lo, w.dtype)
+        up_t = -dt_c * jnp.asarray(nu * inv_up, w.dtype)
     # Dirichlet walls: the couplings to the pinned faces w[0] = 0 and
     # w[n] = 0 stay in the diagonal but drop out of the off-diagonals
     diag = 1.0 - lo_t - up_t

@@ -268,3 +268,49 @@ def test_lid_driven_cavity_ghia():
     assert abs(xc[np.argmax(w_line)] - 0.2344) < 2.5 / n
     assert abs(w_line.min() - (-0.24533)) < 0.012, w_line.min()
     assert abs(xc[np.argmin(w_line)] - 0.8047) < 2.5 / n
+
+
+def test_ekman_spiral():
+    """Steady Ekman (1905) spiral: wind stress over a rotating, uniformly
+    viscous column gives u+iv = (τ/√(fν)) e^{z/d} e^{i(z/d − π/4)} with
+    d = √(2ν/f) — surface current 45° to the right of the wind, speed
+    τ/√(fν). Validates the Coriolis / vertically-implicit-diffusion /
+    flux-BC interplay. Inertial oscillations are removed by averaging over
+    one inertial period."""
+    from oceananigans_tpu.boundary_conditions import (FieldBoundaryConditions,
+                                                      FluxBoundaryCondition)
+    from oceananigans_tpu.closures import ScalarDiffusivity as _SD
+    from oceananigans_tpu.coriolis import FPlane
+
+    f, nu, tau = 1e-4, 1e-2, 1e-4
+    d = np.sqrt(2 * nu / f)
+    grid = RectilinearGrid(size=(1, 1, 50), x=(0, 1), y=(0, 1),
+                           z=(-100.0, 0.0),
+                           topology=("periodic", "periodic", "bounded"))
+    # outward-flux convention: a wind along +x pumps u-momentum IN through
+    # the top ⇒ negative top flux (reference: ocean_wind_mixing example)
+    u_bcs = FieldBoundaryConditions(top=FluxBoundaryCondition(-tau))
+    model = NonhydrostaticModel(
+        grid=grid, advection=None, coriolis=FPlane(f),
+        closure=_SD(nu=nu, time_discretization="vertically_implicit"),
+        boundary_conditions=dict(u=u_bcs))
+    dt = 300.0
+    steps_per = int(2 * np.pi / f / dt)
+    for _ in range(9 * steps_per):
+        model.time_step(dt)
+    acc = 0
+    for _ in range(steps_per):
+        model.time_step(dt)
+        acc = acc + (np.asarray(model.field("u").interior)[0, 0, :]
+                     + 1j * np.asarray(model.field("v").interior)[0, 0, :])
+    w_num = acc / steps_per
+    zc = np.asarray(grid.znodes("c"))
+    w_exact = tau / np.sqrt(f * nu) * np.exp(zc / d) \
+        * np.exp(1j * (zc / d - np.pi / 4))
+    corr = np.abs(np.vdot(w_exact, w_num)) / (
+        np.linalg.norm(w_exact) * np.linalg.norm(w_num))
+    assert corr > 0.999, corr
+    assert abs(np.abs(w_num[-1]) / np.abs(w_exact[-1]) - 1) < 0.02
+    # surface deflection ≈ 45° to the right of the wind
+    ang = np.angle(w_num[-1], deg=True)
+    assert -55 < ang < -40, ang
