@@ -314,3 +314,45 @@ def test_ekman_spiral():
     # surface deflection ≈ 45° to the right of the wind
     ang = np.angle(w_num[-1], deg=True)
     assert -55 < ang < -40, ang
+
+
+def test_rossby_geostrophic_adjustment():
+    """Rossby's geostrophic adjustment: an initial step in the free surface
+    adjusts to the analytic steady state η∞ = -η₀ sgn(x)(1 - e^{-|x|/Lr})
+    with the geostrophic jet v∞ = -(gη₀/fLr) e^{-|x|/Lr}, Lr = √(gH)/f
+    (inertia-gravity transients removed by a one-inertial-period average)."""
+    from oceananigans_tpu.coriolis import FPlane
+    from oceananigans_tpu.models.shallow_water import ShallowWaterModel
+
+    g, H0, f, n = 10.0, 1.0, 1.0, 1024
+    Lr = np.sqrt(g * H0) / f
+    L = 80 * Lr
+    grid = RectilinearGrid(size=(n,), x=(-L / 2, L / 2),
+                           topology=("periodic", "flat", "flat"))
+    m = ShallowWaterModel(grid=grid, gravitational_acceleration=g,
+                          coriolis=FPlane(f))
+    eta0, a = 1e-3, 0.5
+    xc = np.asarray(grid.xnodes("c"))
+    etai = -eta0 * (np.tanh(xc / a) - np.tanh((xc - L / 2) / a)
+                    - np.tanh((xc + L / 2) / a))
+    m.set(h=(H0 + etai)[:, None, None], uh=0.0, vh=0.0)
+    dt = 0.4 * (L / n) / np.sqrt(g * H0)
+    for _ in range(int(5.0 / dt)):
+        m.time_step(dt)
+    acc_v = acc_e = 0.0
+    ns = int(2 * np.pi / dt)
+    for _ in range(ns):
+        m.time_step(dt)
+        h = np.asarray(m.field("h").interior).ravel()
+        acc_e = acc_e + (h - H0)
+        acc_v = acc_v + np.asarray(m.field("vh").interior).ravel() / h
+    e_num, v = acc_e / ns, acc_v / ns
+    sel = np.abs(xc) < 5 * Lr
+    eta_inf = -eta0 * np.sign(xc) * (1 - np.exp(-np.abs(xc) / Lr))
+    v_inf = -(g * eta0 / (f * Lr)) * np.exp(-np.abs(xc) / Lr)
+    for num, ex, tol in ((e_num[sel], eta_inf[sel], 0.06),
+                         (v[sel], v_inf[sel], 0.1)):
+        corr = (num * ex).sum() / np.sqrt((num ** 2).sum() * (ex ** 2).sum())
+        rel = np.linalg.norm(num - ex) / np.linalg.norm(ex)
+        assert corr > 0.995, corr
+        assert rel < tol, rel
