@@ -83,7 +83,8 @@ class CubedSphereHydrostaticModel:
     def __init__(self, grid: ConformalCubedSphereGrid, tracers=("b",),
                  gravity=None, rotation_rate=0.0, tracer_advection=None,
                  buoyancy_tracer="b", closure=None, free_surface="explicit",
-                 implicit_solver_tol=1e-8, reference_datetime=None):
+                 implicit_solver_tol=1e-8, substeps=20,
+                 reference_datetime=None):
         if grid.panel_grids[0].is_flat(2):
             raise ValueError("CubedSphereHydrostaticModel needs a grid "
                              "built with z=(bottom, top)")
@@ -119,9 +120,15 @@ class CubedSphereHydrostaticModel:
         # operator — the reference's PCG ImplicitFreeSurface analogue,
         # pcg_implicit_free_surface_solver.jl, without the Δt restriction)
         if free_surface not in ("explicit", "implicit"):
+            # a split-explicit barotropic subcycle was prototyped (round 2)
+            # but does not converge in this model's restart-RK3 stage
+            # arrangement (frozen slow forcing + flat averaging drifted
+            # ~100x worse than explicit at equal dt); use "implicit" for
+            # steps beyond the gravity-wave limit
             raise ValueError(free_surface)
         self.free_surface = free_surface
         self.implicit_solver_tol = float(implicit_solver_tol)
+        self.substeps = int(substeps)
         H, N = grid.H[0], grid.N[0]
         NP = N + 2 * H
         ZP = grid.panel_grids[0].padded_shape[2]
