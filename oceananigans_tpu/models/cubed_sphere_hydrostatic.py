@@ -83,8 +83,7 @@ class CubedSphereHydrostaticModel:
     def __init__(self, grid: ConformalCubedSphereGrid, tracers=("b",),
                  gravity=None, rotation_rate=0.0, tracer_advection=None,
                  buoyancy_tracer="b", closure=None, free_surface="explicit",
-                 implicit_solver_tol=1e-8, substeps=20,
-                 reference_datetime=None):
+                 implicit_solver_tol=1e-8, reference_datetime=None):
         if grid.panel_grids[0].is_flat(2):
             raise ValueError("CubedSphereHydrostaticModel needs a grid "
                              "built with z=(bottom, top)")
@@ -128,7 +127,6 @@ class CubedSphereHydrostaticModel:
             raise ValueError(free_surface)
         self.free_surface = free_surface
         self.implicit_solver_tol = float(implicit_solver_tol)
-        self.substeps = int(substeps)
         H, N = grid.H[0], grid.N[0]
         NP = N + 2 * H
         ZP = grid.panel_grids[0].padded_shape[2]
