@@ -147,3 +147,40 @@ def test_rossby_haurwitz_tc6_phase_speed():
     shifts = np.linspace(0, 2 * nu_rh * t, 41)
     best = shifts[int(np.argmax([corr_with(s) for s in shifts]))]
     assert abs(best - nu_rh * t) < 0.25 * nu_rh * t, (best, nu_rh * t)
+
+
+def test_energy_and_mass_conservation():
+    """The Sadourny energy-conserving PV flux + RK3 conserves total energy
+    (KE + PE) to time-truncation level and mass to roundoff on a strongly
+    nonlinear global state."""
+    import jax.numpy as jnp
+
+    from oceananigans_tpu.operators.operators import LOC_CCC, ix_c, iy_c
+
+    a, Om, g = 6.37122e6, 7.292e-5, 9.80616
+    grid = ConformalCubedSphereGrid((12, 12), radius=a, dtype=jnp.float64)
+    m = CubedSphereShallowWaterModel(grid, gravity=g, rotation_rate=Om)
+    m.set_geographic(
+        h=lambda lam, phi: 3000 + 200 * np.cos(3 * lam) * np.cos(phi) ** 2,
+        u_east=lambda lam, phi: 15 * np.cos(phi)
+        + 5 * np.cos(2 * lam) * np.sin(2 * phi),
+        v_north=lambda lam, phi: 5 * np.sin(lam) * np.cos(phi))
+    H, N = grid.H[0], grid.N[0]
+
+    def energy():
+        tot = 0.0
+        for p in range(6):
+            gp = grid.panel_grids[p]
+            h, u, v = (m.state[k][p] for k in ("h", "u", "v"))
+            ke = 0.5 * h * (ix_c(gp, u * u) + iy_c(gp, v * v))
+            pe = 0.5 * g * h * h
+            Az = jnp.asarray(np.asarray(gp.Az(LOC_CCC)))
+            tot += float(jnp.sum(((ke + pe) * Az)[H:H + N, H:H + N]))
+        return tot
+
+    E0, M0 = energy(), m.total_mass()
+    dt = 0.3 * (2 * np.pi * a / 48 * 0.6) / np.sqrt(g * 3200)
+    for _ in range(60):
+        m.time_step(dt)
+    assert abs(energy() - E0) / E0 < 1e-5
+    assert abs(m.total_mass() - M0) / M0 < 1e-13
