@@ -183,4 +183,4 @@ def test_energy_and_mass_conservation():
     for _ in range(60):
         m.time_step(dt)
     assert abs(energy() - E0) / E0 < 1e-5
-    assert abs(m.total_mass() - M0) / M0 < 1e-13
+    assert abs(m.total_mass() - M0) / M0 < 1e-12
