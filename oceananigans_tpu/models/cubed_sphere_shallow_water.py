@@ -123,7 +123,11 @@ class CubedSphereShallowWaterModel:
     ẑ (f = 2Ω sinφ evaluated exactly at the ffc nodes)."""
 
     def __init__(self, grid: ConformalCubedSphereGrid, gravity=None,
-                 rotation_rate=0.0, reference_datetime=None):
+                 rotation_rate=0.0, pv_scheme="energy_conserving",
+                 reference_datetime=None):
+        if pv_scheme not in ("energy_conserving", "enstrophy_conserving"):
+            raise ValueError(pv_scheme)
+        self.pv_scheme = pv_scheme
         self.reference_datetime = reference_datetime
         self.grid = grid
         self.gravity = float(gravity if gravity is not None
@@ -253,10 +257,18 @@ class CubedSphereShallowWaterModel:
             Gh.append(-(dx_c(g, Uf) + dy_c(g, Vf)) / g.Az(LOC_CCC))
             zeta = zetas[p]
             q = (zeta + fp) / hffs[p]
-            # Sadourny energy-conserving PV flux (same discrete form as
-            # advection/vector_invariant.py ENERGY branch, thickness-weighted)
-            cor_u = +iy_c(g, q * ix_f(g, Vf)) / g.dx(LOC_FCC)
-            cor_v = -ix_c(g, q * iy_f(g, Uf)) / g.dy(LOC_CFC)
+            if self.pv_scheme == "energy_conserving":
+                # Sadourny energy-conserving PV flux (same discrete form as
+                # advection/vector_invariant.py's ENERGY branch,
+                # thickness-weighted)
+                cor_u = +iy_c(g, q * ix_f(g, Vf)) / g.dx(LOC_FCC)
+                cor_v = -ix_c(g, q * iy_f(g, Uf)) / g.dy(LOC_CFC)
+            else:
+                # Sadourny enstrophy-conserving form: q̄ times the
+                # twice-interpolated transport (vector_invariant.py's
+                # ENSTROPHY branch)
+                cor_u = +iy_c(g, q) * iy_c(g, ix_f(g, Vf)) / g.dx(LOC_FCC)
+                cor_v = -ix_c(g, q) * ix_c(g, iy_f(g, Uf)) / g.dy(LOC_CFC)
             K = 0.5 * (ix_c(g, up * up) + iy_c(g, vp * vp))
             B = gy * hp + K
             Gu.append(cor_u - ddx(g, B, LOC_FCC))

@@ -184,3 +184,31 @@ def test_energy_and_mass_conservation():
         m.time_step(dt)
     assert abs(energy() - E0) / E0 < 1e-5
     assert abs(m.total_mass() - M0) / M0 < 1e-12
+
+
+def test_enstrophy_conserving_pv_scheme():
+    """The Sadourny enstrophy-conserving variant (reference:
+    VectorInvariant EnstrophyConserving) runs stably, conserves mass to
+    roundoff, and reproduces TC2 geostrophic balance like the energy form."""
+    import jax.numpy as jnp
+
+    a, Om, g = 6.37122e6, 7.292e-5, 9.80616
+    U, H0 = 20.0, 8000.0
+    grid = ConformalCubedSphereGrid((12, 12), radius=a, dtype=jnp.float64)
+    m = CubedSphereShallowWaterModel(grid, gravity=g, rotation_rate=Om,
+                                     pv_scheme="enstrophy_conserving")
+    m.set_geographic(
+        h=lambda lam, phi: H0 - (a * Om * U + 0.5 * U * U)
+        * np.sin(phi) ** 2 / g,
+        u_east=lambda lam, phi: U * np.cos(phi),
+        v_north=lambda lam, phi: 0.0 * lam)
+    u0 = np.asarray(m.state["u"]).copy()
+    M0 = m.total_mass()
+    dt = 0.3 * (2 * np.pi * a / 48 * 0.6) / np.sqrt(g * H0)
+    for _ in range(40):
+        m.time_step(dt)
+    H, N = grid.H[0], grid.N[0]
+    sl = (slice(None), slice(H, H + N), slice(H, H + N))
+    drift = np.abs(np.asarray(m.state["u"]) - u0)[sl].max() / U
+    assert drift < 0.02, drift
+    assert abs(m.total_mass() - M0) / M0 < 1e-12
