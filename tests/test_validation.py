@@ -356,3 +356,44 @@ def test_rossby_geostrophic_adjustment():
         rel = np.linalg.norm(num - ex) / np.linalg.norm(ex)
         assert corr > 0.995, corr
         assert rel < tol, rel
+
+
+def test_coastal_kelvin_wave():
+    """A coastal Kelvin wave propagates along the wall (wall to its right,
+    NH) at c = √(gH) without dispersion, trapped offshore with the
+    deformation-radius e-folding (reference analogue: the Kelvin-wave
+    dynamics the hydrostatic test suite exercises)."""
+    from oceananigans_tpu.coriolis import FPlane
+    from oceananigans_tpu.models.shallow_water import ShallowWaterModel
+
+    g, H0, f = 10.0, 1.0, 1.0
+    c = np.sqrt(g * H0)
+    Lr = c / f
+    Lx, Ly, nx, ny = 60 * Lr, 10 * Lr, 256, 64
+    grid = RectilinearGrid(size=(nx, ny), x=(0, Lx), y=(0, Ly),
+                           topology=("periodic", "bounded", "flat"))
+    m = ShallowWaterModel(grid=grid, gravitational_acceleration=g,
+                          coriolis=FPlane(f))
+    eta0, x0, sx = 1e-3, 10 * Lr, 2 * Lr
+    xc, yc = np.asarray(grid.xnodes("c")), np.asarray(grid.ynodes("c"))
+    X, Y = np.meshgrid(xc, yc, indexing="ij")
+    eta = eta0 * np.exp(-((X - x0) / sx) ** 2) * np.exp(-Y / Lr)
+    xf = np.asarray(grid.xnodes("f"))
+    Xf, Yf = np.meshgrid(xf, yc, indexing="ij")
+    uf = (g / (f * Lr)) * eta0 * np.exp(-((Xf - x0) / sx) ** 2) \
+        * np.exp(-Yf / Lr)
+    m.set(h=(H0 + eta)[:, :, None], uh=(uf * H0)[:, :, None], vh=0.0)
+    dt = 0.3 * (Lx / nx) / c
+    travel = 20 * Lr
+    for _ in range(int(travel / c / dt)):
+        m.time_step(dt)
+    eta1 = np.asarray(m.field("h").interior)[:, :, 0] - H0
+    row = eta1[:, 0]
+    ipk = int(np.argmax(row))
+    assert abs(xc[ipk] - (x0 + travel)) < 3 * (Lx / nx), xc[ipk]
+    assert 0.9 < row.max() / (eta0 * np.exp(-yc[0] / Lr)) < 1.05
+    # offshore e-folding ≈ Lr over the first 3 Lr
+    prof = eta1[ipk, :]
+    k3 = int(np.searchsorted(yc, 3 * Lr))
+    slope = np.polyfit(yc[:k3], np.log(prof[:k3]), 1)[0]
+    assert abs(-1 / slope - Lr) / Lr < 0.15, -1 / slope
