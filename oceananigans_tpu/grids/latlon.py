@@ -106,6 +106,14 @@ class LatitudeLongitudeGrid(AbstractGrid):
     def xnodes(self, loc="c"):
         return self.nodes1d(0, loc)
 
+    def lambda_nodes(self, loc="c"):
+        """Longitude nodes in degrees (reference: λnodes)."""
+        return self.xnodes(loc)
+
+    def phi_nodes(self, loc="c"):
+        """Latitude nodes in degrees (reference: φnodes)."""
+        return self.ynodes(loc)
+
     def ynodes(self, loc="c"):
         return self.nodes1d(1, loc)
 
