@@ -49,6 +49,14 @@ def _resolve_coef(grid, k):
     return jnp.asarray(k)
 
 
+def _resolve_max_slope(maximum_slope, slope_limiter):
+    """Accept the reference's slope_limiter=FluxTapering(max_slope) spec
+    alongside the plain maximum_slope kwarg."""
+    if slope_limiter is not None:
+        maximum_slope = getattr(slope_limiter, "max_slope", slope_limiter)
+    return float(maximum_slope)
+
+
 class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
     def __init__(self, kappa_redi=0.0, kappa_gm=0.0, maximum_slope=1e-2,
                  slope_limiter=None,
@@ -65,10 +73,7 @@ class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
                            else float(kappa_redi))
         self.kappa_gm = (kappa_gm if callable(kappa_gm)
                          or hasattr(kappa_gm, "ndim") else float(kappa_gm))
-        if slope_limiter is not None:
-            # reference: slope_limiter = FluxTapering(max_slope)
-            maximum_slope = getattr(slope_limiter, "max_slope", slope_limiter)
-        self.maximum_slope = float(maximum_slope)
+        self.maximum_slope = _resolve_max_slope(maximum_slope, slope_limiter)
         self.minimum_N2 = float(minimum_N2)
         self.buoyancy = buoyancy
         self.skew_flux_formulation = skew_flux_formulation
@@ -177,10 +182,7 @@ class TriadIsopycnalSkewSymmetricDiffusivity(_ClosureBase):
             return k if callable(k) or hasattr(k, "ndim") else float(k)
         self.kappa_skew = coef(kappa_skew)
         self.kappa_symmetric = coef(kappa_symmetric)
-        if slope_limiter is not None:
-            # reference: slope_limiter = FluxTapering(max_slope)
-            maximum_slope = getattr(slope_limiter, "max_slope", slope_limiter)
-        self.maximum_slope = float(maximum_slope)
+        self.maximum_slope = _resolve_max_slope(maximum_slope, slope_limiter)
         self.buoyancy = buoyancy
 
     def _fp(self):

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..operators.operators import ddx, ddy, div_xy_ccc
 from .diffusion_operators import (div_2nu_strain_u, div_2nu_strain_v,
                                   div_2nu_strain_w, div_kappa_grad)
 
@@ -295,11 +296,9 @@ class HorizontalDivergenceScalarDiffusivity(_ClosureBase):
         return ("HorizontalDivergenceScalarDiffusivity", self.nu)
 
     def _delta(self, grid, fields):
-        from ..operators.operators import div_xy_ccc
         return div_xy_ccc(grid, fields["u"], fields["v"])
 
     def momentum_tendencies(self, grid, fields, aux):
-        from ..operators.operators import ddx, ddy
         q = self.nu * self._delta(grid, fields)
         out = dict(u=ddx(grid, q, ("f", "c", "c")),
                    v=ddy(grid, q, ("c", "f", "c")))
@@ -323,7 +322,6 @@ class HorizontalDivergenceScalarBiharmonicDiffusivity(
         return ("HorizontalDivergenceScalarBiharmonicDiffusivity", self.nu)
 
     def momentum_tendencies(self, grid, fields, aux):
-        from ..operators.operators import ddx, ddy
         delta = self._delta(grid, fields)
         lap = div_kappa_grad(grid, delta, ("c", "c", "c"), 1.0, (0, 1))
         q = -self.nu * lap
