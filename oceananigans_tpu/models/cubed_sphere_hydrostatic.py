@@ -83,7 +83,8 @@ class CubedSphereHydrostaticModel:
     def __init__(self, grid: ConformalCubedSphereGrid, tracers=("b",),
                  gravity=None, rotation_rate=0.0, tracer_advection=None,
                  buoyancy_tracer="b", closure=None, free_surface="explicit",
-                 implicit_solver_tol=1e-8, reference_datetime=None):
+                 implicit_solver_tol=1e-8,
+                 timestepper="WickerSkamarockRK3", reference_datetime=None):
         if grid.panel_grids[0].is_flat(2):
             raise ValueError("CubedSphereHydrostaticModel needs a grid "
                              "built with z=(bottom, top)")
@@ -119,14 +120,20 @@ class CubedSphereHydrostaticModel:
         # operator — the reference's PCG ImplicitFreeSurface analogue,
         # pcg_implicit_free_surface_solver.jl, without the Δt restriction)
         if free_surface not in ("explicit", "implicit"):
-            # a split-explicit barotropic subcycle was prototyped (round 2)
-            # but does not converge in this model's restart-RK3 stage
-            # arrangement (frozen slow forcing + flat averaging drifted
-            # ~100x worse than explicit at equal dt); use "implicit" for
-            # steps beyond the gravity-wave limit
+            # a split-explicit barotropic subcycle was prototyped twice in
+            # round 2 (per-RK3-stage AND paired with the single-stage AB2
+            # step) and measured non-convergent both times: the
+            # column-integrated Sadourny slow forcing and the subcycle's 2D
+            # surface gradient relax toward different discrete equilibria,
+            # so a geostrophic state creeps ~100x faster than under the
+            # explicit/implicit surfaces. Use "implicit" beyond the
+            # gravity-wave limit.
             raise ValueError(free_surface)
         self.free_surface = free_surface
         self.implicit_solver_tol = float(implicit_solver_tol)
+        if timestepper not in ("WickerSkamarockRK3", "QuasiAdamsBashforth2"):
+            raise ValueError(timestepper)
+        self.timestepper = timestepper
         H, N = grid.H[0], grid.N[0]
         NP = N + 2 * H
         ZP = grid.panel_grids[0].padded_shape[2]
@@ -142,6 +149,9 @@ class CubedSphereHydrostaticModel:
                       "iteration": jnp.zeros((), jnp.int32)}
         for name in self.tracer_names:
             self.state[name] = jnp.zeros(shape3, dtype)
+        if timestepper == "QuasiAdamsBashforth2":
+            self.state["Gm"] = {n: jnp.zeros_like(self.state[n])
+                                for n in ("u", "v") + self.tracer_names}
         self._geom = staggered_points_and_bases(grid)
         self._corner_info = _vertex_corner_info(grid)
         # interior Δz at centers / faces (1D, identical on every panel)
@@ -417,6 +427,39 @@ class CubedSphereHydrostaticModel:
             return out
 
         prog = ("u", "v", "eta") + self.tracer_names
+
+        if self.timestepper == "QuasiAdamsBashforth2":
+            chi = 0.1
+            stepped = ("u", "v") + self.tracer_names
+
+            def step(state, dt):
+                st0 = {n: state[n] for n in prog}
+                Gm = state["Gm"]
+                euler = state["iteration"] == 0
+                chi_t = jnp.where(euler, -0.5, chi)
+                not_euler = jnp.where(euler, 0.0, 1.0)
+                sf = filled(st0)
+                w = self._w_from_continuity(sf["u"], sf["v"])
+                G = self._tendencies(sf, w)
+                st = dict(st0)
+                for n in stepped:
+                    st[n] = st0[n] + dt * ((1.5 + chi_t) * G[n]
+                                           - (0.5 + chi_t) * Gm[n]
+                                           * not_euler)
+                if self.free_surface == "implicit":
+                    st = self._implicit_eta_step(st, dt)
+                else:
+                    st["eta"] = st0["eta"] + dt * G["eta"]
+                if self.closure is not None:
+                    st = self._implicit_step(st, dt)
+                st = filled(st)
+                out = dict(st)
+                out["Gm"] = {n: G[n] for n in stepped}
+                out["time"] = state["time"] + dt
+                out["iteration"] = state["iteration"] + 1
+                return out
+
+            return step
 
         def step(state, dt):
             st0 = {n: state[n] for n in prog}

@@ -242,3 +242,27 @@ def test_review_regressions():
     r_edge = un[0, H + N, H + 3, hz] / prof[0]   # owner-high-side face slot
     assert abs(r_int - r_edge) < 1e-12, (r_int, r_edge)
     assert r_int < 0.9995
+
+
+def test_quasi_ab2_timestepper_with_implicit_surface():
+    """The QuasiAdamsBashforth2 stepper option (single-stage AB2 with the
+    chi correction and an iteration-0 Euler start) holds geostrophic
+    balance with the CG-implicit free surface like the RK3 stepper."""
+    U, H0 = 20.0, 1000.0
+    grid = ConformalCubedSphereGrid((12, 12, 2), z=(-H0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    m = CubedSphereHydrostaticModel(grid, tracers=(), rotation_rate=OMEGA,
+                                    buoyancy_tracer=None, gravity=G,
+                                    free_surface="implicit",
+                                    timestepper="QuasiAdamsBashforth2")
+    m.set_geographic(u_east=lambda lam, phi: U * np.cos(phi),
+                     v_north=lambda lam, phi: 0.0 * lam)
+    m.set(eta=lambda lam, phi: -(R * OMEGA * U + 0.5 * U * U)
+          * np.sin(phi) ** 2 / G)
+    u0 = np.asarray(m.state["u"]).copy()
+    for _ in range(25):
+        m.time_step(2000.0)
+    H, N = grid.H[0], grid.N[0]
+    sl = (slice(None), slice(H, H + N), slice(H, H + N))
+    drift = np.abs(np.asarray(m.state["u"]) - u0)[sl].max() / U
+    assert drift < 0.04, drift
