@@ -25,7 +25,9 @@ Dynamics (per panel, z-structured):
   (advection/fluxes.py div_Uc evaluates on the panel's 2D metrics).
 
 Stepping: Wicker-Skamarock RK3 (the cubed-sphere shallow-water model's
-stepper), each stage re-exchanging panel halos.
+stepper, default) or single-stage quasi-AB2 with the χ correction
+(timestepper="QuasiAdamsBashforth2"), each stage/step re-exchanging panel
+halos.
 """
 
 from __future__ import annotations
@@ -150,8 +152,11 @@ class CubedSphereHydrostaticModel:
         for name in self.tracer_names:
             self.state[name] = jnp.zeros(shape3, dtype)
         if timestepper == "QuasiAdamsBashforth2":
+            gm_names = ("u", "v") + self.tracer_names
+            if free_surface == "explicit":
+                gm_names = gm_names + ("eta",)
             self.state["Gm"] = {n: jnp.zeros_like(self.state[n])
-                                for n in ("u", "v") + self.tracer_names}
+                                for n in gm_names}
         self._geom = staggered_points_and_bases(grid)
         self._corner_info = _vertex_corner_info(grid)
         # interior Δz at centers / faces (1D, identical on every panel)
@@ -214,6 +219,11 @@ class CubedSphereHydrostaticModel:
                     else:
                         full[:, H:H + N, H:H + N, hz:hz + nz] = val
                     st[name] = jnp.asarray(full, grid.dtype)
+        if "Gm" in st:
+            # replacing prognostics abandons the trajectory: restart AB2
+            # with an Euler step instead of extrapolating stale tendencies
+            st["Gm"] = {n: jnp.zeros_like(v) for n, v in st["Gm"].items()}
+            st["iteration"] = jnp.zeros((), jnp.int32)
         self.state = st
 
     # -- diagnostics ----------------------------------------------------------
@@ -430,7 +440,13 @@ class CubedSphereHydrostaticModel:
 
         if self.timestepper == "QuasiAdamsBashforth2":
             chi = 0.1
+            # eta must be AB2-stepped too under the explicit surface
+            # (forward-Euler eta coupled to AB2 momentum is unconditionally
+            # unstable for gravity waves — spectral radius > 1 at any Δt;
+            # reference: explicit_ab2_step_free_surface!)
             stepped = ("u", "v") + self.tracer_names
+            if self.free_surface == "explicit":
+                stepped = stepped + ("eta",)
 
             def step(state, dt):
                 st0 = {n: state[n] for n in prog}
@@ -448,8 +464,6 @@ class CubedSphereHydrostaticModel:
                                            * not_euler)
                 if self.free_surface == "implicit":
                     st = self._implicit_eta_step(st, dt)
-                else:
-                    st["eta"] = st0["eta"] + dt * G["eta"]
                 if self.closure is not None:
                     st = self._implicit_step(st, dt)
                 st = filled(st)

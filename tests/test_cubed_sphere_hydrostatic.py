@@ -266,3 +266,34 @@ def test_quasi_ab2_timestepper_with_implicit_surface():
     sl = (slice(None), slice(H, H + N), slice(H, H + N))
     drift = np.abs(np.asarray(m.state["u"]) - u0)[sl].max() / U
     assert drift < 0.04, drift
+
+
+def test_quasi_ab2_explicit_surface_is_ab2_stepped():
+    """Regression: under the explicit surface, eta must be AB2-stepped with
+    the momentum (forward-Euler eta coupled to AB2 momentum is
+    unconditionally unstable for gravity waves). Stable at AB2's gravity
+    CFL; drift stays small on the balanced jet."""
+    U, H0 = 20.0, 1000.0
+    grid = ConformalCubedSphereGrid((12, 12, 2), z=(-H0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    m = CubedSphereHydrostaticModel(grid, tracers=(), rotation_rate=OMEGA,
+                                    buoyancy_tracer=None, gravity=G,
+                                    free_surface="explicit",
+                                    timestepper="QuasiAdamsBashforth2")
+    m.set_geographic(u_east=lambda lam, phi: U * np.cos(phi),
+                     v_north=lambda lam, phi: 0.0 * lam)
+    m.set(eta=lambda lam, phi: -(R * OMEGA * U + 0.5 * U * U)
+          * np.sin(phi) ** 2 / G)
+    assert "eta" in m.state["Gm"]
+    u0 = np.asarray(m.state["u"]).copy()
+    for _ in range(60):
+        m.time_step(800.0)
+    H, N = grid.H[0], grid.N[0]
+    sl = (slice(None), slice(H, H + N), slice(H, H + N))
+    u1 = np.asarray(m.state["u"])
+    assert np.isfinite(u1).all()
+    assert np.abs(u1 - u0)[sl].max() / U < 0.04
+    # set() resets the AB2 restart state
+    m.set(eta=lambda lam, phi: 0.0 * lam)
+    assert int(m.state["iteration"]) == 0
+    assert float(jnp.abs(m.state["Gm"]["u"]).max()) == 0.0

@@ -31,6 +31,32 @@ def tc2():
     return model
 
 
+def _tc2_model(N, **kwargs):
+    """Williamson TC2 balanced zonal jet on an N x N-panel sphere."""
+    import jax.numpy as jnp
+    a, Om, g = 6.37122e6, 7.292e-5, 9.80616
+    U, H0 = 20.0, 8000.0
+    grid = ConformalCubedSphereGrid((N, N), radius=a, dtype=jnp.float64)
+    m = CubedSphereShallowWaterModel(grid, gravity=g, rotation_rate=Om,
+                                     **kwargs)
+    m.set_geographic(
+        h=lambda lam, phi: H0 - (a * Om * U + 0.5 * U * U)
+        * np.sin(phi) ** 2 / g,
+        u_east=lambda lam, phi: U * np.cos(phi),
+        v_north=lambda lam, phi: 0.0 * lam)
+    dt = 0.3 * (2 * np.pi * a / (4 * N) * 0.6) / np.sqrt(g * H0)
+    return m, grid, U, dt
+
+
+def _tc2_drift(m, grid, U, dt, steps):
+    u0 = np.asarray(m.state["u"]).copy()
+    for _ in range(steps):
+        m.time_step(dt)
+    H, N = grid.H[0], grid.N[0]
+    sl = (slice(None), slice(H, H + N), slice(H, H + N))
+    return np.abs(np.asarray(m.state["u"]) - u0)[sl].max() / U
+
+
 def test_williamson2_steady_state(tc2):
     """The zonal geostrophic state is an exact steady solution: after a day
     of integration the thickness field must stay put to discretization
@@ -190,26 +216,9 @@ def test_enstrophy_conserving_pv_scheme():
     """The Sadourny enstrophy-conserving variant (reference:
     VectorInvariant EnstrophyConserving) runs stably, conserves mass to
     roundoff, and reproduces TC2 geostrophic balance like the energy form."""
-    import jax.numpy as jnp
-
-    a, Om, g = 6.37122e6, 7.292e-5, 9.80616
-    U, H0 = 20.0, 8000.0
-    grid = ConformalCubedSphereGrid((12, 12), radius=a, dtype=jnp.float64)
-    m = CubedSphereShallowWaterModel(grid, gravity=g, rotation_rate=Om,
-                                     pv_scheme="enstrophy_conserving")
-    m.set_geographic(
-        h=lambda lam, phi: H0 - (a * Om * U + 0.5 * U * U)
-        * np.sin(phi) ** 2 / g,
-        u_east=lambda lam, phi: U * np.cos(phi),
-        v_north=lambda lam, phi: 0.0 * lam)
-    u0 = np.asarray(m.state["u"]).copy()
+    m, grid, U, dt = _tc2_model(12, pv_scheme="enstrophy_conserving")
     M0 = m.total_mass()
-    dt = 0.3 * (2 * np.pi * a / 48 * 0.6) / np.sqrt(g * H0)
-    for _ in range(40):
-        m.time_step(dt)
-    H, N = grid.H[0], grid.N[0]
-    sl = (slice(None), slice(H, H + N), slice(H, H + N))
-    drift = np.abs(np.asarray(m.state["u"]) - u0)[sl].max() / U
+    drift = _tc2_drift(m, grid, U, dt, 40)
     assert drift < 0.02, drift
     assert abs(m.total_mass() - M0) / M0 < 1e-12
 
@@ -220,23 +229,10 @@ def test_tc2_resolution_convergence():
     interior scheme with the valence-3 vertex treatment)."""
     import jax.numpy as jnp
 
-    a, Om, g = 6.37122e6, 7.292e-5, 9.80616
-    U, H0, T = 20.0, 8000.0, 86400.0
+    T = 86400.0
     errs = {}
     for N in (8, 16):
-        grid = ConformalCubedSphereGrid((N, N), radius=a, dtype=jnp.float64)
-        m = CubedSphereShallowWaterModel(grid, gravity=g, rotation_rate=Om)
-        m.set_geographic(
-            h=lambda lam, phi: H0 - (a * Om * U + 0.5 * U * U)
-            * np.sin(phi) ** 2 / g,
-            u_east=lambda lam, phi: U * np.cos(phi),
-            v_north=lambda lam, phi: 0.0 * lam)
-        u0 = np.asarray(m.state["u"]).copy()
-        dt = 0.3 * (2 * np.pi * a / (4 * N) * 0.6) / np.sqrt(g * H0)
-        for _ in range(int(T / dt)):
-            m.time_step(dt)
-        H = grid.H[0]
-        sl = (slice(None), slice(H, H + N), slice(H, H + N))
-        errs[N] = np.abs(np.asarray(m.state["u"]) - u0)[sl].max() / U
+        m, grid, U, dt = _tc2_model(N)
+        errs[N] = _tc2_drift(m, grid, U, dt, int(T / dt))
     order = np.log2(errs[8] / errs[16])
     assert order > 1.4, (errs, order)

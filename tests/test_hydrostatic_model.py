@@ -574,10 +574,6 @@ def test_split_explicit_holds_geostrophic_balance():
     split-explicit barotropic machinery (persisted (eta, U, V) state, slow
     forcing, corrector) must hold it to discretization roundoff — measured
     1e-5 relative drift over 40 steps (the implicit surface holds 3e-3)."""
-    import numpy as _np
-
-    from oceananigans_tpu.coriolis import FPlane
-
     g, H0, f = 9.81, 1000.0, 1e-4
     Lx = Ly = 1e6
     n, U0 = 64, 0.5
@@ -589,9 +585,9 @@ def test_split_explicit_holds_geostrophic_balance():
         m = HydrostaticFreeSurfaceModel(grid=grid, momentum_advection=None,
                                         coriolis=FPlane(f), tracers=(),
                                         free_surface=fs)
-        m.set(u=lambda x, y, z: U0 * jnp.sin(_np.pi * y / Ly),
-              eta=lambda x, y, z: (f * U0 * Ly / (_np.pi * g))
-              * jnp.cos(_np.pi * y / Ly))
+        m.set(u=lambda x, y, z: U0 * jnp.sin(np.pi * y / Ly),
+              eta=lambda x, y, z: (f * U0 * Ly / (np.pi * g))
+              * jnp.cos(np.pi * y / Ly))
         u0 = np.asarray(m.field("u").interior).copy()
         for _ in range(40):
             m.time_step(600.0)
