@@ -85,7 +85,7 @@ class CubedSphereHydrostaticModel:
     def __init__(self, grid: ConformalCubedSphereGrid, tracers=("b",),
                  gravity=None, rotation_rate=0.0, tracer_advection=None,
                  buoyancy_tracer="b", closure=None, free_surface="explicit",
-                 implicit_solver_tol=1e-8,
+                 implicit_solver_tol=1e-8, substeps=30,
                  timestepper="WickerSkamarockRK3", reference_datetime=None):
         if grid.panel_grids[0].is_flat(2):
             raise ValueError("CubedSphereHydrostaticModel needs a grid "
@@ -117,22 +117,27 @@ class CubedSphereHydrostaticModel:
                 "closures only (e.g. VerticalScalarDiffusivity(..., "
                 "time_discretization='vertically_implicit'))")
         # free surface: "explicit" (∂t η = -∇·∫u dz inside the RK stage —
-        # gravity-wave-limited Δt) or "implicit" (backward-Euler η solve by
+        # gravity-wave-limited Δt), "implicit" (backward-Euler η solve by
         # matrix-free CG over the composed panels with exchanges inside the
         # operator — the reference's PCG ImplicitFreeSurface analogue,
-        # pcg_implicit_free_surface_solver.jl, without the Δt restriction)
-        if free_surface not in ("explicit", "implicit"):
-            # a split-explicit barotropic subcycle was prototyped twice in
-            # round 2 (per-RK3-stage AND paired with the single-stage AB2
-            # step) and measured non-convergent both times: the
-            # column-integrated Sadourny slow forcing and the subcycle's 2D
-            # surface gradient relax toward different discrete equilibria,
-            # so a geostrophic state creeps ~100x faster than under the
-            # explicit/implicit surfaces. Use "implicit" beyond the
-            # gravity-wave limit.
+        # pcg_implicit_free_surface_solver.jl, without the Δt restriction),
+        # or "split_explicit" (barotropic (η,U,V) subcycled with Shchepetkin
+        # averaging over the panels — the rectilinear
+        # models/free_surfaces.py structure ported wholesale: the −g∇η
+        # gradient lives ONLY in the subcycle, NOT in the slow tendencies;
+        # requires timestepper="QuasiAdamsBashforth2". Earlier round-2
+        # prototypes kept −g∇η inside the 3D tendencies and crept ~100×
+        # explicit — the two surface gradients fought each other.)
+        if free_surface not in ("explicit", "implicit", "split_explicit"):
             raise ValueError(free_surface)
         self.free_surface = free_surface
         self.implicit_solver_tol = float(implicit_solver_tol)
+        if free_surface == "split_explicit":
+            timestepper = "QuasiAdamsBashforth2"
+            from .free_surfaces import weights_from_substeps
+            self.substeps = int(substeps)
+            self._se_frac, self._se_weights = weights_from_substeps(
+                self.substeps)
         if timestepper not in ("WickerSkamarockRK3", "QuasiAdamsBashforth2"):
             raise ValueError(timestepper)
         self.timestepper = timestepper
@@ -157,17 +162,48 @@ class CubedSphereHydrostaticModel:
                 gm_names = gm_names + ("eta",)
             self.state["Gm"] = {n: jnp.zeros_like(self.state[n])
                                 for n in gm_names}
+        if free_surface == "split_explicit":
+            # persistent barotropic transports (reference: the U/V fields of
+            # SplitExplicitFreeSurface carried across steps; the rectilinear
+            # model's state["barotropic"] analogue)
+            self.state["barotropic"] = {
+                "U": jnp.zeros((6, NP, NP, 1), dtype),
+                "V": jnp.zeros((6, NP, NP, 1), dtype)}
         self._geom = staggered_points_and_bases(grid)
         self._corner_info = _vertex_corner_info(grid)
-        # interior Δz at centers / faces (1D, identical on every panel)
+        # interior Δz at centers (1D, length nz, identical on every panel).
+        # dz() returns a SCALAR for regular spacing — broadcast it to the
+        # per-cell array (a scalar left Σdz = Lz/nz: the round-2 bug that
+        # made every free-surface solve use 1/nz of the true depth)
         g0 = grid.panel_grids[0]
-        self._dz_c = jnp.asarray(np.asarray(g0.dz(LOC_CCC)).reshape(-1),
-                                 dtype)
+        dzr = np.asarray(g0.dz(LOC_CCC)).reshape(-1)
+        if dzr.size == 1:
+            dzr = np.full(g0.N[2], dzr[0])
+        elif dzr.size == g0.padded_shape[2]:
+            dzr = dzr[g0.H[2]:g0.H[2] + g0.N[2]]
+        assert dzr.size == g0.N[2]
+        self._dz_c = jnp.asarray(dzr, dtype)
         self._step = jax.jit(self._make_step())
 
     # -- initialization -------------------------------------------------------
 
-    set_geographic = CubedSphereShallowWaterModel.set_geographic
+    def set_geographic(self, h=None, u_east=None, v_north=None):
+        CubedSphereShallowWaterModel.set_geographic(
+            self, h=h, u_east=u_east, v_north=v_north)
+        self._reset_split_explicit_state()
+
+    def _reset_split_explicit_state(self):
+        """(Re)initialize the persistent barotropic transports from ∫u dz
+        (reference: initialize_split_explicit_substepping.jl:15-27)."""
+        if "barotropic" not in self.state:
+            return
+        g0 = self.grid.panel_grids[0]
+        dzc = self._dz_c_full(g0)
+        st = dict(self.state)
+        st["barotropic"] = {
+            "U": jnp.sum(st["u"] * dzc, axis=-1, keepdims=True),
+            "V": jnp.sum(st["v"] * dzc, axis=-1, keepdims=True)}
+        self.state = st
 
     def set(self, **fields):
         """Set tracers / eta from arrays (interior (6, N, N, Nz) or padded)
@@ -225,6 +261,7 @@ class CubedSphereHydrostaticModel:
             st["Gm"] = {n: jnp.zeros_like(v) for n, v in st["Gm"].items()}
             st["iteration"] = jnp.zeros((), jnp.int32)
         self.state = st
+        self._reset_split_explicit_state()
 
     # -- diagnostics ----------------------------------------------------------
 
@@ -313,8 +350,13 @@ class CubedSphereHydrostaticModel:
                 flux = wf * qm
                 return -(jnp.roll(flux, -1, axis=-1) - flux) / dzs
 
-            Bu = gy * ddx(g, eta[p], LOC_FCC) + ddx(g, K, LOC_FCC)
-            Bv = gy * ddy(g, eta[p], LOC_CFC) + ddy(g, K, LOC_CFC)
+            # split-explicit: the barotropic −g∇η lives ONLY inside the
+            # subcycle (reference: hydrostatic tendencies carry no surface
+            # gradient under SplitExplicitFreeSurface; the rectilinear
+            # model adds it only for ExplicitFreeSurface)
+            gs = 0.0 if self.free_surface == "split_explicit" else gy
+            Bu = gs * ddx(g, eta[p], LOC_FCC) + ddx(g, K, LOC_FCC)
+            Bv = gs * ddy(g, eta[p], LOC_CFC) + ddy(g, K, LOC_CFC)
             Gu = cor_u - Bu + vadv(up, wxu)
             Gv = cor_v - Bv + vadv(vp, wyv)
             if ph is not None:
@@ -357,6 +399,73 @@ class CubedSphereHydrostaticModel:
                     for p in range(6)]
             out[name] = jnp.stack(cols)
         return out
+
+    def _split_explicit_substep(self, eta, U, V, GU, GV, dt):
+        """Forward-backward barotropic subcycle on the composed panels —
+        the rectilinear SplitExplicitFreeSurface.substep ported onto the
+        cubed-sphere operators (reference:
+        step_split_explicit_free_surface.jl): Δτ spans (t, t+2Δt) with
+        Shchepetkin averaging weights; each substep re-exchanges the panel
+        halos (the connectivity exchange is a static gather — no ring
+        budget like the rectilinear periodic path).
+
+        ``GU/GV``: depth-integrated slow tendencies at (f,c)/(c,f) —
+        these EXCLUDE the surface gradient (it is applied here).
+        Returns the weighted-filtered (η̄, Ū, V̄)."""
+        grid = self.grid
+        gy = self.gravity
+        Hdepth = float(np.sum(np.asarray(self._dz_c)))
+        dtau = self._se_frac * dt
+        # the slow forcing's shared faces must agree between panels, and
+        # its halos must be exchange-valid for the U-update at shared rows
+        GU, GV = sync_shared_velocity_faces(GU, GV, grid)
+        GU, GV = fill_cubed_sphere_velocity_halos(GU, GV, grid)
+        eta_f = jnp.zeros_like(eta)
+        U_f = jnp.zeros_like(U)
+        V_f = jnp.zeros_like(V)
+        for w in self._se_weights:
+            U, V = sync_shared_velocity_faces(U, V, grid)
+            U, V = fill_cubed_sphere_velocity_halos(U, V, grid)
+            eta = fill_cubed_sphere_halos(eta, grid)
+            divs = []
+            for p in range(6):
+                g = grid.panel_grids[p]
+                divs.append((dx_c(g, g.dy(LOC_FCC)[..., :1] * U[p])
+                             + dy_c(g, g.dx(LOC_CFC)[..., :1] * V[p]))
+                            / g.Az(LOC_CCC)[..., :1])
+            eta = eta - dtau * jnp.stack(divs)
+            eta = fill_cubed_sphere_halos(eta, grid)
+            un, vn = [], []
+            for p in range(6):
+                g = grid.panel_grids[p]
+                un.append(U[p] + dtau * (-gy * Hdepth
+                                         * ddx(g, eta[p], LOC_FCC) + GU[p]))
+                vn.append(V[p] + dtau * (-gy * Hdepth
+                                         * ddy(g, eta[p], LOC_CFC) + GV[p]))
+            U, V = jnp.stack(un), jnp.stack(vn)
+            eta_f = eta_f + float(w) * eta
+            U_f = U_f + float(w) * U
+            V_f = V_f + float(w) * V
+        return eta_f, U_f, V_f
+
+    def _barotropic_corrector(self, u, v, U_f, V_f):
+        """Replace the depth mean of (u, v) with the filtered barotropic
+        transports (reference: barotropic_split_explicit_corrector.jl)."""
+        g0 = self.grid.panel_grids[0]
+        dzc = self._dz_c_full(g0)
+        Hdepth = float(np.sum(np.asarray(self._dz_c)))
+        hz, nz = g0.H[2], g0.N[2]
+        zmask = jnp.zeros((g0.padded_shape[2],), u.dtype
+                          ).at[hz:hz + nz].set(1.0)
+        Ustar = jnp.sum(u * dzc, axis=-1, keepdims=True)
+        Vstar = jnp.sum(v * dzc, axis=-1, keepdims=True)
+        # zmask also ZEROES the unused z-halo slots: without the −g∇η term
+        # in G they would accumulate unbalanced Coriolis forever (they are
+        # never physically read, but would pollute |u|max diagnostics and
+        # eventually overflow in f32)
+        u = (u + (U_f - Ustar) / Hdepth) * zmask
+        v = (v + (V_f - Vstar) / Hdepth) * zmask
+        return u, v
 
     def _implicit_eta_step(self, st, sdt):
         """Backward-Euler free-surface step on the composed sphere:
@@ -457,13 +566,30 @@ class CubedSphereHydrostaticModel:
                 sf = filled(st0)
                 w = self._w_from_continuity(sf["u"], sf["v"])
                 G = self._tendencies(sf, w)
+                ab2G = {n: (1.5 + chi_t) * G[n]
+                        - (0.5 + chi_t) * Gm[n] * not_euler
+                        for n in stepped}
                 st = dict(st0)
                 for n in stepped:
-                    st[n] = st0[n] + dt * ((1.5 + chi_t) * G[n]
-                                           - (0.5 + chi_t) * Gm[n]
-                                           * not_euler)
+                    st[n] = st0[n] + dt * ab2G[n]
+                bt = None
                 if self.free_surface == "implicit":
                     st = self._implicit_eta_step(st, dt)
+                elif self.free_surface == "split_explicit":
+                    # barotropic subcycle from the PERSISTED (η, U, V)
+                    # state forced by the depth-integrated AB2 tendency
+                    # (the rectilinear model's structure, hydrostatic.py)
+                    g0 = grid.panel_grids[0]
+                    dzc = self._dz_c_full(g0)
+                    GU = jnp.sum(ab2G["u"] * dzc, axis=-1, keepdims=True)
+                    GV = jnp.sum(ab2G["v"] * dzc, axis=-1, keepdims=True)
+                    bt0 = state["barotropic"]
+                    eta_f, U_f, V_f = self._split_explicit_substep(
+                        st0["eta"], bt0["U"], bt0["V"], GU, GV, dt)
+                    u, v = self._barotropic_corrector(st["u"], st["v"],
+                                                      U_f, V_f)
+                    st.update(u=u, v=v, eta=eta_f)
+                    bt = {"U": U_f, "V": V_f}
                 if self.closure is not None:
                     st = self._implicit_step(st, dt)
                 st = filled(st)
@@ -471,6 +597,8 @@ class CubedSphereHydrostaticModel:
                 out["Gm"] = {n: G[n] for n in stepped}
                 out["time"] = state["time"] + dt
                 out["iteration"] = state["iteration"] + 1
+                if bt is not None:
+                    out["barotropic"] = bt
                 return out
 
             return step

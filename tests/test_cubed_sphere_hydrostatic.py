@@ -297,3 +297,82 @@ def test_quasi_ab2_explicit_surface_is_ab2_stepped():
     m.set(eta=lambda lam, phi: 0.0 * lam)
     assert int(m.state["iteration"]) == 0
     assert float(jnp.abs(m.state["Gm"]["u"]).max()) == 0.0
+
+
+def test_split_explicit_free_surface_holds_geostrophic_balance():
+    """The barotropic split-explicit subcycle on the composed panels (the
+    rectilinear SplitExplicitFreeSurface.substep structure ported onto the
+    panel operators; reference: SplitExplicitFreeSurfaces/) holds the TC2
+    balanced jet as well as the explicit surface at equal dt, and the
+    persistent (U, V) transports live in the state pytree.
+
+    Drift is measured at an INTERIOR z level: the unused z-halo slots do
+    not feel the barotropic corrector (measuring them was the round-2
+    misdiagnosis that made the subcycle look ~100x worse than explicit)."""
+    U, H0 = 20.0, 1000.0
+    grid = ConformalCubedSphereGrid((8, 8, 3), z=(-H0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+
+    def build(fs, **kw):
+        m = CubedSphereHydrostaticModel(grid, tracers=(),
+                                        rotation_rate=OMEGA,
+                                        buoyancy_tracer=None, gravity=G,
+                                        free_surface=fs, **kw)
+        m.set_geographic(u_east=lambda lam, phi: U * np.cos(phi),
+                         v_north=lambda lam, phi: 0.0 * lam)
+        m.set(eta=lambda lam, phi: -(R * OMEGA * U + 0.5 * U * U)
+              * np.sin(phi) ** 2 / G)
+        return m
+
+    ms = build("split_explicit", substeps=10)
+    me = build("explicit", timestepper="QuasiAdamsBashforth2")
+    assert "barotropic" in ms.state
+    g0 = grid.panel_grids[0]
+    hz = g0.H[2]
+    H, N = grid.H[0], grid.N[0]
+    sl = (slice(None), slice(H, H + N), slice(H, H + N), slice(hz, hz + 1))
+    ZPz = g0.padded_shape[2]
+    u0 = np.asarray(jnp.broadcast_to(
+        ms.state["u"], ms.state["u"].shape[:3] + (ZPz,)))
+    for _ in range(9):
+        ms.time_step(1200.0)
+        me.time_step(1200.0)
+    ds = np.abs(np.asarray(ms.state["u"]) - u0)[sl].max() / U
+    de = np.abs(np.asarray(me.state["u"]) - u0)[sl].max() / U
+    assert np.isfinite(np.asarray(ms.state["u"])).all()
+    assert ds < 0.03, ds
+    assert ds < 1.5 * de + 1e-3, (ds, de)  # measured: 0.0099 vs 0.0099
+    # eta stays near the balanced profile (the round-2 depth bug drifted it)
+    eta_amp = (R * OMEGA * U + 0.5 * U * U) / G
+    assert abs(float(jnp.abs(ms.state["eta"]).max()) - eta_amp) \
+        < 0.05 * eta_amp
+
+
+def test_split_explicit_stable_beyond_gravity_wave_limit():
+    """Without rotation (isolating gravity waves from AB2's inertial f*dt
+    limit), the split-explicit surface steps a surface bump at 4x the
+    explicit gravity-wave limit; the explicit surface blows up at 2x."""
+    H0 = 1000.0
+    grid = ConformalCubedSphereGrid((8, 8, 2), z=(-H0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    H, N = grid.H[0], grid.N[0]
+    c = np.sqrt(G * H0)
+    dxmin = min(float(np.asarray(
+        grid.panel_grids[p].dx(("c", "c", "c"))[H:H + N, H:H + N]).min())
+        for p in range(6))
+    dt_lim = dxmin / (2 * c)
+
+    def run(fs, dt, nst, **kw):
+        m = CubedSphereHydrostaticModel(grid, tracers=(), rotation_rate=0.0,
+                                        buoyancy_tracer=None, gravity=G,
+                                        free_surface=fs, **kw)
+        m.set(eta=lambda lam, phi: 5.0 * np.exp(
+            -((lam - np.pi / 4) ** 2 + phi ** 2) / 0.1))
+        for _ in range(nst):
+            m.time_step(dt)
+        u = np.asarray(m.state["u"])
+        return np.isfinite(u).all() and np.abs(u).max() < 10.0
+
+    assert run("split_explicit", 4.0 * dt_lim, 10, substeps=40)
+    assert not run("explicit", 2.0 * dt_lim, 10,
+                   timestepper="QuasiAdamsBashforth2")
