@@ -170,8 +170,9 @@ def test_implicit_free_surface_matches_explicit_and_extends_dt():
     d_imp, ok_imp = run("implicit", 2000.0, 20)
     assert ok_exp and ok_imp
     assert d_imp < 1.5 * d_exp + 0.01, (d_imp, d_exp)
-    # beyond the explicit limit
-    d_big, ok_big = run("implicit", 1.8 * dt_explicit_limit, 12)
+    # beyond the explicit limit (3x: before the round-3 depth fix the CG
+    # operator used H = Lz/nz and the stable range stopped near 2x)
+    d_big, ok_big = run("implicit", 3.0 * dt_explicit_limit, 12)
     assert ok_big and d_big < 0.05, d_big
 
 
