@@ -724,10 +724,17 @@ class NonhydrostaticModel:
                 for m, (gamma, zeta) in enumerate(zip(RK3_GAMMAS,
                                                       RK3_ZETAS)):
                     stage_dt = (gamma + zeta) * dt
-                    if m == 0 or not fast_proj:
-                        # later stages consume the kernels' halo-valid
-                        # outputs directly (edge tiles mirror their strips
-                        # into the periodic halo slots)
+                    if not fast_proj:
+                        # no fill at ANY stage on the fast-projection path:
+                        # the update megakernel's `new` outputs and
+                        # fused_correct both mirror edge strips into the
+                        # periodic-image halo slots, and the state invariant
+                        # "field halos are valid on step entry" is
+                        # established by set()/__init__/checkpoint-restore
+                        # (set() fills per field; _project ends in
+                        # fused_correct) and preserved by this step. The
+                        # stage-0 fill this removes measured 0.7 ms at 256³
+                        # with a bitwise-identical trajectory.
                         fields = self._fill_all(fields, time, dt=stage_dt)
                     kw = {} if pend is None else dict(p=pend[0],
                                                       corr_dt=pend[1])
