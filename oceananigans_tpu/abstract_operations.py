@@ -258,6 +258,61 @@ class Integral(Average):
         return jnp.sum(data * w, axis=self.dims, keepdims=True)
 
 
+_REDUCERS = dict(sum=jnp.sum, mean=jnp.mean, maximum=jnp.max,
+                 minimum=jnp.min, prod=jnp.prod)
+_ACCUMULATORS = dict(cumsum=jnp.cumsum, cumprod=jnp.cumprod,
+                     cummax=jax.lax.cummax, cummin=jax.lax.cummin)
+
+
+class Reduction(AbstractOperation):
+    """Generic (unweighted) reduction over ``dims`` (reference:
+    src/Fields/scans.jl Reduction(op!, operand; dims) — e.g.
+    ``Reduction("maximum", op, dims=2)``; Average/Integral are the
+    metric-weighted counterparts). ``op`` is a name from sum/mean/maximum/
+    minimum/prod or a jnp-style callable taking (array, axis=...)."""
+
+    def __init__(self, op, a, dims=(0, 1, 2)):
+        self.op = _REDUCERS[op] if isinstance(op, str) else op
+        self.a = a
+        self.dims = tuple(dims) if np.iterable(dims) else (dims,)
+        self.grid, self.loc = _grid_loc_of(a)
+
+    def materialize(self):
+        data, _, grid, loc = _interior_and_weights(self.a, self.dims)
+        return self.op(data, axis=self.dims, keepdims=True)
+
+    def compute(self):
+        return self.materialize()
+
+    @property
+    def interior(self):
+        return self.materialize()
+
+
+class Accumulation(AbstractOperation):
+    """Generic accumulating scan along one dimension (reference:
+    src/Fields/scans.jl Accumulation(op!, operand; dims) — e.g.
+    ``Accumulation("cumsum", op, dims=2)``; CumulativeIntegral is the
+    metric-weighted counterpart)."""
+
+    def __init__(self, op, a, dims=2):
+        self.op = _ACCUMULATORS[op] if isinstance(op, str) else op
+        self.a = a
+        self.dim = int(dims)
+        self.grid, self.loc = _grid_loc_of(a)
+
+    def materialize(self):
+        data, _, grid, loc = _interior_and_weights(self.a, (self.dim,))
+        return self.op(data, axis=self.dim)
+
+    def compute(self):
+        return self.materialize()
+
+    @property
+    def interior(self):
+        return self.materialize()
+
+
 class CumulativeIntegral(AbstractOperation):
     """∫ along one dimension, cumulative (reference:
     metric_field_reductions.jl:206)."""

@@ -665,6 +665,28 @@ def build_fused_advection_update(grid, scheme, tracer_names,
     Hx, Hy = grid.H[0], grid.H[1]
     ZP = grid.padded_shape[2]
     ZPAD0 = -(-ZP // 128) * 128
+    import os as _os
+    _batch_env = _os.environ.get("FUSED_TRACER_BATCH")
+    if _batch_env:
+        # probe knob: "single" forces one kernel; an integer forces that
+        # tracer batch size (tile shrinkage vs velocity re-streaming sweep)
+        tracer_batch = ("auto" if _batch_env == "single"
+                        else int(_batch_env))
+        if _batch_env == "single":
+            plain = _build_update_group(grid, scheme, names, True)
+            if not with_corr:
+                return plain
+            corr = _build_update_group(grid, scheme, names, True,
+                                       with_corr=True)
+
+            def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt,
+                             p=None, corr_dt=None):
+                if p is None:
+                    return plain(u, v, w, tracers, Gm, gamma_dt, zeta_dt)
+                return corr(u, v, w, tracers, Gm, gamma_dt, zeta_dt,
+                            p=p, corr_dt=corr_dt)
+
+            return fused_update
     single = True
     if tracer_batch == "auto" and ntr:
         nf = 3 + ntr

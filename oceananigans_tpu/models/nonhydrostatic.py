@@ -74,6 +74,9 @@ class NonhydrostaticModel:
                  stokes_drift=None, biogeochemistry=None, particles=None,
                  fused_advection="auto", z_compact="auto", architecture=None,
                  reference_datetime=None, fuse_correction="auto"):
+        from ..parallel.distributed import CPU as _CPU
+        if isinstance(architecture, _CPU):
+            architecture = None       # CPU()/GPU() markers = the default
         self.reference_datetime = reference_datetime
         if advection is None:
             advection = Centered(order=2)

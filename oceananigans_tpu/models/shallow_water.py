@@ -112,6 +112,9 @@ class ShallowWaterModel:
                  tracers=(), forcing=None, boundary_conditions=None,
                  formulation=CONSERVATIVE, closure=None,
                  fused="auto", architecture=None, reference_datetime=None):
+        from ..parallel.distributed import CPU as _CPU
+        if isinstance(architecture, _CPU):
+            architecture = None       # CPU()/GPU() markers = the default
         self.reference_datetime = reference_datetime
         if not grid.is_flat(2):
             raise ValueError("ShallowWaterModel requires a z-Flat grid "

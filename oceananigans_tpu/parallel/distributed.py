@@ -28,6 +28,28 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+class CPU:
+    """Single-device architecture marker (reference: src/Architectures.jl:35).
+
+    Placement is JAX's job here — models accept ``architecture=CPU()`` for
+    reference-script compatibility and treat it as the default single-device
+    configuration (run under JAX_PLATFORMS=cpu to actually pin the host)."""
+
+    mesh = None
+
+    def __repr__(self):
+        return "CPU()"
+
+
+class GPU(CPU):
+    """Single-accelerator architecture marker (reference:
+    src/Architectures.jl:44). A no-op under JAX: the default backend is
+    already the accelerator (TPU here); kept so reference scripts port."""
+
+    def __repr__(self):
+        return "GPU()"
+
+
 class Partition:
     """Rank layout (reference: Partition{Sx,Sy,Sz}). ``x``/``y`` are the
     number of shards along each horizontal direction; z is never sharded

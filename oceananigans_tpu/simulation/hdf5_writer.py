@@ -29,14 +29,24 @@ class HDF5Writer:
     """
 
     def __init__(self, model, outputs, filename, schedule=None,
-                 overwrite=True, max_filesize=None, with_grid_metadata=True):
+                 overwrite=True, max_filesize=None, with_grid_metadata=True,
+                 file_splitting=None):
         if not HAVE_H5PY:
             raise ImportError("h5py is not available")
         self.model = model
         self.outputs = dict(outputs)
         self.filename = filename
         self.schedule = schedule
+        if file_splitting is not None:
+            # reference API: file_splitting=FileSizeLimit(bytes)
+            # (jld2_writer.jl kwarg); a plain number also works
+            max_filesize = getattr(file_splitting, "size_limit",
+                                   file_splitting)
         self.max_filesize = max_filesize
+        from ..utils.schedules import FileSizeLimit
+        if isinstance(schedule, FileSizeLimit) and not schedule.path:
+            schedule.path = filename   # reference: update_file_splitting_
+            # schedule! wires the writer's path into the schedule
         self.part = 0
         self._count = 0
         if overwrite and os.path.exists(filename):

@@ -65,3 +65,23 @@ class SplitRungeKutta3TimeStepper:
 
     __hash__ = RungeKutta3TimeStepper.__hash__
     __eq__ = RungeKutta3TimeStepper.__eq__
+
+
+def Clock(time=0.0, iteration=0, last_dt=None, dtype=None):
+    """Build a clock state-pytree entry (reference: src/TimeSteppers/clock.jl
+    Clock(time=..., iteration=...)). The clock here is traced data inside the
+    model's state pytree rather than a mutable struct; this constructor gives
+    reference users the familiar entry point:
+
+        model.state["clock"] = Clock(time=30.0, iteration=5)
+
+    ``last_dt`` defaults to +inf, which makes a QuasiAdamsBashforth2 stepper
+    take its Euler first step (the reference's convention)."""
+    import jax.numpy as jnp
+    import numpy as np
+    dtype = dtype or (np.float64 if jnp.zeros(()).dtype == jnp.float64
+                      else np.float32)
+    return dict(time=jnp.asarray(time, dtype),
+                iteration=jnp.asarray(iteration, jnp.int32),
+                last_dt=jnp.asarray(np.inf if last_dt is None else last_dt,
+                                    dtype))

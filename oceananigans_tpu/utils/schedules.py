@@ -117,6 +117,21 @@ class SpecifiedTimes(Schedule):
         return min(dt, max(times[self._next] - model.time, 1e-12))
 
 
+class FileSizeLimit(Schedule):
+    """Actuates when the file at ``path`` reaches ``size_limit`` bytes
+    (reference: src/OutputWriters/output_writer_utils.jl:21-50 — the writer
+    sets/updates ``path``; also accepted as a writer's ``file_splitting``)."""
+
+    def __init__(self, size_limit, path=""):
+        self.size_limit = float(size_limit)
+        self.path = path
+
+    def __call__(self, model):
+        import os
+        return (bool(self.path) and os.path.exists(self.path)
+                and os.path.getsize(self.path) >= self.size_limit)
+
+
 class AndSchedule(Schedule):
     def __init__(self, *schedules):
         self.schedules = schedules

@@ -241,3 +241,120 @@ def test_flux_tapering_and_extractors():
     sd = ScalarDiffusivity(nu=1e-2, kappa={"b": 3e-2})
     assert viscosity(sd, {}) == 1e-2
     assert diffusivity(sd, {}, "b") == 3e-2
+
+
+def test_reference_export_surface():
+    """Every name in the reference's export list (src/Oceananigans.jl:7-118)
+    resolves at the top level, modulo the documented mappings: λ/φ → lambda_/
+    phi_, ∂x/∂y/∂z → partial_*, set!/compute!/run!/time_step! → methods or
+    free functions without the bang, TEOS10 == TEOS10EquationOfState,
+    JLD2Writer == FieldWriter. MultiRegion/apply_regionally names are
+    deliberate design divergences (PARITY.md) — superseded by mesh sharding
+    and the cubed-sphere panel axis."""
+    import oceananigans_tpu as ot
+
+    exported = """
+    CPU GPU Center Face Periodic Bounded Flat
+    RectilinearGrid LatitudeLongitudeGrid OrthogonalSphericalShellGrid
+    TripolarGrid ExponentialDiscretization ReferenceToStretchedDiscretization
+    PowerLawStretching LinearStretching
+    nodes xnodes ynodes rnodes znodes lambda_nodes phi_nodes
+    xspacings yspacings rspacings zspacings
+    minimum_xspacing minimum_yspacing minimum_zspacing
+    xspacing yspacing zspacing xarea yarea zarea volume
+    ImmersedBoundaryGrid GridFittedBoundary GridFittedBottom
+    PartialCellBottom ImmersedBoundaryCondition
+    Distributed Partition
+    Centered UpwindBiased WENO VectorInvariant WENOVectorInvariant
+    FluxFormAdvection
+    BoundaryCondition FluxBoundaryCondition ValueBoundaryCondition
+    GradientBoundaryCondition OpenBoundaryCondition PerturbationAdvection
+    FieldBoundaryConditions
+    Field CenterField XFaceField YFaceField ZFaceField
+    Average Integral CumulativeIntegral Reduction Accumulation
+    BackgroundField interior compute regrid
+    Forcing Relaxation LinearTarget GaussianMask PiecewiseLinearMask
+    AdvectiveForcing
+    FPlane ConstantCartesianCoriolis BetaPlane NonTraditionalBetaPlane
+    BuoyancyForce BuoyancyTracer SeawaterBuoyancy LinearEquationOfState
+    TEOS10 BuoyancyField
+    UniformStokesDrift StokesDrift
+    VerticalScalarDiffusivity HorizontalScalarDiffusivity ScalarDiffusivity
+    VerticalScalarBiharmonicDiffusivity HorizontalScalarBiharmonicDiffusivity
+    ScalarBiharmonicDiffusivity SmagorinskyLilly Smagorinsky LillyCoefficient
+    DynamicCoefficient AnisotropicMinimumDissipation
+    ConvectiveAdjustmentVerticalDiffusivity CATKEVerticalDiffusivity
+    TKEDissipationVerticalDiffusivity RiBasedVerticalDiffusivity
+    VerticallyImplicitTimeDiscretization viscosity diffusivity
+    LagrangianParticles DroguedParticleDynamics
+    NonhydrostaticModel HydrostaticFreeSurfaceModel ShallowWaterModel
+    ConservativeFormulation VectorInvariantFormulation PressureField
+    ZCoordinate ZStarCoordinate
+    ExplicitFreeSurface ImplicitFreeSurface SplitExplicitFreeSurface
+    HydrostaticSphericalCoriolis PrescribedVelocityFields
+    Clock TimeStepWizard conjure_time_step_wizard time_step
+    Simulation run Callback iteration
+    iteration_limit_exceeded stop_time_exceeded wall_time_limit_exceeded
+    CFL AdvectiveCFL DiffusiveCFL
+    NetCDFWriter JLD2Writer Checkpointer
+    TimeInterval IterationInterval WallTimeInterval AveragedTimeInterval
+    SpecifiedTimes FileSizeLimit AndSchedule OrSchedule written_names
+    FieldTimeSeries FieldDataset InMemory OnDisk
+    at KernelFunctionOperation
+    ConformalCubedSphereGrid prettytime
+    """.split()
+    missing = [n for n in exported if not hasattr(ot, n)]
+    assert not missing, f"top-level names missing: {missing}"
+
+
+def test_free_function_api():
+    import jax.numpy as jnp
+    import oceananigans_tpu as ot
+
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1.0, 2.0, 3.0))
+    assert np.isclose(ot.minimum_yspacing(grid), 0.25)
+    x = np.asarray(ot.xnodes(grid, ot.Center()))
+    assert x.shape == (8,) and np.isclose(x[0], 1 / 16)
+    assert np.isclose(float(ot.volume(grid, ("c", "c", "c"))),
+                      (1 / 8) * (2 / 8) * (3 / 4))
+
+    model = NonhydrostaticModel(grid=grid, tracers=("c",))
+    model.set(c=lambda x, y, z: x)
+    ot.time_step(model, 1e-3)
+    assert ot.iteration(model) == 1
+    assert np.all(np.isfinite(np.asarray(ot.interior(model.field("c")))))
+
+
+def test_reduction_accumulation_scans():
+    import oceananigans_tpu as ot
+
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0))
+    model = NonhydrostaticModel(grid=grid, tracers=("c",))
+    model.set(c=lambda x, y, z: z)
+    c = model.field("c")
+    mx = ot.Reduction("maximum", c, dims=2)
+    # extent z convention: z in (-Lz, 0), top cell center at -1/8
+    got = np.asarray(mx.interior).squeeze()
+    assert got.shape == (4, 4) and np.allclose(got, -1 / 8, atol=1e-6)
+    acc = ot.Accumulation("cumsum", c, dims=2)
+    a = np.asarray(acc.interior)
+    assert a.shape == (4, 4, 4)
+    assert np.allclose(a[0, 0], np.cumsum(np.asarray(c.interior)[0, 0]))
+
+
+def test_file_size_limit_schedule(tmp_path):
+    import oceananigans_tpu as ot
+
+    p = tmp_path / "out.bin"
+    sched = ot.FileSizeLimit(64, str(p))
+    assert not sched(None)
+    p.write_bytes(b"x" * 100)
+    assert sched(None)
+
+
+def test_clock_constructor():
+    import oceananigans_tpu as ot
+
+    c = ot.Clock(time=3.5, iteration=7)
+    assert float(c["time"]) == 3.5 and int(c["iteration"]) == 7
+    assert not np.isfinite(float(c["last_dt"]))
