@@ -267,7 +267,7 @@ def build_fused_advection(grid, scheme, tracer_names):
 
 
 def _build_update_group(grid, scheme, tracer_names, include_momentum,
-                        with_corr=False):
+                        with_corr=False, p_zspectral=False):
     """One advection+RK3-update kernel over a GROUP of advected fields:
     momentum (u, v, w) and/or a batch of tracers. u, v, w are always
     inputs (advecting velocities); G and ``new`` outputs exist only for
@@ -279,7 +279,12 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum,
     pressure p; the kernel applies q ← q* − Δt_prev ∇p on the VMEM slabs
     before advecting (eliminating the separate fused_correct HBM pass for
     all but the last RK3 stage). Requires H ≥ required_halo + 1 in x and y
-    (the correction consumes one extra stencil ring on the slab)."""
+    (the correction consumes one extra stencil ring on the slab).
+
+    ``p_zspectral``: the incoming p slab is still in DCT-z space (the
+    Poisson solver ran with zhat_out=True, skipping its inverse z transform
+    HBM sweep); the kernel applies the iDCT on the slab via the idle MXU
+    before taking ∇p. Requires the z-compact layout (ZP == Nz)."""
     Hx, Hy, Hz = grid.H
     z_compact = (Hz == 0 and not grid.is_flat(2))
     zbc = None
@@ -348,6 +353,9 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum,
             cdt_ref = None
             if with_corr:
                 cdt_ref = refs[k0]; k0 += 1
+            idct_ref = None
+            if with_corr and p_zspectral:
+                idct_ref = refs[k0]; k0 += 1
             outs = refs[k0:k0 + 2 * nfo]; k0 += 2 * nfo
             slabs = refs[k0:k0 + n_in]; k0 += n_in
             newslabs = refs[k0:k0 + nfo]; k0 += nfo
@@ -413,6 +421,15 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum,
                 # never consumed because H ≥ required_halo + 1)
                 cdt = cdt_ref[0, 0]
                 p = slabs[nf][cur]
+                if p_zspectral:
+                    # p̂ → p: iDCT along the lane axis on the MXU (the solver
+                    # skipped its inverse z sweep). Mosaic lowers only
+                    # DEFAULT/HIGHEST dot precision; HIGHEST = f32-exact
+                    sh = p.shape
+                    p = jax.lax.dot_general(
+                        p.reshape(sh[0] * sh[1], sh[2]), idct_ref[:],
+                        (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST).reshape(sh)
                 dpx = p - jnp.pad(p[:-1], [(1, 0), (0, 0), (0, 0)])
                 dpy = p - jnp.pad(p[:, :-1], [(0, 0), (1, 0), (0, 0)])
                 dpz = p - jnp.pad(p[:, :, :-1], [(0, 0), (0, 0), (1, 0)])
@@ -584,6 +601,10 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum,
             # the padded pressure rides as the last DMA'd input (after the
             # scalars in the ref list order established by the kernel body)
             in_specs = in_specs[:nf] + [any_spec] + in_specs[nf:]
+        if with_corr and p_zspectral:
+            # the iDCT matrix, a constant (ZPAD, ZPAD) VMEM block
+            in_specs += [pl.BlockSpec((ZPAD, ZPAD), lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM)]
         NP = grid.padded_shape
         scratch = [pltpu.VMEM((2,) + slab_shape, grid.dtype)] * n_in \
             + [pltpu.VMEM((2, TX, TY, ZP), grid.dtype)] * nfo
@@ -617,10 +638,16 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum,
             interpret=jax.default_backend() == "cpu",
         )
 
+    if p_zspectral and not z_compact:
+        raise ValueError("p_zspectral requires the z-compact layout")
     call0 = make_call(False)
     call1 = make_call(True)
     zpad = [(0, 0), (0, 0), (0, ZPAD - ZP)]
     out_names = (("u", "v", "w") if include_momentum else ()) + names
+    idct = None
+    if with_corr and p_zspectral:
+        from ..solvers.transforms import idct2_matrix
+        idct = jnp.asarray(idct2_matrix(ZPAD), grid.dtype)
 
     def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt,
                      p=None, corr_dt=None):
@@ -636,6 +663,8 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum,
             scal.append(jnp.asarray(zeta_dt, grid.dtype).reshape(1, 1))
         if with_corr:
             scal.append(jnp.asarray(corr_dt, grid.dtype).reshape(1, 1))
+        if idct is not None:
+            scal.append(idct)
         if Gm is None:
             outs = call0(*args, *scal)
         else:
@@ -648,7 +677,8 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum,
 
 
 def build_fused_advection_update(grid, scheme, tracer_names,
-                                 tracer_batch="auto", with_corr=False):
+                                 tracer_batch="auto", with_corr=False,
+                                 p_zspectral=False):
     """Advection megakernel with the RK3 stage update FUSED in: G = -∇·(𝐯 q)
     AND new = q + γΔt·G + ζΔt·G⁻ for every prognostic field in Pallas,
     with halo-valid outputs. Many-tracer runs split into a momentum call +
@@ -677,7 +707,8 @@ def build_fused_advection_update(grid, scheme, tracer_names,
             if not with_corr:
                 return plain
             corr = _build_update_group(grid, scheme, names, True,
-                                       with_corr=True)
+                                       with_corr=True,
+                                       p_zspectral=p_zspectral)
 
             def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt,
                              p=None, corr_dt=None):
@@ -700,7 +731,7 @@ def build_fused_advection_update(grid, scheme, tracer_names,
         if not with_corr:
             return plain
         corr = _build_update_group(grid, scheme, names, True,
-                                   with_corr=True)
+                                   with_corr=True, p_zspectral=p_zspectral)
 
         def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt,
                          p=None, corr_dt=None):
@@ -714,10 +745,13 @@ def build_fused_advection_update(grid, scheme, tracer_names,
     K = tracer_batch if isinstance(tracer_batch, int) else 2
     batches = [names[b:b + K] for b in range(0, ntr, K)]
     variants = [False, True] if with_corr else [False]
-    mom = {wc: _build_update_group(grid, scheme, (), True, with_corr=wc)
+    mom = {wc: _build_update_group(grid, scheme, (), True, with_corr=wc,
+                                   p_zspectral=p_zspectral and wc)
            for wc in variants}
     groups = {wc: [_build_update_group(grid, scheme, bn, False,
-                                       with_corr=wc) for bn in batches]
+                                       with_corr=wc,
+                                       p_zspectral=p_zspectral and wc)
+                   for bn in batches]
               for wc in variants}
 
     def fused_update(u, v, w, tracers, Gm, gamma_dt, zeta_dt,

@@ -53,12 +53,17 @@ def _check_fast_projection(grid):
     return TX, TY
 
 
-def build_fused_divergence(grid):
+def build_fused_divergence(grid, dct_z=False):
     """Return fn(u, v, w, inv_dt) -> rhs of shape (Nx, Ny, Nz):
     rhs = divᶜᶜᶜ(u, v, w) · inv_dt on the interior, with w's bottom boundary
     face treated as 0 (the rigid-lid pin) and the top face read as the
     out-of-range zero (the lid). Velocity halos must be filled (1 ring used).
-    """
+
+    ``dct_z=True``: the kernel additionally applies the DCT-II along z on the
+    MXU before storing, emitting b̂z directly — the Poisson solver then skips
+    its own z transform (``solve(rhs, zhat_in=True)``), removing one full
+    read+write HBM sweep per solve. Requires the z-compact layout (ZP == Nz,
+    already guaranteed by _check_fast_projection)."""
     TX, TY = _check_fast_projection(grid)
     Hx, Hy, _ = grid.H
     Nx, Ny, Nz = grid.N
@@ -68,8 +73,13 @@ def build_fused_divergence(grid):
     ay_v = float(tg.Ay(None) / tg.V(None))
     az_v = float(tg.Az(None) / tg.V(None))
     slab_shape = (TX + 2 * Hx, TY + 2 * Hy, ZP)
+    n_in = 4 + (1 if dct_z else 0)
 
-    def kernel(u_ref, v_ref, w_ref, inv_dt_ref, out_ref, su, sv, sw, sems):
+    def kernel(*refs):
+        u_ref, v_ref, w_ref, inv_dt_ref = refs[:4]
+        dmat_ref = refs[4] if dct_z else None
+        out_ref = refs[n_in]
+        su, sv, sw, sems = refs[n_in + 1:]
         i = pl.program_id(0)
         j = pl.program_id(1)
         x0, y0 = i * TX, j * TY
@@ -99,14 +109,28 @@ def build_fused_divergence(grid):
         dv = v[sx, Hy + 1:Hy + TY + 1, :] - v[sx, sy, :]
         # w top face (slot Nz) is the rigid lid = 0: zero-fill the last slot
         dw = jnp.pad(wt[:, :, 1:], [(0, 0), (0, 0), (0, 1)]) - wt
-        out_ref[:] = (ax_v * du + ay_v * dv + az_v * dw) * inv_dt_ref[0, 0]
+        rhs = (ax_v * du + ay_v * dv + az_v * dw) * inv_dt_ref[0, 0]
+        if dct_z:
+            # b̂z[..., k] = Σ_n D[k, n] b[..., n] — a lane-axis contraction
+            # on the (otherwise idle) MXU. Mosaic only lowers DEFAULT /
+            # HIGHEST dot precisions; HIGHEST keeps the transform f32-exact
+            # (stricter than the solver's own bf16x3 matmuls)
+            flat = rhs.reshape(TX * TY, ZP)
+            rhs = jax.lax.dot_general(
+                flat, dmat_ref[:], (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST).reshape(TX, TY, ZP)
+        out_ref[:] = rhs
 
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3 \
+        + [pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)]
+    if dct_z:
+        in_specs += [pl.BlockSpec((ZP, ZP), lambda i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)]
     call = pl.pallas_call(
         kernel,
         grid=(Nx // TX, Ny // TY),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
-        + [pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                        memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((TX, TY, ZP), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Nx, Ny, ZP), grid.dtype),
@@ -118,9 +142,17 @@ def build_fused_divergence(grid):
         interpret=jax.default_backend() == "cpu",
     )
 
-    def fused_div(u, v, w, inv_dt):
-        s = jnp.asarray(inv_dt, grid.dtype).reshape(1, 1)
-        return call(u, v, w, s)
+    if dct_z:
+        from ..solvers.transforms import dct2_matrix
+        D = jnp.asarray(dct2_matrix(ZP), grid.dtype)
+
+        def fused_div(u, v, w, inv_dt):
+            s = jnp.asarray(inv_dt, grid.dtype).reshape(1, 1)
+            return call(u, v, w, s, D)
+    else:
+        def fused_div(u, v, w, inv_dt):
+            s = jnp.asarray(inv_dt, grid.dtype).reshape(1, 1)
+            return call(u, v, w, s)
 
     return fused_div
 

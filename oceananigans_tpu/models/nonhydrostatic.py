@@ -21,6 +21,8 @@ step-local, so checkpoints are smaller than the reference's)."""
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -284,12 +286,31 @@ class NonhydrostaticModel:
         # divergence source and the pressure-gradient correction each become
         # ONE Pallas pass instead of a chain of XLA elementwise sweeps
         self._fused_div = self._fused_correct = None
+        self._pz_in = self._pz_out = False
         if (self._z_compact and architecture is None and not self.immersed
                 and isinstance(self.pressure_solver, FFTPoissonSolver)):
             try:
                 from ..kernels.fused_projection import (build_fused_correct,
                                                         build_fused_divergence)
-                self._fused_div = build_fused_divergence(self.grid)
+                # z-spectral handoff: the divergence kernel can emit b̂z from
+                # the MXU (zhat_in: solver skips its forward z transform)
+                # and/or the solver can return p̂z (zhat_out: the corr-fused
+                # update kernel applies the iDCT on its VMEM slab).
+                # OCEANANIGANS_TPU_PZHAT: "in"/"out"/"full" probe knob,
+                # default OFF — measured on v5e (bench sweep, 256³): off
+                # 647M, in 646M, out 622M, full 632M cu/s. Mosaic does NOT
+                # overlap the in-kernel MXU transform with the body (the
+                # iDCT serializes after the VPU work; the div-side DCT is
+                # latency-neutral at best), so the saved HBM sweeps never
+                # materialize as time. Equivalence is roundoff (6e-8) —
+                # the machinery stays for hardware with real MXU/VPU
+                # overlap.
+                _pz = _os.environ.get("OCEANANIGANS_TPU_PZHAT", "0")
+                ok_z = self.pressure_solver._dct_axes == [2]
+                self._pz_in = ok_z and _pz in ("1", "in", "full")
+                self._pz_out = ok_z and _pz in ("1", "out", "full")
+                self._fused_div = build_fused_divergence(
+                    self.grid, dct_z=self._pz_in)
                 self._fused_correct = build_fused_correct(self.grid)
             except ValueError:
                 pass
@@ -297,7 +318,6 @@ class NonhydrostaticModel:
         # correction-fused update: stages 2-3 apply the previous stage's
         # pressure correction inside the update megakernel, dropping two of
         # the three fused_correct HBM passes per RK3 step
-        import os as _os
         if fuse_correction == "auto" \
                 and _os.environ.get("OCEANANIGANS_TPU_FUSE_CORRECTION") == "0":
             fuse_correction = False          # emergency kill-switch
@@ -312,7 +332,8 @@ class NonhydrostaticModel:
             from ..kernels.fused_advection import build_fused_advection_update
             self._fused_update = build_fused_advection_update(
                 self.grid, self.advection, self.tracer_names,
-                with_corr=self._fuse_correction)
+                with_corr=self._fuse_correction,
+                p_zspectral=self._pz_out)
         self._fuse_correction = (self._fuse_correction
                                  and self._fused_update is not None)
 
@@ -647,7 +668,9 @@ class NonhydrostaticModel:
                 filled = self._fill_all(dict(u=u, v=v, w=w), time, dt=dtt)
                 u, v, w = filled["u"], filled["v"], filled["w"]
             rhs = self._fused_div(u, v, w, 1.0 / dtt)
-            p_int = self.pressure_solver.solve(rhs)
+            # the div kernel emitted b̂z when _pz_in (solver skips its
+            # forward z transform); the returned p is PHYSICAL either way
+            p_int = self.pressure_solver.solve(rhs, zhat_in=self._pz_in)
             # one fused pad-wrap materializes the padded p WITH periodic
             # x/y halos (z-compact ⇒ no z halo slots); replaces the
             # zeros→embed→fill_halo_regions chain (3 HBM passes → 1)
@@ -754,7 +777,13 @@ class NonhydrostaticModel:
                         # fused_correct HBM passes per step disappear)
                         rhs = self._fused_div(new["u"], new["v"], new["w"],
                                               1.0 / stage_dt)
-                        p_int = self.pressure_solver.solve(rhs)
+                        # z-spectral handoff: b̂z in (from the div kernel's
+                        # MXU DCT), p̂z out (the NEXT stage's update kernel
+                        # applies the iDCT on its VMEM slab) — the solver
+                        # skips both z transform HBM sweeps
+                        p_int = self.pressure_solver.solve(
+                            rhs, zhat_in=self._pz_in,
+                            zhat_out=self._pz_out)
                         Hx, Hy, _ = self.grid.H
                         p = jnp.pad(p_int, ((Hx, Hx), (Hy, Hy), (0, 0)),
                                     mode="wrap")

@@ -58,19 +58,30 @@ class FFTPoissonSolver:
              else self._dct_axes).append(axis)
         self.eigenvalues = lam
 
-    def solve(self, b):
+    def solve(self, b, zhat_in=False, zhat_out=False):
         """Solve ∇²φ = b for interior array b (shape grid.N); returns interior
         φ with zero mean.
 
         Transform order: DCT axes first (real→real), then FFT axes — the axes
         commute, and this keeps every DCT on REAL data. The FIRST FFT axis
         uses a real FFT (half spectrum: ~2× less transform and eigen-divide
-        work); the inverse takes the real part after the inverse FFTs."""
+        work); the inverse takes the real part after the inverse FFTs.
+
+        ``zhat_in``/``zhat_out``: treat the input as ALREADY DCT-z transformed
+        / return the solution still in DCT-z space (requires a Bounded z with
+        all other DCT axes absent). Used by the fused-projection fast path:
+        the divergence kernel emits b̂z from the MXU and the update kernel
+        applies the iDCT on its VMEM slab, so the solver skips the two z
+        transform HBM passes (4 array sweeps per solve)."""
+        if (zhat_in or zhat_out) and self._dct_axes != [2]:
+            raise ValueError("zhat_in/zhat_out need z as the only DCT axis")
         ns = [b.shape[ax] for ax in self._fft_axes + self._dct_axes]
         if ns and _use_matmul_dft(max(ns)):
-            return self._solve_matmul(b)
+            return self._solve_matmul(b, zhat_in=zhat_in, zhat_out=zhat_out)
         bh = b
         for axis in self._dct_axes:
+            if zhat_in and axis == 2:
+                continue
             bh = dct_forward(bh, axis)
         rfft_axis = self._fft_axes[0] if self._fft_axes else None
         lam = self.eigenvalues
@@ -96,10 +107,12 @@ class FFTPoissonSolver:
         if jnp.iscomplexobj(ph):
             ph = jnp.real(ph)
         for axis in reversed(self._dct_axes):
+            if zhat_out and axis == 2:
+                continue
             ph = dct_inverse(ph, axis)
         return ph.astype(b.dtype)
 
-    def _solve_matmul(self, b):
+    def _solve_matmul(self, b, zhat_in=False, zhat_out=False):
         """All-matmul eigenfunction solve: every 1D transform is an MXU
         matmul (DCT-II for Bounded axes; split-real cos/sin DFT with a half
         spectrum on the first Periodic axis, full split-real DFT on the rest).
@@ -112,6 +125,8 @@ class FFTPoissonSolver:
         from .transforms import dct2_matrix, idct2_matrix
         re, im = b, None
         for axis in self._dct_axes:
+            if zhat_in and axis == 2:
+                continue
             re = _matmul(dct2_matrix(b.shape[axis]), re, axis)
         lam = self.eigenvalues
         rfft_axis = self._fft_axes[0] if self._fft_axes else None
@@ -156,6 +171,8 @@ class FFTPoissonSolver:
             re = (_matmul(np.real(Wi), re, rfft_axis)
                   - _matmul(np.imag(Wi), im, rfft_axis))
         for axis in reversed(self._dct_axes):
+            if zhat_out and axis == 2:
+                continue
             re = _matmul(idct2_matrix(re.shape[axis]), re, axis)
         return re.astype(b.dtype)
 

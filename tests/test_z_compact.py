@@ -220,3 +220,38 @@ def test_correction_fused_update_matches_separate_correct():
     for k in ("u", "v", "w", "c"):
         d = np.abs(res[True][k] - res[False][k]).max()
         assert d < 5e-6, (k, d)
+
+
+def test_z_spectral_projection_handoff(monkeypatch):
+    """OCEANANIGANS_TPU_PZHAT=full: the divergence kernel emits b̂z (MXU DCT
+    in-kernel), the solver skips both z transforms, and the corr-fused
+    update kernel applies the iDCT on its VMEM p slab — must reproduce the
+    physical-handoff trajectory to f32 roundoff. (Measured slower on v5e —
+    default off — but the machinery is kept for hardware with MXU/VPU
+    overlap; this guards its correctness.)"""
+    import jax.numpy as jnp
+
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.advection import WENO
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    n = 128
+    rng = np.random.default_rng(1)
+    u0 = 0.1 * rng.standard_normal((16, 16, n)).astype(np.float32)
+    v0 = 0.1 * rng.standard_normal((16, 16, n)).astype(np.float32)
+    res = {}
+    for pz in ("0", "full"):
+        monkeypatch.setenv("OCEANANIGANS_TPU_PZHAT", pz)
+        grid = RectilinearGrid(size=(16, 16, n), extent=(1.0, 1.0, 1.0),
+                               topology=("periodic", "periodic", "bounded"),
+                               dtype=jnp.float32)
+        m = NonhydrostaticModel(grid=grid, advection=WENO(5))
+        assert (m._pz_in and m._pz_out) == (pz == "full")
+        m.set(u=u0, v=v0)
+        for _ in range(3):
+            m.time_step(1e-3)
+        res[pz] = {k: np.asarray(m.field(k).interior)
+                   for k in ("u", "v", "w")}
+    for k in ("u", "v", "w"):
+        d = np.abs(res["full"][k] - res["0"][k]).max()
+        assert d < 5e-6, (k, d)
