@@ -171,10 +171,21 @@ from .utils.pretty import (prettytime, second, seconds, minute, minutes, hour,
 # -- Free-function API (nodes/spacings/interior/compute/time_step/run …) --------------------------------
 from .api import (nodes, xnodes, ynodes, znodes, rnodes, lambda_nodes,
                   phi_nodes, xspacings, yspacings, zspacings, rspacings,
+                  lambda_spacings, phi_spacings, lambda_spacing, phi_spacing,
                   minimum_xspacing, minimum_yspacing, minimum_zspacing,
                   xspacing, yspacing, zspacing, xarea, yarea, zarea, volume,
                   interior, compute, time_step, run, iteration,
                   iteration_limit_exceeded, stop_time_exceeded,
                   wall_time_limit_exceeded)
+
+# Unicode spellings of the reference's curvilinear-grid exports (λnodes,
+# φnodes, λspacings, φspacings — src/Oceananigans.jl export list); λ and φ
+# are valid Python identifiers, so reference scripts port verbatim.
+λnodes = lambda_nodes
+φnodes = phi_nodes
+λspacings = lambda_spacings
+φspacings = phi_spacings
+λspacing = lambda_spacing
+φspacing = phi_spacing
 
 __version__ = "0.2.0"

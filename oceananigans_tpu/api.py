@@ -24,6 +24,7 @@ from .grids.topology import LOC_CCC
 __all__ = [
     "nodes", "xnodes", "ynodes", "znodes", "rnodes", "lambda_nodes",
     "phi_nodes", "xspacings", "yspacings", "zspacings", "rspacings",
+    "lambda_spacings", "phi_spacings", "lambda_spacing", "phi_spacing",
     "minimum_xspacing", "minimum_yspacing", "minimum_zspacing",
     "xspacing", "yspacing", "zspacing", "xarea", "yarea", "zarea", "volume",
     "interior", "compute", "time_step", "run", "iteration",
@@ -88,6 +89,21 @@ def zspacings(grid_or_field, loc=LOC_CCC):
 
 
 rspacings = zspacings
+
+
+def lambda_spacings(grid_or_field, loc="c"):
+    """Angular longitude spacings in degrees on curvilinear grids
+    (reference export λspacings, src/Grids/nodes_and_spacings.jl)."""
+    return _grid_of(grid_or_field).lambda_spacings(loc)
+
+
+def phi_spacings(grid_or_field, loc="c"):
+    """Angular latitude spacings in degrees (reference export φspacings)."""
+    return _grid_of(grid_or_field).phi_spacings(loc)
+
+
+lambda_spacing = lambda_spacings
+phi_spacing = phi_spacings
 
 
 def minimum_xspacing(grid_or_field):

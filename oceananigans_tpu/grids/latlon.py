@@ -114,6 +114,15 @@ class LatitudeLongitudeGrid(AbstractGrid):
         """Latitude nodes in degrees (reference: φnodes)."""
         return self.ynodes(loc)
 
+    def lambda_spacings(self, loc="c"):
+        """Angular longitude spacings in degrees (reference: λspacings,
+        src/Grids/nodes_and_spacings.jl)."""
+        return self._lam.spacing(loc)
+
+    def phi_spacings(self, loc="c"):
+        """Angular latitude spacings in degrees (reference: φspacings)."""
+        return self._phi.spacing(loc)
+
     def ynodes(self, loc="c"):
         return self.nodes1d(1, loc)
 

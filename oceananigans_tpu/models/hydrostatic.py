@@ -337,6 +337,14 @@ class HydrostaticFreeSurfaceModel:
             if method in ("Default", None):
                 method = ("FastFourierTransform" if fft_capable
                           else "PreconditionedConjugateGradient")
+            if method == "HeptadiagonalIterativeSolver":
+                # reference: matrix_implicit_free_surface_solver.jl assembles
+                # the same 2D vertically-integrated Helmholtz operator as a
+                # sparse heptadiagonal matrix for Krylov iteration. Sparse
+                # assembly defeats XLA fusion on TPU; the matrix-free CG
+                # applies the identical operator, so the method name maps
+                # onto it (same operator, same Krylov family, no matrix).
+                method = "PreconditionedConjugateGradient"
             if method == "FastFourierTransform" and not fft_capable:
                 raise ValueError("the FFT implicit free-surface solver "
                                  "needs a horizontally-regular rectilinear "

@@ -358,3 +358,39 @@ def test_clock_constructor():
     c = ot.Clock(time=3.5, iteration=7)
     assert float(c["time"]) == 3.5 and int(c["iteration"]) == 7
     assert not np.isfinite(float(c["last_dt"]))
+
+
+def test_unicode_curvilinear_aliases():
+    """λnodes/φnodes/λspacings/φspacings export-list parity
+    (src/Oceananigans.jl exports; λ and φ are valid Python identifiers)."""
+    import oceananigans_tpu as ot
+
+    grid = ot.LatitudeLongitudeGrid(size=(8, 4, 2),
+                                    longitude=(0.0, 40.0),
+                                    latitude=(-10.0, 10.0), z=(-1.0, 0.0))
+    assert np.allclose(ot.λnodes(grid, "c"), ot.lambda_nodes(grid, "c"))
+    assert np.allclose(ot.φnodes(grid, "c"), ot.phi_nodes(grid, "c"))
+    assert np.allclose(np.asarray(ot.λspacings(grid, "c")), 5.0)
+    assert np.allclose(np.asarray(ot.φspacings(grid, "c")), 5.0)
+    assert np.allclose(np.asarray(ot.λspacing(grid, "f")), 5.0)
+    assert np.allclose(np.asarray(ot.φspacing(grid, "f")), 5.0)
+
+
+def test_heptadiagonal_solver_method_maps_to_pcg():
+    """Reference solver_method :HeptadiagonalIterativeSolver assembles the
+    same vertically-integrated Helmholtz operator as a sparse matrix
+    (matrix_implicit_free_surface_solver.jl); here it maps onto the
+    matrix-free CG applying the identical operator."""
+    import oceananigans_tpu as ot
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+
+    grid = ot.LatitudeLongitudeGrid(size=(8, 8, 4),
+                                    longitude=(0.0, 10.0),
+                                    latitude=(-5.0, 5.0), z=(-100.0, 0.0))
+    fs = ot.ImplicitFreeSurface(solver_method="HeptadiagonalIterativeSolver")
+    model = HydrostaticFreeSurfaceModel(grid=grid, free_surface=fs,
+                                        tracers=())
+    assert model._ifs_method == "PreconditionedConjugateGradient"
+    model.time_step(60.0)
+    eta = np.asarray(model.field("eta").interior)
+    assert np.all(np.isfinite(eta))
