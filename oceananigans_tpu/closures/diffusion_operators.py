@@ -76,6 +76,40 @@ def div_kappa_grad(grid, q, loc, kappa, axes=(0, 1, 2)):
     return total / grid.V(loc)
 
 
+def vitd_explicit_z_term(grid, q, loc, kappa, cross_grad=None):
+    """Explicit z-flux remainder under VerticallyImplicitTimeDiscretization
+    (reference: abstract_scalar_diffusivity_closure.jl:263-292). The implicit
+    tridiagonal solve owns κ ∂z q on INTERIOR z faces and drops the boundary
+    faces, so the explicit tendency must keep (a) the full flux on the two
+    BOUNDARY faces — this is how Value/Gradient z boundary conditions act on
+    an implicitly-diffused field — and (b) any ``cross_grad`` part of the flux
+    the tridiagonal operator cannot represent on interior faces (ν ∂x w for
+    the isotropic strain form, reference ivd_viscous_flux_uz).
+
+    Returns the tendency contribution (to be ADDED to G), or None when the
+    grid has no z halo to hold the boundary values (the z-compact layout's
+    built-in mirror BCs are no-flux, for which this term vanishes), z is flat,
+    or z is not bounded."""
+    from ..grids.topology import BOUNDED
+    if grid.is_flat(Z) or grid.topology[2] != BOUNDED or grid.H[2] < 1:
+        return None
+    import numpy as np
+    floc = _flip(loc, Z)
+    h, n = grid.H[2], grid.N[2]
+    bmask = np.zeros(q.shape[2])
+    bmask[h] = 1.0          # bottom boundary face (face k sits below cell k)
+    bmask[h + n] = 1.0      # top boundary face
+    bmask = jnp.asarray(bmask.reshape(1, 1, -1), q.dtype)
+    grad = _dd(grid, q, Z, floc) * bmask
+    if cross_grad is not None:
+        # full flux at the walls already includes the cross term; adding it
+        # everywhere keeps interior faces cross-only and walls complete
+        grad = grad + cross_grad
+    k = _interp_kappa(grid, kappa, Z, floc)
+    flux = _fm(grid, floc, _area(grid, floc, Z) * k * grad)
+    return delta(grid, flux, Z, loc[2]) / grid.V(loc)
+
+
 # -- strain-rate tensor components --------------------------------------------
 
 def Sxx_ccc(grid, u):

@@ -21,8 +21,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..operators.operators import ddx, ddy, div_xy_ccc
-from .diffusion_operators import (div_2nu_strain_u, div_2nu_strain_v,
-                                  div_2nu_strain_w, div_kappa_grad)
+from .diffusion_operators import (LOC_CFF, LOC_FCF, div_2nu_strain_u,
+                                  div_2nu_strain_v, div_2nu_strain_w,
+                                  div_kappa_grad, vitd_explicit_z_term)
+from ..grids.topology import LOC_CCC, LOC_CFC, LOC_FCC
 
 ISO = "iso"
 HORIZONTAL = "horizontal"
@@ -98,34 +100,68 @@ class ScalarDiffusivity(_ClosureBase):
             return tuple(a for a in self._axes if a != 2)
         return self._axes
 
+    @property
+    def _vitd_z(self):
+        return (self.time_discretization == "vertically_implicit"
+                and 2 in self._axes)
+
     def momentum_tendencies(self, grid, fields, aux):
         u, v, w = fields["u"], fields["v"], fields["w"]
         nu = self.nu
         axes = self._explicit_axes
         if self.formulation == ISO:
-            return dict(
+            out = dict(
                 u=div_2nu_strain_u(grid, u, v, w, nu, nu, nu, axes),
                 v=div_2nu_strain_v(grid, u, v, w, nu, nu, nu, axes),
                 w=div_2nu_strain_w(grid, u, v, w, nu, nu, nu, axes))
+            if self._vitd_z:
+                # 2νSxz = ν(∂z u + ∂x w): the tridiagonal owns ν ∂z u on
+                # interior faces; ν ∂x w stays explicit everywhere and the
+                # walls keep the full flux (reference ivd_viscous_flux_uz +
+                # the k==1 | k==Nz+1 explicit-boundary branch)
+                tu = vitd_explicit_z_term(grid, u, LOC_FCC, nu,
+                                          cross_grad=ddx(grid, w, LOC_FCF))
+                tv = vitd_explicit_z_term(grid, v, LOC_CFC, nu,
+                                          cross_grad=ddy(grid, w, LOC_CFF))
+                if tu is not None:
+                    out["u"] = out["u"] + tu
+                    out["v"] = out["v"] + tv
+            return out
         # horizontal / vertical formulations use the gradient (Laplacian) form
-        return dict(
+        out = dict(
             u=div_kappa_grad(grid, u, ("f", "c", "c"), nu, axes),
             v=div_kappa_grad(grid, v, ("c", "f", "c"), nu, axes),
             w=div_kappa_grad(grid, w, ("c", "c", "f"), nu, axes))
+        if self._vitd_z:
+            tu = vitd_explicit_z_term(grid, u, LOC_FCC, nu)
+            tv = vitd_explicit_z_term(grid, v, LOC_CFC, nu)
+            if tu is not None:
+                out["u"] = out["u"] + tu
+                out["v"] = out["v"] + tv
+        return out
 
     def tracer_tendency(self, grid, name, fields, aux):
         k = _kappa_for(self.kappa, name)
-        return div_kappa_grad(grid, fields[name], ("c", "c", "c"), k,
-                              self._explicit_axes)
+        g = div_kappa_grad(grid, fields[name], ("c", "c", "c"), k,
+                           self._explicit_axes)
+        if self._vitd_z:
+            t = vitd_explicit_z_term(grid, fields[name], LOC_CCC, k)
+            if t is not None:
+                g = g + t
+        return g
 
     def vertical_implicit_kappas(self, grid, fields, aux):
         if self.time_discretization != "vertically_implicit":
             return {}
         out = {"u": self.nu, "v": self.nu}
         if "w" in fields:
-            # w's implicit coefficient is νᶜᶜᶜ (reference:
-            # vertically_implicit_diffusion_solver.jl ivd_diffusivity ::C::C::C)
-            out["w"] = self.nu
+            # under the isotropic strain form τ₃₃ = 2ν ∂z w, so the implicit
+            # operator owns 2ν; the reference's νᶜᶜᶜ coefficient
+            # (vertically_implicit_diffusion_solver.jl ivd_diffusivity
+            # ::C::C::C with viscous_flux_wz ≡ 0 on interior faces) silently
+            # halves w's vertical dissipation under VITD — kept exact here
+            # (the x-z Taylor-Green VITD test asserts the e^{-2νt} decay)
+            out["w"] = 2 * self.nu if self.formulation == ISO else self.nu
         for name in fields:
             if name not in ("u", "v", "w"):
                 out[name] = _kappa_for(self.kappa, name)

@@ -397,3 +397,65 @@ def test_coastal_kelvin_wave():
     k3 = int(np.searchsorted(yc, 3 * Lr))
     slope = np.polyfit(yc[:k3], np.log(prof[:k3]), 1)[0]
     assert abs(-1 / slope - Lr) / Lr < 0.15, -1 / slope
+
+
+@pytest.mark.parametrize("time_discretization", ["explicit", "implicit"])
+def test_stratified_startup_couette(time_discretization):
+    """Impulsively-started stratified plane Couette flow vs the analytic
+    transient (reference analogue: validation/stratified_couette_flow).
+
+    u(ζ, t)/U = ζ + (2/π) Σₙ ((-1)ⁿ/n) e^{-n²π²νt/H²} sin(nπζ),  ζ=(z+H)/H,
+    with u(top) = U, u(bottom) = 0 imposed as Value BCs. A linear buoyancy
+    profile held by Value BCs at its endpoints is an exact steady state of
+    the diffusion operator, so it must stay linear while u evolves —
+    exercising Value BCs and the (explicit and vertically-implicit)
+    diffusion solves against a nontrivial exact solution."""
+    from oceananigans_tpu.boundary_conditions import (
+        FieldBoundaryConditions, ValueBoundaryCondition)
+    from oceananigans_tpu.closures import (
+        ExplicitTimeDiscretization, VerticallyImplicitTimeDiscretization)
+
+    H, U, nu, nz = 1.0, 1.0, 1.0, 64
+    grid = RectilinearGrid(size=(1, 1, nz), x=(0, 1.0), y=(0, 1.0),
+                           z=(-H, 0.0),
+                           topology=("flat", "flat", "bounded"))
+    td = (ExplicitTimeDiscretization() if time_discretization == "explicit"
+          else VerticallyImplicitTimeDiscretization())
+    closure = ScalarDiffusivity(nu=nu, kappa=nu, time_discretization=td)
+    u_bcs = FieldBoundaryConditions(top=ValueBoundaryCondition(U),
+                                    bottom=ValueBoundaryCondition(0.0))
+    N2 = 4.0
+    b_bcs = FieldBoundaryConditions(top=ValueBoundaryCondition(0.0),
+                                    bottom=ValueBoundaryCondition(-N2 * H))
+    model = NonhydrostaticModel(grid=grid, closure=closure,
+                                buoyancy=BuoyancyTracer(), tracers=("b",),
+                                boundary_conditions={"u": u_bcs,
+                                                     "b": b_bcs})
+    model.set(u=0.0, b=lambda x, y, z: N2 * z)
+
+    dz = H / nz
+    dt = (0.2 * dz**2 / nu if time_discretization == "explicit"
+          else 2.5e-4)
+    T = 0.05
+    steps = int(round(T / dt))
+    for _ in range(steps):
+        model.time_step(dt)
+    t = steps * dt
+
+    z = np.asarray(grid.znodes("c"))
+    zeta = (z + H) / H
+    exact = zeta.copy()
+    for n in range(1, 200):
+        exact += (2 / np.pi) * ((-1) ** n / n) \
+            * np.exp(-(n * np.pi) ** 2 * nu * t / H**2) \
+            * np.sin(n * np.pi * zeta)
+    exact *= U
+
+    u = np.asarray(model.field("u").interior)[0, 0]
+    b = np.asarray(model.field("b").interior)[0, 0]
+    err_u = np.abs(u - exact).max()
+    err_b = np.abs(b - N2 * z).max()
+    # 2nd-order space; implicit backward-Euler pays an O(dt) transient tax
+    tol = 6e-3 if time_discretization == "explicit" else 2e-2
+    assert err_u < tol, (time_discretization, err_u)
+    assert err_b < 1e-6 * N2 * H, err_b
