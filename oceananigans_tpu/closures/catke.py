@@ -105,6 +105,7 @@ def _step(x, c, w):
 
 class CATKEVerticalDiffusivity(_ClosureBase):
     required_tracers = ("e",)
+    implicit_only_z = True  # assumes Flux z BCs (validate_implicit_closure_z_bcs)
 
     # the TKE equation is substepped by the model rather than advanced as an
     # ordinary tracer (reference: time_step_catke_equation.jl)

@@ -90,7 +90,14 @@ def vitd_explicit_z_term(grid, q, loc, kappa, cross_grad=None):
     grid has no z halo to hold the boundary values (the z-compact layout's
     built-in mirror BCs are no-flux, for which this term vanishes), z is flat,
     or z is not bounded."""
-    from ..grids.topology import BOUNDED
+    from ..grids.topology import BOUNDED, PERIODIC
+    if not grid.is_flat(Z) and grid.topology[2] == PERIODIC:
+        # the tridiagonal implicit operator assumes walls (no-flux rows at
+        # k=1, Nz) — on a z-periodic grid it would silently mis-diffuse
+        # (reference keeps the full explicit z flux everywhere off Bounded)
+        raise ValueError(
+            "VerticallyImplicitTimeDiscretization needs a Bounded z "
+            "direction; use ExplicitTimeDiscretization on z-periodic grids")
     if grid.is_flat(Z) or grid.topology[2] != BOUNDED or grid.H[2] < 1:
         return None
     import numpy as np

@@ -49,6 +49,44 @@ class _ClosureBase:
 
     required_halo = 1
 
+    # True for the always-implicit 3D-κ closures (CATKE / k-ε / RiBased /
+    # ConvectiveAdjustment) whose implicit solve assumes Flux z BCs — see
+    # validate_implicit_closure_z_bcs
+    implicit_only_z = False
+
+
+def validate_implicit_closure_z_bcs(closure, bcs):
+    """Refuse Value/Gradient top/bottom BCs on fields diffused by an
+    always-implicit 3D-κ closure: the implicit tridiagonal drops the
+    boundary z faces and (unlike the ScalarDiffusivity family, which adds
+    the explicit boundary-face remainder via vitd_explicit_z_term) no
+    explicit term restores them, so the BC would silently not act
+    (reference: the generic explicit-boundary VITD branch of
+    abstract_scalar_diffusivity_closure.jl:263-292 covers all implicit
+    closures; here the remainder exists only for ScalarDiffusivity).
+
+    ``bcs``: {name: FieldBoundaryConditions} of the regularized prognostic
+    BCs."""
+    if closure is None:
+        return
+    members = getattr(closure, "closures", (closure,))
+    if not any(getattr(c, "implicit_only_z", False) for c in members):
+        return
+    from ..boundary_conditions.boundary_condition import GRADIENT, VALUE
+    for name, fb in bcs.items():
+        if name in ("eta", "ph", "w"):
+            continue
+        for side in ("bottom", "top"):
+            bc = getattr(fb, side, None)
+            if bc is not None and bc.classification in (VALUE, GRADIENT):
+                raise NotImplementedError(
+                    f"{side} {bc.classification} boundary condition on "
+                    f"{name!r} combined with an always-implicit closure "
+                    f"(CATKE/k-epsilon/RiBased/ConvectiveAdjustment): the "
+                    f"implicit vertical solve assumes Flux z BCs and would "
+                    f"silently drop this condition. Use a Flux BC, or an "
+                    f"explicit ScalarDiffusivity for the z direction.")
+
 
 def _kappa_for(kappa, name):
     if isinstance(kappa, dict):
@@ -152,6 +190,11 @@ class ScalarDiffusivity(_ClosureBase):
 
     def vertical_implicit_kappas(self, grid, fields, aux):
         if self.time_discretization != "vertically_implicit":
+            return {}
+        if 2 not in self._axes:
+            # a HORIZONTAL formulation has no z-diffusivity for the implicit
+            # solve to own (reference: νᶻ ≡ 0 for HorizontalFormulation,
+            # abstract_scalar_diffusivity_closure.jl z-diffusivity extractors)
             return {}
         out = {"u": self.nu, "v": self.nu}
         if "w" in fields:

@@ -145,6 +145,7 @@ class TKEDissipationEquations:
 
 class TKEDissipationVerticalDiffusivity(_ClosureBase):
     required_tracers = ("e", "eps")
+    implicit_only_z = True  # assumes Flux z BCs (validate_implicit_closure_z_bcs)
 
     # e and ε are substepped by the model with per-substep diffusivity
     # refresh (reference: time_step_tke_dissipation_equations!,

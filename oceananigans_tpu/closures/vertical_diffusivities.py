@@ -34,6 +34,8 @@ def _shear2_ccf(grid, fields):
 
 
 class ConvectiveAdjustmentVerticalDiffusivity(_ClosureBase):
+    implicit_only_z = True  # assumes Flux z BCs (validate_implicit_closure_z_bcs)
+
     def __init__(self, convective_kappa_z=1.0, convective_nu_z=None,
                  background_kappa_z=0.0, background_nu_z=0.0, buoyancy=None):
         self.convective_kappa_z = float(convective_kappa_z)
@@ -80,6 +82,8 @@ class RiBasedVerticalDiffusivity(_ClosureBase):
     """κ = κ₀ · step(Ri) + κᶜᵃ·(N²<0), with the smooth step
     (1 - tanh((Ri - Ri₀)/δ))/2 (reference: ri_based_vertical_diffusivity.jl
     default parameters)."""
+
+    implicit_only_z = True  # assumes Flux z BCs (validate_implicit_closure_z_bcs)
 
     def __init__(self, nu_0=0.7, kappa_0=0.5, Ri_0=0.1, Ri_delta=0.4,
                  convective_kappa=2.8, minimum_entrainment=0.0,

@@ -247,6 +247,37 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
         return self._lam.get(key, self._lam[("c", "c")]), \
             self._phi.get(key, self._phi[("c", "c")])
 
+    def nodes2d_padded(self, loc=("c", "c")):
+        """Padded-layout 2D (λ, φ) degree arrays (npx, npy) at any horizontal
+        staggering, derived from the corner nodes (EXACT in the halos on
+        exchanged-metric panels, i.e. corner_halo grids; edge-replicated
+        otherwise). Used by 2D-aware Coriolis/BC evaluation on curvilinear
+        grids (reference: the λ/φ node arrays of
+        orthogonal_spherical_shell_grid.jl at all staggerings)."""
+        key = ("nodes2d_padded",) + tuple(loc[:2])
+        cached = self._pad_cache.get(key)
+        if cached is not None:
+            return cached
+        npx = self.N[0] + 2 * self.H[0]
+        npy = self.N[1] + 2 * self.H[1]
+        if self._corner_halo:
+            lamF, phiF = self._ext_corners
+        else:
+            lamF, phiF = self._lam[("f", "f")], self._phi[("f", "f")]
+            pad = [(self.H[0],) * 2, (self.H[1],) * 2]
+            lamF = np.pad(lamF, pad, mode="edge")
+            phiF = np.pad(phiF, pad, mode="edge")
+        P = _sph2cart(lamF, phiF)
+        Pxm = _midpoint(P[:-1, :], P[1:, :])        # (E, E+1): (c, f)
+        Pym = _midpoint(P[:, :-1], P[:, 1:])        # (E+1, E): (f, c)
+        Pc = _midpoint(Pxm[:, :-1], Pxm[:, 1:])     # (E, E): (c, c)
+        pts = {("f", "f"): P, ("f", "c"): Pym,
+               ("c", "f"): Pxm, ("c", "c"): Pc}[tuple(loc[:2])]
+        lam, phi = _cart2sph(pts[:npx, :npy])
+        out = (lam, phi)
+        self._pad_cache[key] = out
+        return out
+
     def znodes(self, loc="c"):
         c = self._zc
         n, h = self.N[2], self.H[2]

@@ -209,6 +209,9 @@ class HydrostaticFreeSurfaceModel:
             bcs_in.get("eta"), self.grid, LOC_CCC)
         self.bcs["ph"] = regularize_field_boundary_conditions(
             None, self.grid, LOC_CCC)
+        from ..closures.scalar_diffusivity import \
+            validate_implicit_closure_z_bcs
+        validate_implicit_closure_z_bcs(closure, self.bcs)
 
         shape = self.grid.padded_shape
         dtype = self.grid.dtype

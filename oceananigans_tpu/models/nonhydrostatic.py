@@ -210,6 +210,9 @@ class NonhydrostaticModel:
                 bcs_in.get(name), self.grid, LOC_CCC)
         self.bcs["p"] = regularize_field_boundary_conditions(
             None, self.grid, LOC_CCC)
+        from ..closures.scalar_diffusivity import \
+            validate_implicit_closure_z_bcs
+        validate_implicit_closure_z_bcs(self.closure, self.bcs)
 
         from ..immersed import ImmersedBoundaryGrid
         self.immersed = isinstance(self.grid, ImmersedBoundaryGrid)
@@ -935,6 +938,11 @@ def implicit_vertical_diffusion(grid, q, kappa, dtt, damping=None):
     implicit dissipation). The implicit operator drops the boundary-face
     fluxes (no-flux; Dirichlet/flux conditions enter explicitly via halo
     fills and apply_flux_bcs, as in the reference)."""
+    from ..grids.topology import PERIODIC
+    if not grid.is_flat(2) and grid.topology[2] == PERIODIC:
+        raise ValueError("the vertically-implicit diffusion solve assumes "
+                         "walls (no-flux rows at k=1, Nz); it cannot be "
+                         "used on a z-periodic grid")
     h, n = grid.H[2], grid.N[2]
     dzc, dzf = _vertical_spacings(grid)
 

@@ -404,3 +404,44 @@ def test_isopycnal_kappa_field():
     np.testing.assert_allclose(bf, bc, rtol=1e-12)  # constant fn == scalar
     assert np.isfinite(bv).all()
     assert np.isclose(bv.sum(), b0, rtol=1e-9)      # conservative
+
+
+def test_horizontal_vitd_has_no_implicit_kappas():
+    # ADVICE r2: a HORIZONTAL formulation has no z-diffusivity for the
+    # implicit solve to own (reference: z-diffusivity ≡ 0 for
+    # HorizontalFormulation)
+    from oceananigans_tpu.closures import ScalarDiffusivity
+    c = ScalarDiffusivity(nu=1.0, kappa=1.0, formulation="horizontal",
+                          time_discretization="vertically_implicit")
+    assert c.vertical_implicit_kappas(None, {"u": 0, "b": 0}, {}) == {}
+
+
+def test_implicit_only_closure_rejects_value_z_bc():
+    # ADVICE r2: always-implicit closures assume Flux z BCs; Value/Gradient
+    # top/bottom BCs must be refused, not silently dropped
+    import pytest
+    from oceananigans_tpu.boundary_conditions import (
+        BoundaryCondition, FieldBoundaryConditions)
+    from oceananigans_tpu.boundary_conditions.boundary_condition import VALUE
+    grid = RectilinearGrid(size=(4, 4, 8), x=(0, 1), y=(0, 1), z=(-1, 0))
+    with pytest.raises(NotImplementedError):
+        HydrostaticFreeSurfaceModel(
+            grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+            closure=CATKEVerticalDiffusivity(),
+            boundary_conditions={"b": FieldBoundaryConditions(
+                top=BoundaryCondition(VALUE, 1.0))})
+
+
+def test_vitd_rejects_periodic_z():
+    # ADVICE r2: the implicit tridiagonal assumes walls; z-periodic + VITD
+    # must raise instead of silently mis-diffusing
+    import pytest
+    from oceananigans_tpu.closures import ScalarDiffusivity
+    from oceananigans_tpu.models import NonhydrostaticModel
+    grid = RectilinearGrid(size=(4, 4, 8), x=(0, 1), y=(0, 1), z=(0, 1),
+                           topology=("periodic", "periodic", "periodic"))
+    model = NonhydrostaticModel(
+        grid, closure=ScalarDiffusivity(
+            nu=1e-3, time_discretization="vertically_implicit"))
+    with pytest.raises(ValueError):
+        model.time_step(0.1)
