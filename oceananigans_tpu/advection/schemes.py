@@ -469,6 +469,14 @@ class WENO(AdvectionScheme):
                 r = tau * pl_reciprocal(betas[s] + eps, approx=True)
             else:
                 r = tau / (betas[s] + eps)
+            # metric-weighted smoothness operands (δ(A·u) ~ 1e5 on
+            # earth-scale grids) give β ~ 1e11, so a perfectly-smooth
+            # stencil (β = 0, e.g. the still region beside an immersed
+            # boundary) yields r = τ/ε ~ 1e19 whose SQUARE overflows the
+            # float32 smoothness dtype → inf → inf·0 = NaN. Saturate r
+            # before squaring: the weight ratio is already ~saturated at
+            # r ≥ 1e6, so this changes no resolvable weight.
+            r = jnp.minimum(r, jnp.asarray(1e12, r.dtype))
             alpha = (self._gammas[s] * (1.0 + r * r)).astype(out_dtype)
             nterm = alpha * ps[s]
             num = nterm if num is None else num + nterm

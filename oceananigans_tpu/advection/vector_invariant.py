@@ -157,9 +157,10 @@ class VectorInvariant:
             return lambda a: a
         return lambda a: a[tile]
 
-    def _horizontal(self, grid, u, v, tile=None):
+    def _horizontal(self, grid, u, v, tile=None, zeta=None):
         tx = self._tx(tile)
-        zeta = zeta3_ffc(grid, u, v)
+        if zeta is None:
+            zeta = zeta3_ffc(grid, u, v)
         dx_cfc, dx_fcc = grid.dx(LOC_CFC), grid.dx(LOC_FCC)
         dy_fcc, dy_cfc = grid.dy(LOC_FCC), grid.dy(LOC_CFC)
         # metric-weighted transport velocities at the opposite staggering
@@ -292,18 +293,22 @@ class VectorInvariant:
     # -- assembly --------------------------------------------------------------
 
     def momentum_tendencies(self, grid, u, v, w, grid_motion=None, tile=None,
-                            barriers=True):
+                            barriers=True, zeta=None):
         """Return (U·∇u, U·∇v) — the advection contributions to be SUBTRACTED
         from the tendencies (reference: U_dot_∇u/U_dot_∇v,
         vector_invariant_advection.jl:279-285). ``grid_motion`` = Az·Δr·∂t_σ
         at ccc on moving (z-star) grids. ``tile``/``barriers=False`` are the
-        kernel-slab evaluation mode (kernels/fused_vector_invariant.py)."""
+        kernel-slab evaluation mode (kernels/fused_vector_invariant.py).
+        ``zeta``: precomputed vertical vorticity at ffc, overriding
+        zeta3_ffc — the cubed-sphere model passes the valence-3
+        vertex-corrected field (the reference's MultiRegion corner
+        treatment)."""
         import jax as _jax
         # barriers split XLA's single giant tendency fusion into per-term
         # fusions — the monolith spills VMEM registers on TPU (profiled:
         # two ~12.5 ms fusions at 512x256x32 dominated the hydrostatic step)
         bar = _jax.lax.optimization_barrier if barriers else (lambda x: x)
-        h_u, h_v = bar(self._horizontal(grid, u, v, tile))
+        h_u, h_v = bar(self._horizontal(grid, u, v, tile, zeta=zeta))
         b_u, b_v = bar(self._bernoulli(grid, u, v, tile))
         z_u, z_v = bar(self._vertical(grid, u, v, w, grid_motion, tile))
         return h_u + b_u + z_u, h_v + b_v + z_v

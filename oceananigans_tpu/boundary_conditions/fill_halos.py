@@ -50,6 +50,12 @@ def eval_bc(bc, grid, loc, axis, time, dep_values=()):
         return cond
     t_axes = [ax for ax in range(3) if ax != axis]
     if callable(cond):
+        if axis == 2 and hasattr(grid, "nodes2d_padded"):
+            # curvilinear 2D-latitude grids (cubed-sphere panels, tripolar):
+            # top/bottom conditions are functions of the TRUE (λ, φ) node
+            # positions, not the 1D center-line proxies
+            lam, phi = grid.nodes2d_padded((loc[0], loc[1]))
+            return cond(lam[..., None], phi[..., None], time, *dep_values)
         x1 = broadcastable_1d(grid.coord_padded(t_axes[0], loc[t_axes[0]]), t_axes[0])
         x2 = broadcastable_1d(grid.coord_padded(t_axes[1], loc[t_axes[1]]), t_axes[1])
         return cond(x1, x2, time, *dep_values)

@@ -101,32 +101,52 @@ class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
             raise ValueError("IsopycnalSkewSymmetricDiffusivity needs "
                              "buoyancy=…")
         b = self.buoyancy.buoyancy_ccc(grid, fields)
-        # slopes at the flux locations
+        # slopes at the flux locations (reference:
+        # isopycnal_rotation_tensor_components.jl — Sx = -∂x b/max(∂z b, bz⁰)
+        # with the slope FORCED TO ZERO where ∂z b ≤ bz⁰, i.e. unstable or
+        # degenerate columns get a plain-diffusive flux, not a huge slope)
         bz_ccf = ddz(grid, b, LOC_CCF)
-        bz_safe = jnp.maximum(bz_ccf, self.minimum_N2)   # stable-side floor
-        # Sx at (f,c,c): -∂x b / ∂z b (∂z b interpolated to fcc)
         bx_fcc = ddx(grid, b, LOC_FCC)
-        bz_fcc = jnp.maximum(ix_f(grid, iz_c(grid, bz_ccf)), self.minimum_N2)
-        Sx_fcc = -bx_fcc / bz_fcc
         by_cfc = ddy(grid, b, LOC_CFC)
-        bz_cfc = jnp.maximum(iy_f(grid, iz_c(grid, bz_ccf)), self.minimum_N2)
-        Sy_cfc = -by_cfc / bz_cfc
-        # slopes at (c,c,f) for the vertical flux
-        Sx_ccf = -iz_f(grid, ix_c(grid, bx_fcc)) / bz_safe
-        Sy_ccf = -iz_f(grid, iy_c(grid, by_cfc)) / bz_safe
+        minb = self.minimum_N2
 
-        # taper: scale slopes so |S| ≤ maximum_slope (reference FluxTapering)
-        def taper(Sx, Sy):
-            S = jnp.sqrt(Sx * Sx + Sy * Sy)
-            fac = jnp.minimum(1.0, self.maximum_slope
-                              / jnp.maximum(S, 1e-30))
-            return Sx * fac, Sy * fac
+        def slope(bh, bz):
+            return jnp.where(bz > minb, -bh / jnp.maximum(bz, minb), 0.0)
 
-        Sx_fcc, _ = taper(Sx_fcc, jnp.zeros_like(Sx_fcc))
-        Sy_cfc, _ = taper(Sy_cfc, jnp.zeros_like(Sy_cfc))
-        Sx_ccf, Sy_ccf = taper(Sx_ccf, Sy_ccf)
+        def eps(Sx, Sy):
+            # FluxTapering (reference: calc_tapering,
+            # isopycnal_skew_symmetric_diffusivity.jl:202-212): the factor
+            # min(1, S_max²/|S|²) multiplies the WHOLE rotated flux — it
+            # decays quadratically with slope, so steep-slope (boundary-
+            # adjacent) faces carry ~no flux. Rescaling the slopes instead
+            # (|S| capped at S_max with the lateral diffusion untapered)
+            # leaves an up-gradient horizontal skew flux at clamped faces
+            # that INJECTS potential energy — caught by the mesoscale
+            # front-slumping test (round 3).
+            S2 = Sx * Sx + Sy * Sy
+            return jnp.minimum(1.0, self.maximum_slope ** 2
+                               / jnp.maximum(S2, 1e-30))
+
+        # (f,c,c): local bx, interpolated by/bz
+        bz_fcc = ix_f(grid, iz_c(grid, bz_ccf))
+        by_fcc = ix_f(grid, iy_c(grid, by_cfc))
+        Sx_fcc = slope(bx_fcc, bz_fcc)
+        eps_fcc = eps(Sx_fcc, slope(by_fcc, bz_fcc))
+        # (c,f,c)
+        bz_cfc = iy_f(grid, iz_c(grid, bz_ccf))
+        bx_cfc = iy_f(grid, ix_c(grid, bx_fcc))
+        Sy_cfc = slope(by_cfc, bz_cfc)
+        eps_cfc = eps(slope(bx_cfc, bz_cfc), Sy_cfc)
+        # (c,c,f)
+        bx_ccf = iz_f(grid, ix_c(grid, bx_fcc))
+        by_ccf = iz_f(grid, iy_c(grid, by_cfc))
+        Sx_ccf = slope(bx_ccf, bz_ccf)
+        Sy_ccf = slope(by_ccf, bz_ccf)
+        eps_ccf = eps(Sx_ccf, Sy_ccf)
         return {"Sx_fcc": Sx_fcc, "Sy_cfc": Sy_cfc,
-                "Sx_ccf": Sx_ccf, "Sy_ccf": Sy_ccf}
+                "Sx_ccf": Sx_ccf, "Sy_ccf": Sy_ccf,
+                "eps_fcc": eps_fcc, "eps_cfc": eps_cfc,
+                "eps_ccf": eps_ccf}
 
     def momentum_tendencies(self, grid, fields, aux):
         z = jnp.zeros_like(fields["u"])
@@ -145,15 +165,19 @@ class IsopycnalSkewSymmetricDiffusivity(_ClosureBase):
         cy = ddy(grid, c, LOC_CFC)
         cz_ccf = ddz(grid, c, LOC_CCF)
 
-        Fx = -kR * cx - (kR - kG) * aux["Sx_fcc"] \
-            * ix_f(grid, iz_c(grid, cz_ccf))
-        Fy = -kR * cy - (kR - kG) * aux["Sy_cfc"] \
-            * iy_f(grid, iz_c(grid, cz_ccf))
+        # the tapering factor ϵ multiplies the WHOLE flux at each location
+        # (reference: diffusive_flux_x/y/z,
+        # isopycnal_skew_symmetric_diffusivity.jl:240-325)
+        Fx = aux["eps_fcc"] * (-kR * cx - (kR - kG) * aux["Sx_fcc"]
+                               * ix_f(grid, iz_c(grid, cz_ccf)))
+        Fy = aux["eps_cfc"] * (-kR * cy - (kR - kG) * aux["Sy_cfc"]
+                               * iy_f(grid, iz_c(grid, cz_ccf)))
         Sx, Sy = aux["Sx_ccf"], aux["Sy_ccf"]
         S2 = Sx * Sx + Sy * Sy
-        Fz = -(kR + kG) * (Sx * iz_f(grid, ix_c(grid, cx))
-                           + Sy * iz_f(grid, iy_c(grid, cy))) \
-            - kR * S2 * cz_ccf
+        Fz = aux["eps_ccf"] * (-(kR + kG)
+                               * (Sx * iz_f(grid, ix_c(grid, cx))
+                                  + Sy * iz_f(grid, iy_c(grid, cy)))
+                               - kR * S2 * cz_ccf)
 
         div = (_delta_c(grid, grid.Ax(LOC_FCC) * Fx, 0)
                + _delta_c(grid, grid.Ay(LOC_CFC) * Fy, 1)

@@ -196,16 +196,29 @@ class NonTraditionalBetaPlane:
 
 
 class HydrostaticSphericalCoriolis:
-    """f = 2Ω sin(φ) on a latitude-longitude grid (reference:
-    src/Coriolis/hydrostatic_spherical_coriolis.jl; energy-conserving
-    4-point interpolation of the transverse velocity)."""
+    """f = 2Ω sin(φ) on a spherical grid (reference:
+    src/Coriolis/hydrostatic_spherical_coriolis.jl).
 
-    def __init__(self, rotation_rate=None):
+    On a LatitudeLongitudeGrid (1D latitude) the transverse velocity is the
+    plain 4-point mean. On curvilinear 2D-latitude grids
+    (OrthogonalSphericalShellGrid: cubed-sphere panels, tripolar) f is
+    evaluated at the exact (f,f) nodes and the reference's
+    ENERGY-CONSERVING discretization applies: the Coriolis acceleration is
+    the f-flux of the metric-weighted transport,
+    fᶠᶠ·ℑx(Δx_cfc v) averaged to fcc / Δx_fcc (the f-part of the Sadourny
+    vorticity flux — hydrostatic_spherical_coriolis.jl
+    EnergyConserving scheme)."""
+
+    def __init__(self, rotation_rate=None, scheme="energy_conserving"):
         self.rotation_rate = (defaults.rotation_rate if rotation_rate is None
                               else float(rotation_rate))
+        if scheme not in ("energy_conserving", "enstrophy_conserving"):
+            raise ValueError(scheme)
+        self.scheme = scheme
 
     def _fp(self):
-        return ("HydrostaticSphericalCoriolis", self.rotation_rate)
+        return ("HydrostaticSphericalCoriolis", self.rotation_rate,
+                self.scheme)
 
     __hash__ = FPlane.__hash__
     __eq__ = FPlane.__eq__
@@ -215,10 +228,35 @@ class HydrostaticSphericalCoriolis:
         return _bake(grid, 2 * self.rotation_rate * np.sin(np.deg2rad(
             np.clip(phi, -90, 90))))
 
+    def _f_ffc(self, grid):
+        _, phi = grid.nodes2d_padded(("f", "f"))
+        return _bake(grid, 2 * self.rotation_rate
+                     * np.sin(np.deg2rad(phi))[..., None])
+
+    @staticmethod
+    def _curvilinear(grid):
+        return hasattr(grid, "nodes2d_padded")
+
     def x_f_cross_U(self, grid, u, v, w):
+        if self._curvilinear(grid):
+            from .grids.topology import LOC_CFC, LOC_FCC
+            f = self._f_ffc(grid)
+            dx_cfc, dx_fcc = grid.dx(LOC_CFC), grid.dx(LOC_FCC)
+            if self.scheme == "energy_conserving":
+                return -iy_c(grid, f * ix_f(grid, dx_cfc * v)) / dx_fcc
+            return -iy_c(grid, f) * ix_f(grid, iy_c(grid, dx_cfc * v)) \
+                / dx_fcc
         return -self._f(grid, "c") * _v_at_fcc(grid, v)
 
     def y_f_cross_U(self, grid, u, v, w):
+        if self._curvilinear(grid):
+            from .grids.topology import LOC_CFC, LOC_FCC
+            f = self._f_ffc(grid)
+            dy_fcc, dy_cfc = grid.dy(LOC_FCC), grid.dy(LOC_CFC)
+            if self.scheme == "energy_conserving":
+                return ix_c(grid, f * iy_f(grid, dy_fcc * u)) / dy_cfc
+            return ix_c(grid, f) * iy_f(grid, ix_c(grid, dy_fcc * u)) \
+                / dy_cfc
         return self._f(grid, "f") * _u_at_cfc(grid, u)
 
     def z_f_cross_U(self, grid, u, v, w):

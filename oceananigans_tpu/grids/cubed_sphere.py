@@ -366,9 +366,18 @@ class ConformalCubedSphereGrid:
         ext = _extended_corner_nodes(N, H, self.connectivity, base=base)
         self.extended_nodes = ext
         zh = 3 if z is not None else 0
+        # panels are FULLY_CONNECTED horizontally (reference: the local
+        # topologies of MultiRegion cubed-sphere panels): halos are
+        # exchange-valid neighbor-panel data, so advection keeps FULL order
+        # up to the panel edge (no Bounded near-wall cascade) and no lateral
+        # BC machinery applies
+        from .topology import BOUNDED, FLAT, FULLY_CONNECTED
+        ptopo = (FULLY_CONNECTED, FULLY_CONNECTED,
+                 BOUNDED if z is not None else FLAT)
         self.panel_grids = [
             OrthogonalSphericalShellGrid(*_cart2sph(ext[p]), z=z,
                                          size=panel_size, radius=radius,
+                                         topology=ptopo,
                                          halo=(H, H, zh), dtype=dtype,
                                          corner_halo=H)
             for p in range(6)]

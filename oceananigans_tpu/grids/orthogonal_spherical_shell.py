@@ -181,6 +181,21 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
         az_ff = np.empty((mx + 1, my + 1))
         az_ff[1:-1, :] = 0.5 * (az_cf[:-1, :] + az_cf[1:, :])
         az_ff[0, :], az_ff[-1, :] = az_cf[0, :], az_cf[-1, :]
+        if ch:
+            # exchanged-halo panels: at a 3-valent cube vertex the diagonal
+            # halo quads/edges are fold-over slivers with ~zero measure (the
+            # fourth quadrant doesn't exist geometrically). Any field value
+            # there is meaningless; clamp the degenerate metrics UP so
+            # divisions produce ~0 instead of inf/NaN (0·inf) that would
+            # poison whole-array halo arithmetic (the reference's
+            # cubed-sphere corner fills sidestep these slots with
+            # special-case kernels; dense whole-array ops cannot).
+            for group in (self._dx, self._dy,
+                          {("c", "c"): az_cc, ("f", "c"): az_fc,
+                           ("c", "f"): az_cf, ("f", "f"): az_ff}):
+                for tbl in group.values():
+                    big = tbl.max()
+                    np.copyto(tbl, big, where=tbl < 1e-6 * big)
         self._az = {("c", "c"): az_cc, ("f", "c"): az_fc,
                     ("c", "f"): az_cf, ("f", "f"): az_ff}
 
@@ -303,7 +318,14 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
         return tuple(ax for ax in range(3) if not self.is_flat(ax))
 
     def regular(self, axis):
-        return axis == 2 and self._zc.regular
+        # horizontal axes are INDEX-regular: the curvilinear (ξ, η)
+        # parameters advance uniformly per cell, so advection reconstruction
+        # uses the uniform index-space coefficients (the reference evaluates
+        # WENO stencils in index space on OrthogonalSphericalShellGrids —
+        # stretched coefficients apply to stretched COORDINATES, i.e. z)
+        if axis in (0, 1):
+            return True
+        return self._zc.regular
 
     def minimum_spacing(self, axis):
         if self.is_flat(axis):

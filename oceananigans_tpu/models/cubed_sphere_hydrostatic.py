@@ -1,33 +1,45 @@
 """Hydrostatic primitive equations on the composed (6-panel) cubed sphere.
 
-Reference analogue: HydrostaticFreeSurfaceModel running on a MultiRegion
-ConformalCubedSphereGrid (src/MultiRegion/cubed_sphere_grid.jl +
-src/Models/HydrostaticFreeSurfaceModels/ — per-region kernel launches with
-connectivity-driven halo exchange). TPU-native composition: ONE stacked
-(6, NP, NP, ZP) array per field, panels unrolled inside a single jitted
-step, static-gather inter-panel exchanges between stages
-(grids/cubed_sphere.py), and the valence-3 vertex vorticity treatment
-shared with the cubed-sphere shallow-water model.
+Reference analogue: the FULL HydrostaticFreeSurfaceModel running on a
+MultiRegion ConformalCubedSphereGrid (src/MultiRegion/multi_region_models.jl:
+34-46 — the reference runs the SAME model, with the whole advection/closure/
+free-surface capability set, per region with connectivity-driven halo
+exchange; src/MultiRegion/cubed_sphere_boundary_conditions.jl;
+multi_region_split_explicit_free_surface.jl).
 
-Dynamics (per panel, z-structured):
-* vector-invariant momentum with the Sadourny energy-conserving vorticity
-  flux q = ζ + f (hydrostatic_free_surface_tendency_kernel_functions.jl's
-  EnergyConserving VectorInvariant), the KE gradient, and flux-form
-  vertical momentum advection;
-* w diagnosed from continuity (compute_w_from_continuity.jl) by a
-  cumulative sum of the horizontal transport divergence;
-* buoyancy tracer with the hydrostatic pressure anomaly
-  pHY' = -∫_z^0 b dz' (update_hydrostatic_pressure.jl);
-* EXPLICIT free surface: ∂t η = -∇·∫ u dz (explicit_free_surface.jl) —
-  Δt is gravity-wave limited, appropriate for the validation-scale global
-  configurations this model targets;
-* flux-form tracer advection through any 1D advection scheme
-  (advection/fluxes.py div_Uc evaluates on the panel's 2D metrics).
+TPU-native composition: ONE stacked (6, NP, NP, ZP) array per field, panels
+unrolled inside a single jitted step, static-gather inter-panel exchanges
+between stages (grids/cubed_sphere.py). The physics per panel is the SAME
+code path as the rectilinear/lat-lon model: each panel gets a
+:class:`_PanelPhysics` adapter that borrows
+``HydrostaticFreeSurfaceModel._compute_tendencies`` — so WENO /
+WENOVectorInvariant momentum, any tracer advection scheme, every closure
+(CATKE with substepped TKE, k-ε, GM/Redi triads and the advective skew form,
+Smagorinsky family, scalar/biharmonic), buoyancy formulations, forcings and
+top/bottom boundary conditions all work on the sphere exactly as they do on
+the other grids (hydrostatic_free_surface_tendency_kernel_functions.jl:27-140
+is evaluated once per panel).
 
-Stepping: Wicker-Skamarock RK3 (the cubed-sphere shallow-water model's
-stepper, default) or single-stage quasi-AB2 with the χ correction
-(timestepper="QuasiAdamsBashforth2"), each stage/step re-exchanging panel
-halos.
+Cubed-sphere-specific pieces kept out of the shared path:
+* inter-panel halo exchange with staggered-component rotation
+  (fill_cubed_sphere_velocity_halos) replacing fill_halo_regions in x/y;
+  panels are FULLY_CONNECTED horizontally so advection keeps full order
+  through panel edges;
+* the valence-3 cube-vertex vorticity (dual-triangle circulation,
+  cubed_sphere_shallow_water._vertex_zeta) injected into the shared
+  VectorInvariant via its ``zeta=`` override;
+* GridFittedBottom bathymetry: per-panel ImmersedBoundaryGrids built from
+  the bottom height evaluated on the exchanged (exact-halo) panel nodes,
+  with fluid-column depths feeding the barotropic mode
+  (reference: column_depthᶠᶜᵃ on immersed MultiRegion grids);
+* free surfaces on the composed sphere: explicit (forward-backward),
+  backward-Euler implicit by matrix-free CG with the panel exchange inside
+  the operator (pcg_implicit_free_surface_solver.jl), and split-explicit
+  barotropic subcycling with Shchepetkin averaging and per-column depths
+  (multi_region_split_explicit_free_surface.jl).
+
+Stepping: quasi-AB2 with the χ correction (default for split-explicit /
+substepped closures) or Wicker-Skamarock RK3.
 """
 
 from __future__ import annotations
@@ -37,18 +49,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..advection import Centered
-from ..advection.fluxes import div_Uc
+from ..advection.vector_invariant import VectorInvariant
+from ..boundary_conditions import regularize_field_boundary_conditions
+from ..boundary_conditions.fill_halos import fill_halo_axes
 from ..defaults import defaults
 from ..grids.cubed_sphere import (ConformalCubedSphereGrid,
                                   fill_cubed_sphere_halos,
                                   fill_cubed_sphere_velocity_halos,
                                   sync_shared_velocity_faces)
-from ..operators.operators import (LOC_CCC, LOC_CFC, LOC_FCC,
-                                   ddx, ddy, dx_c, dy_c, ix_c, ix_f,
-                                   iy_c, iy_f, zeta3_ffc)
+from ..grids.topology import LOC_CCC, LOC_CCF, LOC_CFC, LOC_FCC
+from ..operators.operators import (ddx, ddy, div_xy_ccc, dx_c, dy_c,
+                                   zeta3_ffc)
 from .cubed_sphere_shallow_water import (CubedSphereShallowWaterModel,
                                          _vertex_corner_info,
                                          staggered_points_and_bases)
+from .free_surfaces import (ExplicitFreeSurface, ImplicitFreeSurface,
+                            SplitExplicitFreeSurface)
+from .hydrostatic import (HydrostaticFreeSurfaceModel, PROGNOSTIC_LOCS,
+                          immersed_column_geometry)
+from .nonhydrostatic import implicit_vertical_diffusion, _vertical_spacings
 
 
 class _AllColumnsProxy:
@@ -64,6 +83,13 @@ class _AllColumnsProxy:
     def dz(self, loc):
         return self._g.dz(loc)
 
+    def is_flat(self, axis):
+        return self._g.is_flat(axis)
+
+    @property
+    def topology(self):
+        return getattr(self._g, "topology", None)
+
     @property
     def interior_slices(self):
         h, n = self._g.H[2], self._g.N[2]
@@ -73,20 +99,174 @@ class _AllColumnsProxy:
         return a[self.interior_slices]
 
 
+class _NamedBuoyancyTracer:
+    """BuoyancyTracer semantics on a tracer with a custom name."""
+
+    def __init__(self, name):
+        self.name = name
+        self.required_tracers = (name,)
+
+    def _fp(self):
+        return ("NamedBuoyancyTracer", self.name)
+
+    def __hash__(self):
+        return hash(self._fp())
+
+    def __eq__(self, o):
+        return hasattr(o, "_fp") and self._fp() == o._fp()
+
+    def buoyancy_ccc(self, grid, tracers):
+        return tracers[self.name]
+
+    def z_buoyancy(self, grid, tracers):
+        from ..operators.operators import iz_f
+        return iz_f(grid, tracers[self.name])
+
+
+class _PanelPhysics:
+    """Per-panel adapter: the SAME tendency assembly as the
+    rectilinear/lat-lon HydrostaticFreeSurfaceModel, evaluated on one
+    exchanged-halo panel (the analogue of the reference launching its
+    tendency kernels per MultiRegion region). Borrowed methods see a panel
+    grid (possibly immersed-wrapped); only the two z-integral diagnostics
+    are overridden to run over EVERY column — halo columns carry
+    exchange-valid velocities/buoyancy, so their w and pHY′ come out valid
+    without an extra exchange."""
+
+    # shared code path (models/hydrostatic.py)
+    _compute_tendencies = HydrostaticFreeSurfaceModel._compute_tendencies
+    _moving_grid = HydrostaticFreeSurfaceModel._moving_grid
+    _depth_integral = HydrostaticFreeSurfaceModel._depth_integral
+    _cum_matmul = HydrostaticFreeSurfaceModel._cum_matmul
+    _mask_state = HydrostaticFreeSurfaceModel._mask_state
+    _mask_kz = HydrostaticFreeSurfaceModel._mask_kz
+    _install_tke_surface_flux = \
+        HydrostaticFreeSurfaceModel._install_tke_surface_flux
+    loc = HydrostaticFreeSurfaceModel.loc
+
+    def __init__(self, parent, grid, bcs):
+        self.parent = parent
+        self.grid = grid                      # panel OSSG or ImmersedBoundaryGrid
+        self.bcs = bcs
+        self.vertical_coordinate = "z"
+        self._fused_vi = None
+        self._zeta_override = None            # set per tendency call
+        self.momentum_advection = parent.momentum_advection
+        self.tracer_advection = parent.tracer_advection
+        self.coriolis = parent.coriolis
+        self.buoyancy = parent.buoyancy
+        self.closure = parent.closure
+        self.forcing = parent.forcing
+        self.free_surface = parent._fs_for_tendencies
+        self.tracer_names = parent.tracer_names
+        self._substepped_names = parent._substepped_names
+        self._substepped_tke = parent._substepped_tke
+        from ..immersed import ImmersedBoundaryGrid
+        self._immersed = isinstance(grid, ImmersedBoundaryGrid)
+        dtype = grid.dtype
+        if self._immersed:
+            self._H_fc, self._H_cf, self._fluid_int = \
+                immersed_column_geometry(grid, dtype)
+        else:
+            self._H_fc = self._H_cf = abs(grid.extent[2])
+        self._proxy = _AllColumnsProxy(grid)
+
+    # -- all-column diagnostics ------------------------------------------------
+
+    def _w_from_continuity(self, u, v):
+        """w at (c,c,f) by the upward continuity integral over EVERY column
+        (compute_w_from_continuity.jl); valid in all but the outermost halo
+        ring because u, v are exchange-valid there."""
+        grid = self.grid
+        h, n = grid.H[2], grid.N[2]
+        dzc = _vertical_spacings(grid)[0]
+        div_h = div_xy_ccc(grid, u, v)
+        d = div_h[:, :, h:h + n] * jnp.asarray(dzc, div_h.dtype)
+        w_faces = -self._cum_matmul(d, self.parent._cumsum_tri)
+        w = jnp.zeros(grid.padded_shape, u.dtype)
+        return w.at[:, :, h + 1:h + n + 1].set(w_faces)
+
+    def _hydrostatic_pressure(self, fields, time):
+        """pHY′ = -∫_z^0 b dz′ over EVERY column (halo-valid b in, halo-valid
+        pHY′ out — no horizontal fill needed; update_hydrostatic_pressure.jl)."""
+        grid = self.grid
+        if self.buoyancy is None:
+            return None
+        b = self.buoyancy.buoyancy_ccc(grid, fields)
+        h, n = grid.H[2], grid.N[2]
+        dzc = _vertical_spacings(grid)[0]
+        bdz = b[:, :, h:h + n] * jnp.asarray(dzc, b.dtype)
+        p_int = -self._cum_matmul(bdz, self.parent._ph_tri)
+        p = jnp.zeros(grid.padded_shape, b.dtype)
+        return p.at[:, :, h:h + n].set(p_int)
+
+    def implicit_step(self, st_panel, aux, sdt, dampings=None):
+        """Vertically-implicit diffusion over every column (implicit_step!;
+        the solve covers halo-slot columns so duplicated shared-edge faces
+        diffuse identically on both panels)."""
+        kappas = self.closure.vertical_implicit_kappas(self.grid, st_panel,
+                                                       aux)
+        for nm in self._substepped_names:
+            kappas.pop(nm, None)
+        out = dict(st_panel)
+        for name, kz in kappas.items():
+            if name in ("w", "eta") or name not in out:
+                continue
+            damp = (dampings or {}).get(name)
+            out[name] = implicit_vertical_diffusion(
+                self._proxy, out[name], self._mask_kz(kz), sdt, damping=damp)
+        return out
+
+
+def _as_free_surface(fs, gravity):
+    """Normalize the ``free_surface`` argument: the legacy strings or the
+    ExplicitFreeSurface/ImplicitFreeSurface/SplitExplicitFreeSurface
+    objects (models/free_surfaces.py)."""
+    if isinstance(fs, str):
+        if fs == "explicit":
+            return ExplicitFreeSurface(gravity)
+        if fs == "implicit":
+            return ImplicitFreeSurface(gravity)
+        if fs == "split_explicit":
+            return SplitExplicitFreeSurface(gravity)
+        raise ValueError(fs)
+    if isinstance(fs, (ExplicitFreeSurface, ImplicitFreeSurface,
+                       SplitExplicitFreeSurface)):
+        return fs
+    raise ValueError(f"unknown free surface {fs!r}")
+
+
 class CubedSphereHydrostaticModel:
-    """Hydrostatic free-surface dynamics on a
-    :class:`ConformalCubedSphereGrid` built with a z coordinate.
+    """The full HydrostaticFreeSurfaceModel capability set on a
+    :class:`ConformalCubedSphereGrid` built with a z coordinate
+    (reference: HydrostaticFreeSurfaceModel on a MultiRegion
+    ConformalCubedSphereGrid, src/MultiRegion/multi_region_models.jl).
 
     state: ``u``/``v`` (staggered local components), tracers (centers),
-    ``eta`` (surface displacement, (6, NP, NP, 1)); ``w`` diagnosed.
-    ``rotation_rate``: planetary Ω about ẑ (f = 2Ω sinφ exactly at the
-    ffc nodes)."""
+    ``eta`` ((6, NP, NP, 1)); ``w`` diagnosed from continuity.
+
+    Capabilities shared with the rectilinear/lat-lon model (same code):
+    ``momentum_advection`` — any VectorInvariant (incl. WENOVectorInvariant;
+    the grid halo must cover its ``required_halo``); ``tracer_advection`` —
+    any scheme (WENO/UpwindBiased/Centered); ``closure`` — any closure or
+    tuple (CATKE and k-ε substep their turbulence fields exactly as on other
+    grids); ``buoyancy`` (default: BuoyancyTracer semantics on
+    ``buoyancy_tracer``); ``boundary_conditions`` — top/bottom Flux BCs
+    (wind stress, buoyancy fluxes; callables get the panel's true (λ°, φ°)
+    nodes); ``bottom_height`` — GridFittedBottom bathymetry, a callable of
+    (λ_rad, φ_rad) or per-panel array; ``forcing`` — discrete forcings.
+
+    ``rotation_rate``: builds a HydrostaticSphericalCoriolis (exact f at the
+    panel ffc nodes) unless ``coriolis`` is given."""
 
     def __init__(self, grid: ConformalCubedSphereGrid, tracers=("b",),
-                 gravity=None, rotation_rate=0.0, tracer_advection=None,
-                 buoyancy_tracer="b", closure=None, free_surface="explicit",
-                 implicit_solver_tol=1e-8, substeps=30,
-                 timestepper="WickerSkamarockRK3", reference_datetime=None):
+                 gravity=None, rotation_rate=0.0, momentum_advection=None,
+                 tracer_advection=None, coriolis=None, buoyancy=None,
+                 buoyancy_tracer="b", closure=None, forcing=None,
+                 boundary_conditions=None, bottom_height=None,
+                 free_surface="explicit", implicit_solver_tol=1e-8,
+                 substeps=30, timestepper="WickerSkamarockRK3",
+                 reference_datetime=None):
         if grid.panel_grids[0].is_flat(2):
             raise ValueError("CubedSphereHydrostaticModel needs a grid "
                              "built with z=(bottom, top)")
@@ -95,59 +275,183 @@ class CubedSphereHydrostaticModel:
         self.gravity = float(gravity if gravity is not None
                              else defaults.gravitational_acceleration)
         self.rotation_rate = float(rotation_rate)
-        if isinstance(tracers, str):
-            tracers = (tracers,)
-        self.tracer_names = tuple(tracers)
-        # buoyancy_tracer: name of the tracer acting as buoyancy (b [m/s²],
-        # BuoyancyTracer semantics) or None for passive-tracer-only dynamics
-        self.buoyancy_tracer = (buoyancy_tracer
-                                if buoyancy_tracer in self.tracer_names
-                                else None)
+
+        # -- physics configuration (the shared-model surface) ----------------
+        self.momentum_advection = (
+            momentum_advection if momentum_advection is not None
+            else VectorInvariant(vorticity_scheme="energy_conserving"))
+        if not isinstance(self.momentum_advection, VectorInvariant):
+            raise ValueError("cubed-sphere momentum advection must be a "
+                             "VectorInvariant form (as in the reference's "
+                             "hydrostatic model)")
         self.tracer_advection = (tracer_advection if tracer_advection
                                  is not None else Centered(2))
-        # vertically-implicit closures only (VerticalScalarDiffusivity with
-        # time_discretization="vertically_implicit"): per-panel tridiagonal
-        # solves after each RK3 stage (implicit_step!, the reference's
-        # vertically_implicit_diffusion_solver.jl)
+        if coriolis is None and rotation_rate:
+            from ..coriolis import HydrostaticSphericalCoriolis
+            coriolis = HydrostaticSphericalCoriolis(self.rotation_rate)
+        self.coriolis = coriolis
+        if isinstance(tracers, str):
+            tracers = (tracers,)
+        tracers = tuple(tracers)
+        if buoyancy is None and buoyancy_tracer is not None \
+                and buoyancy_tracer in tracers:
+            from ..buoyancy import BuoyancyTracer
+            buoyancy = (BuoyancyTracer() if buoyancy_tracer == "b"
+                        else _NamedBuoyancyTracer(buoyancy_tracer))
+        self.buoyancy = buoyancy
         self.closure = closure
-        if closure is not None and getattr(
-                closure, "time_discretization", None) != "vertically_implicit":
-            raise ValueError(
-                "CubedSphereHydrostaticModel supports vertically-implicit "
-                "closures only (e.g. VerticalScalarDiffusivity(..., "
-                "time_discretization='vertically_implicit'))")
-        # free surface: "explicit" (∂t η = -∇·∫u dz inside the RK stage —
-        # gravity-wave-limited Δt), "implicit" (backward-Euler η solve by
-        # matrix-free CG over the composed panels with exchanges inside the
-        # operator — the reference's PCG ImplicitFreeSurface analogue,
-        # pcg_implicit_free_surface_solver.jl, without the Δt restriction),
-        # or "split_explicit" (barotropic (η,U,V) subcycled with Shchepetkin
-        # averaging over the panels — the rectilinear
-        # models/free_surfaces.py structure ported wholesale: the −g∇η
-        # gradient lives ONLY in the subcycle, NOT in the slow tendencies;
-        # requires timestepper="QuasiAdamsBashforth2". Earlier round-2
-        # prototypes kept −g∇η inside the 3D tendencies and crept ~100×
-        # explicit — the two surface gradients fought each other.)
-        if free_surface not in ("explicit", "implicit", "split_explicit"):
-            raise ValueError(free_surface)
-        self.free_surface = free_surface
+        if closure is not None:
+            for name in getattr(closure, "required_tracers", ()):
+                if name not in tracers:
+                    tracers = tracers + (name,)
+            _cls = getattr(closure, "closures", (closure,))
+            for _c in _cls:
+                if getattr(_c, "buoyancy", "missing") is None:
+                    _c.buoyancy = buoyancy
+        self.tracer_names = tracers
+        from ..forcings.forcings import regularize_forcing
+        self.forcing = regularize_forcing(forcing)
+        self._substepped_tke = (closure is not None and
+                                getattr(closure, "substepped_tke", False))
+        self._substepped_names = (
+            tuple(getattr(closure, "substepped_tracers", ("e",)))
+            if self._substepped_tke else ())
+
+        # -- free surface ------------------------------------------------------
+        self.free_surface = _as_free_surface(free_surface, self.gravity)
         self.implicit_solver_tol = float(implicit_solver_tol)
-        if free_surface == "split_explicit":
+        if isinstance(self.free_surface, SplitExplicitFreeSurface):
             timestepper = "QuasiAdamsBashforth2"
-            from .free_surfaces import weights_from_substeps
-            self.substeps = int(substeps)
-            self._se_frac, self._se_weights = weights_from_substeps(
-                self.substeps)
+            if free_surface == "split_explicit":   # legacy substeps= kwarg
+                self.free_surface = SplitExplicitFreeSurface(
+                    self.gravity, substeps=substeps)
+            self.free_surface.materialize(grid.panel_grids[0])
+        # the tendency assembly adds −g∇η for the explicit surface AND for
+        # the implicit one: the CS implicit step solves the INCREMENT (θ=1)
+        # form — u* must carry the explicit −g∇η⁰, then the CG solve finds
+        # δ = η¹ − η⁰ and corrects by −gΔt∂δ (algebraically the same
+        # backward-Euler as the reference's full-form PCG solve; for a
+        # balanced state ∇·U* ≈ 0 ⇒ δ ≈ 0, no splitting noise). Only the
+        # split-explicit surface excludes the gradient (it lives in the
+        # barotropic subcycle).
+        self._fs_for_tendencies = (
+            ExplicitFreeSurface(self.gravity)
+            if isinstance(self.free_surface, ImplicitFreeSurface)
+            else self.free_surface)
+        if self._substepped_tke:
+            timestepper = "QuasiAdamsBashforth2"
         if timestepper not in ("WickerSkamarockRK3", "QuasiAdamsBashforth2"):
             raise ValueError(timestepper)
         self.timestepper = timestepper
+
+        # -- halo capacity check -----------------------------------------------
+        required = max(getattr(self.tracer_advection, "required_halo", 1),
+                       getattr(self.momentum_advection, "required_halo", 1))
+        if closure is not None:
+            required = max(required, getattr(closure, "required_halo", 1))
+        if grid.H[0] < required:
+            raise ValueError(
+                f"this configuration needs halo >= {required} but the grid "
+                f"was built with halo={grid.H[0]}; pass halo={required} to "
+                f"ConformalCubedSphereGrid")
+
+        # -- per-panel grids (immersed-wrapped when bathymetry given) ---------
         H, N = grid.H[0], grid.N[0]
         NP = N + 2 * H
         ZP = grid.panel_grids[0].padded_shape[2]
         dtype = grid.dtype
-        f = np.stack([2.0 * self.rotation_rate * ext[:NP, :NP, 2]
-                      for ext in grid.extended_nodes])[..., None]
-        self._f = jnp.asarray(f, dtype)
+        self._immersed = bottom_height is not None
+        panel_grids = list(grid.panel_grids)
+        if self._immersed:
+            from ..immersed import GridFittedBottom, ImmersedBoundaryGrid
+            wrapped = []
+            for p in range(6):
+                g = grid.panel_grids[p]
+                if callable(bottom_height):
+                    lam, phi = g.nodes2d_padded(("c", "c"))
+                    zb = np.asarray(bottom_height(np.deg2rad(lam),
+                                                  np.deg2rad(phi)),
+                                    np.float64)
+                    zb = np.broadcast_to(zb, (NP, NP))
+                else:
+                    zb = np.asarray(bottom_height, np.float64)
+                    if zb.shape[:3] == (6, N, N):
+                        full = np.full((NP, NP), np.asarray(zb).min())
+                        full[H:H + N, H:H + N] = zb[p].reshape(N, N)
+                        zb = full
+                    elif zb.shape[:3] == (6, NP, NP):
+                        zb = zb[p].reshape(NP, NP)
+                    else:
+                        raise ValueError("bottom_height array must be "
+                                         "(6, N, N) or (6, NP, NP)")
+                wrapped.append(ImmersedBoundaryGrid(g, GridFittedBottom(zb)))
+            panel_grids = wrapped
+
+        # -- boundary conditions (per panel — conditions evaluate on the
+        #    panel's true 2D nodes) -------------------------------------------
+        bcs_in = dict(boundary_conditions or {})
+        g0 = grid.panel_grids[0]
+        # z-integral scan matrices shared by all panels
+        nz = g0.N[2]
+        self._cumsum_tri = np.tril(np.ones((nz, nz), np.float64), 0).T
+        self._ph_tri = (np.tril(np.ones((nz, nz), np.float64), -1)
+                        + 0.5 * np.eye(nz))
+        # CATKE-family: derive surface TKE flux / buoyancy flux from the
+        # user BCs (same machinery as the main model; dz is panel-independent
+        # so the prototype adapter's grid stands in for all panels)
+        self.panels = []
+        proto_bcs = {}
+        for name, loc in PROGNOSTIC_LOCS.items():
+            proto_bcs[name] = regularize_field_boundary_conditions(
+                bcs_in.get(name), panel_grids[0], loc)
+        proto = _PanelPhysics.__new__(_PanelPhysics)
+        proto.grid, proto.closure, proto.buoyancy = (panel_grids[0],
+                                                     closure, buoyancy)
+        proto._substepped_tke = self._substepped_tke
+        if self._substepped_tke:
+            bcs_in = HydrostaticFreeSurfaceModel._install_tke_surface_flux(
+                proto, bcs_in)
+        from ..closures.scalar_diffusivity import \
+            validate_implicit_closure_z_bcs
+
+        def panel_bcs(g):
+            bcs = {}
+            for name, loc in PROGNOSTIC_LOCS.items():
+                bcs[name] = regularize_field_boundary_conditions(
+                    bcs_in.get(name), g, loc)
+            for name in self.tracer_names:
+                bcs[name] = regularize_field_boundary_conditions(
+                    bcs_in.get(name), g, LOC_CCC)
+            bcs["w"] = regularize_field_boundary_conditions(None, g, LOC_CCF)
+            bcs["eta"] = regularize_field_boundary_conditions(None, g,
+                                                              LOC_CCC)
+            return bcs
+
+        for p in range(6):
+            bcs = panel_bcs(panel_grids[p])
+            if p == 0:
+                validate_implicit_closure_z_bcs(closure, bcs)
+            self.panels.append(_PanelPhysics(self, panel_grids[p], bcs))
+
+        # -- barotropic geometry -----------------------------------------------
+        dzr = np.asarray(g0.dz(LOC_CCC)).reshape(-1)
+        if dzr.size == 1:
+            dzr = np.full(nz, dzr[0])
+        elif dzr.size == ZP:
+            dzr = dzr[g0.H[2]:g0.H[2] + nz]
+        self._dz_c = jnp.asarray(dzr, dtype)
+        # per-column fluid depths at (f,c)/(c,f), stacked over panels
+        if self._immersed:
+            self._H_fc = jnp.asarray(
+                np.stack([np.asarray(pp._H_fc) for pp in self.panels]), dtype)
+            self._H_cf = jnp.asarray(
+                np.stack([np.asarray(pp._H_cf) for pp in self.panels]), dtype)
+        else:
+            Hd = float(np.sum(dzr))
+            self._H_fc = Hd
+            self._H_cf = Hd
+
+        # -- state --------------------------------------------------------------
         shape3 = (6, NP, NP, ZP)
         self.state = {"u": jnp.zeros(shape3, dtype),
                       "v": jnp.zeros(shape3, dtype),
@@ -157,57 +461,63 @@ class CubedSphereHydrostaticModel:
         for name in self.tracer_names:
             self.state[name] = jnp.zeros(shape3, dtype)
         if timestepper == "QuasiAdamsBashforth2":
-            gm_names = ("u", "v") + self.tracer_names
-            if free_surface == "explicit":
-                gm_names = gm_names + ("eta",)
             self.state["Gm"] = {n: jnp.zeros_like(self.state[n])
-                                for n in gm_names}
-        if free_surface == "split_explicit":
-            # persistent barotropic transports (reference: the U/V fields of
-            # SplitExplicitFreeSurface carried across steps; the rectilinear
-            # model's state["barotropic"] analogue)
+                                for n in ("u", "v") + self.tracer_names}
+        if isinstance(self.free_surface, SplitExplicitFreeSurface):
             self.state["barotropic"] = {
                 "U": jnp.zeros((6, NP, NP, 1), dtype),
                 "V": jnp.zeros((6, NP, NP, 1), dtype)}
         self._geom = staggered_points_and_bases(grid)
         self._corner_info = _vertex_corner_info(grid)
-        # interior Δz at centers (1D, length nz, identical on every panel).
-        # dz() returns a SCALAR for regular spacing — broadcast it to the
-        # per-cell array (a scalar left Σdz = Lz/nz: the round-2 bug that
-        # made every free-surface solve use 1/nz of the true depth)
-        g0 = grid.panel_grids[0]
-        dzr = np.asarray(g0.dz(LOC_CCC)).reshape(-1)
-        if dzr.size == 1:
-            dzr = np.full(g0.N[2], dzr[0])
-        elif dzr.size == g0.padded_shape[2]:
-            dzr = dzr[g0.H[2]:g0.H[2] + g0.N[2]]
-        assert dzr.size == g0.N[2]
-        self._dz_c = jnp.asarray(dzr, dtype)
-        self._step = jax.jit(self._make_step())
+        self._step = jax.jit(self._build_step())
 
     # -- initialization -------------------------------------------------------
 
     def set_geographic(self, h=None, u_east=None, v_north=None):
+        """Initialize (u, v) from zonal/meridional velocity functions of
+        geographic (lon_rad, lat_rad) — depth-independent (barotropic)
+        profiles broadcast over the interior z levels."""
         CubedSphereShallowWaterModel.set_geographic(
             self, h=h, u_east=u_east, v_north=v_north)
-        self._reset_split_explicit_state()
-
-    def _reset_split_explicit_state(self):
-        """(Re)initialize the persistent barotropic transports from ∫u dz
-        (reference: initialize_split_explicit_substepping.jl:15-27)."""
-        if "barotropic" not in self.state:
-            return
         g0 = self.grid.panel_grids[0]
-        dzc = self._dz_c_full(g0)
+        hz, nz = g0.H[2], g0.N[2]
+        ZP = g0.padded_shape[2]
         st = dict(self.state)
-        st["barotropic"] = {
-            "U": jnp.sum(st["u"] * dzc, axis=-1, keepdims=True),
-            "V": jnp.sum(st["v"] * dzc, axis=-1, keepdims=True)}
+        for n in ("u", "v"):
+            a = st[n]
+            if a.shape[-1] != ZP:          # the SW setter wrote (…, 1)
+                col = jnp.zeros((ZP,), a.dtype).at[hz:hz + nz].set(1.0)
+                st[n] = a * col
+        self.state = st
+        self._post_set()
+
+    def _post_set(self):
+        st = dict(self.state)
+        if self._immersed:
+            for p in range(6):
+                g = self.panels[p].grid
+                for n in ("u", "v") + self.tracer_names:
+                    st[n] = st[n].at[p].set(
+                        g.mask_immersed(st[n][p], self.panels[p].loc(n)))
+        if "Gm" in st:
+            # replacing prognostics abandons the trajectory: restart AB2
+            st["Gm"] = {n: jnp.zeros_like(v) for n, v in st["Gm"].items()}
+            st["iteration"] = jnp.zeros((), jnp.int32)
+        if "barotropic" in st:
+            # (re)initialize the persistent barotropic transports from
+            # ∫u dz (initialize_split_explicit_substepping.jl:15-27)
+            U = jnp.stack([self.panels[p]._depth_integral(st["u"][p],
+                                                          LOC_FCC)
+                           for p in range(6)])
+            V = jnp.stack([self.panels[p]._depth_integral(st["v"][p],
+                                                          LOC_CFC)
+                           for p in range(6)])
+            st["barotropic"] = {"U": U, "V": V}
         self.state = st
 
     def set(self, **fields):
-        """Set tracers / eta from arrays (interior (6, N, N, Nz) or padded)
-        or callables of geographic (lon_rad, lat_rad, z)."""
+        """Set fields from arrays (interior (6, N, N, Nz) or padded) or
+        callables of geographic (lon_rad, lat_rad, z)."""
         grid = self.grid
         H, N = grid.H[0], grid.N[0]
         g0 = grid.panel_grids[0]
@@ -219,15 +529,9 @@ class CubedSphereHydrostaticModel:
             if callable(val):
                 panels = []
                 for p in range(6):
-                    ext = grid.extended_nodes[p]
-                    NPp = N + 2 * H
-                    Pxm = ext[:-1] + ext[1:]
-                    Pxm = Pxm / np.linalg.norm(Pxm, axis=-1, keepdims=True)
-                    Pc = Pxm[:, :-1] + Pxm[:, 1:]
-                    Pc = (Pc / np.linalg.norm(Pc, axis=-1,
-                                              keepdims=True))[:NPp, :NPp]
-                    lam = np.arctan2(Pc[..., 1], Pc[..., 0])
-                    phi = np.arcsin(np.clip(Pc[..., 2], -1, 1))
+                    lam, phi = grid.panel_grids[p].nodes2d_padded(("c", "c"))
+                    lam = np.deg2rad(lam)
+                    phi = np.deg2rad(phi)
                     if name == "eta":
                         panels.append(np.broadcast_to(
                             np.asarray(val(lam, phi), np.float64),
@@ -255,175 +559,120 @@ class CubedSphereHydrostaticModel:
                     else:
                         full[:, H:H + N, H:H + N, hz:hz + nz] = val
                     st[name] = jnp.asarray(full, grid.dtype)
-        if "Gm" in st:
-            # replacing prognostics abandons the trajectory: restart AB2
-            # with an Euler step instead of extrapolating stale tendencies
-            st["Gm"] = {n: jnp.zeros_like(v) for n, v in st["Gm"].items()}
-            st["iteration"] = jnp.zeros((), jnp.int32)
         self.state = st
-        self._reset_split_explicit_state()
+        self._post_set()
 
-    # -- diagnostics ----------------------------------------------------------
+    # -- halo management --------------------------------------------------------
 
-    def _w_from_continuity(self, u, v):
-        """w at cell interfaces from ∂z w = -∇·u (per panel; bottom w = 0).
-        Returns (6, NP, NP, ZP) with w[..., k] the face BELOW cell k (the
-        padded-face convention of the rectilinear models)."""
+    def _filled(self, st, time):
+        """Exchange panel halos (staggered rotation for u/v), fill z halos
+        per the top/bottom BCs, and mask immersed cells."""
         grid = self.grid
-        ws = []
-        for p in range(6):
-            g = grid.panel_grids[p]
-            dy_fcc, dx_cfc = g.dy(LOC_FCC), g.dx(LOC_CFC)
-            dzc = self._dz_c_full(g)
-            divU = (dx_c(g, dy_fcc * dzc * u[p])
-                    + dy_c(g, dx_cfc * dzc * v[p])) / g.Az(LOC_CCC)
-            hz, nz = g.H[2], g.N[2]
-            inc = divU[..., hz:hz + nz]
-            wint = -jnp.cumsum(inc, axis=-1)
-            # face k sits BELOW cell k: w[0] = 0, w[k] = -sum_{k'<k} div dz
-            w = jnp.zeros_like(u[p])
-            w = w.at[..., hz + 1:hz + nz].set(wint[..., :-1])
-            ws.append(w)
-        return jnp.stack(ws)
+        out = dict(st)
+        u, v = st["u"], st["v"]
+        if self._immersed:
+            u = jnp.stack([self.panels[p].grid.mask_immersed(u[p], LOC_FCC)
+                           for p in range(6)])
+            v = jnp.stack([self.panels[p].grid.mask_immersed(v[p], LOC_CFC)
+                           for p in range(6)])
+        u, v = sync_shared_velocity_faces(u, v, grid)
+        u, v = fill_cubed_sphere_velocity_halos(u, v, grid)
+        u = jnp.stack([fill_halo_axes(u[p], self.panels[p].grid, LOC_FCC,
+                                      self.panels[p].bcs["u"], time,
+                                      axes=(2,)) for p in range(6)])
+        v = jnp.stack([fill_halo_axes(v[p], self.panels[p].grid, LOC_CFC,
+                                      self.panels[p].bcs["v"], time,
+                                      axes=(2,)) for p in range(6)])
+        out["u"], out["v"] = u, v
+        out["eta"] = fill_cubed_sphere_halos(st["eta"], grid)
+        for name in self.tracer_names:
+            c = st[name]
+            if self._immersed:
+                c = jnp.stack([self.panels[p].grid.mask_immersed(c[p],
+                                                                 LOC_CCC)
+                               for p in range(6)])
+            c = fill_cubed_sphere_halos(c, grid)
+            c = jnp.stack([fill_halo_axes(c[p], self.panels[p].grid, LOC_CCC,
+                                          self.panels[p].bcs[name], time,
+                                          axes=(2,)) for p in range(6)])
+            out[name] = c
+        return out
 
-    def _dz_c_full(self, g):
-        dz = jnp.zeros((g.padded_shape[2],), self.grid.dtype)
-        hz, nz = g.H[2], g.N[2]
-        return dz.at[hz:hz + nz].set(self._dz_c)
+    # -- dynamics ----------------------------------------------------------------
 
-    def _hydrostatic_pressure(self, b):
-        """pHY'/ρ0 at centers: -∫_z^0 b dz' (downward cumulative sum from
-        the surface; update_hydrostatic_pressure.jl)."""
-        grid = self.grid
-        g0 = grid.panel_grids[0]
-        hz, nz = g0.H[2], g0.N[2]
-        bi = b[..., hz:hz + nz] * self._dz_c
-        # integral from cell k to the top, half-weighting cell k itself
-        csum = jnp.cumsum(bi[..., ::-1], axis=-1)[..., ::-1]
-        ph = -(csum - 0.5 * bi)
-        out = jnp.zeros_like(b)
-        return out.at[..., hz:hz + nz].set(ph)
-
-    # -- dynamics -------------------------------------------------------------
-
-    def _tendencies(self, st, w):
-        grid = self.grid
-        gy = self.gravity
-        u, v, eta = st["u"], st["v"], st["eta"]
-        # vorticity + valence-3 vertex fix (thickness 1: pure ζ)
+    def _vertex_zetas(self, u, v):
+        """Per-panel ffc vorticity with the valence-3 cube-vertex fix
+        (dual-triangle circulation — cubed_sphere_shallow_water)."""
         zetas, ones_ff = [], []
         for p in range(6):
-            g = grid.panel_grids[p]
+            g = self.grid.panel_grids[p]
             zetas.append(zeta3_ffc(g, u[p], v[p]))
             ones_ff.append(jnp.ones_like(zetas[p]))
         sw = CubedSphereShallowWaterModel
         zetas, _ = sw._vertex_zeta(self, zetas, ones_ff,
-                                   jnp.ones_like(st["u"]), u, v)
-        ph = None
-        if self.buoyancy_tracer is not None:
-            ph = self._hydrostatic_pressure(st[self.buoyancy_tracer])
-        G = {n: [] for n in ("u", "v", "eta") + self.tracer_names}
+                                   jnp.ones_like(u), u, v)
+        return zetas
+
+    def _tendencies(self, sf, w, time):
+        """Per-panel shared-path tendencies. Returns (G stacked dict over
+        u/v/tracers, aux list per panel)."""
+        zetas = self._vertex_zetas(sf["u"], sf["v"])
+        names = ("u", "v") + self.tracer_names
+        G = {n: [] for n in names}
+        auxs = []
         for p in range(6):
-            g = grid.panel_grids[p]
-            up, vp, fp = u[p], v[p], self._f[p]
-            dy_fcc, dx_cfc = g.dy(LOC_FCC), g.dx(LOC_CFC)
-            Uf = dy_fcc * up                     # x line transport (fcc)
-            Vf = dx_cfc * vp                     # y line transport (cfc)
-            q = zetas[p] + fp
-            # Sadourny energy-conserving vorticity flux (thickness-free
-            # 3D vector-invariant form)
-            cor_u = +iy_c(g, q * ix_f(g, Vf)) / g.dx(LOC_FCC)
-            cor_v = -ix_c(g, q * iy_f(g, Uf)) / g.dy(LOC_CFC)
-            K = 0.5 * (ix_c(g, up * up) + iy_c(g, vp * vp))
-            # vertical momentum advection (flux form on centers of faces):
-            # -(1/Δz) δz( w̄ˣᶻ ūᶻ ) with w at (c,c,f)
-            wp = w[p]
-            dzf = self._dz_c_full(g)
-            dzs = jnp.where(dzf == 0, 1.0, dzf)
-            wxu = ix_f(g, wp)                    # w at (f,c,f)
-            wyv = iy_f(g, wp)                    # w at (c,f,f)
+            pp = self.panels[p]
+            fields_p = {n: sf[n][p] for n in names}
+            fields_p["eta"] = sf["eta"][p]
+            pp._zeta_override = zetas[p]
+            Gp, aux = pp._compute_tendencies(fields_p, w[p], time)
+            pp._zeta_override = None
+            auxs.append(aux)
+            for n in names:
+                G[n].append(Gp[n])
+        return {n: jnp.stack(vs) for n, vs in G.items()}, auxs
 
-            def vadv(q3, wf):
-                # flux at face k = wf[k]·(q3[k-1]+q3[k])/2; tendency =
-                # -(flux[k+1]-flux[k])/dz
-                qm = 0.5 * (q3 + jnp.roll(q3, 1, axis=-1))
-                flux = wf * qm
-                return -(jnp.roll(flux, -1, axis=-1) - flux) / dzs
+    def _w(self, sf):
+        return jnp.stack([self.panels[p]._w_from_continuity(sf["u"][p],
+                                                            sf["v"][p])
+                          for p in range(6)])
 
-            # split-explicit: the barotropic −g∇η lives ONLY inside the
-            # subcycle (reference: hydrostatic tendencies carry no surface
-            # gradient under SplitExplicitFreeSurface; the rectilinear
-            # model adds it only for ExplicitFreeSurface)
-            gs = 0.0 if self.free_surface == "split_explicit" else gy
-            Bu = gs * ddx(g, eta[p], LOC_FCC) + ddx(g, K, LOC_FCC)
-            Bv = gs * ddy(g, eta[p], LOC_CFC) + ddy(g, K, LOC_CFC)
-            Gu = cor_u - Bu + vadv(up, wxu)
-            Gv = cor_v - Bv + vadv(vp, wyv)
-            if ph is not None:
-                Gu = Gu - ddx(g, ph[p], LOC_FCC)
-                Gv = Gv - ddy(g, ph[p], LOC_CFC)
-            G["u"].append(Gu)
-            G["v"].append(Gv)
-            # explicit free surface: ∂t η = -∇·∫u dz (implicit mode
-            # advances η inside the solve; tendency 0 keeps the pytree)
-            dzc = self._dz_c_full(g)
-            Ubt = jnp.sum(Uf * dzc, axis=-1, keepdims=True)
-            Vbt = jnp.sum(Vf * dzc, axis=-1, keepdims=True)
-            if self.free_surface == "explicit":
-                G["eta"].append(-(dx_c(g, Ubt) + dy_c(g, Vbt))
-                                / g.Az(LOC_CCC))
-            else:
-                # implicit mode: eta advances inside _implicit_eta_step
-                G["eta"].append(jnp.zeros_like(eta[p]))
-            for name in self.tracer_names:
-                G[name].append(-div_Uc(g, self.tracer_advection, up, vp,
-                                       wp, st[name][p]))
-        return {k: jnp.stack(vs) for k, vs in G.items()}
+    # -- free surfaces ------------------------------------------------------------
 
-    def _implicit_step(self, st, sdt):
-        """Per-panel vertically-implicit diffusion solves (reference:
-        implicit_step!; no-flux walls). The solve covers EVERY (x, y)
-        column — including halo slots — so the duplicated shared-edge
-        velocity faces (stored at slot H+N, outside interior_slices)
-        diffuse identically on both panels; restricting to the interior
-        left an undiffused seam along owner-high-side edges."""
-        from .nonhydrostatic import implicit_vertical_diffusion
-        kappas = self.closure.vertical_implicit_kappas(
-            self.grid.panel_grids[0], st, {})
-        out = dict(st)
-        proxy = _AllColumnsProxy(self.grid.panel_grids[0])
-        for name, kz in kappas.items():
-            if name in ("w", "eta") or name not in st:
-                continue
-            cols = [implicit_vertical_diffusion(proxy, st[name][p], kz, sdt)
-                    for p in range(6)]
-            out[name] = jnp.stack(cols)
-        return out
+    def _explicit_eta(self, eta0, u, v, sdt):
+        """Forward-backward explicit step: η ← η − Δt ∇·∫u dz with the
+        UPDATED velocities (explicit_free_surface.jl). Shared-edge faces are
+        synced first so both panels compute bitwise-identical fluxes through
+        a shared face (global mass conservation to summation roundoff)."""
+        u, v = sync_shared_velocity_faces(u, v, self.grid)
+        divs = []
+        for p in range(6):
+            pp = self.panels[p]
+            g = self.grid.panel_grids[p]
+            U = pp._depth_integral(u[p], LOC_FCC)
+            V = pp._depth_integral(v[p], LOC_CFC)
+            divs.append((dx_c(g, g.dy(LOC_FCC)[..., :1] * U)
+                         + dy_c(g, g.dx(LOC_CFC)[..., :1] * V))
+                        / g.Az(LOC_CCC)[..., :1])
+        return eta0 - sdt * jnp.stack(divs)
 
-    def _split_explicit_substep(self, eta, U, V, GU, GV, dt):
-        """Forward-backward barotropic subcycle on the composed panels —
-        the rectilinear SplitExplicitFreeSurface.substep ported onto the
-        cubed-sphere operators (reference:
-        step_split_explicit_free_surface.jl): Δτ spans (t, t+2Δt) with
-        Shchepetkin averaging weights; each substep re-exchanges the panel
-        halos (the connectivity exchange is a static gather — no ring
-        budget like the rectilinear periodic path).
-
-        ``GU/GV``: depth-integrated slow tendencies at (f,c)/(c,f) —
-        these EXCLUDE the surface gradient (it is applied here).
-        Returns the weighted-filtered (η̄, Ū, V̄)."""
+    def _split_explicit_substep(self, eta, U, V, GU, GV, dt, frac, weights):
+        """Forward-backward barotropic subcycle on the composed panels with
+        per-column fluid depths and Shchepetkin averaging (reference:
+        multi_region_split_explicit_free_surface.jl +
+        step_split_explicit_free_surface.jl). ``GU/GV`` EXCLUDE the surface
+        gradient (applied here). Returns the filtered (η̄, Ū, V̄)."""
         grid = self.grid
-        gy = self.gravity
-        Hdepth = float(np.sum(np.asarray(self._dz_c)))
-        dtau = self._se_frac * dt
-        # the slow forcing's shared faces must agree between panels, and
-        # its halos must be exchange-valid for the U-update at shared rows
+        gy = self.free_surface.g
+        dtau = frac * dt
+        H_fc = self._H_fc if not np.isscalar(self._H_fc) else self._H_fc
+        H_cf = self._H_cf
         GU, GV = sync_shared_velocity_faces(GU, GV, grid)
         GU, GV = fill_cubed_sphere_velocity_halos(GU, GV, grid)
         eta_f = jnp.zeros_like(eta)
         U_f = jnp.zeros_like(U)
         V_f = jnp.zeros_like(V)
-        for w in self._se_weights:
+        for w in weights:
             U, V = sync_shared_velocity_faces(U, V, grid)
             U, V = fill_cubed_sphere_velocity_halos(U, V, grid)
             eta = fill_cubed_sphere_halos(eta, grid)
@@ -438,9 +687,11 @@ class CubedSphereHydrostaticModel:
             un, vn = [], []
             for p in range(6):
                 g = grid.panel_grids[p]
-                un.append(U[p] + dtau * (-gy * Hdepth
+                hf = H_fc if np.isscalar(H_fc) else H_fc[p]
+                hc = H_cf if np.isscalar(H_cf) else H_cf[p]
+                un.append(U[p] + dtau * (-gy * hf
                                          * ddx(g, eta[p], LOC_FCC) + GU[p]))
-                vn.append(V[p] + dtau * (-gy * Hdepth
+                vn.append(V[p] + dtau * (-gy * hc
                                          * ddy(g, eta[p], LOC_CFC) + GV[p]))
             U, V = jnp.stack(un), jnp.stack(vn)
             eta_f = eta_f + float(w) * eta
@@ -450,57 +701,57 @@ class CubedSphereHydrostaticModel:
 
     def _barotropic_corrector(self, u, v, U_f, V_f):
         """Replace the depth mean of (u, v) with the filtered barotropic
-        transports (reference: barotropic_split_explicit_corrector.jl)."""
+        transports (barotropic_split_explicit_corrector.jl); per-column
+        fluid depths on immersed panels. zmask also zeroes the unused
+        z-halo slots (they would otherwise accumulate unbalanced Coriolis)."""
         g0 = self.grid.panel_grids[0]
-        dzc = self._dz_c_full(g0)
-        Hdepth = float(np.sum(np.asarray(self._dz_c)))
         hz, nz = g0.H[2], g0.N[2]
         zmask = jnp.zeros((g0.padded_shape[2],), u.dtype
                           ).at[hz:hz + nz].set(1.0)
-        Ustar = jnp.sum(u * dzc, axis=-1, keepdims=True)
-        Vstar = jnp.sum(v * dzc, axis=-1, keepdims=True)
-        # zmask also ZEROES the unused z-halo slots: without the −g∇η term
-        # in G they would accumulate unbalanced Coriolis forever (they are
-        # never physically read, but would pollute |u|max diagnostics and
-        # eventually overflow in f32)
-        u = (u + (U_f - Ustar) / Hdepth) * zmask
-        v = (v + (V_f - Vstar) / Hdepth) * zmask
-        return u, v
+        un, vn = [], []
+        for p in range(6):
+            pp = self.panels[p]
+            Ustar = pp._depth_integral(u[p], LOC_FCC)
+            Vstar = pp._depth_integral(v[p], LOC_CFC)
+            hf = self._H_fc if np.isscalar(self._H_fc) else self._H_fc[p]
+            hc = self._H_cf if np.isscalar(self._H_cf) else self._H_cf[p]
+            up = (u[p] + (U_f[p] - Ustar) / hf) * zmask
+            vp = (v[p] + (V_f[p] - Vstar) / hc) * zmask
+            if self._immersed:
+                up = pp.grid.mask_immersed(up, LOC_FCC)
+                vp = pp.grid.mask_immersed(vp, LOC_CFC)
+            un.append(up)
+            vn.append(vp)
+        return jnp.stack(un), jnp.stack(vn)
 
     def _implicit_eta_step(self, st, sdt):
-        """Backward-Euler free-surface step on the composed sphere:
-        solve  Az·η − gΔt² δ(H A_edge ∂η) = Az·η⁰ − Δt δ(A_edge ∫u* dz)
-        by matrix-free CG with the inter-panel exchange inside the operator
-        (reference: pcg_implicit_free_surface_solver.jl), then correct
-        u ← u* − gΔt ∂η per level."""
+        """Backward-Euler free-surface step on the composed sphere in
+        increment (θ = 1) form: solve
+        Az·δ − gΔt² δᵢ(H A_edge ∂δ) = −Δt δᵢ(A_edge ∫u* dz) by matrix-free
+        CG with the inter-panel exchange inside the operator and PER-COLUMN
+        fluid depths (pcg_implicit_free_surface_solver.jl), then correct
+        u ← u* − gΔt ∂δ."""
         from ..solvers.conjugate_gradient import conjugate_gradient
         grid = self.grid
-        gy = self.gravity
-        g0 = grid.panel_grids[0]
-        Hdepth = float(np.sum(np.asarray(self._dz_c)))
+        gy = self.free_surface.g
         u, v, eta0 = st["u"], st["v"], st["eta"]
-        # increment (θ = 1) form: u* already carries the EXPLICIT −g∇η⁰;
-        # solve (I − gHΔt²∇²) δ = −Δt ∇·∫u* dz for δ = η¹ − η⁰, then
-        # correct u ← u* − gΔt ∂δ. For a balanced state ∇·U* ≈ 0 ⇒ δ ≈ 0,
-        # so the implicit step adds no splitting noise (unlike the full-η
-        # backward-Euler form).
+        u, v = sync_shared_velocity_faces(u, v, grid)
 
         def div_transport(a_fcc, a_cfc):
             outs = []
             for p in range(6):
                 g = grid.panel_grids[p]
-                outs.append(dx_c(g, g.dy(LOC_FCC) * a_fcc[p])
-                            + dy_c(g, g.dx(LOC_CFC) * a_cfc[p]))
+                outs.append(dx_c(g, g.dy(LOC_FCC)[..., :1] * a_fcc[p])
+                            + dy_c(g, g.dx(LOC_CFC)[..., :1] * a_cfc[p]))
             return jnp.stack(outs)
 
-        dzc = self._dz_c_full(g0)
-        Ustar = jnp.sum(u * dzc, axis=-1, keepdims=True)
-        Vstar = jnp.sum(v * dzc, axis=-1, keepdims=True)
+        Ustar = jnp.stack([self.panels[p]._depth_integral(u[p], LOC_FCC)
+                           for p in range(6)])
+        Vstar = jnp.stack([self.panels[p]._depth_integral(v[p], LOC_CFC)
+                           for p in range(6)])
         Az = jnp.stack([jnp.broadcast_to(
             jnp.asarray(np.asarray(grid.panel_grids[p].Az(LOC_CCC)),
                         grid.dtype), eta0[p].shape) for p in range(6)])
-        # CG lives in the interior subspace: halo slots carry degenerate
-        # metrics and must not contribute to the Krylov inner products
         Hh, N = grid.H[0], grid.N[0]
         mask = np.zeros(eta0.shape, bool)
         mask[:, Hh:Hh + N, Hh:Hh + N] = True
@@ -512,11 +763,12 @@ class CubedSphereHydrostaticModel:
             gx, gyy = [], []
             for p in range(6):
                 g = grid.panel_grids[p]
-                gx.append(ddx(g, xf[p], LOC_FCC))
-                gyy.append(ddy(g, xf[p], LOC_CFC))
+                hf = self._H_fc if np.isscalar(self._H_fc) else self._H_fc[p]
+                hc = self._H_cf if np.isscalar(self._H_cf) else self._H_cf[p]
+                gx.append(hf * ddx(g, xf[p], LOC_FCC))
+                gyy.append(hc * ddy(g, xf[p], LOC_CFC))
             lap = div_transport(jnp.stack(gx), jnp.stack(gyy))
-            return jnp.where(mask, Az * x - gy * Hdepth * sdt * sdt * lap,
-                             0.0)
+            return jnp.where(mask, Az * x - gy * sdt * sdt * lap, 0.0)
 
         delta, _, _ = conjugate_gradient(A, rhs,
                                          reltol=self.implicit_solver_tol,
@@ -525,77 +777,146 @@ class CubedSphereHydrostaticModel:
         un, vn = [], []
         for p in range(6):
             g = grid.panel_grids[p]
-            un.append(u[p] - gy * sdt * ddx(g, deltaf[p], LOC_FCC))
-            vn.append(v[p] - gy * sdt * ddy(g, deltaf[p], LOC_CFC))
+            up = u[p] - gy * sdt * ddx(g, deltaf[p], LOC_FCC)
+            vp = v[p] - gy * sdt * ddy(g, deltaf[p], LOC_CFC)
+            if self._immersed:
+                up = self.panels[p].grid.mask_immersed(up, LOC_FCC)
+                vp = self.panels[p].grid.mask_immersed(vp, LOC_CFC)
+            un.append(up)
+            vn.append(vp)
         out = dict(st)
         out["u"], out["v"] = jnp.stack(un), jnp.stack(vn)
         out["eta"] = eta0 + delta
         return out
 
-    def _make_step(self):
-        grid = self.grid
+    # -- step -----------------------------------------------------------------
 
-        def filled(st):
+    def _mask_prognostics(self, st):
+        if not self._immersed:
+            return st
+        out = dict(st)
+        for n in ("u", "v") + self.tracer_names:
+            out[n] = jnp.stack([self.panels[p].grid.mask_immersed(
+                st[n][p], self.panels[p].loc(n)) for p in range(6)])
+        return out
+
+    def _build_step(self, se_settings=None, catke_substeps=1):
+        grid = self.grid
+        prog = ("u", "v", "eta") + self.tracer_names
+        fs = self.free_surface
+        split_explicit = isinstance(fs, SplitExplicitFreeSurface)
+        implicit = isinstance(fs, ImplicitFreeSurface)
+
+        def implicit_all(st, auxs, sdt, G=None, Gm=None, chi=None,
+                         euler=None):
+            if self.closure is None:
+                return st
             out = dict(st)
-            u, v = sync_shared_velocity_faces(st["u"], st["v"], grid)
-            u, v = fill_cubed_sphere_velocity_halos(u, v, grid)
-            out["u"], out["v"] = u, v
-            out["eta"] = fill_cubed_sphere_halos(st["eta"], grid)
-            for name in self.tracer_names:
-                out[name] = fill_cubed_sphere_halos(st[name], grid)
+            names = None
+            dampings = [None] * 6
+            if hasattr(self.closure, "vertical_implicit_damping") \
+                    and not self._substepped_tke:
+                dampings = [self.closure.vertical_implicit_damping(
+                    self.panels[p].grid,
+                    {n: st[n][p] for n in prog if n in st}, auxs[p])
+                    for p in range(6)]
+            cols = {}
+            for p in range(6):
+                pp = self.panels[p]
+                st_p = {n: st[n][p] for n in prog if n in st}
+                new_p = pp.implicit_step(st_p, auxs[p], sdt,
+                                         dampings=dampings[p])
+                if names is None:
+                    names = [n for n in new_p
+                             if n in st and new_p[n] is not st_p[n]]
+                for n in names:
+                    cols.setdefault(n, []).append(new_p[n])
+            for n, vs in cols.items():
+                out[n] = jnp.stack(vs)
+            if hasattr(self.closure, "clip_fields") \
+                    and not self._substepped_tke:
+                out = self.closure.clip_fields(out)
             return out
 
-        prog = ("u", "v", "eta") + self.tracer_names
+        def step_turbulence_all(sf, new, G, Gm, dt, chi, euler, time):
+            """Substepped turbulence (CATKE/k-ε) per panel with the UPDATED,
+            exchange-and-z-filled velocities (time_step_catke_equation.jl)."""
+            nf = self._filled(new, time)
+            upds = {nm: [] for nm in self._substepped_names}
+            Gts = {nm: [] for nm in self._substepped_names}
+            for p in range(6):
+                pp = self.panels[p]
+                fields_p = {n: sf[n][p] for n in prog}
+                fnew = {n: new[n][p] for n in prog}
+                fnew.update(u=nf["u"][p], v=nf["v"][p],
+                            **{nm: sf[nm][p]
+                               for nm in self._substepped_names})
+                slow = {nm: G[nm][p] for nm in self._substepped_names}
+                prev = {nm: Gm[nm][p] for nm in self._substepped_names}
+                upd, Gm_t = self.closure.step_turbulence(
+                    pp.grid, fields_p, fnew, slow, prev, dt, chi,
+                    euler, catke_substeps, time)
+                for nm, val in upd.items():
+                    if self._immersed:
+                        val = pp.grid.mask_immersed(val, LOC_CCC)
+                    upds[nm].append(val)
+                    Gts[nm].append(Gm_t[nm])
+            return ({nm: jnp.stack(vs) for nm, vs in upds.items()},
+                    {nm: jnp.stack(vs) for nm, vs in Gts.items()})
 
         if self.timestepper == "QuasiAdamsBashforth2":
-            chi = 0.1
-            # eta must be AB2-stepped too under the explicit surface
-            # (forward-Euler eta coupled to AB2 momentum is unconditionally
-            # unstable for gravity waves — spectral radius > 1 at any Δt;
-            # reference: explicit_ab2_step_free_surface!)
-            stepped = ("u", "v") + self.tracer_names
-            if self.free_surface == "explicit":
-                stepped = stepped + ("eta",)
+            chi0 = 0.1
 
             def step(state, dt):
                 st0 = {n: state[n] for n in prog}
                 Gm = state["Gm"]
+                time = state["time"]
                 euler = state["iteration"] == 0
-                chi_t = jnp.where(euler, -0.5, chi)
+                chi = jnp.where(euler, -0.5, chi0)
                 not_euler = jnp.where(euler, 0.0, 1.0)
-                sf = filled(st0)
-                w = self._w_from_continuity(sf["u"], sf["v"])
-                G = self._tendencies(sf, w)
-                ab2G = {n: (1.5 + chi_t) * G[n]
-                        - (0.5 + chi_t) * Gm[n] * not_euler
-                        for n in stepped}
+                sf = self._filled(st0, time)
+                w = self._w(sf)
+                G, auxs = self._tendencies(sf, w, time)
+                stepped = ("u", "v") + self.tracer_names
+                ab2G = {n: (1.5 + chi) * G[n]
+                        - (0.5 + chi) * Gm[n] * not_euler for n in stepped}
+                ab2G = jax.lax.optimization_barrier(ab2G)
                 st = dict(st0)
                 for n in stepped:
                     st[n] = st0[n] + dt * ab2G[n]
+                st = implicit_all(st, auxs, dt)
                 bt = None
-                if self.free_surface == "implicit":
-                    st = self._implicit_eta_step(st, dt)
-                elif self.free_surface == "split_explicit":
-                    # barotropic subcycle from the PERSISTED (η, U, V)
-                    # state forced by the depth-integrated AB2 tendency
-                    # (the rectilinear model's structure, hydrostatic.py)
-                    g0 = grid.panel_grids[0]
-                    dzc = self._dz_c_full(g0)
-                    GU = jnp.sum(ab2G["u"] * dzc, axis=-1, keepdims=True)
-                    GV = jnp.sum(ab2G["v"] * dzc, axis=-1, keepdims=True)
+                if split_explicit:
+                    GU = jnp.stack([self.panels[p]._depth_integral(
+                        ab2G["u"][p], LOC_FCC) for p in range(6)])
+                    GV = jnp.stack([self.panels[p]._depth_integral(
+                        ab2G["v"][p], LOC_CFC) for p in range(6)])
+                    frac, weights = (se_settings if se_settings is not None
+                                     else fs.settings(None))
                     bt0 = state["barotropic"]
                     eta_f, U_f, V_f = self._split_explicit_substep(
-                        st0["eta"], bt0["U"], bt0["V"], GU, GV, dt)
-                    u, v = self._barotropic_corrector(st["u"], st["v"],
-                                                      U_f, V_f)
-                    st.update(u=u, v=v, eta=eta_f)
+                        st0["eta"], bt0["U"], bt0["V"], GU, GV, dt,
+                        frac, weights)
+                    uc, vc = self._barotropic_corrector(st["u"], st["v"],
+                                                        U_f, V_f)
+                    st.update(u=uc, v=vc, eta=eta_f)
                     bt = {"U": U_f, "V": V_f}
-                if self.closure is not None:
-                    st = self._implicit_step(st, dt)
-                st = filled(st)
-                out = dict(st)
+                elif implicit:
+                    st = self._implicit_eta_step(st, dt)
+                else:
+                    st["eta"] = self._explicit_eta(st0["eta"], st["u"],
+                                                   st["v"], dt)
+                if self._substepped_tke:
+                    upd, Gm_t = step_turbulence_all(sf, st, G, Gm, dt,
+                                                    chi0, euler, time)
+                    G = dict(G)
+                    for nm, val in upd.items():
+                        st[nm] = val
+                        G[nm] = Gm_t[nm]
+                st = self._mask_prognostics(st)
+                out = dict(self._filled(st, time))
                 out["Gm"] = {n: G[n] for n in stepped}
-                out["time"] = state["time"] + dt
+                out["time"] = time + dt
                 out["iteration"] = state["iteration"] + 1
                 if bt is not None:
                     out["barotropic"] = bt
@@ -605,29 +926,58 @@ class CubedSphereHydrostaticModel:
 
         def step(state, dt):
             st0 = {n: state[n] for n in prog}
+            time = state["time"]
             st = st0
             for frac in (1.0 / 3.0, 0.5, 1.0):   # Wicker-Skamarock RK3
-                sf = filled(st)
-                w = self._w_from_continuity(sf["u"], sf["v"])
-                G = self._tendencies(sf, w)
-                st = {n: st0[n] + frac * dt * G[n] for n in prog}
-                if self.free_surface == "implicit":
-                    # per-stage increment solve (eta's stage tendency is 0:
-                    # st["eta"] already equals st0["eta"])
-                    st = self._implicit_eta_step(st, frac * dt)
-                if self.closure is not None:
-                    st = self._implicit_step(st, frac * dt)
-            st = filled(st)
+                sdt = frac * dt
+                sf = self._filled(st, time)
+                w = self._w(sf)
+                G, auxs = self._tendencies(sf, w, time)
+                st = dict(st0)
+                for n in ("u", "v") + self.tracer_names:
+                    st[n] = st0[n] + sdt * G[n]
+                st = implicit_all(st, auxs, sdt)
+                if implicit:
+                    st = self._implicit_eta_step(st, sdt)
+                else:
+                    st["eta"] = self._explicit_eta(st0["eta"], st["u"],
+                                                   st["v"], sdt)
+                st = self._mask_prognostics(st)
+            st = self._filled(st, time)
             out = dict(st)
-            out["time"] = state["time"] + dt
+            out["time"] = time + dt
             out["iteration"] = state["iteration"] + 1
             return out
 
         return step
 
+    def _step_for(self, dt):
+        """Per-Δt compiled step: split-explicit FixedTimeStepSize substep
+        counts and the CATKE substep count M = ceil(Δt/Δτ) are static."""
+        from .free_surfaces import FixedTimeStepSize
+        fs = self.free_surface
+        dyn_se = (isinstance(fs, SplitExplicitFreeSurface)
+                  and isinstance(fs.substepping, FixedTimeStepSize))
+        M = (self.closure.substeps_for(dt)
+             if self._substepped_tke
+             and getattr(self.closure, "tke_time_step", None) is not None
+             else 1)
+        if not dyn_se and M == 1:
+            return self._step
+        se = fs.settings(float(dt)) if dyn_se else None
+        key = ((len(se[1]), se[0]) if se else None, M)
+        if not hasattr(self, "_se_step_cache"):
+            self._se_step_cache = {}
+        if key not in self._se_step_cache:
+            self._se_step_cache[key] = jax.jit(
+                self._build_step(se_settings=se, catke_substeps=M))
+        return self._se_step_cache[key]
+
     def time_step(self, dt):
-        self.state = self._step(self.state,
-                                jnp.asarray(dt, self.grid.dtype))
+        step = self._step_for(dt)
+        self.state = step(self.state, jnp.asarray(dt, self.grid.dtype))
+
+    # -- diagnostics ------------------------------------------------------------
 
     @property
     def time(self):
@@ -642,13 +992,20 @@ class CubedSphereHydrostaticModel:
     def iteration(self):
         return int(self.state["iteration"])
 
+    def diagnose_w(self):
+        """(6, NP, NP, ZP) grid-relative w from continuity."""
+        sf = self._filled({n: self.state[n]
+                           for n in ("u", "v", "eta") + self.tracer_names},
+                          self.state["time"])
+        return self._w(sf)
+
     def field(self, name):
-        """Writer/diagnostic accessor (see the shallow-water model).
-        2D fields (eta) keep their size-1 z axis un-sliced."""
+        """Writer/diagnostic accessor (fetch_output protocol). 2D fields
+        (eta) keep their size-1 z axis un-sliced; "w" is diagnosed."""
         from .cubed_sphere_shallow_water import _PanelFieldView
-        a = self.state[name]
         g0 = self.grid.panel_grids[0]
         H, N = self.grid.H[0], self.grid.N[0]
+        a = self.diagnose_w() if name == "w" else self.state[name]
         zsl = (slice(g0.H[2], g0.H[2] + g0.N[2])
                if a.shape[-1] == g0.padded_shape[2] else slice(None))
         return _PanelFieldView(a[:, H:H + N, H:H + N, zsl])
@@ -666,6 +1023,10 @@ class CubedSphereHydrostaticModel:
             Azp = np.asarray(grid.panel_grids[p].Az(LOC_CCC))[..., 0]
             cp = np.asarray(self.state[name][p])[H:H + N, H:H + N,
                                                  hz:hz + nz]
+            if self._immersed:
+                fm = np.asarray(self.panels[p]._fluid_int[LOC_CCC])[
+                    H:H + N, H:H + N]
+                cp = cp * fm
             col = (cp * dz).sum(axis=-1)
             tot += float((col * Azp[H:H + N, H:H + N]).sum())
         return tot

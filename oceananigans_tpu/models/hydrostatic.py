@@ -57,6 +57,33 @@ def _dzc_interior(grid):
 PROGNOSTIC_LOCS = {"u": LOC_FCC, "v": LOC_CFC}
 
 
+def immersed_column_geometry(grid, dtype):
+    """(H_fc, H_cf, fluid_int) on an ImmersedBoundaryGrid: per-column
+    FLUID depths at (f,c)/(c,f) — land columns clamped away from 0/0 — and
+    interior-z fluid masks at fcc/cfc/ccc (reference: column_depthᶠᶜᵃ on
+    immersed grids, src/Models/HydrostaticFreeSurfaceModels/, +
+    mask_immersed_field). Shared by the rectilinear/lat-lon model and the
+    cubed-sphere panels."""
+    import jax.numpy as _jnp
+    h, n = grid.H[2], grid.N[2]
+    Lz = grid.extent[2]
+    dz3 = np.broadcast_to(np.asarray(grid.dz(LOC_CCC), float),
+                          grid.padded_shape)
+
+    def coldepth(solid):
+        d = (dz3 * ~solid)[:, :, h:h + n].sum(2, keepdims=True)
+        return np.maximum(d, 1e-12 * abs(Lz))
+
+    H_fc = coldepth(grid.solid_fcc)
+    H_cf = coldepth(grid.solid_cfc)
+    sl = (slice(None), slice(None), slice(h, h + n))
+    fluid_int = {
+        LOC_FCC: _jnp.asarray((~grid.solid_fcc)[sl], dtype),
+        LOC_CFC: _jnp.asarray((~grid.solid_cfc)[sl], dtype),
+        LOC_CCC: _jnp.asarray((~grid.solid_ccc)[sl], dtype)}
+    return H_fc, H_cf, fluid_int
+
+
 def ZCoordinate():
     """Reference vertical-coordinate marker (ZCoordinate/ZStarCoordinate,
     hydrostatic_free_surface_model.jl vertical_coordinate=)."""
@@ -245,36 +272,43 @@ class HydrostaticFreeSurfaceModel:
         # mask_immersed_field in update_hydrostatic_free_surface_model_state)
         from ..immersed import ImmersedBoundaryGrid
         self._immersed = isinstance(self.grid, ImmersedBoundaryGrid)
-        if self._immersed and vertical_coordinate == "zstar":
-            raise NotImplementedError("zstar + immersed boundaries is "
-                                      "future work")
 
         # column depth (static z coordinate: H = depth of the water column;
         # reference column_depthᶠᶜᵃ — constant for ZCoordinate grids,
         # per-column fluid thickness on immersed grids)
         Lz = self.grid.extent[2]
         if self._immersed:
-            h, n = self.grid.H[2], self.grid.N[2]
-            dz3 = np.broadcast_to(
-                np.asarray(self.grid.dz(LOC_CCC), float),
-                self.grid.padded_shape)
-
-            def coldepth(solid):
-                d = (dz3 * ~solid)[:, :, h:h + n].sum(2, keepdims=True)
-                # land columns: clamp to avoid 0/0 in the barotropic
-                # corrector (their velocities are masked to 0 anyway)
-                return np.maximum(d, 1e-12 * Lz)
-
-            self._H_fc = coldepth(self.grid.solid_fcc)
-            self._H_cf = coldepth(self.grid.solid_cfc)
-            sl = (slice(None), slice(None), slice(h, h + n))
-            self._fluid_int = {
-                LOC_FCC: jnp.asarray((~self.grid.solid_fcc)[sl], dtype),
-                LOC_CFC: jnp.asarray((~self.grid.solid_cfc)[sl], dtype),
-                LOC_CCC: jnp.asarray((~self.grid.solid_ccc)[sl], dtype)}
+            # land columns clamped to avoid 0/0 in the barotropic corrector
+            # (their velocities are masked to 0 anyway)
+            self._H_fc, self._H_cf, self._fluid_int = \
+                immersed_column_geometry(self.grid, dtype)
         else:
             self._H_fc = Lz
             self._H_cf = Lz
+        if vertical_coordinate == "zstar":
+            # per-staggering σ needs per-staggering FLUID depths + wet-column
+            # masks (σ ≡ 1 on land; reference: column_depthᶜᶜᵃ/ᶠᶜᵃ/ᶜᶠᵃ in
+            # z_star_vertical_spacing.jl on immersed grids)
+            if self._immersed:
+                h, n = self.grid.H[2], self.grid.N[2]
+                dz3 = np.broadcast_to(
+                    np.asarray(self.grid.dz(LOC_CCC), float),
+                    self.grid.padded_shape)
+                H_cc = (dz3 * ~self.grid.solid_ccc)[:, :, h:h + n].sum(
+                    2, keepdims=True)
+                thresh = 1e-9 * abs(Lz)
+                self._zstar_geo = {
+                    LOC_CCC: (jnp.asarray(np.maximum(H_cc, thresh), dtype),
+                              jnp.asarray(H_cc > thresh)),
+                    LOC_FCC: (jnp.asarray(np.asarray(self._H_fc), dtype),
+                              jnp.asarray(np.asarray(self._H_fc)
+                                          > thresh)),
+                    LOC_CFC: (jnp.asarray(np.asarray(self._H_cf), dtype),
+                              jnp.asarray(np.asarray(self._H_cf)
+                                          > thresh))}
+            else:
+                self._zstar_geo = {loc: (abs(Lz), None)
+                                   for loc in (LOC_CCC, LOC_FCC, LOC_CFC)}
 
         # Pallas fused VI tendency megakernel (x-tiled full-y/z slabs,
         # kernels/fused_vector_invariant.py): VI momentum + Coriolis + ∂pHY′
@@ -613,7 +647,11 @@ class HydrostaticFreeSurfaceModel:
         sx, sy = grid.interior_slices[0], grid.interior_slices[1]
         d = div_h[sx, sy, h:h + n] * jnp.asarray(dzc, div_h.dtype)
         if dt_sigma is not None:
-            d = d + dt_sigma[sx, sy] * jnp.asarray(dzc, div_h.dtype)
+            gm = dt_sigma[sx, sy] * jnp.asarray(dzc, div_h.dtype)
+            if self._immersed:
+                # the grid only moves over FLUID cells (σ ≡ 1 in the solid)
+                gm = gm * self._fluid_int[LOC_CCC][sx, sy].astype(gm.dtype)
+            d = d + gm
         if not hasattr(self, "_cumsum_tri"):
             self._cumsum_tri = np.tril(np.ones((n, n), np.float64), 0).T
         w_faces = -self._cum_matmul(d, self._cumsum_tri)  # faces 1..n
@@ -685,15 +723,30 @@ class HydrostaticFreeSurfaceModel:
 
     # -- tendencies -----------------------------------------------------------
 
+    def _sigma_fields(self, eta):
+        """σ at (c,c)/(f,c)/(c,f) from each staggering's fluid depth; land
+        columns keep σ = 1 (reference: z_star_vertical_spacing.jl with
+        column_depth at each staggering on immersed grids)."""
+        from ..operators.operators import interp
+        from .zstar import sigma_from_eta
+        out = {}
+        for loc, (H, wet) in self._zstar_geo.items():
+            e = eta
+            if loc[0] == "f":
+                e = interp(self.grid, eta, 0, "f")
+            elif loc[1] == "f":
+                e = interp(self.grid, eta, 1, "f")
+            out[(loc[0], loc[1])] = sigma_from_eta(self.grid, e, H, wet)
+        return out
+
     def _moving_grid(self, fields):
         """The (possibly traced) grid used for metric-weighted physics:
         a σ-scaled proxy under the z* coordinate (reference:
         z_star_vertical_spacing.jl)."""
         if self.vertical_coordinate != "zstar":
             return self.grid
-        from .zstar import ZStarGrid, sigma_from_eta
-        sigma = sigma_from_eta(self.grid, fields["eta"], self._H_fc)
-        return ZStarGrid(self.grid, sigma)
+        from .zstar import ZStarGrid
+        return ZStarGrid(self.grid, self._sigma_fields(fields["eta"]))
 
     def _compute_tendencies(self, fields, w, time, dt_sigma=None):
         grid = self._moving_grid(fields)
@@ -715,8 +768,12 @@ class HydrostaticFreeSurfaceModel:
                         self.grid.padded_shape), u.dtype)
                     gm = jnp.asarray(self.grid.Az(LOC_CCC), u.dtype) * dzr \
                         * dt_sigma
+                    if self._immersed:
+                        # the grid only moves over FLUID cells
+                        gm = gm * self.grid.fluid_mask(LOC_CCC, u.dtype)
                 adv_u, adv_v = self.momentum_advection.momentum_tendencies(
-                    grid, u, v, w, grid_motion=gm)
+                    grid, u, v, w, grid_motion=gm,
+                    zeta=getattr(self, "_zeta_override", None))
             else:
                 adv_u = div_Uu(grid, self.momentum_advection, u, v, w)
                 adv_v = div_Uv(grid, self.momentum_advection, u, v, w)
@@ -1177,8 +1234,7 @@ class HydrostaticFreeSurfaceModel:
             new = dict(new)
             zstar = self.vertical_coordinate == "zstar"
             if zstar:
-                from .zstar import sigma_from_eta
-                sigma_n = sigma_from_eta(self.grid, fields["eta"], self._H_fc)
+                sigma_n = self._sigma_fields(fields["eta"])[("c", "c")]
 
             # implicit vertical diffusion
             if self.closure is not None:
@@ -1234,8 +1290,7 @@ class HydrostaticFreeSurfaceModel:
                 # conservative σ-weighted tracer update (reference:
                 # _ab2_step_tracer_field!, hydrostatic_free_surface_ab2_step
                 # .jl:116-130): c ← c* σⁿ/σⁿ⁺¹
-                from .zstar import sigma_from_eta
-                sigma_np1 = sigma_from_eta(self.grid, new["eta"], self._H_fc)
+                sigma_np1 = self._sigma_fields(new["eta"])[("c", "c")]
                 ratio = sigma_n / sigma_np1
                 for name in self.tracer_names:
                     new[name] = new[name] * ratio

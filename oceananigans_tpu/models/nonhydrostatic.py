@@ -939,7 +939,8 @@ def implicit_vertical_diffusion(grid, q, kappa, dtt, damping=None):
     fluxes (no-flux; Dirichlet/flux conditions enter explicitly via halo
     fills and apply_flux_bcs, as in the reference)."""
     from ..grids.topology import PERIODIC
-    if not grid.is_flat(2) and grid.topology[2] == PERIODIC:
+    topo = getattr(grid, "topology", None)
+    if topo is not None and topo[2] == PERIODIC and not grid.is_flat(2):
         raise ValueError("the vertically-implicit diffusion solve assumes "
                          "walls (no-flux rows at k=1, Nz); it cannot be "
                          "used on a z-periodic grid")

@@ -1,0 +1,189 @@
+"""Full-capability tests for the collapsed CubedSphereHydrostaticModel:
+the SAME physics code path as the rectilinear/lat-lon model (WENO-VI
+momentum, WENO tracers, CATKE, GM triads, GridFittedBottom, split-explicit)
+running on the composed 6-panel sphere — the reference's
+HydrostaticFreeSurfaceModel-on-MultiRegion-cubed-sphere capability set
+(src/MultiRegion/multi_region_models.jl:34-46)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oceananigans_tpu.advection import WENO
+from oceananigans_tpu.advection.vector_invariant import WENOVectorInvariant
+from oceananigans_tpu.boundary_conditions import (BoundaryCondition,
+                                                  FieldBoundaryConditions)
+from oceananigans_tpu.boundary_conditions.boundary_condition import FLUX
+from oceananigans_tpu.buoyancy import BuoyancyTracer
+from oceananigans_tpu.closures import (CATKEVerticalDiffusivity,
+                                       TriadIsopycnalSkewSymmetricDiffusivity)
+from oceananigans_tpu.grids.cubed_sphere import ConformalCubedSphereGrid
+from oceananigans_tpu.models import CubedSphereHydrostaticModel
+
+R = 6.371e6
+OMEGA = 7.292e-5
+G = 9.81
+
+
+def test_weno_vector_invariant_momentum_on_panels():
+    """WENO-VI momentum + WENO tracer advection keeps the TC2-like balanced
+    jet steady on the panels (full-order reconstruction through the panel
+    edges — FULLY_CONNECTED topology, no boundary cascade)."""
+    U, H0 = 20.0, 4000.0
+    grid = ConformalCubedSphereGrid((12, 12, 3), z=(-H0, 0.0), radius=R,
+                                    halo=4, dtype=jnp.float64)
+    m = CubedSphereHydrostaticModel(
+        grid, tracers=("c",), rotation_rate=OMEGA, buoyancy_tracer=None,
+        gravity=G, momentum_advection=WENOVectorInvariant(order=5),
+        tracer_advection=WENO(5))
+    m.set_geographic(u_east=lambda lam, phi: U * np.cos(phi),
+                     v_north=lambda lam, phi: 0.0 * lam)
+    m.set(eta=lambda lam, phi: -(R * OMEGA * U + 0.5 * U * U)
+          * np.sin(phi) ** 2 / G,
+          c=lambda lam, phi, z: np.exp(-((lam + np.pi / 2) ** 2 + phi ** 2)
+                                       / 0.18))
+    u0 = np.asarray(m.state["u"]).copy()
+    for _ in range(10):
+        m.time_step(600.0)
+    H, N = grid.H[0], grid.N[0]
+    g0 = grid.panel_grids[0]
+    hz, nz = g0.H[2], g0.N[2]
+    sl = (slice(None), slice(H, H + N), slice(H, H + N),
+          slice(hz, hz + nz))
+    drift = np.abs(np.asarray(m.state["u"]) - u0)[sl].max() / U
+    assert drift < 0.05, drift
+    assert np.isfinite(np.asarray(m.state["c"])).all()
+
+
+def test_catke_wind_mixing_on_panels():
+    """CATKE column physics on the sphere: a wind stress deepens the mixed
+    layer and produces TKE (same closure code as the rectilinear model,
+    surface TKE flux derived from the momentum BCs)."""
+    grid = ConformalCubedSphereGrid((8, 8, 16), z=(-80.0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    N2 = 1e-5
+    m = CubedSphereHydrostaticModel(
+        grid, tracers=("b",), rotation_rate=OMEGA,
+        closure=CATKEVerticalDiffusivity(buoyancy=BuoyancyTracer()),
+        boundary_conditions={
+            "u": FieldBoundaryConditions(top=BoundaryCondition(FLUX,
+                                                               -1e-4))},
+        timestepper="QuasiAdamsBashforth2")
+    m.set(b=lambda lam, phi, z: N2 * z)
+    for _ in range(24):
+        m.time_step(300.0)
+    e = np.asarray(m.field("e").interior)
+    b = np.asarray(m.field("b").interior)
+    assert np.isfinite(e).all() and np.isfinite(b).all()
+    assert e.max() > 1e-7, "wind stress should produce TKE"
+    # near-surface stratification is eroded relative to the initial N²
+    # (mixed layer): check the top-two-cell buoyancy difference on panel 0
+    g0 = grid.panel_grids[0]
+    dz = 80.0 / 16
+    db_top = (b[0, :, :, -1] - b[0, :, :, -2]) / dz
+    assert db_top.max() < 0.6 * N2, db_top.max()
+
+
+def test_grid_fitted_bottom_rest_state_on_panels():
+    """A stratified rest state over bathymetry stays exactly at rest
+    (pHY′ is x-independent for b = b(z); masked cells stay zero) —
+    GridFittedBottom on the panels (reference: immersed MultiRegion grids)."""
+    grid = ConformalCubedSphereGrid((8, 8, 8), z=(-1000.0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+
+    def seamount(lam, phi):
+        return -1000.0 + 700.0 * np.exp(-((lam - 0.2) ** 2 + phi ** 2)
+                                        / 0.05)
+
+    m = CubedSphereHydrostaticModel(grid, tracers=("b",),
+                                    rotation_rate=OMEGA,
+                                    bottom_height=seamount)
+    m.set(b=lambda lam, phi, z: 1e-5 * z)
+    # solid cells exist somewhere
+    assert any(np.asarray(p.grid.solid_ccc).any() for p in m.panels)
+    for _ in range(6):
+        m.time_step(600.0)
+    assert float(jnp.abs(m.state["u"]).max()) < 1e-12
+    assert float(jnp.abs(m.state["eta"]).max()) < 1e-9
+
+
+def test_gm_triads_isoneutral_identity_on_panels():
+    """GM/Redi triads on the panels: a tracer initialized EQUAL to buoyancy
+    feels zero isoneutral flux (the exact discrete isoneutrality identity),
+    so c - b stays zero to roundoff while both advect."""
+    grid = ConformalCubedSphereGrid((8, 8, 8), z=(-1000.0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    m = CubedSphereHydrostaticModel(
+        grid, tracers=("b", "c"), rotation_rate=OMEGA,
+        closure=TriadIsopycnalSkewSymmetricDiffusivity(
+            kappa_skew=1000.0, kappa_symmetric=1000.0,
+            buoyancy=BuoyancyTracer()),
+        timestepper="QuasiAdamsBashforth2")
+
+    def binit(lam, phi, z):
+        return 1e-5 * z + 2e-4 * np.exp(-(lam ** 2 + phi ** 2) / 0.1)
+
+    m.set(b=binit, c=binit)
+    for _ in range(5):
+        m.time_step(600.0)
+    b = np.asarray(m.state["b"])
+    c = np.asarray(m.state["c"])
+    scale = np.abs(b).max()
+    assert np.abs(c - b).max() < 1e-9 * scale, np.abs(c - b).max() / scale
+
+
+def test_global_ocean_flagship_configuration():
+    """The VERDICT round-2 'done' configuration: a global cubed-sphere
+    ocean with WENO-VI momentum + WENO tracers + CATKE + GM triads +
+    split-explicit free surface + bathymetry runs stably."""
+    grid = ConformalCubedSphereGrid((8, 8, 8), z=(-3000.0, 0.0), radius=R,
+                                    halo=4, dtype=jnp.float64)
+    from oceananigans_tpu.closures import ClosureTuple
+    closure = ClosureTuple(
+        CATKEVerticalDiffusivity(buoyancy=BuoyancyTracer()),
+        TriadIsopycnalSkewSymmetricDiffusivity(
+            kappa_skew=1000.0, kappa_symmetric=1000.0,
+            buoyancy=BuoyancyTracer()))
+    m = CubedSphereHydrostaticModel(
+        grid, tracers=("b",), rotation_rate=OMEGA,
+        momentum_advection=WENOVectorInvariant(order=5),
+        tracer_advection=WENO(5),
+        closure=closure,
+        bottom_height=lambda lam, phi: -3000.0 + 1500.0
+        * np.exp(-((lam - 1.0) ** 2 + (phi - 0.4) ** 2) / 0.3),
+        free_surface="split_explicit", substeps=12,
+        boundary_conditions={
+            "u": FieldBoundaryConditions(top=BoundaryCondition(FLUX,
+                                                               -5e-5)),
+            "b": FieldBoundaryConditions(top=BoundaryCondition(FLUX,
+                                                               2e-9))})
+    m.set(b=lambda lam, phi, z: 2e-5 * z
+          + 1e-4 * np.exp(-(lam ** 2 + (phi - 0.5) ** 2) / 0.2))
+    for _ in range(8):
+        m.time_step(600.0)
+    for name in ("u", "v", "b", "e", "eta"):
+        a = np.asarray(m.state[name])
+        assert np.isfinite(a).all(), name
+    assert float(jnp.abs(m.state["u"]).max()) < 5.0
+    assert np.asarray(m.field("e").interior).max() > 0.0
+
+
+def test_explicit_vs_implicit_free_surface_with_bathymetry():
+    """The implicit (CG, per-column depth) free surface matches the explicit
+    one on a short gravity-wave adjustment over bathymetry."""
+    etas = {}
+    for fs in ("explicit", "implicit"):
+        grid = ConformalCubedSphereGrid((8, 8, 4), z=(-1000.0, 0.0),
+                                        radius=R, dtype=jnp.float64)
+        m = CubedSphereHydrostaticModel(
+            grid, tracers=(), buoyancy_tracer=None, rotation_rate=0.0,
+            free_surface=fs,
+            bottom_height=lambda lam, phi: -1000.0 + 400.0
+            * np.exp(-(lam ** 2 + phi ** 2) / 0.1))
+        m.set(eta=lambda lam, phi: 0.1 * np.exp(-((lam - 0.5) ** 2
+                                                  + phi ** 2) / 0.08))
+        for _ in range(10):
+            m.time_step(120.0)
+        etas[fs] = np.asarray(m.field("eta").interior)
+    diff = np.abs(etas["explicit"] - etas["implicit"]).max()
+    assert diff < 0.02 * np.abs(etas["explicit"]).max(), diff

@@ -50,10 +50,20 @@ def test_geostrophic_balance_and_tracer_conservation():
     for _ in range(18):
         m.time_step(1200.0)
     H, N = grid.H[0], grid.N[0]
-    sl = (slice(None), slice(H, H + N), slice(H, H + N))
+    g0 = grid.panel_grids[0]
+    hz, nz = g0.H[2], g0.N[2]
+    # interior drift only: stored-state z halos are now BC-filled (the main
+    # model's "halos valid" invariant), so u0's zero z-halos don't compare
+    sl = (slice(None), slice(H, H + N), slice(H, H + N),
+          slice(hz, hz + nz))
     drift = np.abs(np.asarray(m.state["u"]) - u0)[sl].max() / U
     assert drift < 0.03, drift
-    assert abs(m.total_tracer("c") - c0) < 1e-10 * abs(c0)
+    # the shared-path w now reaches the SURFACE face (wᴺᶻ⁺¹ = -∇·U/H, the
+    # reference's compute_w_from_continuity.jl convention), so on a static-z
+    # grid with a free surface tracer conservation is approximate — the cell
+    # volumes don't track η (exact conservation needs ZStar, as in the
+    # reference). Horizontal shared-face fluxes remain bitwise consistent.
+    assert abs(m.total_tracer("c") - c0) < 5e-4 * abs(c0)
     assert np.isfinite(np.asarray(m.state["v"])).all()
 
 
@@ -68,18 +78,16 @@ def test_internal_gravity_wave_adjustment_finite():
     m.set(b=lambda lam, phi, z: 2e-5 * z + 1e-4
           * np.exp(-((lam - np.pi / 4) ** 2 + phi ** 2) / 0.05)
           * np.exp(-((z + 250) / 150) ** 2))
-    e0 = float(jnp.sum(m.state["b"] ** 2))
+    e0 = float(jnp.sum(np.asarray(m.field("b").interior) ** 2))
     for _ in range(8):
         m.time_step(600.0)
-    u = np.asarray(m.state["u"])
+    u = np.asarray(m.field("u").interior)
     assert np.isfinite(u).all() and np.abs(u).max() < 1.0
-    w = np.asarray(m._w_from_continuity(m.state["u"], m.state["v"]))
-    H, N = grid.H[0], grid.N[0]
-    g0 = grid.panel_grids[0]
-    wi = w[:, H:H + N, H:H + N, g0.H[2]:g0.H[2] + g0.N[2]]
+    wi = np.asarray(m.field("w").interior)
     assert np.isfinite(wi).all() and np.abs(wi).max() < 0.1
-    # buoyancy variance bounded (advection is non-amplifying)
-    assert float(jnp.sum(m.state["b"] ** 2)) < 1.5 * e0
+    # buoyancy variance bounded (advection is non-amplifying); interior
+    # sums only (stored-state halos are BC-filled copies now)
+    assert float(jnp.sum(np.asarray(m.field("b").interior) ** 2)) < 1.5 * e0
 
 
 def test_vertically_implicit_closure_column_decay():
@@ -162,9 +170,12 @@ def test_implicit_free_surface_matches_explicit_and_extends_dt():
         for _ in range(nst):
             m.time_step(dt)
         H, N = grid.H[0], grid.N[0]
-        sl = (slice(None), slice(H, H + N), slice(H, H + N))
+        g0 = grid.panel_grids[0]
+        hz, nz = g0.H[2], g0.N[2]
+        sl = (slice(None), slice(H, H + N), slice(H, H + N),
+              slice(hz, hz + nz))
         u1 = np.asarray(m.state["u"])
-        return np.abs(u1 - u0)[sl].max() / U, np.isfinite(u1).all()
+        return np.abs(u1 - u0)[sl].max() / U, np.isfinite(u1[sl]).all()
 
     d_exp, ok_exp = run("explicit", 2000.0, 20)
     d_imp, ok_imp = run("implicit", 2000.0, 20)
@@ -217,13 +228,17 @@ def test_review_regressions():
     assert m.field("eta").interior.shape == (6, 8, 8, 1)
     assert m.field("b").interior.shape == (6, 8, 8, nz)
 
-    with _pytest.raises(ValueError, match="vertically-implicit"):
-        CubedSphereHydrostaticModel(
-            grid, tracers=(), buoyancy_tracer=None,
-            closure=VerticalScalarDiffusivity(nu=1e-2))
+    # explicit closures are now SUPPORTED (the collapsed full-capability
+    # model shares the rectilinear tendency path; round 3)
+    m_exp = CubedSphereHydrostaticModel(
+        grid, tracers=(), buoyancy_tracer=None,
+        closure=VerticalScalarDiffusivity(nu=1e-2))
+    m_exp.time_step(100.0)
+    assert np.isfinite(np.asarray(m_exp.state["u"])).all()
 
     # seam check: a z-mode in u decays at the SAME rate on the duplicated
-    # shared-edge face slots as in panel interiors
+    # shared-edge face slots as in panel interiors (the per-panel implicit
+    # solve covers every column, including halo-slot shared faces)
     import jax.numpy as jnp
 
     m2 = CubedSphereHydrostaticModel(
@@ -236,11 +251,12 @@ def test_review_regressions():
     u = np.zeros(m2.state["u"].shape)
     u[..., hz:hz + nz] = prof
     st = dict(m2.state, u=jnp.asarray(u))
-    out = m2._implicit_step({k: st[k] for k in ("u", "v", "eta")}, 200.0)
+    st_p = {k: st[k][0] for k in ("u", "v", "eta")}
+    out = m2.panels[0].implicit_step(st_p, {}, 200.0)
     un = np.asarray(out["u"])
     H, N = grid.H[0], grid.N[0]
-    r_int = un[0, H + 3, H + 3, hz] / prof[0]
-    r_edge = un[0, H + N, H + 3, hz] / prof[0]   # owner-high-side face slot
+    r_int = un[H + 3, H + 3, hz] / prof[0]
+    r_edge = un[H + N, H + 3, hz] / prof[0]   # owner-high-side face slot
     assert abs(r_int - r_edge) < 1e-12, (r_int, r_edge)
     assert r_int < 0.9995
 
@@ -264,15 +280,20 @@ def test_quasi_ab2_timestepper_with_implicit_surface():
     for _ in range(25):
         m.time_step(2000.0)
     H, N = grid.H[0], grid.N[0]
-    sl = (slice(None), slice(H, H + N), slice(H, H + N))
+    g0 = grid.panel_grids[0]
+    hz, nz = g0.H[2], g0.N[2]
+    # interior drift only: stored-state z halos are now BC-filled (the main
+    # model's "halos valid" invariant), so u0's zero z-halos don't compare
+    sl = (slice(None), slice(H, H + N), slice(H, H + N),
+          slice(hz, hz + nz))
     drift = np.abs(np.asarray(m.state["u"]) - u0)[sl].max() / U
     assert drift < 0.04, drift
 
 
-def test_quasi_ab2_explicit_surface_is_ab2_stepped():
-    """Regression: under the explicit surface, eta must be AB2-stepped with
-    the momentum (forward-Euler eta coupled to AB2 momentum is
-    unconditionally unstable for gravity waves). Stable at AB2's gravity
+def test_quasi_ab2_explicit_surface_is_stable():
+    """Under the explicit surface eta steps FORWARD-BACKWARD (from the
+    updated depth-integrated transports — the main rectilinear model's
+    explicit structure, explicit_free_surface.jl): stable at AB2's gravity
     CFL; drift stays small on the balanced jet."""
     U, H0 = 20.0, 1000.0
     grid = ConformalCubedSphereGrid((12, 12, 2), z=(-H0, 0.0), radius=R,
@@ -285,14 +306,16 @@ def test_quasi_ab2_explicit_surface_is_ab2_stepped():
                      v_north=lambda lam, phi: 0.0 * lam)
     m.set(eta=lambda lam, phi: -(R * OMEGA * U + 0.5 * U * U)
           * np.sin(phi) ** 2 / G)
-    assert "eta" in m.state["Gm"]
     u0 = np.asarray(m.state["u"]).copy()
     for _ in range(60):
         m.time_step(800.0)
     H, N = grid.H[0], grid.N[0]
-    sl = (slice(None), slice(H, H + N), slice(H, H + N))
+    g0 = grid.panel_grids[0]
+    hz, nz = g0.H[2], g0.N[2]
+    sl = (slice(None), slice(H, H + N), slice(H, H + N),
+          slice(hz, hz + nz))
     u1 = np.asarray(m.state["u"])
-    assert np.isfinite(u1).all()
+    assert np.isfinite(u1[sl]).all()
     assert np.abs(u1 - u0)[sl].max() / U < 0.04
     # set() resets the AB2 restart state
     m.set(eta=lambda lam, phi: 0.0 * lam)
