@@ -103,18 +103,11 @@ def main():
         grid = LatitudeLongitudeGrid(size=(nh, nh // 2, nz),
                                      longitude=(0, 60), latitude=(15, 75),
                                      z=(-1800.0, 0.0), dtype=jnp.float32)
-        # the fused VI Pallas path is opt-in here: its one-time Mosaic
-        # compile through the remote-compile tunnel is long (~5 min per
-        # phase kernel); HYDRO_FUSED=1 enables it (cached afterwards)
-        # HYDRO_FUSED=packed selects the (y,z)-flattened slab layout (no
-        # 128-lane z padding — the shallow-Nz fast path)
-        _hf = os.environ.get("HYDRO_FUSED", "")
-        fused = {"1": True, "true": True, "packed": "packed"}.get(_hf, False)
         m = HydrostaticFreeSurfaceModel(
             grid=grid, momentum_advection=WENOVectorInvariant(),
             coriolis=HydrostaticSphericalCoriolis(),
             free_surface=SplitExplicitFreeSurface(substeps=30),
-            tracers=("T",), fused_tendencies=fused)
+            tracers=("T",))
         m.set(u=0.05 * rng.standard_normal((nh, nh // 2, nz))
               .astype(np.float32),
               T=lambda lam, phi, z: 12 + 8e-3 * z + 2e-2 * phi)
@@ -200,7 +193,13 @@ def main():
     # high-order cost profile
     tracer_row(Centered(2), "centered2",
                "matches the reference table's Centered(2) advection")
-    tracer_row(WENO(5), "weno5",
+    # WENO_SMOOTHNESS_DTYPE=bfloat16 probes the FT2-precedent lever from
+    # VERDICT r2 item 8 (per-tracer smoothness math in bf16)
+    _sd = {"bfloat16": jnp.bfloat16,
+           "float32": jnp.float32}.get(
+        os.environ.get("WENO_SMOOTHNESS_DTYPE", ""), jnp.float32)
+    _lbl = "weno5" if _sd == jnp.float32 else "weno5_bf16smooth"
+    tracer_row(WENO(5, smoothness_dtype=_sd), _lbl,
                "high-order advection for momentum and all tracers")
 
 

@@ -125,8 +125,8 @@ class HydrostaticFreeSurfaceModel:
                  free_surface=None, tracers=(), buoyancy=None, coriolis=None,
                  closure=None, forcing=None, boundary_conditions=None,
                  velocities=None, timestepper="QuasiAdamsBashforth2",
-                 vertical_coordinate="z", fused_tendencies="auto",
-                 reference_datetime=None):
+                 vertical_coordinate="z", reference_datetime=None,
+                 **legacy_kw):
         self.reference_datetime = reference_datetime
         if callable(vertical_coordinate):
             vertical_coordinate = vertical_coordinate()
@@ -310,54 +310,17 @@ class HydrostaticFreeSurfaceModel:
                 self._zstar_geo = {loc: (abs(Lz), None)
                                    for loc in (LOC_CCC, LOC_FCC, LOC_CFC)}
 
-        # Pallas fused VI tendency megakernel (x-tiled full-y/z slabs,
-        # kernels/fused_vector_invariant.py): VI momentum + Coriolis + ∂pHY′
-        # + tracer advection in one kernel; closures/forcing/flux BCs are
-        # added on top in XLA
+        # The Pallas fused-VI tendency megakernel was DELETED in round 3
+        # (VERDICT r2 item 5 exit criterion): it measured slower than the
+        # XLA path at every probed configuration (54.6 ms fused vs ~33 ms
+        # XLA at 512x256x32; the packed (y,z)-flattened variant 47 ms), and
+        # the layout probes recorded in PARITY.md "Known gaps" disproved
+        # its premise. ``fused_tendencies`` is accepted and ignored for
+        # backward compatibility.
+        legacy_kw.pop("fused_tendencies", None)
+        if legacy_kw:
+            raise TypeError(f"unknown kwargs: {sorted(legacy_kw)}")
         self._fused_vi = None
-        # "auto" resolves to the XLA path: at typical hydrostatic depths
-        # (Nz ≲ 64) the 128-lane minor-dim quantization dominates both
-        # paths equally and the per-phase slab overcompute makes the Pallas
-        # kernels a net loss (measured 54.6 ms fused vs ~35 ms XLA at
-        # 512x256x32 on v5e); pass fused_tendencies=True to opt in. The
-        # winning design (minor-axis-transposed layout, x in lanes) is
-        # round-3 work — see PARITY.md.
-        if fused_tendencies == "auto":
-            import jax as _jax
-            fused_tendencies = _jax.default_backend() == "cpu" and False
-        if fused_tendencies in (True, "packed") \
-                and self.prescribed_velocities is None \
-                and vertical_coordinate == "z" and not self._immersed \
-                and not getattr(closure, "has_eddy_velocities", False) \
-                and isinstance(self.momentum_advection, VectorInvariant):
-            from ..kernels.fused_vector_invariant import (
-                build_fused_hydrostatic_tendency,
-                build_fused_hydrostatic_tendency_packed,
-                eligible_hydrostatic, eligible_hydrostatic_packed)
-            if fused_tendencies == "packed":
-                # packed (y,z)-flattened slabs: no 128-lane z padding — the
-                # fast path at hydrostatic depths (Nz ≪ 128)
-                if eligible_hydrostatic_packed(
-                        self.grid, self.momentum_advection,
-                        self.tracer_advection, self.tracer_names):
-                    self._fused_vi = build_fused_hydrostatic_tendency_packed(
-                        self.grid, self.momentum_advection,
-                        self.tracer_advection, self.tracer_names,
-                        coriolis=self.coriolis,
-                        with_ph=(self.buoyancy is not None))
-                else:
-                    raise ValueError("grid/config not eligible for the "
-                                     "packed fused VI tendency kernel")
-            elif eligible_hydrostatic(self.grid, self.momentum_advection,
-                                      self.tracer_advection,
-                                      self.tracer_names):
-                self._fused_vi = build_fused_hydrostatic_tendency(
-                    self.grid, self.momentum_advection, self.tracer_advection,
-                    self.tracer_names, coriolis=self.coriolis,
-                    with_ph=(self.buoyancy is not None))
-            elif fused_tendencies is True:
-                raise ValueError("grid/config not eligible for the fused "
-                                 "VI tendency kernel")
 
         # implicit free-surface solver selection (reference:
         # implicit_free_surface.jl:35-110 — :Default picks FFT on
@@ -752,42 +715,36 @@ class HydrostaticFreeSurfaceModel:
         grid = self._moving_grid(fields)
         u, v = fields["u"], fields["v"]
         G = {}
-        Gc_fused = None
 
-        if self._fused_vi is not None and dt_sigma is None:
-            ph = self._hydrostatic_pressure(fields, time)
-            G["u"], G["v"], Gc_fused = self._fused_vi(
-                u, v, w, {n: fields[n] for n in self.tracer_names}, ph)
+        if isinstance(self.momentum_advection, VectorInvariant):
+            gm = None
+            if dt_sigma is not None:
+                # Az·Δr·∂t_σ at ccc (Δr = the static reference spacing)
+                dzr = jnp.asarray(np.broadcast_to(
+                    np.asarray(self.grid.dz(LOC_CCC)),
+                    self.grid.padded_shape), u.dtype)
+                gm = jnp.asarray(self.grid.Az(LOC_CCC), u.dtype) * dzr \
+                    * dt_sigma
+                if self._immersed:
+                    # the grid only moves over FLUID cells
+                    gm = gm * self.grid.fluid_mask(LOC_CCC, u.dtype)
+            adv_u, adv_v = self.momentum_advection.momentum_tendencies(
+                grid, u, v, w, grid_motion=gm,
+                zeta=getattr(self, "_zeta_override", None))
         else:
-            if isinstance(self.momentum_advection, VectorInvariant):
-                gm = None
-                if dt_sigma is not None:
-                    # Az·Δr·∂t_σ at ccc (Δr = the static reference spacing)
-                    dzr = jnp.asarray(np.broadcast_to(
-                        np.asarray(self.grid.dz(LOC_CCC)),
-                        self.grid.padded_shape), u.dtype)
-                    gm = jnp.asarray(self.grid.Az(LOC_CCC), u.dtype) * dzr \
-                        * dt_sigma
-                    if self._immersed:
-                        # the grid only moves over FLUID cells
-                        gm = gm * self.grid.fluid_mask(LOC_CCC, u.dtype)
-                adv_u, adv_v = self.momentum_advection.momentum_tendencies(
-                    grid, u, v, w, grid_motion=gm,
-                    zeta=getattr(self, "_zeta_override", None))
-            else:
-                adv_u = div_Uu(grid, self.momentum_advection, u, v, w)
-                adv_v = div_Uv(grid, self.momentum_advection, u, v, w)
-            G["u"] = -adv_u
-            G["v"] = -adv_v
+            adv_u = div_Uu(grid, self.momentum_advection, u, v, w)
+            adv_v = div_Uv(grid, self.momentum_advection, u, v, w)
+        G["u"] = -adv_u
+        G["v"] = -adv_v
 
-            if self.coriolis is not None:
-                G["u"] = G["u"] - self.coriolis.x_f_cross_U(grid, u, v, w)
-                G["v"] = G["v"] - self.coriolis.y_f_cross_U(grid, u, v, w)
+        if self.coriolis is not None:
+            G["u"] = G["u"] - self.coriolis.x_f_cross_U(grid, u, v, w)
+            G["v"] = G["v"] - self.coriolis.y_f_cross_U(grid, u, v, w)
 
-            ph = self._hydrostatic_pressure(fields, time)
-            if ph is not None:
-                G["u"] = G["u"] - ddx(grid, ph, LOC_FCC)
-                G["v"] = G["v"] - ddy(grid, ph, LOC_CFC)
+        ph = self._hydrostatic_pressure(fields, time)
+        if ph is not None:
+            G["u"] = G["u"] - ddx(grid, ph, LOC_FCC)
+            G["v"] = G["v"] - ddy(grid, ph, LOC_CFC)
 
         if isinstance(self.free_surface, ExplicitFreeSurface):
             g = self.free_surface.g
@@ -815,9 +772,8 @@ class HydrostaticFreeSurfaceModel:
             ut, vt, wt = u + ue, v + ve, w + we
 
         for name in self.tracer_names:
-            Gc = (Gc_fused[name] if Gc_fused is not None else
-                  -div_Uc(grid, self.tracer_advection, ut, vt, wt,
-                          fields[name]))
+            Gc = -div_Uc(grid, self.tracer_advection, ut, vt, wt,
+                         fields[name])
             if self.closure is not None:
                 cf = dict(fields)
                 cf["w"] = w

@@ -237,8 +237,7 @@ def test_sharded_hydrostatic_matches_serial():
         m = HydrostaticFreeSurfaceModel(
             grid=grid, momentum_advection=WENOVectorInvariant(order=5),
             coriolis=FPlane(1e-4), tracers=("T",),
-            free_surface=SplitExplicitFreeSurface(substeps=8),
-            fused_tendencies=False)
+            free_surface=SplitExplicitFreeSurface(substeps=8))
         rng = np.random.default_rng(3)
         m.set(u=0.1 * rng.standard_normal((16, 16, 4)),
               v=0.1 * rng.standard_normal((16, 16, 4)),
@@ -286,8 +285,7 @@ def test_sharded_latlon_hydrostatic_matches_serial():
         m = HydrostaticFreeSurfaceModel(
             grid=grid, momentum_advection=WENOVectorInvariant(order=5),
             coriolis=HydrostaticSphericalCoriolis(), tracers=("T",),
-            free_surface=SplitExplicitFreeSurface(substeps=8),
-            fused_tendencies=False)
+            free_surface=SplitExplicitFreeSurface(substeps=8))
         rng = np.random.default_rng(7)
         m.set(u=0.1 * rng.standard_normal((16, 16, 4)),
               v=0.1 * rng.standard_normal((16, 16, 4)),
@@ -400,3 +398,61 @@ def test_sharded_tripolar_hydrostatic_matches_serial():
         a = np.asarray(m_serial.state["fields"][name])
         b = np.asarray(m_shard.state["fields"][name])
         assert np.allclose(a, b, atol=1e-11), (name, np.abs(a - b).max())
+
+
+def test_sharded_cubed_sphere_full_capability_matches_serial():
+    """VERDICT r2 item 1 'done' criterion: the FULL-capability cubed-sphere
+    configuration (WENO-VI momentum + WENO tracers + CATKE + GM triads +
+    split-explicit + bathymetry) sharded over the panel axis matches the
+    serial run."""
+    need_devices(6)
+    from jax.sharding import NamedSharding
+    from oceananigans_tpu.advection import WENO
+    from oceananigans_tpu.advection.vector_invariant import (
+        WENOVectorInvariant)
+    from oceananigans_tpu.buoyancy import BuoyancyTracer
+    from oceananigans_tpu.closures import (CATKEVerticalDiffusivity,
+                                           ClosureTuple,
+                                           TriadIsopycnalSkewSymmetricDiffusivity)
+    from oceananigans_tpu.grids.cubed_sphere import ConformalCubedSphereGrid
+    from oceananigans_tpu.models import CubedSphereHydrostaticModel
+
+    mesh = Mesh(np.asarray(jax.devices()[:6]), ("panels",))
+    grid = ConformalCubedSphereGrid((8, 8, 6), z=(-2000.0, 0.0),
+                                    radius=6.371e6, halo=4,
+                                    dtype=jnp.float64)
+
+    def build():
+        m = CubedSphereHydrostaticModel(
+            grid, tracers=("b",), rotation_rate=7.292e-5,
+            momentum_advection=WENOVectorInvariant(order=5),
+            tracer_advection=WENO(5),
+            closure=ClosureTuple(
+                CATKEVerticalDiffusivity(buoyancy=BuoyancyTracer()),
+                TriadIsopycnalSkewSymmetricDiffusivity(
+                    kappa_skew=500.0, kappa_symmetric=500.0,
+                    buoyancy=BuoyancyTracer())),
+            bottom_height=lambda lam, phi: -2000.0 + 900.0
+            * np.exp(-((lam - 1.0) ** 2 + (phi - 0.4) ** 2) / 0.3),
+            free_surface="split_explicit", substeps=8)
+        m.set(b=lambda lam, phi, z: 2e-5 * z
+              + 1e-4 * np.exp(-(lam ** 2 + phi ** 2) / 0.2))
+        m.set_geographic(u_east=lambda lam, phi: 2.0 * np.cos(phi))
+        return m
+
+    m_serial = build()
+    m_shard = build()
+
+    def shard(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim == 4:
+            return jax.device_put(leaf, NamedSharding(mesh, P("panels")))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    m_shard.state = jax.tree.map(shard, m_shard.state)
+    for _ in range(2):
+        m_serial.time_step(300.0)
+        m_shard.time_step(300.0)
+    for name in ("u", "v", "b", "e", "eta"):
+        a = np.asarray(m_serial.state[name])
+        b = np.asarray(m_shard.state[name])
+        assert np.abs(a - b).max() < 1e-11, (name, np.abs(a - b).max())

@@ -459,3 +459,57 @@ def test_stratified_startup_couette(time_discretization):
     tol = 6e-3 if time_discretization == "explicit" else 2e-2
     assert err_u < tol, (time_discretization, err_u)
     assert err_b < 1e-6 * N2 * H, err_b
+
+
+def test_vortex_exits_open_boundary_without_reflection():
+    """Open-boundary validation breadth (reference: validation/
+    open_boundaries/ — structures must EXIT through an Open +
+    PerturbationAdvection boundary without reflecting): a Gaussian vortex
+    carried by a uniform flow leaves through the east boundary; the
+    interior enstrophy afterwards is a small fraction of the initial
+    (reflection would trap rotational energy)."""
+    from oceananigans_tpu import (FieldBoundaryConditions,
+                                  OpenBoundaryCondition, RectilinearGrid)
+    from oceananigans_tpu.advection import Centered
+    from oceananigans_tpu.boundary_conditions import PerturbationAdvection
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    U0, A, s = 0.5, 0.05, 0.3
+    nx, ny = 64, 32
+    grid = RectilinearGrid(size=(nx, ny), x=(0, 4.0), y=(-1.0, 1.0),
+                           topology=("bounded", "periodic", "flat"))
+    u_bcs = FieldBoundaryConditions(
+        west=OpenBoundaryCondition(U0),
+        east=OpenBoundaryCondition(U0, scheme=PerturbationAdvection(
+            inflow_timescale=0.1)))
+    model = NonhydrostaticModel(grid=grid, advection=Centered(2),
+                                boundary_conditions={"u": u_bcs})
+    x0, y0 = 1.0, 0.0
+
+    def psi(x, y):
+        return A * np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / s ** 2)
+
+    eps = 1e-5
+    model.set(u=lambda x, y, z: U0 - (psi(x, y + eps) - psi(x, y - eps))
+              / (2 * eps),
+              v=lambda x, y, z: (psi(x + eps, y) - psi(x - eps, y))
+              / (2 * eps))
+
+    def enstrophy(m):
+        # bounded x: u has nx+1 faces — trim to nx for the finite-difference
+        u = np.asarray(m.field("u").interior)[..., 0][:nx]
+        v = np.asarray(m.field("v").interior)[..., 0][:nx]
+        dx, dy = 4.0 / nx, 2.0 / ny
+        zeta = (np.gradient(v, dx, axis=0) - np.gradient(u, dy, axis=1))
+        return float((zeta ** 2).sum())
+
+    z0 = enstrophy(model)
+    dt = 0.008
+    # advect the vortex out: U0·t = 4.5 ≥ (Lx − x0) + a margin
+    for _ in range(1125):
+        model.time_step(dt)
+    z1 = enstrophy(model)
+    u = np.asarray(model.field("u").interior)
+    assert np.isfinite(u).all()
+    assert z1 < 0.06 * z0, z1 / z0
+    assert np.abs(u - U0).max() < 0.3 * A / s, np.abs(u - U0).max()
