@@ -466,7 +466,10 @@ class WENO(AdvectionScheme):
         for s in range(k):
             eps = jnp.asarray(WENO_EPSILON, betas[s].dtype)
             if fast_recip:
-                r = tau * pl_reciprocal(betas[s] + eps, approx=True)
+                # the Mosaic approx-reciprocal lowers for float32 only
+                den_r = (betas[s] + eps).astype(jnp.float32)
+                r = tau.astype(jnp.float32) * pl_reciprocal(den_r,
+                                                            approx=True)
             else:
                 r = tau / (betas[s] + eps)
             # metric-weighted smoothness operands (δ(A·u) ~ 1e5 on
