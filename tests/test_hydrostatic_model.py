@@ -643,3 +643,34 @@ def test_zstar_with_immersed_seamount():
     assert np.abs(eta).max() > 0.05
     # masked cells stay exactly zero
     assert np.abs(c1 * ~fluid).max() == 0.0
+
+
+def test_hydrostatic_lateral_open_boundaries():
+    """Lateral Open (inflow/PerturbationAdvection-outflow) boundaries on the
+    HYDROSTATIC model (reference: open BCs on
+    HydrostaticFreeSurfaceModel + perturbation_advection.jl): a uniform
+    through-flow passes unchanged and a tracer blob advects out."""
+    from oceananigans_tpu import (FieldBoundaryConditions,
+                                  OpenBoundaryCondition)
+    from oceananigans_tpu.boundary_conditions import PerturbationAdvection
+
+    U0 = 0.2
+    grid = RectilinearGrid(size=(32, 1, 8), x=(0, 4.0), y=(0, 1.0),
+                           z=(-1.0, 0.0),
+                           topology=("bounded", "periodic", "bounded"))
+    u_bcs = FieldBoundaryConditions(
+        west=OpenBoundaryCondition(U0),
+        east=OpenBoundaryCondition(U0, scheme=PerturbationAdvection(
+            inflow_timescale=0.1)))
+    m = HydrostaticFreeSurfaceModel(grid=grid, tracers=("c",),
+                                    free_surface=ExplicitFreeSurface(),
+                                    boundary_conditions={"u": u_bcs})
+    m.set(u=U0, c=lambda x, y, z: np.exp(-(x - 1.0) ** 2 / 0.05))
+    for _ in range(100):
+        m.time_step(0.005)
+    u = np.asarray(m.field("u").interior)
+    c = np.asarray(m.field("c").interior)
+    assert np.isfinite(u).all() and np.isfinite(c).all()
+    assert np.abs(u - U0).max() < 1e-10
+    peak = np.unravel_index(c.argmax(), c.shape)[0]
+    assert 6 <= peak <= 10     # advected by ~U0·t = 0.1 domain lengths
