@@ -358,3 +358,24 @@ def test_datetime_requires_reference():
     model = NonhydrostaticModel(grid=grid)
     with _pytest.raises(ValueError, match="reference_datetime"):
         Simulation(model, dt=1.0, stop_time=dtm.datetime(2020, 1, 2))
+
+
+def test_profiling_helpers(tmp_path):
+    """utils/profiling: wall-clock timing and jax.profiler trace capture
+    (SURVEY §5 tracing — the reference has only BenchmarkTools wall clocks)."""
+    import numpy as np
+
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.utils.profiling import profile_step, time_step
+
+    grid = RectilinearGrid(size=(16, 16), extent=(1.0, 1.0),
+                           topology=("periodic", "periodic", "flat"))
+    m = NonhydrostaticModel(grid=grid)
+    rng = np.random.default_rng(0)
+    m.set(u=0.1 * rng.standard_normal((16, 16)))
+    t = time_step(m, steps=3, warmup=1)
+    assert t > 0
+    d = profile_step(m, steps=2, logdir=str(tmp_path / "trace"))
+    import os
+    assert any(os.scandir(d))
