@@ -124,6 +124,38 @@ def main():
             "value": cells / el, "unit": "cell-updates/s",
             "step_ms": el * 1e3}), flush=True)
 
+    # -- cubed-sphere hydrostatic (the round-3 full-capability model) -------
+    if only == "cs":
+        from oceananigans_tpu.grids.cubed_sphere import (
+            ConformalCubedSphereGrid)
+        from oceananigans_tpu.models import CubedSphereHydrostaticModel
+
+        N, nz = (16, 8) if on_cpu else (64, 32)
+        csgrid = ConformalCubedSphereGrid((N, N, nz), z=(-3000.0, 0.0),
+                                          radius=6.371e6,
+                                          dtype=jnp.float32)
+        m = CubedSphereHydrostaticModel(
+            csgrid, tracers=("b",), rotation_rate=7.292e-5,
+            free_surface="split_explicit", substeps=20)
+        m.set(b=lambda lam, phi, z: 1e-5 * z
+              + 1e-4 * np.exp(-(lam ** 2 + phi ** 2) / 0.2))
+        m.set_geographic(u_east=lambda lam, phi: 5.0 * np.cos(phi))
+        dtc = jnp.asarray(600.0, jnp.float32)
+
+        def fetch_cs(state):
+            return float(jnp.sum(state["u"][0, 8, :8]))
+
+        step = m._step_for(600.0)
+        el = bench_steps(step, m.state, dtc, steps, fetch_cs)
+        cells = 6 * N * N * nz
+        print(json.dumps({
+            "metric": f"cubed_sphere_hydrostatic_6x{N}x{N}x{nz}"
+                      "_splitexplicit_f32_cell_updates_per_s",
+            "value": cells / el, "unit": "cell-updates/s",
+            "step_ms": el * 1e3,
+        }), flush=True)
+        return
+
     # -- LES closure cost (reference: benchmarks.md:600-663 — 128³ F64,
     # SmagorinskyLilly 23.97 ms / AMD 25.86 ms median on a V100) ------------
     if only in ("", "les"):

@@ -669,10 +669,15 @@ class CubedSphereHydrostaticModel:
         H_cf = self._H_cf
         GU, GV = sync_shared_velocity_faces(GU, GV, grid)
         GU, GV = fill_cubed_sphere_velocity_halos(GU, GV, grid)
-        eta_f = jnp.zeros_like(eta)
-        U_f = jnp.zeros_like(U)
-        V_f = jnp.zeros_like(V)
-        for w in weights:
+
+        # the substep body is identical for every substep (the weight enters
+        # only the filtered accumulation), so the loop runs as a lax.scan —
+        # at 6 panels × tens of substeps the unrolled graph made remote XLA
+        # compiles take tens of minutes (the rectilinear fs.substep unrolls
+        # for its ring-budget fill optimization; the CS exchange is a static
+        # gather with no such budget, so scan costs nothing)
+        def body(carry, w):
+            eta, U, V, eta_f, U_f, V_f = carry
             U, V = sync_shared_velocity_faces(U, V, grid)
             U, V = fill_cubed_sphere_velocity_halos(U, V, grid)
             eta = fill_cubed_sphere_halos(eta, grid)
@@ -694,9 +699,15 @@ class CubedSphereHydrostaticModel:
                 vn.append(V[p] + dtau * (-gy * hc
                                          * ddy(g, eta[p], LOC_CFC) + GV[p]))
             U, V = jnp.stack(un), jnp.stack(vn)
-            eta_f = eta_f + float(w) * eta
-            U_f = U_f + float(w) * U
-            V_f = V_f + float(w) * V
+            eta_f = eta_f + w * eta
+            U_f = U_f + w * U
+            V_f = V_f + w * V
+            return (eta, U, V, eta_f, U_f, V_f), None
+
+        carry0 = (eta, U, V, jnp.zeros_like(eta), jnp.zeros_like(U),
+                  jnp.zeros_like(V))
+        ws = jnp.asarray(np.asarray(weights), eta.dtype)
+        (eta, U, V, eta_f, U_f, V_f), _ = jax.lax.scan(body, carry0, ws)
         return eta_f, U_f, V_f
 
     def _barotropic_corrector(self, u, v, U_f, V_f):
