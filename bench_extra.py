@@ -61,7 +61,7 @@ def main():
         sw_rows = sw_rows[:1]
     elif only == "sw16384":
         sw_rows = sw_rows[1:]
-    elif only in ("tracers", "hydro", "les"):
+    elif only in ("tracers", "hydro", "les", "cs"):
         sw_rows = []
     for n, dtype, v100_cups in sw_rows:
         grid = RectilinearGrid(size=(n, n), extent=(1.0, 1.0),
