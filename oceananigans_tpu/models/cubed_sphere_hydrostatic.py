@@ -54,7 +54,7 @@ from ..boundary_conditions import regularize_field_boundary_conditions
 from ..boundary_conditions.fill_halos import fill_halo_axes
 from ..defaults import defaults
 from ..grids.cubed_sphere import (ConformalCubedSphereGrid,
-                                  fill_cubed_sphere_halos,
+                                  fast_exchange, fill_cubed_sphere_halos,
                                   fill_cubed_sphere_velocity_halos,
                                   sync_shared_velocity_faces)
 from ..grids.topology import LOC_CCC, LOC_CCF, LOC_CFC, LOC_FCC
@@ -469,6 +469,11 @@ class CubedSphereHydrostaticModel:
                 "V": jnp.zeros((6, NP, NP, 1), dtype)}
         self._geom = staggered_points_and_bases(grid)
         self._corner_info = _vertex_corner_info(grid)
+        # the exchange as single static gathers (bitwise == the per-panel
+        # reference path; collapses the ~48-op .at[].set chains that made
+        # 6-panel XLA graphs enormous — grids/cubed_sphere.py
+        # build_fast_exchange)
+        self._exc, self._exuv = fast_exchange(grid)
         self._step = jax.jit(self._build_step())
 
     # -- initialization -------------------------------------------------------
@@ -575,8 +580,7 @@ class CubedSphereHydrostaticModel:
                            for p in range(6)])
             v = jnp.stack([self.panels[p].grid.mask_immersed(v[p], LOC_CFC)
                            for p in range(6)])
-        u, v = sync_shared_velocity_faces(u, v, grid)
-        u, v = fill_cubed_sphere_velocity_halos(u, v, grid)
+        u, v = self._exuv(u, v)
         u = jnp.stack([fill_halo_axes(u[p], self.panels[p].grid, LOC_FCC,
                                       self.panels[p].bcs["u"], time,
                                       axes=(2,)) for p in range(6)])
@@ -584,14 +588,14 @@ class CubedSphereHydrostaticModel:
                                       self.panels[p].bcs["v"], time,
                                       axes=(2,)) for p in range(6)])
         out["u"], out["v"] = u, v
-        out["eta"] = fill_cubed_sphere_halos(st["eta"], grid)
+        out["eta"] = self._exc(st["eta"])
         for name in self.tracer_names:
             c = st[name]
             if self._immersed:
                 c = jnp.stack([self.panels[p].grid.mask_immersed(c[p],
                                                                  LOC_CCC)
                                for p in range(6)])
-            c = fill_cubed_sphere_halos(c, grid)
+            c = self._exc(c)
             c = jnp.stack([fill_halo_axes(c[p], self.panels[p].grid, LOC_CCC,
                                           self.panels[p].bcs[name], time,
                                           axes=(2,)) for p in range(6)])
@@ -667,8 +671,7 @@ class CubedSphereHydrostaticModel:
         dtau = frac * dt
         H_fc = self._H_fc if not np.isscalar(self._H_fc) else self._H_fc
         H_cf = self._H_cf
-        GU, GV = sync_shared_velocity_faces(GU, GV, grid)
-        GU, GV = fill_cubed_sphere_velocity_halos(GU, GV, grid)
+        GU, GV = self._exuv(GU, GV)
 
         # the substep body is identical for every substep (the weight enters
         # only the filtered accumulation), so the loop runs as a lax.scan —
@@ -678,9 +681,8 @@ class CubedSphereHydrostaticModel:
         # gather with no such budget, so scan costs nothing)
         def body(carry, w):
             eta, U, V, eta_f, U_f, V_f = carry
-            U, V = sync_shared_velocity_faces(U, V, grid)
-            U, V = fill_cubed_sphere_velocity_halos(U, V, grid)
-            eta = fill_cubed_sphere_halos(eta, grid)
+            U, V = self._exuv(U, V)
+            eta = self._exc(eta)
             divs = []
             for p in range(6):
                 g = grid.panel_grids[p]
@@ -688,7 +690,7 @@ class CubedSphereHydrostaticModel:
                              + dy_c(g, g.dx(LOC_CFC)[..., :1] * V[p]))
                             / g.Az(LOC_CCC)[..., :1])
             eta = eta - dtau * jnp.stack(divs)
-            eta = fill_cubed_sphere_halos(eta, grid)
+            eta = self._exc(eta)
             un, vn = [], []
             for p in range(6):
                 g = grid.panel_grids[p]
@@ -770,7 +772,7 @@ class CubedSphereHydrostaticModel:
         rhs = jnp.where(mask, -sdt * div_transport(Ustar, Vstar), 0.0)
 
         def A(x):
-            xf = fill_cubed_sphere_halos(jnp.where(mask, x, 0.0), grid)
+            xf = self._exc(jnp.where(mask, x, 0.0))
             gx, gyy = [], []
             for p in range(6):
                 g = grid.panel_grids[p]
@@ -784,7 +786,7 @@ class CubedSphereHydrostaticModel:
         delta, _, _ = conjugate_gradient(A, rhs,
                                          reltol=self.implicit_solver_tol,
                                          maxiter=200)
-        deltaf = fill_cubed_sphere_halos(delta, grid)
+        deltaf = self._exc(delta)
         un, vn = [], []
         for p in range(6):
             g = grid.panel_grids[p]

@@ -135,3 +135,32 @@ def test_conformal_mesh_panel_edges_match():
         # panels are exact rotations of one face; agreement is limited only
         # by the collocation-fit residual (~1e-10)
         assert np.abs(ep - eq).max() < 1e-9, (p, s, q, t)
+
+
+def test_fast_exchange_bitwise_matches_reference_path():
+    """build_fast_exchange derives the whole 2-pass exchange (+ shared-face
+    sync for the velocity pair) as single static signed gathers by probing
+    the per-panel reference implementation — must be BITWISE identical."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oceananigans_tpu.grids.cubed_sphere import (
+        ConformalCubedSphereGrid, build_fast_exchange,
+        fill_cubed_sphere_halos, fill_cubed_sphere_velocity_halos,
+        sync_shared_velocity_faces)
+
+    grid = ConformalCubedSphereGrid((8, 8, 4), z=(-100.0, 0.0), radius=1.0,
+                                    dtype=jnp.float64)
+    exc, exuv = build_fast_exchange(grid)
+    rng = np.random.default_rng(0)
+    NP = 8 + 2 * grid.H[0]
+    a = jnp.asarray(rng.standard_normal((6, NP, NP, 5)))
+    assert (np.asarray(fill_cubed_sphere_halos(a, grid))
+            == np.asarray(exc(a))).all()
+    u = jnp.asarray(rng.standard_normal((6, NP, NP, 5)))
+    v = jnp.asarray(rng.standard_normal((6, NP, NP, 5)))
+    ru, rv = sync_shared_velocity_faces(u, v, grid)
+    ru, rv = fill_cubed_sphere_velocity_halos(ru, rv, grid)
+    fu, fv = exuv(u, v)
+    assert (np.asarray(ru) == np.asarray(fu)).all()
+    assert (np.asarray(rv) == np.asarray(fv)).all()
