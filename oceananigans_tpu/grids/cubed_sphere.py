@@ -668,10 +668,34 @@ def build_fast_exchange(csgrid):
 
 
 def fast_exchange(csgrid):
-    """Cached (exchange_c, exchange_uv) for ``csgrid`` (see
-    build_fast_exchange)."""
-    cached = getattr(csgrid, "_fast_exchange", None)
-    if cached is None:
+    """Cached (exchange_c, exchange_uv) for ``csgrid``.
+
+    Backend-gated (measured, v5e vs CPU): the single-gather maps
+    (build_fast_exchange) shrink the XLA graph enormously — CS test wall
+    time 900 → 221 s on CPU and remote compiles from tens of minutes to
+    ~1 min — but on TPU the irregular row-gather LOWERS SLOWER than the
+    per-panel slice-copy chain at runtime (21.8 vs 11.4 ms/step at
+    6×64×64×32), so TPU keeps the reference slice path (compile cost is
+    one-time, persistently cached). Override with CS_FAST_EXCHANGE=1/0."""
+    cached = getattr(csgrid, "_fast_exchange_sel", None)
+    if cached is not None:
+        return cached
+    import os
+
+    import jax
+    env = os.environ.get("CS_FAST_EXCHANGE")
+    use_fast = (env == "1" if env in ("0", "1")
+                else jax.default_backend() == "cpu")
+    if use_fast:
         cached = build_fast_exchange(csgrid)
-        csgrid._fast_exchange = cached
+    else:
+        def exchange_c(a):
+            return fill_cubed_sphere_halos(a, csgrid)
+
+        def exchange_uv(u, v):
+            u, v = sync_shared_velocity_faces(u, v, csgrid)
+            return fill_cubed_sphere_velocity_halos(u, v, csgrid)
+
+        cached = (exchange_c, exchange_uv)
+    csgrid._fast_exchange_sel = cached
     return cached
