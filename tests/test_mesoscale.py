@@ -170,3 +170,64 @@ def test_baroclinic_channel_full_stack_stable():
     assert front_strength(m) < f0
     e = np.asarray(m.field("e").interior)
     assert np.isfinite(e).all() and e.max() > 0
+
+
+def test_baroclinic_instability_grows_at_resolved_deformation_radius():
+    """True eddy growth (the quantitative half the coarse channel above
+    cannot do): at 10 km spacing with Ld = NH/(πf) ≈ 30 km the deformation
+    radius IS resolved, so a thermal-wind-balanced front (Ri ≈ 7) must be
+    baroclinically unstable — EKE grows by more than an order of magnitude
+    from the noise seed and saturates bounded (reference:
+    validation/mesoscale_turbulence + the baroclinic adjustment example).
+    Ri = N²/U_z² ≈ 2.9 (strongly unstable); time scales: N·dt = 0.47,
+    f·dt = 0.02, advective CFL ≈ 0.11, barotropic subcycle CFL 0.5."""
+    from oceananigans_tpu.coriolis import FPlane
+
+    Lx, Ly, H = 4.8e5, 2.4e5, 4000.0
+    nx, ny, nz = 48, 24, 8
+    f0, N2 = 1e-4, 5.6e-6
+    db, Lf = 1.4e-2, 5e4
+    grid = RectilinearGrid(size=(nx, ny, nz), x=(0, Lx), y=(0, Ly),
+                           z=(-H, 0.0),
+                           topology=("periodic", "bounded", "bounded"))
+    m = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("b",), buoyancy=BuoyancyTracer(),
+        momentum_advection=WENOVectorInvariant(order=5),
+        tracer_advection=WENO(5), coriolis=FPlane(f0),
+        free_surface=SplitExplicitFreeSurface(substeps=16))
+    rng = np.random.default_rng(3)
+    Uz = 0.5 * db / Lf / f0          # thermal-wind shear at the front center
+
+    def bfront(x, y, z):
+        return N2 * z + 0.5 * db * np.tanh((y - Ly / 2) / Lf)
+
+    def uthermal(x, y, z):
+        dyb = 0.5 * db / Lf / np.cosh((y - Ly / 2) / Lf) ** 2
+        return -(dyb / f0) * (z + H)
+
+    def eta_balanced(x, y, z):
+        # barotropic geostrophy: g ∂y η = -f ū, ū = depth mean of uthermal
+        return (f0 / 9.81) * (Uz * H / 2) * Lf * np.tanh((y - Ly / 2) / Lf)
+
+    m.set(b=bfront, eta=eta_balanced,
+          u=lambda x, y, z: uthermal(x, y, z)
+          + 1e-3 * np.sin(8 * np.pi * x / Lx) * np.cos(np.pi * z / H),
+          v=1e-3 * rng.standard_normal((nx, ny, nz)))
+
+    def eke(mm):
+        u = np.asarray(mm.field("u").interior)
+        v = np.asarray(mm.field("v").interior)[:, :ny]
+        up = u - u.mean(axis=0, keepdims=True)
+        vp = v - v.mean(axis=0, keepdims=True)
+        return float((up ** 2).mean() + (vp ** 2).mean())
+
+    e0 = eke(m)
+    dt = 200.0
+    ekes = []
+    for _ in range(20):
+        for _ in range(216):
+            m.time_step(dt)        # 20 × 12 h = 10 days
+        ekes.append(eke(m))
+    assert np.isfinite(ekes).all(), ekes
+    assert max(ekes) > 10 * e0, (e0, ekes)   # instability grew
+    assert ekes[-1] < 10.0, ekes[-1]         # saturated bounded
