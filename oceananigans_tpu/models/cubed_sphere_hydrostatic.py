@@ -28,10 +28,16 @@ Cubed-sphere-specific pieces kept out of the shared path:
 * the valence-3 cube-vertex vorticity (dual-triangle circulation,
   cubed_sphere_shallow_water._vertex_zeta) injected into the shared
   VectorInvariant via its ``zeta=`` override;
-* GridFittedBottom bathymetry: per-panel ImmersedBoundaryGrids built from
-  the bottom height evaluated on the exchanged (exact-halo) panel nodes,
-  with fluid-column depths feeding the barotropic mode
-  (reference: column_depthᶠᶜᵃ on immersed MultiRegion grids);
+* GridFittedBottom / PartialCellBottom bathymetry: per-panel
+  ImmersedBoundaryGrids built from the bottom height evaluated on the
+  exchanged (exact-halo) panel nodes, with fluid-column depths feeding the
+  barotropic mode (reference: column_depthᶠᶜᵃ on immersed MultiRegion
+  grids);
+* the z* moving vertical coordinate (vertical_coordinate="zstar"):
+  per-panel, per-staggering σ = (H + η)/H with fluid-column depths, the
+  lagged Az·Δr·∂t_σ grid-motion terms, and the conservative σ-weighted
+  tracer update — the same machinery as the lat-lon model
+  (z_star_vertical_spacing.jl), run per panel;
 * free surfaces on the composed sphere: explicit (forward-backward),
   backward-Euler implicit by matrix-free CG with the panel exchange inside
   the operator (pcg_implicit_free_surface_solver.jl), and split-explicit
@@ -68,6 +74,18 @@ from .free_surfaces import (ExplicitFreeSurface, ImplicitFreeSurface,
 from .hydrostatic import (HydrostaticFreeSurfaceModel, PROGNOSTIC_LOCS,
                           immersed_column_geometry)
 from .nonhydrostatic import implicit_vertical_diffusion, _vertical_spacings
+
+
+def _dzc_all_columns(grid):
+    """Interior Δz at centers over EVERY column: (n,) for 1D spacings, or
+    the full padded (NPX, NPY, n) block when the grid carries
+    horizontally-varying effective Δz (PartialCellBottom, immersed.py)."""
+    h, n = grid.H[2], grid.N[2]
+    dz = np.asarray(grid.dz(("c", "c", "c")), np.float64)
+    if dz.ndim == 3 and (dz.shape[0] > 1 or dz.shape[1] > 1):
+        return np.ascontiguousarray(
+            np.broadcast_to(dz, grid.padded_shape)[:, :, h:h + n])
+    return _vertical_spacings(grid)[0]
 
 
 class _AllColumnsProxy:
@@ -142,13 +160,14 @@ class _PanelPhysics:
     _mask_kz = HydrostaticFreeSurfaceModel._mask_kz
     _install_tke_surface_flux = \
         HydrostaticFreeSurfaceModel._install_tke_surface_flux
+    _sigma_fields = HydrostaticFreeSurfaceModel._sigma_fields
     loc = HydrostaticFreeSurfaceModel.loc
 
     def __init__(self, parent, grid, bcs):
         self.parent = parent
         self.grid = grid                      # panel OSSG or ImmersedBoundaryGrid
         self.bcs = bcs
-        self.vertical_coordinate = "z"
+        self.vertical_coordinate = parent.vertical_coordinate
         self._fused_vi = None
         self._zeta_override = None            # set per tendency call
         self.momentum_advection = parent.momentum_advection
@@ -169,19 +188,30 @@ class _PanelPhysics:
                 immersed_column_geometry(grid, dtype)
         else:
             self._H_fc = self._H_cf = abs(grid.extent[2])
+        if self.vertical_coordinate == "zstar":
+            from .hydrostatic import zstar_column_geometry
+            self._zstar_geo = zstar_column_geometry(
+                grid, dtype, self._H_fc, self._H_cf, self._immersed)
         self._proxy = _AllColumnsProxy(grid)
 
     # -- all-column diagnostics ------------------------------------------------
 
-    def _w_from_continuity(self, u, v):
+    def _w_from_continuity(self, u, v, dt_sigma=None):
         """w at (c,c,f) by the upward continuity integral over EVERY column
         (compute_w_from_continuity.jl); valid in all but the outermost halo
-        ring because u, v are exchange-valid there."""
+        ring because u, v are exchange-valid there. On a moving z* grid the
+        grid-motion term -Δr·∂t_σ accumulates per layer (reference:
+        Az_Δr_∂t_σ, z_star_vertical_spacing.jl)."""
         grid = self.grid
         h, n = grid.H[2], grid.N[2]
-        dzc = _vertical_spacings(grid)[0]
+        dzc = _dzc_all_columns(grid)
         div_h = div_xy_ccc(grid, u, v)
         d = div_h[:, :, h:h + n] * jnp.asarray(dzc, div_h.dtype)
+        if dt_sigma is not None:
+            gm = dt_sigma * jnp.asarray(dzc, div_h.dtype)
+            if self._immersed:
+                gm = gm * self._fluid_int[LOC_CCC].astype(gm.dtype)
+            d = d + gm
         w_faces = -self._cum_matmul(d, self.parent._cumsum_tri)
         w = jnp.zeros(grid.padded_shape, u.dtype)
         return w.at[:, :, h + 1:h + n + 1].set(w_faces)
@@ -194,7 +224,7 @@ class _PanelPhysics:
             return None
         b = self.buoyancy.buoyancy_ccc(grid, fields)
         h, n = grid.H[2], grid.N[2]
-        dzc = _vertical_spacings(grid)[0]
+        dzc = _dzc_all_columns(grid)
         bdz = b[:, :, h:h + n] * jnp.asarray(dzc, b.dtype)
         p_int = -self._cum_matmul(bdz, self.parent._ph_tri)
         p = jnp.zeros(grid.padded_shape, b.dtype)
@@ -253,8 +283,11 @@ class CubedSphereHydrostaticModel:
     grids); ``buoyancy`` (default: BuoyancyTracer semantics on
     ``buoyancy_tracer``); ``boundary_conditions`` — top/bottom Flux BCs
     (wind stress, buoyancy fluxes; callables get the panel's true (λ°, φ°)
-    nodes); ``bottom_height`` — GridFittedBottom bathymetry, a callable of
-    (λ_rad, φ_rad) or per-panel array; ``forcing`` — discrete forcings.
+    nodes); ``bottom_height`` — bathymetry as a callable of (λ_rad, φ_rad)
+    or per-panel array (wrapped as GridFittedBottom), or an explicit
+    GridFittedBottom/PartialCellBottom instance; ``vertical_coordinate`` —
+    "z" (static) or "zstar" (free-surface-following, AB2 only);
+    ``forcing`` — discrete forcings.
 
     ``rotation_rate``: builds a HydrostaticSphericalCoriolis (exact f at the
     panel ffc nodes) unless ``coriolis`` is given."""
@@ -266,10 +299,20 @@ class CubedSphereHydrostaticModel:
                  boundary_conditions=None, bottom_height=None,
                  free_surface="explicit", implicit_solver_tol=1e-8,
                  substeps=30, timestepper="WickerSkamarockRK3",
-                 reference_datetime=None):
+                 vertical_coordinate="z", reference_datetime=None):
         if grid.panel_grids[0].is_flat(2):
             raise ValueError("CubedSphereHydrostaticModel needs a grid "
                              "built with z=(bottom, top)")
+        if vertical_coordinate not in ("z", "zstar"):
+            raise ValueError("vertical_coordinate must be 'z' or 'zstar'")
+        if vertical_coordinate == "zstar" \
+                and timestepper != "QuasiAdamsBashforth2":
+            # the σ-weighted conservative tracer update is tied to the AB2
+            # substructure (hydrostatic_free_surface_ab2_step.jl:116-130);
+            # the reference's z* validation cases all run AB2
+            raise ValueError("vertical_coordinate='zstar' requires "
+                             "timestepper='QuasiAdamsBashforth2'")
+        self.vertical_coordinate = vertical_coordinate
         self.reference_datetime = reference_datetime
         self.grid = grid
         self.gravity = float(gravity if gravity is not None
@@ -363,7 +406,23 @@ class CubedSphereHydrostaticModel:
         self._immersed = bottom_height is not None
         panel_grids = list(grid.panel_grids)
         if self._immersed:
-            from ..immersed import GridFittedBottom, ImmersedBoundaryGrid
+            from ..immersed import (GridFittedBottom, ImmersedBoundaryGrid,
+                                    PartialCellBottom)
+            # bottom_height may be a bare height (callable of geographic
+            # (lon_rad, lat_rad) or a (6, N, N) array) — wrapped as
+            # GridFittedBottom — or an explicit GridFittedBottom /
+            # PartialCellBottom instance whose own bottom_height is
+            # interpreted the same way (reference: both immersed-boundary
+            # types run under the MultiRegion cubed-sphere model,
+            # multi_region_models.jl)
+            ib_cls, ib_kw = GridFittedBottom, {}
+            if isinstance(bottom_height, PartialCellBottom):
+                ib_cls = PartialCellBottom
+                ib_kw = {"minimum_fractional_cell_height":
+                         bottom_height.epsilon}
+                bottom_height = bottom_height.bottom_height
+            elif isinstance(bottom_height, GridFittedBottom):
+                bottom_height = bottom_height.bottom_height
             wrapped = []
             for p in range(6):
                 g = grid.panel_grids[p]
@@ -384,7 +443,7 @@ class CubedSphereHydrostaticModel:
                     else:
                         raise ValueError("bottom_height array must be "
                                          "(6, N, N) or (6, NP, NP)")
-                wrapped.append(ImmersedBoundaryGrid(g, GridFittedBottom(zb)))
+                wrapped.append(ImmersedBoundaryGrid(g, ib_cls(zb, **ib_kw)))
             panel_grids = wrapped
 
         # -- boundary conditions (per panel — conditions evaluate on the
@@ -467,6 +526,9 @@ class CubedSphereHydrostaticModel:
             self.state["barotropic"] = {
                 "U": jnp.zeros((6, NP, NP, 1), dtype),
                 "V": jnp.zeros((6, NP, NP, 1), dtype)}
+        if vertical_coordinate == "zstar":
+            # lagged grid-motion rate ∂t_σ at cell centers, per panel
+            self.state["dt_sigma"] = jnp.zeros((6, NP, NP, 1), dtype)
         self._geom = staggered_points_and_bases(grid)
         self._corner_info = _vertex_corner_info(grid)
         # the exchange as single static gathers (bitwise == the per-panel
@@ -508,6 +570,8 @@ class CubedSphereHydrostaticModel:
             # replacing prognostics abandons the trajectory: restart AB2
             st["Gm"] = {n: jnp.zeros_like(v) for n, v in st["Gm"].items()}
             st["iteration"] = jnp.zeros((), jnp.int32)
+        if "dt_sigma" in st:
+            st["dt_sigma"] = jnp.zeros_like(st["dt_sigma"])
         if "barotropic" in st:
             # (re)initialize the persistent barotropic transports from
             # ∫u dz (initialize_split_explicit_substepping.jl:15-27)
@@ -617,7 +681,7 @@ class CubedSphereHydrostaticModel:
                                    jnp.ones_like(u), u, v)
         return zetas
 
-    def _tendencies(self, sf, w, time):
+    def _tendencies(self, sf, w, time, dt_sigma=None):
         """Per-panel shared-path tendencies. Returns (G stacked dict over
         u/v/tracers, aux list per panel)."""
         zetas = self._vertex_zetas(sf["u"], sf["v"])
@@ -629,17 +693,20 @@ class CubedSphereHydrostaticModel:
             fields_p = {n: sf[n][p] for n in names}
             fields_p["eta"] = sf["eta"][p]
             pp._zeta_override = zetas[p]
-            Gp, aux = pp._compute_tendencies(fields_p, w[p], time)
+            Gp, aux = pp._compute_tendencies(
+                fields_p, w[p], time,
+                dt_sigma=None if dt_sigma is None else dt_sigma[p])
             pp._zeta_override = None
             auxs.append(aux)
             for n in names:
                 G[n].append(Gp[n])
         return {n: jnp.stack(vs) for n, vs in G.items()}, auxs
 
-    def _w(self, sf):
-        return jnp.stack([self.panels[p]._w_from_continuity(sf["u"][p],
-                                                            sf["v"][p])
-                          for p in range(6)])
+    def _w(self, sf, dt_sigma=None):
+        return jnp.stack([self.panels[p]._w_from_continuity(
+            sf["u"][p], sf["v"][p],
+            dt_sigma=None if dt_sigma is None else dt_sigma[p])
+            for p in range(6)])
 
     # -- free surfaces ------------------------------------------------------------
 
@@ -887,9 +954,10 @@ class CubedSphereHydrostaticModel:
                 euler = state["iteration"] == 0
                 chi = jnp.where(euler, -0.5, chi0)
                 not_euler = jnp.where(euler, 0.0, 1.0)
+                dts = state.get("dt_sigma")       # lagged ∂t_σ (z* only)
                 sf = self._filled(st0, time)
-                w = self._w(sf)
-                G, auxs = self._tendencies(sf, w, time)
+                w = self._w(sf, dt_sigma=dts)
+                G, auxs = self._tendencies(sf, w, time, dt_sigma=dts)
                 stepped = ("u", "v") + self.tracer_names
                 ab2G = {n: (1.5 + chi) * G[n]
                         - (0.5 + chi) * Gm[n] * not_euler for n in stepped}
@@ -928,6 +996,22 @@ class CubedSphereHydrostaticModel:
                         G[nm] = Gm_t[nm]
                 st = self._mask_prognostics(st)
                 out = dict(self._filled(st, time))
+                if dts is not None:
+                    # conservative σ-weighted tracer update c ← c σⁿ/σⁿ⁺¹
+                    # (hydrostatic_free_surface_ab2_step.jl:116-130), applied
+                    # to the EXCHANGED fields so halo columns carry their
+                    # owning panel's ratio; ∂t_σ persists for the next
+                    # step's grid-motion terms
+                    sig_n = jnp.stack([
+                        self.panels[p]._sigma_fields(
+                            sf["eta"][p])[("c", "c")] for p in range(6)])
+                    sig_np1 = jnp.stack([
+                        self.panels[p]._sigma_fields(
+                            out["eta"][p])[("c", "c")] for p in range(6)])
+                    ratio = sig_n / sig_np1
+                    for nm in self.tracer_names:
+                        out[nm] = out[nm] * ratio
+                    out["dt_sigma"] = (sig_np1 - sig_n) / dt
                 out["Gm"] = {n: G[n] for n in stepped}
                 out["time"] = time + dt
                 out["iteration"] = state["iteration"] + 1
@@ -1010,7 +1094,7 @@ class CubedSphereHydrostaticModel:
         sf = self._filled({n: self.state[n]
                            for n in ("u", "v", "eta") + self.tracer_names},
                           self.state["time"])
-        return self._w(sf)
+        return self._w(sf, dt_sigma=self.state.get("dt_sigma"))
 
     def field(self, name):
         """Writer/diagnostic accessor (fetch_output protocol). 2D fields
@@ -1025,14 +1109,23 @@ class CubedSphereHydrostaticModel:
 
     def total_tracer(self, name):
         """Global volume integral of a tracer (exactly conserved by the
-        flux-form advection with exchanged shared-face values)."""
+        flux-form advection with exchanged shared-face values). Uses the
+        effective Δz on PartialCellBottom panels, and the σ-weighted cell
+        volumes under z* (the conserved quantity is ∑ c σ V)."""
         grid = self.grid
         H, N = grid.H[0], grid.N[0]
         g0 = grid.panel_grids[0]
         hz, nz = g0.H[2], g0.N[2]
-        dz = np.asarray(self._dz_c)
+        zstar = self.vertical_coordinate == "zstar"
         tot = 0.0
         for p in range(6):
+            gp = self.panels[p].grid
+            dz = np.asarray(gp.dz(LOC_CCC), np.float64)
+            if dz.ndim == 3 and (dz.shape[0] > 1 or dz.shape[1] > 1):
+                dzp = np.broadcast_to(dz, gp.padded_shape)[
+                    H:H + N, H:H + N, hz:hz + nz]
+            else:
+                dzp = np.asarray(self._dz_c)
             Azp = np.asarray(grid.panel_grids[p].Az(LOC_CCC))[..., 0]
             cp = np.asarray(self.state[name][p])[H:H + N, H:H + N,
                                                  hz:hz + nz]
@@ -1040,6 +1133,11 @@ class CubedSphereHydrostaticModel:
                 fm = np.asarray(self.panels[p]._fluid_int[LOC_CCC])[
                     H:H + N, H:H + N]
                 cp = cp * fm
-            col = (cp * dz).sum(axis=-1)
+            w = cp * dzp
+            if zstar:
+                sig = np.asarray(self.panels[p]._sigma_fields(
+                    self.state["eta"][p])[("c", "c")])[H:H + N, H:H + N]
+                w = w * sig
+            col = w.sum(axis=-1)
             tot += float((col * Azp[H:H + N, H:H + N]).sum())
         return tot

@@ -84,6 +84,30 @@ def immersed_column_geometry(grid, dtype):
     return H_fc, H_cf, fluid_int
 
 
+def zstar_column_geometry(grid, dtype, H_fc, H_cf, immersed):
+    """Per-staggering (fluid depth, wet-column mask) pairs for the z*
+    scale factors σ = (H + η)/H; σ ≡ 1 on land columns (reference:
+    column_depthᶜᶜᵃ/ᶠᶜᵃ/ᶜᶠᵃ in z_star_vertical_spacing.jl on immersed
+    grids). Shared by the rectilinear/lat-lon model and the cubed-sphere
+    panels."""
+    import jax.numpy as _jnp
+    Lz = grid.extent[2]
+    if not immersed:
+        return {loc: (abs(Lz), None) for loc in (LOC_CCC, LOC_FCC, LOC_CFC)}
+    h, n = grid.H[2], grid.N[2]
+    dz3 = np.broadcast_to(np.asarray(grid.dz(LOC_CCC), float),
+                          grid.padded_shape)
+    H_cc = (dz3 * ~grid.solid_ccc)[:, :, h:h + n].sum(2, keepdims=True)
+    thresh = 1e-9 * abs(Lz)
+    return {
+        LOC_CCC: (_jnp.asarray(np.maximum(H_cc, thresh), dtype),
+                  _jnp.asarray(H_cc > thresh)),
+        LOC_FCC: (_jnp.asarray(np.asarray(H_fc), dtype),
+                  _jnp.asarray(np.asarray(H_fc) > thresh)),
+        LOC_CFC: (_jnp.asarray(np.asarray(H_cf), dtype),
+                  _jnp.asarray(np.asarray(H_cf) > thresh))}
+
+
 def ZCoordinate():
     """Reference vertical-coordinate marker (ZCoordinate/ZStarCoordinate,
     hydrostatic_free_surface_model.jl vertical_coordinate=)."""
@@ -286,29 +310,8 @@ class HydrostaticFreeSurfaceModel:
             self._H_fc = Lz
             self._H_cf = Lz
         if vertical_coordinate == "zstar":
-            # per-staggering σ needs per-staggering FLUID depths + wet-column
-            # masks (σ ≡ 1 on land; reference: column_depthᶜᶜᵃ/ᶠᶜᵃ/ᶜᶠᵃ in
-            # z_star_vertical_spacing.jl on immersed grids)
-            if self._immersed:
-                h, n = self.grid.H[2], self.grid.N[2]
-                dz3 = np.broadcast_to(
-                    np.asarray(self.grid.dz(LOC_CCC), float),
-                    self.grid.padded_shape)
-                H_cc = (dz3 * ~self.grid.solid_ccc)[:, :, h:h + n].sum(
-                    2, keepdims=True)
-                thresh = 1e-9 * abs(Lz)
-                self._zstar_geo = {
-                    LOC_CCC: (jnp.asarray(np.maximum(H_cc, thresh), dtype),
-                              jnp.asarray(H_cc > thresh)),
-                    LOC_FCC: (jnp.asarray(np.asarray(self._H_fc), dtype),
-                              jnp.asarray(np.asarray(self._H_fc)
-                                          > thresh)),
-                    LOC_CFC: (jnp.asarray(np.asarray(self._H_cf), dtype),
-                              jnp.asarray(np.asarray(self._H_cf)
-                                          > thresh))}
-            else:
-                self._zstar_geo = {loc: (abs(Lz), None)
-                                   for loc in (LOC_CCC, LOC_FCC, LOC_CFC)}
+            self._zstar_geo = zstar_column_geometry(
+                self.grid, dtype, self._H_fc, self._H_cf, self._immersed)
 
         # The Pallas fused-VI tendency megakernel was DELETED in round 3
         # (VERDICT r2 item 5 exit criterion): it measured slower than the

@@ -187,3 +187,123 @@ def test_explicit_vs_implicit_free_surface_with_bathymetry():
         etas[fs] = np.asarray(m.field("eta").interior)
     diff = np.abs(etas["explicit"] - etas["implicit"]).max()
     assert diff < 0.02 * np.abs(etas["explicit"]).max(), diff
+
+
+def test_zstar_rest_state_over_bathymetry_on_panels():
+    """z* on the panels: a stratified rest state over GridFittedBottom
+    bathymetry stays at rest (σ ≡ 1 when η = 0, per-staggering fluid
+    depths well-defined on land columns) — the moving coordinate must not
+    inject spurious motion (z_star_vertical_spacing.jl semantics)."""
+    grid = ConformalCubedSphereGrid((8, 8, 8), z=(-1000.0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+
+    def seamount(lam, phi):
+        return -1000.0 + 700.0 * np.exp(-((lam - 0.2) ** 2 + phi ** 2)
+                                        / 0.05)
+
+    m = CubedSphereHydrostaticModel(grid, tracers=("b",),
+                                    rotation_rate=OMEGA,
+                                    bottom_height=seamount,
+                                    vertical_coordinate="zstar",
+                                    timestepper="QuasiAdamsBashforth2")
+    m.set(b=lambda lam, phi, z: 1e-5 * z)
+    for _ in range(6):
+        m.time_step(600.0)
+    assert float(jnp.abs(m.state["u"]).max()) < 1e-12
+    assert float(jnp.abs(m.state["eta"]).max()) < 1e-9
+    assert float(jnp.abs(m.state["dt_sigma"]).max()) < 1e-20
+
+
+def test_zstar_sigma_weighted_tracer_conservation_on_panels():
+    """Under z* the conserved tracer content is ∑ c σ V: through a global
+    gravity-wave sloshing (η up to ±1 m over 1 km depth) the σ-weighted
+    total is conserved and the tracer stays bounded by its initial range
+    (the conservative σⁿ/σⁿ⁺¹ update,
+    hydrostatic_free_surface_ab2_step.jl:116-130)."""
+    grid = ConformalCubedSphereGrid((8, 8, 6), z=(-1000.0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    m = CubedSphereHydrostaticModel(
+        grid, tracers=("c",), buoyancy_tracer=None, rotation_rate=0.0,
+        vertical_coordinate="zstar", timestepper="QuasiAdamsBashforth2")
+    m.set(eta=lambda lam, phi: 1.0 * np.exp(-((lam - 0.5) ** 2 + phi ** 2)
+                                            / 0.08),
+          c=lambda lam, phi, z: 1.0 + 0.5 * np.sin(2 * lam) * np.cos(phi)
+          * np.exp(z / 300.0))
+    tot0 = m.total_tracer("c")
+    for _ in range(20):
+        m.time_step(120.0)
+    tot = m.total_tracer("c")
+    assert abs(tot - tot0) < 5e-7 * abs(tot0), (tot - tot0) / tot0
+    c = np.asarray(m.field("c").interior)
+    assert np.isfinite(c).all()
+    assert c.min() > 0.4 and c.max() < 1.6, (c.min(), c.max())
+    # the free surface actually moved (the test exercised σ ≠ 1)
+    assert float(jnp.abs(m.state["dt_sigma"]).max()) > 0.0
+
+
+def test_partial_cell_bottom_on_panels():
+    """PartialCellBottom on the panels: fractional bottom cells feed the
+    effective Δz into the pressure integral, w-from-continuity and the
+    barotropic column depths (partial_cell_bottom.jl on immersed
+    MultiRegion grids). An UNSTRATIFIED fluid stays exactly at rest (the
+    pressure is depth-independent, so the partial Δz cannot produce a
+    gradient); a stratified one drifts only by the well-known bottom-cell
+    partial-cell pressure-gradient truncation — levels above the bottom
+    cell see exclusively full spacings and are exact — which must stay
+    orders of magnitude below physical speeds."""
+    from oceananigans_tpu.immersed import PartialCellBottom
+    grid = ConformalCubedSphereGrid((8, 8, 8), z=(-1000.0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+
+    def seamount(lam, phi):
+        return -1000.0 + 650.0 * np.exp(-((lam - 0.2) ** 2 + phi ** 2)
+                                        / 0.05)
+
+    pcb = PartialCellBottom(seamount, minimum_fractional_cell_height=0.2)
+    m = CubedSphereHydrostaticModel(grid, tracers=("b",),
+                                    rotation_rate=OMEGA, bottom_height=pcb)
+    # fractional cells actually exist: some panel has an effective bottom
+    # Δz strictly between the ε floor and the full spacing
+    frac = False
+    for p in m.panels:
+        dz = np.asarray(p.grid.dz(("c", "c", "c")))
+        if dz.ndim == 3:
+            full = 1000.0 / 8
+            inner = dz[(dz > 0.21 * full) & (dz < 0.99 * full)]
+            frac = frac or inner.size > 0
+    assert frac, "expected partial bottom cells on some panel"
+
+    # unstratified: exact rest
+    for _ in range(4):
+        m.time_step(600.0)
+    assert float(jnp.abs(m.state["u"]).max()) < 1e-12
+    assert float(jnp.abs(m.state["eta"]).max()) < 1e-9
+
+    # stratified: only the bottom-cell PGF truncation, small and bounded
+    m2 = CubedSphereHydrostaticModel(grid, tracers=("b",),
+                                     rotation_rate=OMEGA, bottom_height=pcb,
+                                     timestepper="QuasiAdamsBashforth2")
+    m2.set(b=lambda lam, phi, z: 1e-5 * z)
+    # after ONE (Euler) step (η still zero during the first tendency,
+    # single tendency evaluation — RK3 would spread the bottom error via η
+    # within one time_step call) the error is
+    # confined to u points that touch a bottom cell: every level above the
+    # deeper of the two straddled columns sees exclusively full spacings
+    # in the pressure integral and is at rest to roundoff
+    m2.time_step(600.0)
+    H, N = grid.H[0], grid.N[0]
+    g0 = grid.panel_grids[0]
+    hz, nz = g0.H[2], g0.N[2]
+    u = np.abs(np.asarray(m2.state["u"]))[:, H:H + N, H:H + N,
+                                          hz:hz + nz]
+    fluid_u = np.stack([~np.asarray(p.grid.solid_fcc)[H:H + N, H:H + N,
+                                                      hz:hz + nz]
+                        for p in m2.panels])
+    kbot = np.where(fluid_u.any(-1), fluid_u.argmax(-1), nz)
+    above = np.arange(nz)[None, None, None, :] > kbot[..., None]
+    assert u[above].max() < 1e-10, u[above].max()
+    for _ in range(5):
+        m2.time_step(600.0)
+    umax = float(jnp.abs(m2.state["u"]).max())
+    assert umax < 5e-3, umax
+    assert float(jnp.abs(m2.state["eta"]).max()) < 0.05
