@@ -513,3 +513,73 @@ def test_vortex_exits_open_boundary_without_reflection():
     assert np.isfinite(u).all()
     assert z1 < 0.06 * z0, z1 / z0
     assert np.abs(u - U0).max() < 0.3 * A / s, np.abs(u - U0).max()
+
+
+def test_barotropic_gyre_on_the_sphere():
+    """Wind-driven barotropic gyre on a spherical sector
+    (validation/barotropic_gyre/barotropic_gyre.jl): lat-lon grid,
+    enstrophy-conserving spherical Coriolis, implicit free surface
+    (g = 0.1), a cosine surface wind-stress flux BC, linear bottom drag
+    through a field-dependent flux BC, and horizontal Laplacian viscosity.
+    During spin-up the circulation is western-intensified (the Munk
+    boundary layer: meridional speeds on the western quarter dwarf the
+    eastern interior) and the energy is bounded. The wind stress is scaled
+    to the linear Munk regime (δ_Munk ≈ 2Δy > δ_inertial) so the gyre is
+    resolvable at test resolution; the reference's τ₀ = 1e-2 at a marginal
+    δ_Munk/Δ drives an inertial runaway on any grid this coarse."""
+    from oceananigans_tpu import LatitudeLongitudeGrid
+    from oceananigans_tpu.boundary_conditions import (
+        FieldBoundaryConditions, FluxBoundaryCondition)
+    from oceananigans_tpu.closures import HorizontalScalarDiffusivity
+    from oceananigans_tpu.coriolis import HydrostaticSphericalCoriolis
+    from oceananigans_tpu.models.free_surfaces import ImplicitFreeSurface
+    from oceananigans_tpu.models.hydrostatic import \
+        HydrostaticFreeSurfaceModel
+
+    n = 32
+    grid = LatitudeLongitudeGrid(size=(n, n, 1), longitude=(-30, 30),
+                                 latitude=(15, 65), z=(-4000.0, 0.0))
+    tau0, Lphi, phi0 = 1e-3, 50.0, 15.0
+
+    def wind_stress(lam, phi, t):
+        return tau0 * jnp.cos(2 * jnp.pi * (phi - phi0) / Lphi)
+
+    mu = 1.0 / (60 * 24 * 3600.0)  # 1/60 days linear bottom drag
+
+    def u_drag(lam, phi, t, u):
+        return -mu * u
+
+    def v_drag(lam, phi, t, v):
+        return -mu * v
+
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=(),
+        coriolis=HydrostaticSphericalCoriolis(
+            scheme="enstrophy_conserving"),
+        free_surface=ImplicitFreeSurface(gravitational_acceleration=9.81),
+        closure=HorizontalScalarDiffusivity(nu=5e5),
+        boundary_conditions={
+            "u": FieldBoundaryConditions(
+                top=FluxBoundaryCondition(wind_stress),
+                bottom=FluxBoundaryCondition(u_drag,
+                                             field_dependencies=("u",))),
+            "v": FieldBoundaryConditions(
+                bottom=FluxBoundaryCondition(v_drag,
+                                             field_dependencies=("v",)))})
+    dt = 1800.0
+    for _ in range(480):          # 10 days
+        model.time_step(dt)
+
+    u = np.asarray(model.field("u").interior)[:, :, 0]
+    v = np.asarray(model.field("v").interior)[:, :, 0]
+    eta = np.asarray(model.field("eta").interior)
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+    assert np.isfinite(eta).all()
+    # the gyre actually spun up
+    assert np.abs(u).max() > 0.05, np.abs(u).max()
+    # bounded by the viscous/drag balance (no runaway)
+    assert np.abs(u).max() < 2.0 and np.abs(v).max() < 2.0
+    # western intensification
+    v_west = np.abs(v[: n // 4]).max()
+    v_east = np.abs(v[n // 2:]).max()
+    assert v_west > 2.5 * v_east, (v_west, v_east)
