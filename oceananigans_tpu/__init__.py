@@ -70,7 +70,7 @@ from .advection import (Centered, UpwindBiased, WENO, VectorInvariant,
 from .boundary_conditions import (
     BoundaryCondition, FieldBoundaryConditions, FluxBoundaryCondition,
     ValueBoundaryCondition, GradientBoundaryCondition, OpenBoundaryCondition,
-    fill_halo_regions)
+    FieldTimeSeriesBoundaryCondition, fill_halo_regions)
 from .boundary_conditions.boundary_condition import (ImmersedBoundaryCondition,
                                                      PerturbationAdvection)
 

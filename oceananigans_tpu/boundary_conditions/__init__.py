@@ -1,6 +1,7 @@
 from .boundary_condition import (
     BoundaryCondition, FieldBoundaryConditions,
     PeriodicBoundaryCondition, FluxBoundaryCondition, ValueBoundaryCondition,
+    FieldTimeSeriesBoundaryCondition,
     GradientBoundaryCondition, OpenBoundaryCondition, ImpenetrableBoundaryCondition,
     PerturbationAdvection, ImmersedBoundaryCondition,
     ZipperBoundaryCondition, PolarBoundaryCondition, PolarValue,
@@ -11,6 +12,7 @@ from .fill_halos import fill_halo_regions, apply_flux_bcs
 __all__ = [
     "BoundaryCondition", "FieldBoundaryConditions",
     "PeriodicBoundaryCondition", "FluxBoundaryCondition", "ValueBoundaryCondition",
+    "FieldTimeSeriesBoundaryCondition",
     "GradientBoundaryCondition", "OpenBoundaryCondition",
     "ImpenetrableBoundaryCondition", "ZipperBoundaryCondition",
     "PolarBoundaryCondition", "PolarValue",

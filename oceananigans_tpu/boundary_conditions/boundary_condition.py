@@ -120,6 +120,55 @@ def FluxBoundaryCondition(condition=None, field_dependencies=()):
                              field_dependencies=field_dependencies)
 
 
+def FieldTimeSeriesBoundaryCondition(fts, classification=FLUX,
+                                     field_dependencies=()):
+    """A boundary condition driven by a saved
+    :class:`~oceananigans_tpu.simulation.output_readers.FieldTimeSeries`,
+    linearly interpolated in time INSIDE the jitted step (reference:
+    FieldTimeSeries used directly as a BC condition, refreshed by
+    update_model_field_time_series! — src/Models/Models.jl:48 and
+    validation/field_time_series_boundary_conditions; here the interpolant
+    is a traced gather, so no host-side refresh is needed).
+
+    Snapshots must cover the interior of a z-normal boundary plane —
+    shape ``(Nx, Ny)`` or ``(Nx, Ny, 1)`` — and are padded into the halo
+    ring topology-aware by the BC evaluator (wrap on periodic axes, edge
+    on bounded ones, so periodic-halo flux values match an analytic
+    condition exactly). Use for top/bottom (axis-2) conditions."""
+    return BoundaryCondition(classification,
+                             _FieldTimeSeriesCondition(fts),
+                             field_dependencies=field_dependencies)
+
+
+class _FieldTimeSeriesCondition:
+    """Condition recognized by ``eval_bc``: a traced time interpolation of
+    a FieldTimeSeries over a z-normal boundary plane, halo-padded with the
+    grid's topology in view."""
+
+    __slots__ = ("fts",)
+
+    def __init__(self, fts):
+        self.fts = fts
+
+    def evaluate_padded(self, grid, time):
+        import jax.numpy as jnp
+        a = self.fts.traced(time)
+        a = a.reshape(a.shape[0], a.shape[1], -1)[..., :1]
+        pads, modes = [], []
+        for ax in range(2):
+            npad = grid.padded_shape[ax] - a.shape[ax]
+            pads.append((npad // 2, npad - npad // 2))
+            modes.append("wrap" if grid.topology[ax] == PERIODIC
+                         else "edge")
+        if modes[0] == modes[1]:
+            return jnp.pad(a, pads + [(0, 0)], mode=modes[0])
+        a = jnp.pad(a, (pads[0], (0, 0), (0, 0)), mode=modes[0])
+        return jnp.pad(a, ((0, 0), pads[1], (0, 0)), mode=modes[1])
+
+    def _fp(self):
+        return ("FieldTimeSeriesCondition", id(self.fts))
+
+
 def ValueBoundaryCondition(condition=None):
     return BoundaryCondition(VALUE, condition)
 

@@ -48,6 +48,11 @@ def eval_bc(bc, grid, loc, axis, time, dep_values=()):
         return None
     if np.isscalar(cond):
         return cond
+    if hasattr(cond, "evaluate_padded"):
+        # FieldTimeSeries-driven condition: traced time interpolation,
+        # topology-aware halo padding (boundary_condition.py
+        # _FieldTimeSeriesCondition)
+        return cond.evaluate_padded(grid, time)
     t_axes = [ax for ax in range(3) if ax != axis]
     if callable(cond):
         if axis == 2 and hasattr(grid, "nodes2d_padded"):

@@ -379,3 +379,64 @@ def test_profiling_helpers(tmp_path):
     d = profile_step(m, steps=2, logdir=str(tmp_path / "trace"))
     import os
     assert any(os.scandir(d))
+
+
+def test_field_time_series_boundary_condition(tmp_path):
+    """A FieldTimeSeries drives a (time-varying, spatially-varying) surface
+    flux BC, interpolated in time inside the jitted step (reference:
+    validation/field_time_series_boundary_conditions — FieldTimeSeries as
+    bc.condition refreshed by update_model_field_time_series!). With a flux
+    linear in t the interpolation is exact, so the run must match the same
+    model driven by the analytic callable BC bitwise-closely."""
+    import json
+
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.boundary_conditions import (
+        FieldBoundaryConditions, FieldTimeSeriesBoundaryCondition,
+        FluxBoundaryCondition)
+    from oceananigans_tpu.models.hydrostatic import \
+        HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.simulation.output_readers import FieldTimeSeries
+
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1e3, 1e3, 50.0),
+                           topology=("periodic", "periodic", "bounded"))
+    xf = np.asarray(grid.xnodes("f"))
+    yc = np.asarray(grid.ynodes("c"))
+    X, Y = np.meshgrid(xf, yc, indexing="ij")
+    amp = 1e-4 * (1.0 + 0.5 * np.sin(2 * np.pi * X / 1e3)
+                  * np.cos(2 * np.pi * Y / 1e3))
+    T = 600.0
+
+    def tau(x, y, t):
+        a = 1e-4 * (1.0 + 0.5 * jnp.sin(2 * jnp.pi * x / 1e3)
+                    * jnp.cos(2 * jnp.pi * y / 1e3))
+        return a * (1.0 + t / T)
+
+    # synthesize the series on disk: snapshots of the SAME flux at coarse
+    # times (linear in t -> linear interpolation reproduces it exactly)
+    path = str(tmp_path / "taus")
+    import os
+    os.makedirs(path)
+    times = [0.0, 300.0, 600.0]
+    for i, t in enumerate(times):
+        np.save(os.path.join(path, f"tau_{i}.npy"),
+                amp * (1.0 + t / T))
+    json.dump({"outputs": ["tau"], "times": times,
+               "iterations": [0, 1, 2]},
+              open(os.path.join(path, "series.json"), "w"))
+    fts = FieldTimeSeries(path, "tau")
+
+    def run(bc):
+        m = HydrostaticFreeSurfaceModel(
+            grid=grid, tracers=(),
+            boundary_conditions={"u": FieldBoundaryConditions(top=bc)})
+        for _ in range(12):
+            m.time_step(50.0)
+        return np.asarray(m.field("u").interior)
+
+    u_fts = run(FieldTimeSeriesBoundaryCondition(fts))
+    u_fun = run(FluxBoundaryCondition(tau))
+    assert np.isfinite(u_fts).all()
+    assert np.abs(u_fts).max() > 0
+    assert np.allclose(u_fts, u_fun, rtol=1e-12, atol=1e-15), \
+        np.abs(u_fts - u_fun).max()
