@@ -307,3 +307,46 @@ def test_partial_cell_bottom_on_panels():
     umax = float(jnp.abs(m2.state["u"]).max())
     assert umax < 5e-3, umax
     assert float(jnp.abs(m2.state["eta"]).max()) < 0.05
+
+
+def test_curvilinear_diffusion_spherical_harmonic_decay():
+    """Horizontal diffusion on the composed cube: Y₁⁰ = sin φ is an
+    eigenfunction of the sphere's Laplace-Beltrami operator with
+    eigenvalue -l(l+1)/R² = -2/R², so under κ∇²ₕ it decays at exactly
+    2κ/R² — an end-to-end check of the curvilinear metric terms and the
+    panel exchange in the diffusion operator (reference analogue:
+    validation/curvilinear_diffusion)."""
+    from oceananigans_tpu.closures import HorizontalScalarDiffusivity
+    grid = ConformalCubedSphereGrid((8, 8, 2), z=(-100.0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    kappa = 2e6
+    m = CubedSphereHydrostaticModel(
+        grid, tracers=("c",), buoyancy_tracer=None, rotation_rate=0.0,
+        closure=HorizontalScalarDiffusivity(kappa=kappa),
+        timestepper="QuasiAdamsBashforth2")
+    m.set(c=lambda lam, phi, z: np.sin(phi))
+
+    H, N = grid.H[0], grid.N[0]
+    hz = grid.panel_grids[0].H[2]
+
+    def amplitude():
+        num = den = 0.0
+        for p in range(6):
+            g = grid.panel_grids[p]
+            lam, phi = g.nodes2d_padded(("c", "c"))
+            s = np.sin(np.deg2rad(phi))[H:H + N, H:H + N]
+            Az = np.asarray(g.Az(("c", "c", "c")))[H:H + N, H:H + N, 0]
+            c = np.asarray(m.state["c"][p])[H:H + N, H:H + N, hz]
+            num += (c * s * Az).sum()
+            den += (s * s * Az).sum()
+        return num / den
+
+    a0 = amplitude()
+    dt, nsteps = 1e5, 20
+    for _ in range(nsteps):
+        m.time_step(dt)
+    rate = -np.log(amplitude() / a0) / (nsteps * dt)
+    exact = 2 * kappa / R ** 2
+    assert abs(rate / exact - 1) < 0.02, rate / exact
+    # no spurious dynamics: the passive-tracer run stays motionless
+    assert float(jnp.abs(m.state["u"]).max()) < 1e-12
