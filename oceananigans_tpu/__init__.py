@@ -84,8 +84,8 @@ from .background_fields import BackgroundField
 from .abstract_operations import (Average, Integral, CumulativeIntegral,
                                   Reduction, Accumulation,
                                   KernelFunctionOperation,
-                                  ConditionalOperation, at,
-                                  partial_x, partial_y, partial_z)
+                                  ConditionalOperation, conditional_length,
+                                  at, partial_x, partial_y, partial_z)
 
 # -- Forcings -------------------------------------------------------------------------
 from .forcings import (Forcing, Relaxation, LinearTarget, GaussianMask,

@@ -205,11 +205,16 @@ class ConditionalOperation(AbstractOperation):
 
     def materialize(self):
         data = _materialize(self.a, self.grid, self.loc)
-        cond = (self.condition.materialize()
-                if isinstance(self.condition, AbstractOperation)
-                else (self.condition.data
-                      if isinstance(self.condition, Field)
-                      else self.condition))
+        if isinstance(self.condition, AbstractOperation):
+            cond = self.condition.materialize()
+        elif isinstance(self.condition, Field):
+            cond = self.condition.data
+        elif callable(self.condition):
+            from .fields.field import set_on_padded
+            cond = set_on_padded(self.grid, self.loc,
+                                 self.condition).astype(bool)
+        else:
+            cond = self.condition
         return jnp.where(cond, data, self.mask_value)
 
 
@@ -227,17 +232,88 @@ def _interior_and_weights(op_or_field, dims):
     return data[ii], w[ii], grid, loc
 
 
+def condition_interior(condition, grid, loc):
+    """Interior boolean mask from a ``condition``: a Field, an
+    AbstractOperation, an array (interior- or padded-shaped), or a callable
+    ``f(x, y, z)`` evaluated at the operand's nodes (reference:
+    src/AbstractOperations/conditional_operations.jl condition_operand;
+    the reference's index-based ``(i, j, k, ...)`` conditions map here to
+    coordinate-based callables, the idiom the rest of this API uses)."""
+    if condition is None:
+        return None
+    ii = grid.interior_slices
+    if isinstance(condition, AbstractOperation):
+        return condition.materialize()[ii].astype(bool)
+    if isinstance(condition, Field):
+        return condition.data[ii].astype(bool)
+    if callable(condition):
+        from .fields.field import set_on_padded
+        return set_on_padded(grid, loc, condition)[ii].astype(bool)
+    c = jnp.asarray(condition)
+    if c.shape == grid.padded_shape:
+        return c[ii].astype(bool)
+    int_shape = tuple(s.stop - s.start for s in ii)
+    return jnp.broadcast_to(c, int_shape).astype(bool)
+
+
+def reduction_mask(op_or_field, grid, loc, condition=None):
+    """Combined interior boolean mask for reductions: the user ``condition``
+    ∧ the immersed fluid mask (reference: immersed fields reduce over fluid
+    cells only — conditional_length(fimm) counts fluid cells,
+    test_conditional_reductions.jl) ∧ an operand ConditionalOperation's own
+    condition (reference: mean(condition_operand) normalizes by conditional
+    length). Returns None when unconditioned on a non-immersed grid."""
+    m = condition_interior(condition, grid, loc)
+    fm = getattr(grid, "fluid_mask_at", None)
+    if fm is not None:
+        f = jnp.asarray(fm(loc)).astype(bool)[grid.interior_slices]
+        m = f if m is None else (m & f)
+    if condition is None and isinstance(op_or_field, ConditionalOperation):
+        c = condition_interior(op_or_field.condition, grid, loc)
+        if c is not None:
+            m = c if m is None else (m & c)
+    return m
+
+
+def conditional_length(field, dims=None, condition=None):
+    """Number of cells participating in a conditional reduction (reference:
+    src/AbstractOperations/conditional_operations.jl conditional_length —
+    e.g. for a half-immersed grid it is half the interior cell count)."""
+    grid, loc = _grid_loc_of(field)
+    m = reduction_mask(field, grid, loc, condition)
+    ii = grid.interior_slices
+    if m is None:
+        shape = tuple(s.stop - s.start for s in ii)
+        return (int(np.prod(shape)) if dims is None
+                else jnp.ones(shape, jnp.int32).sum(
+                    axis=tuple(dims) if np.iterable(dims) else (dims,),
+                    keepdims=True))
+    if dims is None:
+        return jnp.sum(m)
+    dims = tuple(dims) if np.iterable(dims) else (dims,)
+    return jnp.sum(m, axis=dims, keepdims=True)
+
+
 class Average(AbstractOperation):
     """Volume-weighted mean over ``dims`` (reference:
-    metric_field_reductions.jl:65)."""
+    metric_field_reductions.jl:65). With ``condition`` (or over an immersed
+    grid, or over a ConditionalOperation operand) the mean is taken over
+    condition-true fluid cells only — the normalization uses the conditional
+    volume, matching the reference's conditional_length semantics."""
 
-    def __init__(self, a, dims=(0, 1, 2)):
+    def __init__(self, a, dims=(0, 1, 2), condition=None, mask=0.0):
         self.a = a
         self.dims = tuple(dims) if np.iterable(dims) else (dims,)
+        self.condition = condition
+        self.mask_value = mask
         self.grid, self.loc = _grid_loc_of(a)
 
     def materialize(self):
         data, w, grid, loc = _interior_and_weights(self.a, self.dims)
+        m = reduction_mask(self.a, grid, loc, self.condition)
+        if m is not None:
+            data = jnp.where(m, data, self.mask_value)
+            w = jnp.where(m, w, 0.0)
         num = jnp.sum(data * w, axis=self.dims, keepdims=True)
         den = jnp.sum(w, axis=self.dims, keepdims=True)
         return num / den
@@ -251,11 +327,16 @@ class Average(AbstractOperation):
 
 
 class Integral(Average):
-    """Volume-weighted integral (reference: metric_field_reductions.jl:144)."""
+    """Volume-weighted integral (reference: metric_field_reductions.jl:144);
+    condition-masked cells contribute ``mask`` (default 0, i.e. excluded)."""
 
     def materialize(self):
         data, w, grid, loc = _interior_and_weights(self.a, self.dims)
-        return jnp.sum(data * w, axis=self.dims, keepdims=True)
+        contrib = data * w
+        m = reduction_mask(self.a, grid, loc, self.condition)
+        if m is not None:
+            contrib = jnp.where(m, contrib, self.mask_value)
+        return jnp.sum(contrib, axis=self.dims, keepdims=True)
 
 
 _REDUCERS = dict(sum=jnp.sum, mean=jnp.mean, maximum=jnp.max,
@@ -264,21 +345,46 @@ _ACCUMULATORS = dict(cumsum=jnp.cumsum, cumprod=jnp.cumprod,
                      cummax=jax.lax.cummax, cummin=jax.lax.cummin)
 
 
+# neutral fill for condition-masked slots, per reducing/accumulating op
+# (reference: src/AbstractOperations/conditional_operations.jl picks the
+# op's neutral element so masked cells cannot influence the result)
+_NEUTRALS = dict(sum=0.0, mean=0.0, prod=1.0, maximum=-jnp.inf,
+                 minimum=jnp.inf, cumsum=0.0, cumprod=1.0,
+                 cummax=-jnp.inf, cummin=jnp.inf)
+
+
 class Reduction(AbstractOperation):
     """Generic (unweighted) reduction over ``dims`` (reference:
     src/Fields/scans.jl Reduction(op!, operand; dims) — e.g.
     ``Reduction("maximum", op, dims=2)``; Average/Integral are the
     metric-weighted counterparts). ``op`` is a name from sum/mean/maximum/
-    minimum/prod or a jnp-style callable taking (array, axis=...)."""
+    minimum/prod or a jnp-style callable taking (array, axis=...).
+    ``condition`` restricts the reduction to condition-true cells (immersed
+    grids auto-exclude solid cells); ``mean`` normalizes by the conditional
+    count (reference: test_conditional_reductions.jl)."""
 
-    def __init__(self, op, a, dims=(0, 1, 2)):
+    def __init__(self, op, a, dims=(0, 1, 2), condition=None, mask=None):
+        self.op_name = op if isinstance(op, str) else None
         self.op = _REDUCERS[op] if isinstance(op, str) else op
         self.a = a
         self.dims = tuple(dims) if np.iterable(dims) else (dims,)
+        self.condition = condition
+        self.mask_value = mask
         self.grid, self.loc = _grid_loc_of(a)
 
     def materialize(self):
         data, _, grid, loc = _interior_and_weights(self.a, self.dims)
+        m = reduction_mask(self.a, grid, loc, self.condition)
+        if m is not None:
+            if self.op_name == "mean" and self.mask_value is None:
+                mf = m.astype(data.dtype)
+                num = jnp.sum(jnp.where(m, data, 0.0), axis=self.dims,
+                              keepdims=True)
+                den = jnp.sum(mf, axis=self.dims, keepdims=True)
+                return num / den
+            fill = (self.mask_value if self.mask_value is not None
+                    else _NEUTRALS.get(self.op_name, 0.0))
+            data = jnp.where(m, data, fill)
         return self.op(data, axis=self.dims, keepdims=True)
 
     def compute(self):
@@ -293,17 +399,31 @@ class Accumulation(AbstractOperation):
     """Generic accumulating scan along one dimension (reference:
     src/Fields/scans.jl Accumulation(op!, operand; dims) — e.g.
     ``Accumulation("cumsum", op, dims=2)``; CumulativeIntegral is the
-    metric-weighted counterpart)."""
+    metric-weighted counterpart). ``reverse=True`` scans from the high end
+    (reference: reverse_cumsum!)."""
 
-    def __init__(self, op, a, dims=2):
+    def __init__(self, op, a, dims=2, condition=None, mask=None,
+                 reverse=False):
+        self.op_name = op if isinstance(op, str) else None
         self.op = _ACCUMULATORS[op] if isinstance(op, str) else op
         self.a = a
         self.dim = int(dims)
+        self.condition = condition
+        self.mask_value = mask
+        self.reverse = bool(reverse)
         self.grid, self.loc = _grid_loc_of(a)
 
     def materialize(self):
         data, _, grid, loc = _interior_and_weights(self.a, (self.dim,))
-        return self.op(data, axis=self.dim)
+        m = reduction_mask(self.a, grid, loc, self.condition)
+        if m is not None:
+            fill = (self.mask_value if self.mask_value is not None
+                    else _NEUTRALS.get(self.op_name, 0.0))
+            data = jnp.where(m, data, fill)
+        if self.reverse:
+            data = jnp.flip(data, axis=self.dim)
+        out = self.op(data, axis=self.dim)
+        return jnp.flip(out, axis=self.dim) if self.reverse else out
 
     def compute(self):
         return self.materialize()
@@ -315,16 +435,28 @@ class Accumulation(AbstractOperation):
 
 class CumulativeIntegral(AbstractOperation):
     """∫ along one dimension, cumulative (reference:
-    metric_field_reductions.jl:206)."""
+    metric_field_reductions.jl:206); supports ``reverse`` and ``condition``
+    like the reference's kwargs (masked cells contribute ``mask``·dz,
+    default 0)."""
 
-    def __init__(self, a, dims=2):
+    def __init__(self, a, dims=2, condition=None, mask=0.0, reverse=False):
         self.a = a
         self.dim = int(dims)
+        self.condition = condition
+        self.mask_value = mask
+        self.reverse = bool(reverse)
         self.grid, self.loc = _grid_loc_of(a)
 
     def materialize(self):
         data, w, grid, loc = _interior_and_weights(self.a, (self.dim,))
-        return jnp.cumsum(data * w, axis=self.dim)
+        m = reduction_mask(self.a, grid, loc, self.condition)
+        if m is not None:
+            data = jnp.where(m, data, self.mask_value)
+        contrib = data * w
+        if self.reverse:
+            contrib = jnp.flip(contrib, axis=self.dim)
+        out = jnp.cumsum(contrib, axis=self.dim)
+        return jnp.flip(out, axis=self.dim) if self.reverse else out
 
     def compute(self):
         return self.materialize()

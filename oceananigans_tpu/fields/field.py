@@ -94,20 +94,55 @@ class Field:
 
     # -- reductions over the interior ----------------------------------------
 
-    def min(self):
-        return jnp.min(self.interior)
+    def _reduction_mask(self, condition=None):
+        """Interior boolean mask for reductions: immersed grids auto-exclude
+        solid cells and ``condition`` restricts further (reference:
+        test_conditional_reductions.jl — mean/norm/… of an immersed field
+        reduce over fluid cells only). Returns None when unconditioned on a
+        non-immersed grid."""
+        from ..abstract_operations import condition_interior
+        m = condition_interior(condition, self.grid, self.loc)
+        fm = getattr(self.grid, "fluid_mask_at", None)
+        if fm is not None:
+            f = jnp.asarray(fm(self.loc)).astype(bool)[
+                self.grid.interior_slices]
+            m = f if m is None else (m & f)
+        return m
 
-    def max(self):
-        return jnp.max(self.interior)
+    def min(self, condition=None):
+        m = self._reduction_mask(condition)
+        x = self.interior
+        return jnp.min(jnp.where(m, x, jnp.inf)) if m is not None else jnp.min(x)
 
-    def mean(self):
-        return jnp.mean(self.interior)
+    def max(self, condition=None):
+        m = self._reduction_mask(condition)
+        x = self.interior
+        return jnp.max(jnp.where(m, x, -jnp.inf)) if m is not None else jnp.max(x)
 
-    def sum(self):
-        return jnp.sum(self.interior)
+    def mean(self, condition=None):
+        m = self._reduction_mask(condition)
+        x = self.interior
+        if m is None:
+            return jnp.mean(x)
+        return (jnp.sum(jnp.where(m, x, 0.0))
+                / jnp.sum(m.astype(x.dtype)))
 
-    def norm(self):
-        return jnp.linalg.norm(self.interior.ravel())
+    def sum(self, condition=None):
+        m = self._reduction_mask(condition)
+        x = self.interior
+        return jnp.sum(jnp.where(m, x, 0.0)) if m is not None else jnp.sum(x)
+
+    def prod(self, condition=None):
+        m = self._reduction_mask(condition)
+        x = self.interior
+        return jnp.prod(jnp.where(m, x, 1.0)) if m is not None else jnp.prod(x)
+
+    def norm(self, condition=None):
+        m = self._reduction_mask(condition)
+        x = self.interior
+        if m is not None:
+            x = jnp.where(m, x, 0.0)
+        return jnp.linalg.norm(x.ravel())
 
     def __repr__(self):
         return (f"Field{self.loc} on {type(self.grid).__name__}, "
