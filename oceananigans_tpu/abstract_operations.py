@@ -221,13 +221,21 @@ class ConditionalOperation(AbstractOperation):
 # -- metric reductions ---------------------------------------------------------
 
 def _interior_and_weights(op_or_field, dims):
+    """Interior data + metric weights for a dim-wise metric reduction. The
+    weight is the product of the grid spacings over ``dims`` only (reference:
+    metric_field_reductions.jl — ``Integral(c, dims=2)`` is ∫c dz with the
+    z metric, ``dims=(0,1)`` integrates with the horizontal area, etc.; the
+    full cell volume is the ``dims=(0,1,2)`` special case)."""
     if isinstance(op_or_field, Field):
         grid, loc, data = op_or_field.grid, op_or_field.loc, op_or_field.data
     else:
         grid, loc = op_or_field.grid, op_or_field.loc
         data = op_or_field.materialize()
-    V = grid.V(loc)
-    w = jnp.broadcast_to(jnp.asarray(V, data.dtype), data.shape)
+    metric = {0: grid.dx, 1: grid.dy, 2: grid.dz}
+    w = 1.0
+    for ax in dims:
+        w = w * jnp.asarray(metric[ax](loc), data.dtype)
+    w = jnp.broadcast_to(jnp.asarray(w, data.dtype), data.shape)
     ii = grid.interior_slices
     return data[ii], w[ii], grid, loc
 
@@ -254,6 +262,19 @@ def condition_interior(condition, grid, loc):
         return c[ii].astype(bool)
     int_shape = tuple(s.stop - s.start for s in ii)
     return jnp.broadcast_to(c, int_shape).astype(bool)
+
+
+def align_reduction_mask(m, shape):
+    """Align a full-interior mask to a (possibly already-reduced) operand
+    shape: axes the operand holds at size 1 collapse with ``any`` — a column
+    participates in the reduction if any of its cells do. Prevents the mask
+    from silently broadcasting a reduced field (e.g. η, interior (N,M,1))
+    back to 3D inside ``jnp.where(mask, x, 0)``."""
+    axes = tuple(ax for ax in range(min(len(shape), m.ndim))
+                 if shape[ax] == 1 and m.shape[ax] != 1)
+    if axes:
+        m = jnp.any(m, axis=axes, keepdims=True)
+    return m
 
 
 def reduction_mask(op_or_field, grid, loc, condition=None):
@@ -312,6 +333,8 @@ class Average(AbstractOperation):
         data, w, grid, loc = _interior_and_weights(self.a, self.dims)
         m = reduction_mask(self.a, grid, loc, self.condition)
         if m is not None:
+            m = align_reduction_mask(m, data.shape)
+        if m is not None:
             data = jnp.where(m, data, self.mask_value)
             w = jnp.where(m, w, 0.0)
         num = jnp.sum(data * w, axis=self.dims, keepdims=True)
@@ -334,6 +357,8 @@ class Integral(Average):
         data, w, grid, loc = _interior_and_weights(self.a, self.dims)
         contrib = data * w
         m = reduction_mask(self.a, grid, loc, self.condition)
+        if m is not None:
+            m = align_reduction_mask(m, data.shape)
         if m is not None:
             contrib = jnp.where(m, contrib, self.mask_value)
         return jnp.sum(contrib, axis=self.dims, keepdims=True)
@@ -376,6 +401,8 @@ class Reduction(AbstractOperation):
         data, _, grid, loc = _interior_and_weights(self.a, self.dims)
         m = reduction_mask(self.a, grid, loc, self.condition)
         if m is not None:
+            m = align_reduction_mask(m, data.shape)
+        if m is not None:
             if self.op_name == "mean" and self.mask_value is None:
                 mf = m.astype(data.dtype)
                 num = jnp.sum(jnp.where(m, data, 0.0), axis=self.dims,
@@ -417,6 +444,8 @@ class Accumulation(AbstractOperation):
         data, _, grid, loc = _interior_and_weights(self.a, (self.dim,))
         m = reduction_mask(self.a, grid, loc, self.condition)
         if m is not None:
+            m = align_reduction_mask(m, data.shape)
+        if m is not None:
             fill = (self.mask_value if self.mask_value is not None
                     else _NEUTRALS.get(self.op_name, 0.0))
             data = jnp.where(m, data, fill)
@@ -450,6 +479,8 @@ class CumulativeIntegral(AbstractOperation):
     def materialize(self):
         data, w, grid, loc = _interior_and_weights(self.a, (self.dim,))
         m = reduction_mask(self.a, grid, loc, self.condition)
+        if m is not None:
+            m = align_reduction_mask(m, data.shape)
         if m is not None:
             data = jnp.where(m, data, self.mask_value)
         contrib = data * w

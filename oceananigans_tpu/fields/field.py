@@ -81,16 +81,21 @@ class Field:
     def nodes(self):
         return self.grid.nodes(self.loc)
 
-    # -- mutation-style API (returns new Field; reference: set!, fill_halo_regions!)
+    # -- mutation API (reference: set!, fill_halo_regions! — src/Fields/set!.jl
+    # mutates in place; this is host-side API, not part of the jitted step, so
+    # in-place assignment is safe. Returns self so the chained style
+    # ``f = CenterField(g).set(...)`` keeps working too.)
 
     def set(self, value, time=0.0):
         data = set_on_padded(self.grid, self.loc, value)
-        data = fill_halo_regions(data, self.grid, self.loc, self.bcs, time)
-        return Field(self.grid, self.loc, self.bcs, data, _regularize=False)
+        self.data = fill_halo_regions(data, self.grid, self.loc,
+                                      self.bcs, time)
+        return self
 
     def fill_halos(self, time=0.0):
-        data = fill_halo_regions(self.data, self.grid, self.loc, self.bcs, time)
-        return Field(self.grid, self.loc, self.bcs, data, _regularize=False)
+        self.data = fill_halo_regions(self.data, self.grid, self.loc,
+                                      self.bcs, time)
+        return self
 
     # -- reductions over the interior ----------------------------------------
 
@@ -100,13 +105,18 @@ class Field:
         test_conditional_reductions.jl — mean/norm/… of an immersed field
         reduce over fluid cells only). Returns None when unconditioned on a
         non-immersed grid."""
-        from ..abstract_operations import condition_interior
+        from ..abstract_operations import align_reduction_mask, condition_interior
         m = condition_interior(condition, self.grid, self.loc)
         fm = getattr(self.grid, "fluid_mask_at", None)
         if fm is not None:
             f = jnp.asarray(fm(self.loc)).astype(bool)[
                 self.grid.interior_slices]
             m = f if m is None else (m & f)
+        if m is not None:
+            # window-aware: a reduced field (e.g. η with interior (N,M,1))
+            # must see a mask of its own shape, not a broadcast 3D one —
+            # otherwise eta.sum() silently multiplies by fluid-cells-per-column
+            m = align_reduction_mask(m, self.interior.shape)
         return m
 
     def min(self, condition=None):

@@ -118,7 +118,7 @@ def test_average_over_immersed_grid_is_fluid_only():
 def test_cumulative_integral_on_stretched_z():
     # z faces stretched: CumulativeIntegral(1, dims=2) returns cumulative
     # thickness; reverse=True integrates downward from the top
-    zf = -np.array([1.0, 0.55, 0.3, 0.15, 0.05, 0.0])[::-1]
+    zf = -np.array([1.0, 0.55, 0.3, 0.15, 0.05, 0.0])
     grid = RectilinearGrid(size=(2, 2, 5), x=(0, 1), y=(0, 1), z=zf)
     c = CenterField(grid)
     c.set(1.0)
@@ -150,6 +150,34 @@ def test_masked_accumulation_uses_neutral_fill():
     # cumsum along x over the immersed field: solid cells contribute 0
     out = np.asarray(Accumulation("cumsum", c, dims=0).compute())
     assert np.allclose(out[-1, 0, 0], 2.0 * 3)
+
+
+def test_reduced_field_reductions_on_immersed_grid():
+    """η-like reduced fields (interior (N,M,1)) on an immersed grid must see
+    a column mask of their own shape, not a broadcast 3D fluid mask — the
+    round-3 regression silently multiplied eta.sum() by the number of fluid
+    cells per column. A column participates iff any of its cells is fluid."""
+    from oceananigans_tpu.fields.field import Field
+    from oceananigans_tpu.grids.topology import LOC_CCC
+    from oceananigans_tpu.immersed import GridFittedBottom
+
+    grid = RectilinearGrid(size=(6, 2, 4), extent=(1.0, 1.0, 1.0))
+    # first two x-columns fully solid (bottom at z=0), the rest fully fluid
+    ibg = ImmersedBoundaryGrid(grid, GridFittedBottom(
+        lambda x, y: jnp.where(x < 1 / 3, 0.0, -1.0)))
+    eta3 = CenterField(ibg)
+    eta3.set(2.0)
+    eta = Field(ibg, LOC_CCC, None, eta3.data[:, :, :1], _regularize=False)
+    assert eta.interior.shape == (6, 2, 1)
+    # 4 of 6 x-columns are wet, each value 2, Ny = 2
+    assert np.isclose(float(eta.sum()), 2.0 * 4 * 2)
+    assert np.isclose(float(eta.mean()), 2.0)
+    assert np.isclose(float(eta.max()), 2.0)
+    # nonzero conditional mean on a reduced field over an immersed grid
+    cond = lambda x, y, z: x > 0.5 + 0 * y + 0 * z
+    assert float(eta.mean(condition=cond)) > 0.0
+    assert np.isclose(float(eta.mean(condition=cond)), 2.0)
+    assert np.isclose(float(eta.sum(condition=cond)), 2.0 * 3 * 2)
 
 
 def test_vector_rotation_roundtrip_preserves_magnitude():
