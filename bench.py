@@ -18,6 +18,58 @@ import numpy as np
 
 BASELINE_CU_PER_S = 432e6  # V100 Float32 256³ WENO (BASELINE.md)
 
+# committed round-over-round floors for `--check` (the analogue of the
+# reference's benchmark/benchmark_regression.jl branch-vs-main guard):
+# metric prefix -> cell-updates/s recorded on the v5e at the time the row
+# last moved. `python bench.py --check` re-measures and FAILS (exit 1) on a
+# >10% regression against any row present here. Update a row when a change
+# legitimately moves it (and say so in the commit).
+BASELINES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_BASELINES.json")
+
+
+def check():
+    """Run the headline rows and compare against BENCH_BASELINES.json.
+    Exits 1 on any >10% regression; prints one line per row."""
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(BASELINES_FILE) as f:
+        baselines = json.load(f)
+    env = dict(os.environ)
+    env.setdefault("BENCH_STEPS", "5")
+    rows = {}
+
+    def run(cmd, only=None):
+        e = dict(env)
+        if only:
+            e["BENCH_ONLY"] = only
+        out = subprocess.run([sys.executable, cmd], cwd=here, env=e,
+                             capture_output=True, text=True, timeout=3600)
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                row = json.loads(line)
+                rows[row["metric"]] = row["value"]
+
+    run("bench.py")
+    for only in ("hydro", "cs"):
+        run("bench_extra.py", only)
+
+    failed = False
+    for metric, floor in baselines.items():
+        cur = rows.get(metric)
+        if cur is None:
+            print(f"MISSING {metric} (no row produced)")
+            failed = True
+            continue
+        ratio = cur / floor
+        tag = "OK" if ratio >= 0.9 else "REGRESSION"
+        if ratio < 0.9:
+            failed = True
+        print(f"{tag:10s} {metric}: {cur / 1e6:.1f}M vs floor "
+              f"{floor / 1e6:.1f}M ({ratio:.2f}x)")
+    sys.exit(1 if failed else 0)
+
 
 def main():
     n = int(os.environ.get("BENCH_N", "256"))
@@ -119,4 +171,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--check" in sys.argv:
+        check()
+    else:
+        main()

@@ -61,7 +61,7 @@ def main():
         sw_rows = sw_rows[:1]
     elif only == "sw16384":
         sw_rows = sw_rows[1:]
-    elif only in ("tracers", "hydro", "les", "cs"):
+    elif only in ("tracers", "hydro", "les", "cs", "hydro_sweep"):
         sw_rows = []
     for n, dtype, v100_cups in sw_rows:
         grid = RectilinearGrid(size=(n, n), extent=(1.0, 1.0),
@@ -84,6 +84,46 @@ def main():
                "value": cups, "unit": "cell-updates/s",
                "vs_baseline": cups / v100_cups}
         print(json.dumps(out), flush=True)
+
+    # -- hydrostatic Nz sweep (VERDICT r3 item 4) ----------------------------
+    # the roofline's load-bearing claim is that the hydro per-cell rate is
+    # register-lane-tax-bound at Nz=32 and recovers at Nz >= 128; this
+    # measures it: same config at 512x256x{32,64,128}
+    if only == "hydro_sweep":
+        from oceananigans_tpu import LatitudeLongitudeGrid
+        from oceananigans_tpu.advection import WENOVectorInvariant
+        from oceananigans_tpu.coriolis import HydrostaticSphericalCoriolis
+        from oceananigans_tpu.models.free_surfaces import (
+            SplitExplicitFreeSurface)
+        from oceananigans_tpu.models.hydrostatic import (
+            HydrostaticFreeSurfaceModel)
+
+        nh = 64 if on_cpu else 512
+        for nz in ((4, 8) if on_cpu else (32, 64, 128)):
+            grid = LatitudeLongitudeGrid(size=(nh, nh // 2, nz),
+                                         longitude=(0, 60), latitude=(15, 75),
+                                         z=(-1800.0, 0.0), dtype=jnp.float32)
+            m = HydrostaticFreeSurfaceModel(
+                grid=grid, momentum_advection=WENOVectorInvariant(),
+                coriolis=HydrostaticSphericalCoriolis(),
+                free_surface=SplitExplicitFreeSurface(substeps=30),
+                tracers=("T",))
+            m.set(u=0.05 * rng.standard_normal((nh, nh // 2, nz))
+                  .astype(np.float32),
+                  T=lambda lam, phi, z: 12 + 8e-3 * z + 2e-2 * phi)
+            dt = jnp.asarray(120.0, jnp.float32)
+
+            def fetch(state):
+                return float(jnp.sum(state["fields"]["u"][8, :8]))
+
+            el = bench_steps(m._step, m.state, dt, steps, fetch)
+            cells = nh * (nh // 2) * nz
+            print(json.dumps({
+                "metric": f"hydrostatic_latlon_{nh}x{nh // 2}x{nz}"
+                          "_wenoVI_splitexplicit_f32_cell_updates_per_s",
+                "value": cells / el, "unit": "cell-updates/s",
+                "step_ms": el * 1e3}), flush=True)
+        return
 
     # -- hydrostatic primitive equations ------------------------------------
     # quarter-degree-like regional config: latlon + WENO vector-invariant +

@@ -148,6 +148,12 @@ from .simulation.diagnostics import (CFL, AdvectiveCFL, DiffusiveCFL,
 from .simulation.output_writers import (FieldWriter, AveragedTimeInterval,
                                         WindowedTimeAverage)
 from .simulation.netcdf_writer import NetCDFWriter
+from .simulation.netcdf4_writer import NetCDF4Writer
+# the reference's user-facing name; the NetCDF4 (HDF5) writer is the
+# full-featured one (attributes, units, append-on-pickup, windowed dims —
+# ext/OceananigansNCDatasetsExt.jl); NetCDFWriter remains the NetCDF-3
+# classic fallback
+NetCDFOutputWriter = NetCDF4Writer
 from .simulation.checkpointer import Checkpointer
 from .simulation.output_readers import (FieldTimeSeries, FieldDataset,
                                         InMemory, OnDisk, written_names)

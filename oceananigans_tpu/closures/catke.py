@@ -160,6 +160,11 @@ class CATKEVerticalDiffusivity(_ClosureBase):
         if Jb is None:
             return 0.0
         if callable(Jb):
+            if hasattr(grid, "nodes2d_padded"):
+                # curvilinear 2D-latitude grids: true (λ, φ) nodes, as the
+                # z-boundary fills pass them (fill_halos.eval_bc)
+                lam, phi = grid.nodes2d_padded(("c", "c"))
+                return Jb(lam[..., None], phi[..., None], time)
             x = broadcastable_1d(grid.coord_padded(0, "c"), 0)
             y = broadcastable_1d(grid.coord_padded(1, "c"), 1)
             return Jb(x, y, time)

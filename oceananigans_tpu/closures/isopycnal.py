@@ -39,9 +39,14 @@ def _resolve_coef(grid, k):
     import numpy as np
     from ..grids.base import broadcastable_1d
     if callable(k):
-        x = broadcastable_1d(grid.coord_padded(0, "c"), 0)
-        y = broadcastable_1d(grid.coord_padded(1, "c"), 1)
         z = broadcastable_1d(grid.coord_padded(2, "c"), 2)
+        if hasattr(grid, "nodes2d_padded"):
+            # curvilinear 2D-latitude grids: true (λ, φ) nodes
+            x, y = grid.nodes2d_padded(("c", "c"))
+            x, y = x[..., None], y[..., None]
+        else:
+            x = broadcastable_1d(grid.coord_padded(0, "c"), 0)
+            y = broadcastable_1d(grid.coord_padded(1, "c"), 1)
         return jnp.broadcast_to(jnp.asarray(k(x, y, z), grid.dtype),
                                 grid.padded_shape)
     if np.isscalar(k):

@@ -316,9 +316,14 @@ class TKEDissipationVerticalDiffusivity(_ClosureBase):
         ustar = self.friction_velocity
         if callable(ustar):
             from ..grids.base import broadcastable_1d
-            x1 = broadcastable_1d(grid.coord_padded(0, "c"), 0)
-            x2 = broadcastable_1d(grid.coord_padded(1, "c"), 1)
-            ustar = ustar(x1, x2, time)
+            if hasattr(grid, "nodes2d_padded"):
+                # curvilinear 2D-latitude grids: true (λ, φ) nodes
+                lam, phi = grid.nodes2d_padded(("c", "c"))
+                ustar = ustar(lam[..., None], phi[..., None], time)
+            else:
+                x1 = broadcastable_1d(grid.coord_padded(0, "c"), 0)
+                x2 = broadcastable_1d(grid.coord_padded(1, "c"), 1)
+                ustar = ustar(x1, x2, time)
         ell_r = eq.min_roughness if ustar is None else jnp.maximum(
             eq.min_roughness, eq.Cw_alpha * jnp.square(ustar) / eq.g)
         Su0 = self.stability_functions.Su0

@@ -588,6 +588,230 @@ def sync_shared_velocity_faces(u, v, csgrid):
     return u, v
 
 
+# -- concat-assembly exchange --------------------------------------------------
+
+def build_concat_exchange(csgrid):
+    """The 2-pass exchange assembled with CONCATENATES instead of
+    update-slice chains: per pass, every side-class halo block is built
+    from the pass-start snapshot (small static slices/takes, stacked over
+    the panel axis) and the array is rebuilt by one concat along x then one
+    along y. Reads, sign flips and the S/N-overwrite-corners order are
+    identical to fill_cubed_sphere_halos / fill_cubed_sphere_velocity_halos,
+    so results are bitwise-equal (tested) — but a pass is ~10 kernels
+    instead of ~50 full-array dynamic-update-slices, which matters on
+    dispatch-bound TPU steps (each DUS rewrites the whole buffer)."""
+    grid = csgrid.panel_grids[0]
+    H, N = csgrid.H[0], csgrid.N[0]
+    NP = N + 2 * H
+    conn, rots = csgrid.connectivity, csgrid.edge_rotations
+
+    def _c_strip(src, p, side):
+        q, t, rev = conn[(p, side)]
+        strip, axis_q = _interior_strip(src[q], grid, t, H)
+        if axis_q == 1:
+            strip = jnp.moveaxis(strip, 1, 0)
+        if rev:
+            strip = strip[:, ::-1]
+        return strip                      # (H, NP, ...), row 0 boundary-adjacent
+
+    def _c_pass(a):
+        src = a
+        W = jnp.stack([_c_strip(src, p, "west")[::-1] for p in range(6)])
+        E = jnp.stack([_c_strip(src, p, "east") for p in range(6)])
+        a = jnp.concatenate([W, a[:, H:H + N], E], axis=1)
+        S = jnp.stack([jnp.moveaxis(_c_strip(src, p, "south"), 0, 1)[:, ::-1]
+                       for p in range(6)])
+        Nb = jnp.stack([jnp.moveaxis(_c_strip(src, p, "north"), 0, 1)
+                        for p in range(6)])
+        return jnp.concatenate([S, a[:, :, H:H + N], Nb], axis=2)
+
+    def exchange_c(a):
+        return _c_pass(_c_pass(a))
+
+    def _uv_blocks(su, sv, s, face):
+        """(6, ...) stacked halo block of side class ``s`` for the component
+        that is ``face``-located along the side's normal axis (the normal
+        velocity for face=True, the tangential one for face=False), read
+        from snapshots (su, sv) with the edge rotation's sign."""
+        blks = []
+        for p in range(6):
+            q, t, rev = conn[(p, s)]
+            R = rots[(p, s)]
+            na_p, na_q = _NORMAL_AXIS[s], _NORMAL_AXIS[t]
+            ta_q = 1 - na_q
+            if face:
+                qsrc = su[q] if na_q == 0 else sv[q]
+                sgn = R[na_p, na_q]
+            else:
+                qsrc = sv[q] if na_q == 0 else su[q]
+                sgn = R[1 - na_p, 1 - na_q]
+            swap = na_p != na_q
+            dst, srcidx = _normal_indices(s, t, H, N, face=face)
+            blk = _gather(qsrc, na_q, srcidx, ta_q,
+                          _tang_map(NP, rev, not face), swap)
+            blks.append(sgn * blk)
+        return jnp.stack(blks)
+
+    def _uv_pass(u, v):
+        su, sv = u, v
+        # x-direction: u's normal (face) blocks, v's tangential blocks
+        Wn = _uv_blocks(su, sv, "west", True)
+        En = _uv_blocks(su, sv, "east", True)
+        Wt = _uv_blocks(su, sv, "west", False)
+        Et = _uv_blocks(su, sv, "east", False)
+        u = jnp.concatenate([Wn, u[:, H:H + N + 1], En], axis=1)
+        v = jnp.concatenate([Wt, v[:, H:H + N], Et], axis=1)
+        # y-direction (overwrites corners, as the reference's S/N-last order)
+        Sn = _uv_blocks(su, sv, "south", True)
+        Nn = _uv_blocks(su, sv, "north", True)
+        St = _uv_blocks(su, sv, "south", False)
+        Nt = _uv_blocks(su, sv, "north", False)
+        u = jnp.concatenate([St, u[:, :, H:H + N], Nt], axis=2)
+        v = jnp.concatenate([Sn, v[:, :, H:H + N + 1], Nn], axis=2)
+        return u, v
+
+    def exchange_uv(u, v):
+        u, v = sync_shared_velocity_faces(u, v, csgrid)
+        u, v = _uv_pass(u, v)
+        return _uv_pass(u, v)
+
+    return exchange_c, exchange_uv
+
+
+def build_concat_exchange_catform(csgrid):
+    """:func:`build_concat_exchange` operating natively on the PANEL-
+    CONCATENATED layout (6·npx, npy, ...) — panel p is the x-block
+    ``a[p*npx:(p+1)*npx]``. Used by the batched CubedSphereHydrostaticModel
+    step, which keeps every in-flight array in concat form: XLA picks one
+    layout for the whole step and no stacked↔concat reshapes (which lower to
+    physical relayout copies under the compiler's preferred {y,x-minor}
+    tiling) ever appear. Bitwise-identical to the stacked variant (tested).
+
+    Returns ``(exchange_c, exchange_uv, sync_uv)``."""
+    grid = csgrid.panel_grids[0]
+    H, N = csgrid.H[0], csgrid.N[0]
+    NP = N + 2 * H
+    conn, rots = csgrid.connectivity, csgrid.edge_rotations
+
+    def Pq(a, q):
+        return a[q * NP:(q + 1) * NP]
+
+    def _c_strip(src, p, side):
+        q, t, rev = conn[(p, side)]
+        strip, axis_q = _interior_strip(Pq(src, q), grid, t, H)
+        if axis_q == 1:
+            strip = jnp.moveaxis(strip, 1, 0)
+        if rev:
+            strip = strip[:, ::-1]
+        return strip
+
+    def _c_pass(a):
+        src = a
+        parts = []
+        for p in range(6):
+            parts += [_c_strip(src, p, "west")[::-1],
+                      Pq(a, p)[H:H + N],
+                      _c_strip(src, p, "east")]
+        a = jnp.concatenate(parts, axis=0)
+        S = jnp.concatenate(
+            [jnp.moveaxis(_c_strip(src, p, "south"), 0, 1)[:, ::-1]
+             for p in range(6)], axis=0)
+        Nb = jnp.concatenate(
+            [jnp.moveaxis(_c_strip(src, p, "north"), 0, 1)
+             for p in range(6)], axis=0)
+        return jnp.concatenate([S, a[:, H:H + N], Nb], axis=1)
+
+    def exchange_c(a):
+        return _c_pass(_c_pass(a))
+
+    def _uv_block(su, sv, p, s, face):
+        q, t, rev = conn[(p, s)]
+        R = rots[(p, s)]
+        na_p, na_q = _NORMAL_AXIS[s], _NORMAL_AXIS[t]
+        ta_q = 1 - na_q
+        if face:
+            qsrc = Pq(su, q) if na_q == 0 else Pq(sv, q)
+            sgn = R[na_p, na_q]
+        else:
+            qsrc = Pq(sv, q) if na_q == 0 else Pq(su, q)
+            sgn = R[1 - na_p, 1 - na_q]
+        swap = na_p != na_q
+        dst, srcidx = _normal_indices(s, t, H, N, face=face)
+        return sgn * _gather(qsrc, na_q, srcidx, ta_q,
+                             _tang_map(NP, rev, not face), swap)
+
+    def _uv_pass(u, v):
+        su, sv = u, v
+        up, vp = [], []
+        for p in range(6):
+            up += [_uv_block(su, sv, p, "west", True),
+                   Pq(u, p)[H:H + N + 1],
+                   _uv_block(su, sv, p, "east", True)]
+            vp += [_uv_block(su, sv, p, "west", False),
+                   Pq(v, p)[H:H + N],
+                   _uv_block(su, sv, p, "east", False)]
+        u = jnp.concatenate(up, axis=0)
+        v = jnp.concatenate(vp, axis=0)
+        St = jnp.concatenate([_uv_block(su, sv, p, "south", False)
+                              for p in range(6)], axis=0)
+        Nt = jnp.concatenate([_uv_block(su, sv, p, "north", False)
+                              for p in range(6)], axis=0)
+        Sn = jnp.concatenate([_uv_block(su, sv, p, "south", True)
+                              for p in range(6)], axis=0)
+        Nn = jnp.concatenate([_uv_block(su, sv, p, "north", True)
+                              for p in range(6)], axis=0)
+        u = jnp.concatenate([St, u[:, H:H + N], Nt], axis=1)
+        v = jnp.concatenate([Sn, v[:, H:H + N + 1], Nn], axis=1)
+        return u, v
+
+    def sync_uv(u, v):
+        for (p, s), (q, t, rev) in conn.items():
+            if p >= q:
+                continue
+            na_p, na_q = _NORMAL_AXIS[s], _NORMAL_AXIS[t]
+            sgn = rots[(q, t)][na_q, na_p]
+            pi = H if _LOW_SIDE[s] else H + N
+            qi = H if _LOW_SIDE[t] else H + N
+            src = u if na_p == 0 else v
+            row = (src[p * NP + pi] if na_p == 0
+                   else src[p * NP:(p + 1) * NP, pi])
+            jmap = (np.arange(NP) if not rev
+                    else (NP - 1 - np.arange(NP)))
+            row = jnp.take(row, jnp.asarray(jmap), axis=0) * sgn
+            if na_q == 0:
+                if na_p == 0:
+                    u = u.at[q * NP + qi].set(row)
+                else:
+                    u = u.at[q * NP + qi].set(row)
+            else:
+                if na_p == 0:
+                    v = v.at[q * NP:(q + 1) * NP, qi].set(row)
+                else:
+                    v = v.at[q * NP:(q + 1) * NP, qi].set(row)
+        return u, v
+
+    def exchange_uv(u, v):
+        u, v = sync_uv(u, v)
+        u, v = _uv_pass(u, v)
+        return _uv_pass(u, v)
+
+    def exchange_c_1pass(a):
+        """Single-pass center exchange: every straight-edge halo ring is
+        exchange-valid; only 3-panel CORNER blocks (which need pass 2's
+        propagation) stay stale. Sufficient for +-shaped radius-1 stencil
+        consumers — the barotropic subcycle's divergence/gradient never
+        read corner slots."""
+        return _c_pass(a)
+
+    def exchange_uv_1pass(u, v):
+        u, v = sync_uv(u, v)
+        return _uv_pass(u, v)
+
+    exchange_c.single_pass = exchange_c_1pass
+    exchange_uv.single_pass = exchange_uv_1pass
+    return exchange_c, exchange_uv, sync_uv
+
+
 # -- vectorized (single-gather) exchange -------------------------------------------
 
 def build_fast_exchange(csgrid):
@@ -670,25 +894,36 @@ def build_fast_exchange(csgrid):
 def fast_exchange(csgrid):
     """Cached (exchange_c, exchange_uv) for ``csgrid``.
 
-    Backend-gated (measured, v5e vs CPU): the single-gather maps
-    (build_fast_exchange) shrink the XLA graph enormously — CS test wall
-    time 900 → 221 s on CPU and remote compiles from tens of minutes to
-    ~1 min — but on TPU the irregular row-gather LOWERS SLOWER than the
-    per-panel slice-copy chain at runtime (21.8 vs 11.4 ms/step at
-    6×64×64×32), so TPU keeps the reference slice path (compile cost is
-    one-time, persistently cached). Override with CS_FAST_EXCHANGE=1/0."""
+    Backend-gated (all three variants bitwise-equal, selection measured on
+    v5e vs CPU):
+    * CPU → "gather" (build_fast_exchange): the single-gather maps shrink
+      the XLA graph enormously (CS test wall time 900 → 221 s; remote
+      compiles from tens of minutes to ~1 min);
+    * TPU → "concat" (build_concat_exchange): concat-assembled side-class
+      strips — ~10 kernels per pass vs ~50 full-array update-slices of the
+      slice chain (11.6 → 5.5 ms/step at 6×64×64×32) and vs the gather
+      maps whose irregular row-gathers lower slowly on TPU (21.8 ms/step);
+    * "slice": the reference-shaped per-panel slice-copy chain, kept as
+      the semantic baseline the others are probed/tested against.
+    Override with CS_EXCHANGE=slice|gather|concat."""
     cached = getattr(csgrid, "_fast_exchange_sel", None)
     if cached is not None:
         return cached
     import os
 
     import jax
-    env = os.environ.get("CS_FAST_EXCHANGE")
-    use_fast = (env == "1" if env in ("0", "1")
-                else jax.default_backend() == "cpu")
-    if use_fast:
+    env = os.environ.get("CS_EXCHANGE")
+    if env is None:
+        legacy = os.environ.get("CS_FAST_EXCHANGE")
+        if legacy in ("0", "1"):
+            env = "gather" if legacy == "1" else "slice"
+    if env is None:
+        env = "gather" if jax.default_backend() == "cpu" else "concat"
+    if env == "gather":
         cached = build_fast_exchange(csgrid)
-    else:
+    elif env == "concat":
+        cached = build_concat_exchange(csgrid)
+    elif env == "slice":
         def exchange_c(a):
             return fill_cubed_sphere_halos(a, csgrid)
 
@@ -697,5 +932,251 @@ def fast_exchange(csgrid):
             return fill_cubed_sphere_velocity_halos(u, v, csgrid)
 
         cached = (exchange_c, exchange_uv)
+    else:
+        raise ValueError(f"CS_EXCHANGE must be slice|gather|concat, "
+                         f"got {env!r}")
     csgrid._fast_exchange_sel = cached
     return cached
+
+
+# -- panel-batched (concatenated) grid ------------------------------------------
+#
+# The 6-panel tendency assembly used to run the shared physics per panel in a
+# Python loop: six copies of every kernel over (npx, npy, npz) arrays. TPU
+# kernels that small are launch-bound, and six structurally-identical XLA
+# subgraphs (differing only in baked metric constants) sextuple the program.
+# ConcatPanelsGrid presents the six panels as ONE grid whose metric tables are
+# concatenated along x — a (6, npx, npy, npz) stacked field reshapes (for
+# free: the leading-axis merge is layout-preserving) to (6*npx, npy, npz) and
+# every whole-array stencil/closure/solver pass runs ONCE on a 6x larger
+# array. Stencil reads that cross a panel seam land exclusively in outermost-
+# halo slots (the same slots whose values are garbage in the per-panel path —
+# operators/shifts.py zero-fills them at array edges), and the inter-panel
+# exchange overwrites every halo slot between stages, so the two evaluations
+# agree bitwise on all exchange-consumed values. The reference's analogue is
+# launching one kernel per region per stage (src/MultiRegion/
+# multi_region_models.jl); this is the same region-wise math batched into
+# single device programs.
+
+
+class _ConcatBoundary:
+    """Immersed boundary carrying precomputed concatenated solid masks (and,
+    for PartialCellBottom panels, the concatenated effective spacings)."""
+
+    def __init__(self, solid_cat, fingerprint):
+        self._solid = solid_cat
+        self._fingerprint = fingerprint
+
+    def solid_centers(self, grid):
+        return self._solid.copy()
+
+    def _fp(self):
+        return ("_ConcatBoundary", self._fingerprint)
+
+
+class _ConcatPartialBoundary(_ConcatBoundary):
+    def __init__(self, solid_cat, dz_eff_cat, fingerprint):
+        super().__init__(solid_cat, fingerprint)
+        self._dz_eff = dz_eff_cat
+
+    def effective_dz(self, grid):
+        return self._dz_eff
+
+
+class ConcatPanelsGrid:
+    """Grid-protocol adapter over six cubed-sphere panels with every 2D
+    metric table concatenated along x (see module note above). Horizontal
+    "interior" spans ALL columns (halo slots carry exchange-valid neighbor-
+    panel data, and per-column diagnostics — w, hydrostatic pressure, depth
+    integrals — are wanted on them too); z keeps its true interior window."""
+
+    def __init__(self, panel_grids):
+        from .base import AbstractGrid  # noqa: F401  (protocol reference)
+        self._panels = list(panel_grids)
+        g0 = self._panels[0]
+        if any(g.padded_shape != g0.padded_shape for g in self._panels):
+            raise ValueError("panels must share shape")
+        self.NPX = g0.padded_shape[0]
+        self.H = g0.H
+        self.N = (6 * self.NPX - 2 * g0.H[0], g0.N[1], g0.N[2])
+        self.topology = g0.topology
+        self.dtype = g0.dtype
+        self.radius = getattr(g0, "radius", None)
+        self._zc = g0._zc
+        self._cache = {}
+
+    # -- shape/topology protocol ------------------------------------------------
+
+    @property
+    def padded_shape(self):
+        s = self._panels[0].padded_shape
+        return (6 * s[0], s[1], s[2])
+
+    @property
+    def lane_tail(self):
+        return self._panels[0].lane_tail
+
+    @property
+    def interior_slices(self):
+        # x spans every column between the two outermost strips (inter-panel
+        # halo columns carry exchange-valid data and are duplicated interior
+        # points); y/z keep their true windows. Matches the AbstractGrid
+        # formula with this grid's N, so the ImmersedBoundaryGrid wrapper
+        # reports the same slices.
+        return tuple(slice(h, h + n) for n, h in zip(self.N, self.H))
+
+    def interior(self, a):
+        return a[self.interior_slices]
+
+    def is_flat(self, axis):
+        return self._panels[0].is_flat(axis)
+
+    def is_periodic(self, axis):
+        return self._panels[0].is_periodic(axis)
+
+    def is_bounded(self, axis):
+        return self._panels[0].is_bounded(axis)
+
+    def regular(self, axis):
+        return self._panels[0].regular(axis)
+
+    @property
+    def stretched_axes(self):
+        return self._panels[0].stretched_axes
+
+    @property
+    def extent(self):
+        return self._panels[0].extent
+
+    @property
+    def all_regular(self):
+        return False
+
+    # -- metrics (concatenated along x) ------------------------------------------
+
+    def _cat2d(self, name, loc):
+        key = (name, tuple(loc))
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        parts = [getattr(g, name)(loc) for g in self._panels]
+        shp = self._panels[0].padded_shape
+        # broadcast scalars / 1D z-profiles to full blocks only when the
+        # panels disagree; identical tables stay shared (no concat)
+        if all(p is parts[0] or (np.shape(p) == np.shape(parts[0])
+                                 and np.array_equal(p, parts[0]))
+               for p in parts[1:]):
+            out = parts[0]
+        else:
+            blocks = [np.broadcast_to(np.asarray(p, np.float64),
+                                      (shp[0], shp[1],
+                                       np.shape(p)[2] if np.ndim(p) == 3
+                                       and np.shape(p)[2] != 1 else 1))
+                      for p in parts]
+            zdims = {b.shape[2] for b in blocks}
+            if len(zdims) > 1:
+                blocks = [np.broadcast_to(b, (shp[0], shp[1], shp[2]))
+                          for b in blocks]
+            out = np.ascontiguousarray(np.concatenate(blocks, axis=0))
+        self._cache[key] = out
+        return out
+
+    def dx(self, loc):
+        return self._cat2d("dx", loc)
+
+    def dy(self, loc):
+        return self._cat2d("dy", loc)
+
+    def dz(self, loc):
+        return self._cat2d("dz", loc)
+
+    def Az(self, loc):
+        return self._cat2d("Az", loc)
+
+    def Ax(self, loc):
+        from .base import _mul
+        return _mul(self.dy(loc), self.dz(loc))
+
+    def Ay(self, loc):
+        from .base import _mul
+        return _mul(self.dx(loc), self.dz(loc))
+
+    def V(self, loc):
+        from .base import _mul
+        return _mul(self.Az(loc), self.dz(loc))
+
+    # -- nodes -------------------------------------------------------------------
+
+    def nodes2d_padded(self, loc=("c", "c")):
+        key = ("nodes2d_padded", tuple(loc[:2]))
+        hit = self._cache.get(key)
+        if hit is None:
+            lam = np.concatenate([g.nodes2d_padded(loc)[0]
+                                  for g in self._panels], axis=0)
+            phi = np.concatenate([g.nodes2d_padded(loc)[1]
+                                  for g in self._panels], axis=0)
+            hit = (lam, phi)
+            self._cache[key] = hit
+        return hit
+
+    def coord_padded(self, axis, loc):
+        if axis == 2:
+            return self._panels[0].coord_padded(2, loc)
+        raise ValueError(
+            "ConcatPanelsGrid has no 1D horizontal coordinates (curvilinear "
+            "panels); use nodes2d_padded")
+
+    def znodes(self, loc="c"):
+        return self._panels[0].znodes(loc)
+
+    def minimum_spacing(self, axis):
+        return min(g.minimum_spacing(axis) for g in self._panels)
+
+    # -- identity ------------------------------------------------------------------
+
+    def with_halo(self, halo):
+        raise ValueError("rebuild the composed ConformalCubedSphereGrid "
+                         "instead of re-haloing its panel concatenation")
+
+    def _fingerprint(self):
+        return ("ConcatPanelsGrid",) + tuple(g._fingerprint()
+                                             for g in self._panels)
+
+    def __hash__(self):
+        return hash(self._fingerprint())
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and other._fingerprint() == self._fingerprint())
+
+    def __repr__(self):
+        return f"ConcatPanelsGrid(6x{self._panels[0].N})"
+
+
+def concat_panels_grid(panel_grids):
+    """Build the batched-panels grid from (possibly immersed-wrapped) panel
+    grids: the underlying OSSGs concatenate into a :class:`ConcatPanelsGrid`;
+    immersed panels wrap it in a regular ImmersedBoundaryGrid whose solid
+    masks (and PartialCell effective spacings) are the panel concatenations —
+    so every immersed code path (fluid_mask/mask_immersed/column depths) is
+    the shared implementation."""
+    from ..immersed import ImmersedBoundaryGrid
+    if not isinstance(panel_grids[0], ImmersedBoundaryGrid):
+        return ConcatPanelsGrid(panel_grids)
+    under = ConcatPanelsGrid([g.underlying_grid for g in panel_grids])
+    solid_cat = np.concatenate([g.solid_ccc for g in panel_grids], axis=0)
+    fp = tuple(g._fingerprint() for g in panel_grids)
+    dzs = [getattr(g, "_dz_eff", None) for g in panel_grids]
+    if any(d is not None for d in dzs):
+        if not all(d is not None for d in dzs):
+            raise ValueError("mixed PartialCell/GridFitted panels")
+        shp = panel_grids[0].padded_shape
+        dz_eff_cat = {
+            key: np.ascontiguousarray(np.concatenate(
+                [np.broadcast_to(np.asarray(d[key], np.float64), shp)
+                 for d in dzs], axis=0))
+            for key in dzs[0]}
+        return ImmersedBoundaryGrid(under,
+                                    _ConcatPartialBoundary(solid_cat,
+                                                           dz_eff_cat, fp))
+    return ImmersedBoundaryGrid(under, _ConcatBoundary(solid_cat, fp))

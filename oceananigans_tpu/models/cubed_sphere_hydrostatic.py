@@ -299,7 +299,8 @@ class CubedSphereHydrostaticModel:
                  boundary_conditions=None, bottom_height=None,
                  free_surface="explicit", implicit_solver_tol=1e-8,
                  substeps=30, timestepper="WickerSkamarockRK3",
-                 vertical_coordinate="z", reference_datetime=None):
+                 vertical_coordinate="z", reference_datetime=None,
+                 batch_panels=None):
         if grid.panel_grids[0].is_flat(2):
             raise ValueError("CubedSphereHydrostaticModel needs a grid "
                              "built with z=(bottom, top)")
@@ -492,6 +493,31 @@ class CubedSphereHydrostaticModel:
                 validate_implicit_closure_z_bcs(closure, bcs)
             self.panels.append(_PanelPhysics(self, panel_grids[p], bcs))
 
+        # -- panel-batched physics (default): the six panels concatenate
+        #    along x into ONE grid, so every shared-path stage (tendencies,
+        #    vertical implicit solves, CATKE substeps, barotropic subcycle)
+        #    runs as single whole-array kernels instead of 6 launch-bound
+        #    copies (grids/cubed_sphere.py ConcatPanelsGrid). batch_panels=
+        #    False keeps the per-panel loop (CS_BATCH_PANELS=0/1 overrides).
+        if batch_panels is None:
+            import os
+            env = os.environ.get("CS_BATCH_PANELS")
+            batch_panels = env != "0"
+        self._batch = bool(batch_panels)
+        self._NPX = NP
+        if self._batch:
+            from ..grids.cubed_sphere import (build_concat_exchange_catform,
+                                              concat_panels_grid)
+            cat_grid = concat_panels_grid(panel_grids)
+            self._catp = _PanelPhysics(self, cat_grid, panel_bcs(cat_grid))
+            # concat-native exchange: inside the batched step every array
+            # stays in the (6·npx, npy, npz) form, so XLA lays the whole
+            # step out once — stacked<->concat reshapes are physical
+            # relayout copies under the compiler's preferred tiling and
+            # appear only at the step's entry/exit state conversion
+            self._exc_cat, self._exuv_cat, self._sync_cat = \
+                build_concat_exchange_catform(grid)
+
         # -- barotropic geometry -----------------------------------------------
         dzr = np.asarray(g0.dz(LOC_CCC)).reshape(-1)
         if dzr.size == 1:
@@ -531,12 +557,16 @@ class CubedSphereHydrostaticModel:
             self.state["dt_sigma"] = jnp.zeros((6, NP, NP, 1), dtype)
         self._geom = staggered_points_and_bases(grid)
         self._corner_info = _vertex_corner_info(grid)
+        if self._batch:
+            self._vertex_fix = self._build_vertex_fix()
         # the exchange as single static gathers (bitwise == the per-panel
         # reference path; collapses the ~48-op .at[].set chains that made
         # 6-panel XLA graphs enormous — grids/cubed_sphere.py
         # build_fast_exchange)
         self._exc, self._exuv = fast_exchange(grid)
-        self._step = jax.jit(self._build_step())
+        self._batch_default = self._batch
+        self._se_step_cache = {}
+        self._step = self._jitted_step(self._batch)
 
     # -- initialization -------------------------------------------------------
 
@@ -561,11 +591,17 @@ class CubedSphereHydrostaticModel:
     def _post_set(self):
         st = dict(self.state)
         if self._immersed:
-            for p in range(6):
-                g = self.panels[p].grid
+            if self._batch:
+                cp = self._catp
                 for n in ("u", "v") + self.tracer_names:
-                    st[n] = st[n].at[p].set(
-                        g.mask_immersed(st[n][p], self.panels[p].loc(n)))
+                    st[n] = self._s(cp.grid.mask_immersed(self._c(st[n]),
+                                                          cp.loc(n)))
+            else:
+                for p in range(6):
+                    g = self.panels[p].grid
+                    for n in ("u", "v") + self.tracer_names:
+                        st[n] = st[n].at[p].set(
+                            g.mask_immersed(st[n][p], self.panels[p].loc(n)))
         if "Gm" in st:
             # replacing prognostics abandons the trajectory: restart AB2
             st["Gm"] = {n: jnp.zeros_like(v) for n, v in st["Gm"].items()}
@@ -575,12 +611,18 @@ class CubedSphereHydrostaticModel:
         if "barotropic" in st:
             # (re)initialize the persistent barotropic transports from
             # ∫u dz (initialize_split_explicit_substepping.jl:15-27)
-            U = jnp.stack([self.panels[p]._depth_integral(st["u"][p],
-                                                          LOC_FCC)
-                           for p in range(6)])
-            V = jnp.stack([self.panels[p]._depth_integral(st["v"][p],
-                                                          LOC_CFC)
-                           for p in range(6)])
+            if self._batch:
+                U = self._s(self._catp._depth_integral(self._c(st["u"]),
+                                                       LOC_FCC))
+                V = self._s(self._catp._depth_integral(self._c(st["v"]),
+                                                       LOC_CFC))
+            else:
+                U = jnp.stack([self.panels[p]._depth_integral(st["u"][p],
+                                                              LOC_FCC)
+                               for p in range(6)])
+                V = jnp.stack([self.panels[p]._depth_integral(st["v"][p],
+                                                              LOC_CFC)
+                               for p in range(6)])
             st["barotropic"] = {"U": U, "V": V}
         self.state = st
 
@@ -633,12 +675,42 @@ class CubedSphereHydrostaticModel:
 
     # -- halo management --------------------------------------------------------
 
+    def _c(self, a):
+        """(6, npx, rest...) → (6·npx, rest...): the panel-batched view (a
+        leading-axes merge — layout-preserving, compiles to nothing)."""
+        return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+
+    def _s(self, a):
+        """(6·npx, rest...) → (6, npx, rest...)."""
+        return a.reshape((6, self._NPX) + a.shape[1:])
+
     def _filled(self, st, time):
         """Exchange panel halos (staggered rotation for u/v), fill z halos
         per the top/bottom BCs, and mask immersed cells."""
-        grid = self.grid
         out = dict(st)
         u, v = st["u"], st["v"]
+        if self._batch:
+            # CAT CONTRACT: fields in `st` are panel-concatenated
+            # (6·npx, npy, ...); so is the output
+            cp = self._catp
+            if self._immersed:
+                u = cp.grid.mask_immersed(u, LOC_FCC)
+                v = cp.grid.mask_immersed(v, LOC_CFC)
+            u, v = self._exuv_cat(u, v)
+            u = fill_halo_axes(u, cp.grid, LOC_FCC, cp.bcs["u"], time,
+                               axes=(2,))
+            v = fill_halo_axes(v, cp.grid, LOC_CFC, cp.bcs["v"], time,
+                               axes=(2,))
+            out["u"], out["v"] = u, v
+            out["eta"] = self._exc_cat(st["eta"])
+            for name in self.tracer_names:
+                c = st[name]
+                if self._immersed:
+                    c = cp.grid.mask_immersed(c, LOC_CCC)
+                c = self._exc_cat(c)
+                out[name] = fill_halo_axes(c, cp.grid, LOC_CCC,
+                                           cp.bcs[name], time, axes=(2,))
+            return out
         if self._immersed:
             u = jnp.stack([self.panels[p].grid.mask_immersed(u[p], LOC_FCC)
                            for p in range(6)])
@@ -671,21 +743,86 @@ class CubedSphereHydrostaticModel:
     def _vertex_zetas(self, u, v):
         """Per-panel ffc vorticity with the valence-3 cube-vertex fix
         (dual-triangle circulation — cubed_sphere_shallow_water)."""
-        zetas, ones_ff = [], []
-        for p in range(6):
-            g = self.grid.panel_grids[p]
-            zetas.append(zeta3_ffc(g, u[p], v[p]))
-            ones_ff.append(jnp.ones_like(zetas[p]))
+        zetas = [zeta3_ffc(self.grid.panel_grids[p], u[p], v[p])
+                 for p in range(6)]
+        ones_ff = [jnp.ones_like(z) for z in zetas]
         sw = CubedSphereShallowWaterModel
         zetas, _ = sw._vertex_zeta(self, zetas, ones_ff,
                                    jnp.ones_like(u), u, v)
         return zetas
 
+    def _build_vertex_fix(self):
+        """Static gather/scatter index tables for the valence-3 cube-vertex
+        vorticity fix (the batched analogue of the per-member scalar reads
+        and sets of cubed_sphere_shallow_water._vertex_zeta: each of the 8
+        vertices sums 3 members' partial circulations ±Δy·v ∓Δx·u and the
+        result overwrites the 24 corner ffc slots — here as two fancy-index
+        gathers, one reshape-sum and one scatter)."""
+        H = self.grid.H[0]
+        vp, vi, vj, wv = [], [], [], []
+        up_, ui, uj, wu = [], [], [], []
+        sp, si, sj, zrow = [], [], [], []
+        Av = []
+        for gidx, (members, A) in enumerate(self._corner_info):
+            Av.append(A)
+            for (p, i0, j0) in members:
+                g = self.grid.panel_grids[p]
+                dycf = np.asarray(g.dy(LOC_CFC))
+                dxfc = np.asarray(g.dx(LOC_FCC))
+                if i0 == H:
+                    vp.append(p), vi.append(i0), vj.append(j0)
+                    wv.append(dycf[i0, j0, 0])
+                else:
+                    vp.append(p), vi.append(i0 - 1), vj.append(j0)
+                    wv.append(-dycf[i0 - 1, j0, 0])
+                if j0 == H:
+                    up_.append(p), ui.append(i0), uj.append(j0)
+                    wu.append(-dxfc[i0, j0, 0])
+                else:
+                    up_.append(p), ui.append(i0), uj.append(j0 - 1)
+                    wu.append(dxfc[i0, j0 - 1, 0])
+                sp.append(p), si.append(i0), sj.append(j0)
+                zrow.append(gidx)
+        ia = lambda x: np.asarray(x, np.int32)
+        NPX = self._NPX
+        return {"vrows": ia(vp) * NPX + ia(vi), "vj": ia(vj),
+                "urows": ia(up_) * NPX + ia(ui), "uj": ia(uj),
+                "wv": np.asarray(wv), "wu": np.asarray(wu),
+                "srows": ia(sp) * NPX + ia(si), "sj": ia(sj),
+                "zrow": ia(zrow), "Av": np.asarray(Av),
+                "ngroups": len(self._corner_info)}
+
+    def _zeta_cat(self, u, v):
+        """Concat-panels ffc vorticity with the vectorized vertex fix:
+        one whole-array curl + 2 gathers + 1 scatter (vs ~150 scalar ops
+        in the per-panel path). ``u``/``v`` are CAT (6·npx, npy, z)."""
+        zcat = zeta3_ffc(self._catp.grid, u, v)
+        f = self._vertex_fix
+        dt = u.dtype
+        vg = v[f["vrows"], f["vj"]]                # (24, Z)
+        ug = u[f["urows"], f["uj"]]
+        tot = (jnp.asarray(f["wv"], dt)[:, None] * vg
+               + jnp.asarray(f["wu"], dt)[:, None] * ug)
+        tot = tot.reshape(f["ngroups"], 3, -1).sum(1)
+        zv = tot / jnp.asarray(2.0 * f["Av"], dt)[:, None]
+        zmem = zv[f["zrow"]]                       # (24, Z)
+        return zcat.at[f["srows"], f["sj"]].set(zmem.astype(zcat.dtype))
+
     def _tendencies(self, sf, w, time, dt_sigma=None):
-        """Per-panel shared-path tendencies. Returns (G stacked dict over
-        u/v/tracers, aux list per panel)."""
-        zetas = self._vertex_zetas(sf["u"], sf["v"])
+        """Shared-path tendencies. Batched mode: ONE `_compute_tendencies`
+        over the panel concatenation (aux = single concat dict); per-panel
+        mode: the original 6-call loop (aux = list per panel)."""
         names = ("u", "v") + self.tracer_names
+        if self._batch:
+            cp = self._catp
+            fields_c = {n: sf[n] for n in names}
+            fields_c["eta"] = sf["eta"]
+            cp._zeta_override = self._zeta_cat(sf["u"], sf["v"])
+            Gc, aux = cp._compute_tendencies(fields_c, w, time,
+                                             dt_sigma=dt_sigma)
+            cp._zeta_override = None
+            return Gc, aux
+        zetas = self._vertex_zetas(sf["u"], sf["v"])
         G = {n: [] for n in names}
         auxs = []
         for p in range(6):
@@ -703,6 +840,9 @@ class CubedSphereHydrostaticModel:
         return {n: jnp.stack(vs) for n, vs in G.items()}, auxs
 
     def _w(self, sf, dt_sigma=None):
+        if self._batch:
+            return self._catp._w_from_continuity(sf["u"], sf["v"],
+                                                 dt_sigma=dt_sigma)
         return jnp.stack([self.panels[p]._w_from_continuity(
             sf["u"][p], sf["v"][p],
             dt_sigma=None if dt_sigma is None else dt_sigma[p])
@@ -710,11 +850,25 @@ class CubedSphereHydrostaticModel:
 
     # -- free surfaces ------------------------------------------------------------
 
+    def _div_transport_cat(self, U, V):
+        """∇·(transport) over the panel concatenation: (6·npx, npy, 1) in
+        and out (seam columns garbage-only-in-halo, refilled on exchange)."""
+        g = self._catp.grid
+        return (dx_c(g, g.dy(LOC_FCC)[..., :1] * U)
+                + dy_c(g, g.dx(LOC_CFC)[..., :1] * V)) \
+            / g.Az(LOC_CCC)[..., :1]
+
     def _explicit_eta(self, eta0, u, v, sdt):
         """Forward-backward explicit step: η ← η − Δt ∇·∫u dz with the
         UPDATED velocities (explicit_free_surface.jl). Shared-edge faces are
         synced first so both panels compute bitwise-identical fluxes through
         a shared face (global mass conservation to summation roundoff)."""
+        if self._batch:
+            cp = self._catp
+            u, v = self._sync_cat(u, v)
+            U = cp._depth_integral(u, LOC_FCC)
+            V = cp._depth_integral(v, LOC_CFC)
+            return eta0 - sdt * self._div_transport_cat(U, V)
         u, v = sync_shared_velocity_faces(u, v, self.grid)
         divs = []
         for p in range(6):
@@ -738,7 +892,6 @@ class CubedSphereHydrostaticModel:
         dtau = frac * dt
         H_fc = self._H_fc if not np.isscalar(self._H_fc) else self._H_fc
         H_cf = self._H_cf
-        GU, GV = self._exuv(GU, GV)
 
         # the substep body is identical for every substep (the weight enters
         # only the filtered accumulation), so the loop runs as a lax.scan —
@@ -746,32 +899,116 @@ class CubedSphereHydrostaticModel:
         # compiles take tens of minutes (the rectilinear fs.substep unrolls
         # for its ring-budget fill optimization; the CS exchange is a static
         # gather with no such budget, so scan costs nothing)
-        def body(carry, w):
-            eta, U, V, eta_f, U_f, V_f = carry
-            U, V = self._exuv(U, V)
-            eta = self._exc(eta)
-            divs = []
-            for p in range(6):
-                g = grid.panel_grids[p]
-                divs.append((dx_c(g, g.dy(LOC_FCC)[..., :1] * U[p])
-                             + dy_c(g, g.dx(LOC_CFC)[..., :1] * V[p]))
-                            / g.Az(LOC_CCC)[..., :1])
-            eta = eta - dtau * jnp.stack(divs)
-            eta = self._exc(eta)
-            un, vn = [], []
-            for p in range(6):
-                g = grid.panel_grids[p]
-                hf = H_fc if np.isscalar(H_fc) else H_fc[p]
-                hc = H_cf if np.isscalar(H_cf) else H_cf[p]
-                un.append(U[p] + dtau * (-gy * hf
-                                         * ddx(g, eta[p], LOC_FCC) + GU[p]))
-                vn.append(V[p] + dtau * (-gy * hc
-                                         * ddy(g, eta[p], LOC_CFC) + GV[p]))
-            U, V = jnp.stack(un), jnp.stack(vn)
-            eta_f = eta_f + w * eta
-            U_f = U_f + w * U
-            V_f = V_f + w * V
-            return (eta, U, V, eta_f, U_f, V_f), None
+        if self._batch:
+            # CAT CONTRACT: eta/U/V/GU/GV are panel-concatenated
+            cg = self._catp.grid
+            cp = self._catp
+            Hfc = (H_fc if np.isscalar(H_fc)
+                   else jnp.asarray(np.asarray(cp._H_fc), eta.dtype))
+            Hcf = (H_cf if np.isscalar(H_cf)
+                   else jnp.asarray(np.asarray(cp._H_cf), eta.dtype))
+            GU, GV = self._exuv_cat(GU, GV)
+
+            Hh = grid.H[0]
+            mid_exc = Hh < 3   # see the cadence note below
+
+            def substep(carry, w):
+                eta, U, V, eta_f, U_f, V_f = carry
+                eta = eta - dtau * self._div_transport_cat(U, V)
+                if mid_exc:
+                    eta = self._exc_cat(eta)
+                U = U + dtau * (-gy * Hfc * ddx(cg, eta, LOC_FCC) + GU)
+                V = V + dtau * (-gy * Hcf * ddy(cg, eta, LOC_CFC) + GV)
+                return (eta, U, V, eta_f + w * eta, U_f + w * U,
+                        V_f + w * V)
+
+            # halo-deep subcycling: one (η, U, V) exchange per chunk of
+            # c = (H-1)//2 substeps. Each substep consumes TWO halo rings
+            # (δᶜ reads one slot outward on the high side, ∂ᶠ one slot
+            # outward on the low side): after an exchange η is valid to
+            # ring H and U/V to H-1, and substep k needs U ring validity
+            # H-1-2(k-1) >= 1 and η ring validity H-2k >= 1 for the
+            # interior updates to stay EXACT, giving k <= (H-1)/2.
+            # At the default halo 3 this is c = 1 — still one eta exchange
+            # per substep fewer than the per-panel reference body, which
+            # re-exchanges η after its update (unnecessary for H >= 3:
+            # the next substep's opening exchange rebuilds halos from
+            # interiors). Interiors stay bitwise per-substep-exchange
+            # values (tests/test_cubed_sphere_batched.py); only unread
+            # halo rings go stale.
+            c = max(1, (Hh - 1) // 2)
+            M = len(np.asarray(weights))
+            n_full, rem = divmod(M, c)
+            ws_np = np.asarray(weights)
+
+            # single-pass exchanges: the subcycle's +-shaped radius-1
+            # stencils (δᶜ of transports, ∂ᶠ of η) never read the 3-panel
+            # corner halo blocks — the only slots pass 2 exists for — so
+            # one pass per exchange is exact here and halves the
+            # launch-bound exchange kernel count
+            exc1 = self._exc_cat.single_pass
+            exuv1 = self._exuv_cat.single_pass
+
+            def run_chunk(carry, wchunk):
+                eta, U, V, eta_f, U_f, V_f = carry
+                U, V = exuv1(U, V)
+                eta = exc1(eta)
+                carry = (eta, U, V, eta_f, U_f, V_f)
+                for j in range(wchunk.shape[0]):
+                    carry = substep(carry, wchunk[j])
+                return carry, None
+
+            carry = (eta, U, V, jnp.zeros_like(eta), jnp.zeros_like(U),
+                     jnp.zeros_like(V))
+            ws_j = jnp.asarray(ws_np, eta.dtype)
+            if M <= 32:
+                # fully unrolled: a lax.while adds a per-iteration device
+                # sync barrier that dominates these tiny 2D bodies
+                # (measured 1.67 ms of 4.9 at substeps=20); unrolled, XLA
+                # pipelines across substeps
+                for k in range(0, n_full * c, c):
+                    carry, _ = run_chunk(carry, ws_j[k:k + c])
+                if rem:
+                    carry, _ = run_chunk(carry, ws_j[n_full * c:])
+            else:
+                if n_full:
+                    wmat = ws_j[:n_full * c].reshape(n_full, c)
+                    carry, _ = jax.lax.scan(run_chunk, carry, wmat)
+                if rem:
+                    carry, _ = run_chunk(carry, ws_j[n_full * c:])
+            _, _, _, eta_f, U_f, V_f = carry
+            return eta_f, U_f, V_f
+        else:
+            GU, GV = self._exuv(GU, GV)
+
+            def body(carry, w):
+                eta, U, V, eta_f, U_f, V_f = carry
+                U, V = self._exuv(U, V)
+                eta = self._exc(eta)
+                divs = []
+                for p in range(6):
+                    g = grid.panel_grids[p]
+                    divs.append((dx_c(g, g.dy(LOC_FCC)[..., :1] * U[p])
+                                 + dy_c(g, g.dx(LOC_CFC)[..., :1] * V[p]))
+                                / g.Az(LOC_CCC)[..., :1])
+                eta = eta - dtau * jnp.stack(divs)
+                eta = self._exc(eta)
+                un, vn = [], []
+                for p in range(6):
+                    g = grid.panel_grids[p]
+                    hf = H_fc if np.isscalar(H_fc) else H_fc[p]
+                    hc = H_cf if np.isscalar(H_cf) else H_cf[p]
+                    un.append(U[p] + dtau * (-gy * hf
+                                             * ddx(g, eta[p], LOC_FCC)
+                                             + GU[p]))
+                    vn.append(V[p] + dtau * (-gy * hc
+                                             * ddy(g, eta[p], LOC_CFC)
+                                             + GV[p]))
+                U, V = jnp.stack(un), jnp.stack(vn)
+                eta_f = eta_f + w * eta
+                U_f = U_f + w * U
+                V_f = V_f + w * V
+                return (eta, U, V, eta_f, U_f, V_f), None
 
         carry0 = (eta, U, V, jnp.zeros_like(eta), jnp.zeros_like(U),
                   jnp.zeros_like(V))
@@ -788,6 +1025,21 @@ class CubedSphereHydrostaticModel:
         hz, nz = g0.H[2], g0.N[2]
         zmask = jnp.zeros((g0.padded_shape[2],), u.dtype
                           ).at[hz:hz + nz].set(1.0)
+        if self._batch:
+            # CAT CONTRACT: u/v/U_f/V_f are panel-concatenated
+            cp = self._catp
+            Ustar = cp._depth_integral(u, LOC_FCC)
+            Vstar = cp._depth_integral(v, LOC_CFC)
+            hf = cp._H_fc if not self._immersed else jnp.asarray(
+                np.asarray(cp._H_fc), u.dtype)
+            hc = cp._H_cf if not self._immersed else jnp.asarray(
+                np.asarray(cp._H_cf), u.dtype)
+            up = (u + (U_f - Ustar) / hf) * zmask
+            vp = (v + (V_f - Vstar) / hc) * zmask
+            if self._immersed:
+                up = cp.grid.mask_immersed(up, LOC_FCC)
+                vp = cp.grid.mask_immersed(vp, LOC_CFC)
+            return up, vp
         un, vn = [], []
         for p in range(6):
             pp = self.panels[p]
@@ -815,6 +1067,9 @@ class CubedSphereHydrostaticModel:
         grid = self.grid
         gy = self.free_surface.g
         u, v, eta0 = st["u"], st["v"], st["eta"]
+        if self._batch:
+            u, v = self._sync_cat(u, v)
+            return self._implicit_eta_step_cat(st, u, v, eta0, sdt)
         u, v = sync_shared_velocity_faces(u, v, grid)
 
         def div_transport(a_fcc, a_cfc):
@@ -869,12 +1124,63 @@ class CubedSphereHydrostaticModel:
         out["eta"] = eta0 + delta
         return out
 
+    def _implicit_eta_step_cat(self, st, u, v, eta0, sdt):
+        """Batched variant of :meth:`_implicit_eta_step`: the CG operator's
+        gradient/divergence run over the panel concatenation; the inter-panel
+        exchange stays on the stacked view inside the operator."""
+        from ..solvers.conjugate_gradient import conjugate_gradient
+        grid = self.grid
+        cp = self._catp
+        cg = cp.grid
+        gy = self.free_surface.g
+        Ustar = cp._depth_integral(u, LOC_FCC)
+        Vstar = cp._depth_integral(v, LOC_CFC)
+
+        def div_transport(a_fcc, a_cfc):
+            return (dx_c(cg, cg.dy(LOC_FCC)[..., :1] * a_fcc)
+                    + dy_c(cg, cg.dx(LOC_CFC)[..., :1] * a_cfc))
+
+        Az = jnp.asarray(np.broadcast_to(np.asarray(cg.Az(LOC_CCC)),
+                                         eta0.shape), grid.dtype)
+        Hh, N = grid.H[0], grid.N[0]
+        mask = np.zeros((6, self._NPX) + tuple(eta0.shape[1:]), bool)
+        mask[:, Hh:Hh + N, Hh:Hh + N] = True
+        mask = jnp.asarray(mask.reshape(eta0.shape))
+        rhs = jnp.where(mask, -sdt * div_transport(Ustar, Vstar), 0.0)
+        hf = cp._H_fc if not self._immersed else np.asarray(cp._H_fc)
+        hc = cp._H_cf if not self._immersed else np.asarray(cp._H_cf)
+
+        def A(x):
+            xf = self._exc_cat(jnp.where(mask, x, 0.0))
+            lap = div_transport(hf * ddx(cg, xf, LOC_FCC),
+                                hc * ddy(cg, xf, LOC_CFC))
+            return jnp.where(mask, Az * x - gy * sdt * sdt * lap, 0.0)
+
+        delta, _, _ = conjugate_gradient(A, rhs,
+                                         reltol=self.implicit_solver_tol,
+                                         maxiter=200)
+        deltaf = self._exc_cat(delta)
+        up = u - gy * sdt * ddx(cg, deltaf, LOC_FCC)
+        vp = v - gy * sdt * ddy(cg, deltaf, LOC_CFC)
+        if self._immersed:
+            up = cg.mask_immersed(up, LOC_FCC)
+            vp = cg.mask_immersed(vp, LOC_CFC)
+        out = dict(st)
+        out["u"], out["v"] = up, vp
+        out["eta"] = eta0 + delta
+        return out
+
     # -- step -----------------------------------------------------------------
 
     def _mask_prognostics(self, st):
         if not self._immersed:
             return st
         out = dict(st)
+        if self._batch:
+            cp = self._catp
+            for n in ("u", "v") + self.tracer_names:
+                out[n] = cp.grid.mask_immersed(st[n], cp.loc(n))
+            return out
         for n in ("u", "v") + self.tracer_names:
             out[n] = jnp.stack([self.panels[p].grid.mask_immersed(
                 st[n][p], self.panels[p].loc(n)) for p in range(6)])
@@ -892,6 +1198,22 @@ class CubedSphereHydrostaticModel:
             if self.closure is None:
                 return st
             out = dict(st)
+            if self._batch:
+                cp = self._catp
+                st_c = {n: st[n] for n in prog if n in st}
+                damp = None
+                if hasattr(self.closure, "vertical_implicit_damping") \
+                        and not self._substepped_tke:
+                    damp = self.closure.vertical_implicit_damping(
+                        cp.grid, st_c, auxs)
+                new_c = cp.implicit_step(st_c, auxs, sdt, dampings=damp)
+                for n, val in new_c.items():
+                    if n in st and val is not st_c.get(n):
+                        out[n] = val
+                if hasattr(self.closure, "clip_fields") \
+                        and not self._substepped_tke:
+                    out = self.closure.clip_fields(out)
+                return out
             names = None
             dampings = [None] * 6
             if hasattr(self.closure, "vertical_implicit_damping") \
@@ -922,6 +1244,24 @@ class CubedSphereHydrostaticModel:
             """Substepped turbulence (CATKE/k-ε) per panel with the UPDATED,
             exchange-and-z-filled velocities (time_step_catke_equation.jl)."""
             nf = self._filled(new, time)
+            if self._batch:
+                cp = self._catp
+                fields_c = {n: sf[n] for n in prog}
+                fnew = {n: new[n] for n in prog}
+                fnew.update(u=nf["u"], v=nf["v"],
+                            **{nm: sf[nm]
+                               for nm in self._substepped_names})
+                slow = {nm: G[nm] for nm in self._substepped_names}
+                prev = {nm: Gm[nm] for nm in self._substepped_names}
+                upd, Gm_t = self.closure.step_turbulence(
+                    cp.grid, fields_c, fnew, slow, prev, dt, chi,
+                    euler, catke_substeps, time)
+                outs = {}
+                for nm, val in upd.items():
+                    if self._immersed:
+                        val = cp.grid.mask_immersed(val, LOC_CCC)
+                    outs[nm] = val
+                return outs, Gm_t
             upds = {nm: [] for nm in self._substepped_names}
             Gts = {nm: [] for nm in self._substepped_names}
             for p in range(6):
@@ -948,13 +1288,19 @@ class CubedSphereHydrostaticModel:
             chi0 = 0.1
 
             def step(state, dt):
-                st0 = {n: state[n] for n in prog}
-                Gm = state["Gm"]
+                # batched mode: convert the stacked state to the panel-
+                # concatenated form ONCE here (and back at the end) — all
+                # in-step math runs on (6·npx, npy, ...) arrays
+                C = self._c if self._batch else (lambda a: a)
+                S = self._s if self._batch else (lambda a: a)
+                st0 = {n: C(state[n]) for n in prog}
+                Gm = {n: C(g) for n, g in state["Gm"].items()}
                 time = state["time"]
                 euler = state["iteration"] == 0
                 chi = jnp.where(euler, -0.5, chi0)
                 not_euler = jnp.where(euler, 0.0, 1.0)
                 dts = state.get("dt_sigma")       # lagged ∂t_σ (z* only)
+                dts = C(dts) if dts is not None else None
                 sf = self._filled(st0, time)
                 w = self._w(sf, dt_sigma=dts)
                 G, auxs = self._tendencies(sf, w, time, dt_sigma=dts)
@@ -968,13 +1314,18 @@ class CubedSphereHydrostaticModel:
                 st = implicit_all(st, auxs, dt)
                 bt = None
                 if split_explicit:
-                    GU = jnp.stack([self.panels[p]._depth_integral(
-                        ab2G["u"][p], LOC_FCC) for p in range(6)])
-                    GV = jnp.stack([self.panels[p]._depth_integral(
-                        ab2G["v"][p], LOC_CFC) for p in range(6)])
+                    if self._batch:
+                        GU = self._catp._depth_integral(ab2G["u"], LOC_FCC)
+                        GV = self._catp._depth_integral(ab2G["v"], LOC_CFC)
+                    else:
+                        GU = jnp.stack([self.panels[p]._depth_integral(
+                            ab2G["u"][p], LOC_FCC) for p in range(6)])
+                        GV = jnp.stack([self.panels[p]._depth_integral(
+                            ab2G["v"][p], LOC_CFC) for p in range(6)])
                     frac, weights = (se_settings if se_settings is not None
                                      else fs.settings(None))
-                    bt0 = state["barotropic"]
+                    bt0 = {k: C(vv)
+                           for k, vv in state["barotropic"].items()}
                     eta_f, U_f, V_f = self._split_explicit_substep(
                         st0["eta"], bt0["U"], bt0["V"], GU, GV, dt,
                         frac, weights)
@@ -995,34 +1346,54 @@ class CubedSphereHydrostaticModel:
                         st[nm] = val
                         G[nm] = Gm_t[nm]
                 st = self._mask_prognostics(st)
-                out = dict(self._filled(st, time))
+                # NO end-of-step halo refresh: every consumer of the stored
+                # state either refills (the next step's opening _filled, the
+                # subcycle's per-substep exchanges, diagnose_w) or reads
+                # interiors only (field accessors, total_tracer). Dropping
+                # the second full 3D exchange per step saves ~17% of the
+                # measured step (the reference also fills once per step, at
+                # update_state! — update_hydrostatic_free_surface_model_state.jl).
+                out = dict(st)
                 if dts is not None:
                     # conservative σ-weighted tracer update c ← c σⁿ/σⁿ⁺¹
-                    # (hydrostatic_free_surface_ab2_step.jl:116-130), applied
-                    # to the EXCHANGED fields so halo columns carry their
-                    # owning panel's ratio; ∂t_σ persists for the next
-                    # step's grid-motion terms
-                    sig_n = jnp.stack([
-                        self.panels[p]._sigma_fields(
-                            sf["eta"][p])[("c", "c")] for p in range(6)])
-                    sig_np1 = jnp.stack([
-                        self.panels[p]._sigma_fields(
-                            out["eta"][p])[("c", "c")] for p in range(6)])
+                    # (hydrostatic_free_surface_ab2_step.jl:116-130); the
+                    # stored ∂t_σ feeds NEXT step's grid-motion terms over
+                    # every column, so η must be halo-valid here — one cheap
+                    # 2D exchange
+                    if self._batch:
+                        out["eta"] = self._exc_cat(out["eta"])
+                        sig_n = self._catp._sigma_fields(
+                            sf["eta"])[("c", "c")]
+                        sig_np1 = self._catp._sigma_fields(
+                            out["eta"])[("c", "c")]
+                    else:
+                        out["eta"] = self._exc(out["eta"])
+                        sig_n = jnp.stack([
+                            self.panels[p]._sigma_fields(
+                                sf["eta"][p])[("c", "c")] for p in range(6)])
+                        sig_np1 = jnp.stack([
+                            self.panels[p]._sigma_fields(
+                                out["eta"][p])[("c", "c")] for p in range(6)])
                     ratio = sig_n / sig_np1
                     for nm in self.tracer_names:
                         out[nm] = out[nm] * ratio
                     out["dt_sigma"] = (sig_np1 - sig_n) / dt
-                out["Gm"] = {n: G[n] for n in stepped}
+                # back to the stacked public state layout
+                out = {n: S(v) if n in prog or n == "dt_sigma" else v
+                       for n, v in out.items()}
+                out["Gm"] = {n: S(G[n]) for n in stepped}
                 out["time"] = time + dt
                 out["iteration"] = state["iteration"] + 1
                 if bt is not None:
-                    out["barotropic"] = bt
+                    out["barotropic"] = {k: S(v) for k, v in bt.items()}
                 return out
 
             return step
 
         def step(state, dt):
-            st0 = {n: state[n] for n in prog}
+            C = self._c if self._batch else (lambda a: a)
+            S = self._s if self._batch else (lambda a: a)
+            st0 = {n: C(state[n]) for n in prog}
             time = state["time"]
             st = st0
             for frac in (1.0 / 3.0, 0.5, 1.0):   # Wicker-Skamarock RK3
@@ -1040,13 +1411,54 @@ class CubedSphereHydrostaticModel:
                     st["eta"] = self._explicit_eta(st0["eta"], st["u"],
                                                    st["v"], sdt)
                 st = self._mask_prognostics(st)
-            st = self._filled(st, time)
-            out = dict(st)
+            # no end-of-step refresh (see the AB2 step note): the next
+            # step's stage-1 _filled rebuilds every halo from interiors
+            out = {n: S(v) for n, v in st.items()}
             out["time"] = time + dt
             out["iteration"] = state["iteration"] + 1
             return out
 
         return step
+
+    def _state_sharded(self):
+        """True when the state's panel axis spans more than one device:
+        the per-panel step is both the safe one under GSPMD (the batched
+        x-concat stencils trip an observed partitioner miscompile — see
+        _jitted_step) and the communication-optimal one (every panel's
+        tendency assembly is device-local)."""
+        sh = getattr(self.state["u"], "sharding", None)
+        if sh is None:
+            return False
+        try:
+            return len(sh.device_set) > 1
+        except Exception:
+            return False
+
+    def _jitted_step(self, use_batch, se=None, M=1):
+        """Compiled step for (panel-batching flag, split-explicit settings,
+        CATKE substeps). The batched concat path is the single-device
+        default; panel-sharded states dispatch to the per-panel build —
+        measured: XLA's SPMD partitioner refuses the x-concatenated stencil
+        reads across the exchange and produces ~1%-wrong interior
+        tendencies on the CPU backend (jax 0.8, 6-way panel sharding), and
+        per-panel is collective-free under panel sharding anyway. The flag
+        is applied around each call (tracing happens on first call)."""
+        key = (bool(use_batch), (len(se[1]), se[0]) if se else None, M)
+        hit = self._se_step_cache.get(key)
+        if hit is None:
+            inner = jax.jit(self._build_step(se_settings=se,
+                                             catke_substeps=M))
+
+            def run(state, dt, _inner=inner, _b=key[0]):
+                prev = self._batch
+                self._batch = _b
+                try:
+                    return _inner(state, dt)
+                finally:
+                    self._batch = prev
+
+            hit = self._se_step_cache[key] = run
+        return hit
 
     def _step_for(self, dt):
         """Per-Δt compiled step: split-explicit FixedTimeStepSize substep
@@ -1059,16 +1471,9 @@ class CubedSphereHydrostaticModel:
              if self._substepped_tke
              and getattr(self.closure, "tke_time_step", None) is not None
              else 1)
-        if not dyn_se and M == 1:
-            return self._step
+        use_batch = self._batch_default and not self._state_sharded()
         se = fs.settings(float(dt)) if dyn_se else None
-        key = ((len(se[1]), se[0]) if se else None, M)
-        if not hasattr(self, "_se_step_cache"):
-            self._se_step_cache = {}
-        if key not in self._se_step_cache:
-            self._se_step_cache[key] = jax.jit(
-                self._build_step(se_settings=se, catke_substeps=M))
-        return self._se_step_cache[key]
+        return self._jitted_step(use_batch, se=se, M=M)
 
     def time_step(self, dt):
         step = self._step_for(dt)
@@ -1091,18 +1496,32 @@ class CubedSphereHydrostaticModel:
 
     def diagnose_w(self):
         """(6, NP, NP, ZP) grid-relative w from continuity."""
-        sf = self._filled({n: self.state[n]
+        C = self._c if self._batch else (lambda a: a)
+        S = self._s if self._batch else (lambda a: a)
+        sf = self._filled({n: C(self.state[n])
                            for n in ("u", "v", "eta") + self.tracer_names},
                           self.state["time"])
-        return self._w(sf, dt_sigma=self.state.get("dt_sigma"))
+        dts = self.state.get("dt_sigma")
+        return S(self._w(sf, dt_sigma=C(dts) if dts is not None else None))
 
     def field(self, name):
         """Writer/diagnostic accessor (fetch_output protocol). 2D fields
-        (eta) keep their size-1 z axis un-sliced; "w" is diagnosed."""
+        (eta) keep their size-1 z axis un-sliced; "w" is diagnosed;
+        "u"/"v" are read through the shared-edge face sync so the
+        duplicated faces report the canonical (owner-panel) value — the
+        stored state carries each panel's own computed copy between the
+        step-opening fills."""
         from .cubed_sphere_shallow_water import _PanelFieldView
         g0 = self.grid.panel_grids[0]
         H, N = self.grid.H[0], self.grid.N[0]
-        a = self.diagnose_w() if name == "w" else self.state[name]
+        if name == "w":
+            a = self.diagnose_w()
+        elif name in ("u", "v"):
+            u, v = sync_shared_velocity_faces(self.state["u"],
+                                              self.state["v"], self.grid)
+            a = u if name == "u" else v
+        else:
+            a = self.state[name]
         zsl = (slice(g0.H[2], g0.H[2] + g0.N[2])
                if a.shape[-1] == g0.padded_shape[2] else slice(None))
         return _PanelFieldView(a[:, H:H + N, H:H + N, zsl])

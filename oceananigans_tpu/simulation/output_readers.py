@@ -26,18 +26,30 @@ def OnDisk():
 
 
 class FieldTimeSeries:
+    """Time series of field snapshots read from a FieldWriter directory
+    (series.json + npy) or a NetCDF4Writer ``.nc`` file (HDF5 via h5py —
+    the time axis, variable data, coordinate dimension scales and
+    attributes all round-trip; reference:
+    FieldTimeSeries-from-NetCDF in the NCDatasets ext)."""
+
     def __init__(self, path, name, backend="in_memory"):
         if callable(backend):
             backend = backend()
         self.path = path
         self.name = name
         self.backend = backend
+        self._cache = {}
+        self.coordinates = None
+        self.attributes = {}
+        self._nc = None
+        if os.path.isfile(path) and not path.endswith(".json"):
+            self._init_netcdf(path, name, backend)
+            return
         index = json.load(open(os.path.join(path, "series.json")))
         if name not in index["outputs"]:
             raise KeyError(f"{name!r} not among outputs {index['outputs']}")
         self.times = np.asarray(index["times"], float)
         self.iterations = list(index["iterations"])
-        self._cache = {}
         if backend == "in_memory":
             self._data = np.stack([self._load(i)
                                    for i in range(len(self.iterations))])
@@ -48,7 +60,37 @@ class FieldTimeSeries:
         except FileNotFoundError:
             self.grid_meta = None
 
+    def _init_netcdf(self, path, name, backend):
+        import h5py
+        f = h5py.File(path, "r")
+        if name not in f:
+            avail = [k for k in f.keys() if k != "time"]
+            f.close()
+            raise KeyError(f"{name!r} not among outputs {avail}")
+        self.times = np.asarray(f["time"][:], float)
+        self.iterations = list(range(len(self.times)))
+        var = f[name]
+        self.attributes = {k: v for k, v in var.attrs.items()}
+        # coordinate arrays from the attached dimension scales (axis 0 is
+        # the time scale)
+        coords = []
+        for axis in range(1, var.ndim):
+            scales = var.dims[axis]
+            coords.append(np.asarray(scales[0][:], float)
+                          if len(scales) else None)
+        self.coordinates = coords
+        self.grid_meta = {k: v for k, v in f.attrs.items()
+                          if not k.startswith("_")}
+        if backend == "in_memory":
+            self._data = np.asarray(var[:])
+            f.close()
+        else:
+            self._data = None
+            self._nc = f         # lazy per-index reads hold the file open
+
     def _load(self, idx):
+        if self._nc is not None:
+            return np.asarray(self._nc[self.name][idx])
         it = self.iterations[idx]
         return np.load(os.path.join(self.path, f"{self.name}_{it}.npy"))
 
@@ -106,10 +148,15 @@ class FieldTimeSeries:
 
 
 def written_names(path):
-    """Output names recorded in a FieldWriter dataset (reference:
-    jld2_writer.jl written_names)."""
+    """Output names recorded in a FieldWriter dataset or NetCDF4Writer file
+    (reference: jld2_writer.jl written_names)."""
     import json as _json
     import os as _os
+    if _os.path.isfile(path) and not path.endswith(".json"):
+        import h5py
+        with h5py.File(path, "r") as f:
+            return [k for k in f
+                    if f[k].attrs.get("CLASS") != b"DIMENSION_SCALE"]
     index = _json.load(open(_os.path.join(path, "series.json")))
     return list(index["outputs"])
 

@@ -103,8 +103,8 @@ def test_grid_fitted_bottom_rest_state_on_panels():
     assert any(np.asarray(p.grid.solid_ccc).any() for p in m.panels)
     for _ in range(6):
         m.time_step(600.0)
-    assert float(jnp.abs(m.state["u"]).max()) < 1e-12
-    assert float(jnp.abs(m.state["eta"]).max()) < 1e-9
+    assert float(np.abs(np.asarray(m.field("u").interior)).max()) < 1e-12
+    assert float(np.abs(np.asarray(m.field("eta").interior)).max()) < 1e-9
 
 
 def test_gm_triads_isoneutral_identity_on_panels():
@@ -164,7 +164,7 @@ def test_global_ocean_flagship_configuration():
     for name in ("u", "v", "b", "e", "eta"):
         a = np.asarray(m.state[name])
         assert np.isfinite(a).all(), name
-    assert float(jnp.abs(m.state["u"]).max()) < 5.0
+    assert float(np.abs(np.asarray(m.field("u").interior)).max()) < 5.0
     assert np.asarray(m.field("e").interior).max() > 0.0
 
 
@@ -209,8 +209,8 @@ def test_zstar_rest_state_over_bathymetry_on_panels():
     m.set(b=lambda lam, phi, z: 1e-5 * z)
     for _ in range(6):
         m.time_step(600.0)
-    assert float(jnp.abs(m.state["u"]).max()) < 1e-12
-    assert float(jnp.abs(m.state["eta"]).max()) < 1e-9
+    assert float(np.abs(np.asarray(m.field("u").interior)).max()) < 1e-12
+    assert float(np.abs(np.asarray(m.field("eta").interior)).max()) < 1e-9
     assert float(jnp.abs(m.state["dt_sigma"]).max()) < 1e-20
 
 
@@ -276,8 +276,8 @@ def test_partial_cell_bottom_on_panels():
     # unstratified: exact rest
     for _ in range(4):
         m.time_step(600.0)
-    assert float(jnp.abs(m.state["u"]).max()) < 1e-12
-    assert float(jnp.abs(m.state["eta"]).max()) < 1e-9
+    assert float(np.abs(np.asarray(m.field("u").interior)).max()) < 1e-12
+    assert float(np.abs(np.asarray(m.field("eta").interior)).max()) < 1e-9
 
     # stratified: only the bottom-cell PGF truncation, small and bounded
     m2 = CubedSphereHydrostaticModel(grid, tracers=("b",),
@@ -304,9 +304,9 @@ def test_partial_cell_bottom_on_panels():
     assert u[above].max() < 1e-10, u[above].max()
     for _ in range(5):
         m2.time_step(600.0)
-    umax = float(jnp.abs(m2.state["u"]).max())
+    umax = float(np.abs(np.asarray(m2.field("u").interior)).max())
     assert umax < 5e-3, umax
-    assert float(jnp.abs(m2.state["eta"]).max()) < 0.05
+    assert float(np.abs(np.asarray(m2.field("eta").interior)).max()) < 0.05
 
 
 def test_curvilinear_diffusion_spherical_harmonic_decay():
@@ -349,4 +349,4 @@ def test_curvilinear_diffusion_spherical_harmonic_decay():
     exact = 2 * kappa / R ** 2
     assert abs(rate / exact - 1) < 0.02, rate / exact
     # no spurious dynamics: the passive-tracer run stays motionless
-    assert float(jnp.abs(m.state["u"]).max()) < 1e-12
+    assert float(np.abs(np.asarray(m.field("u").interior)).max()) < 1e-12
