@@ -23,8 +23,12 @@ def test_stratified_rest_state_stays_at_rest():
     m.set(b=lambda lam, phi, z: 1e-5 * z)
     for _ in range(6):
         m.time_step(900.0)
-    assert float(jnp.abs(m.state["u"]).max()) == 0.0
-    assert float(jnp.abs(m.state["eta"]).max()) == 0.0
+    # interior only: stored-state halos are a stale cache between the
+    # step-opening fills (they hold AB2-updated tendency garbage from
+    # incomplete stencils), matching the other tests in this file.
+    assert float(jnp.abs(m.field("u").interior).max()) == 0.0
+    assert float(jnp.abs(m.field("v").interior).max()) == 0.0
+    assert float(jnp.abs(m.field("eta").interior).max()) == 0.0
 
 
 def test_geostrophic_balance_and_tracer_conservation():
