@@ -35,6 +35,7 @@ from oceananigans_tpu.advection.vector_invariant import WENOVectorInvariant
 from oceananigans_tpu.boundary_conditions import FluxBoundaryCondition
 from oceananigans_tpu.buoyancy import BuoyancyTracer
 from oceananigans_tpu.closures import (CATKEVerticalDiffusivity, ClosureTuple,
+                                        ScalarDiffusivity,
                                        TriadIsopycnalSkewSymmetricDiffusivity)
 from oceananigans_tpu.coriolis import HydrostaticSphericalCoriolis
 from oceananigans_tpu.models.free_surfaces import SplitExplicitFreeSurface
@@ -66,10 +67,14 @@ def build_model(nx=128, ny=64, nz=16, dtype=jnp.float64):
 
     ibg = ImmersedBoundaryGrid(grid, GridFittedBottom(bottom))
 
-    # zonal wind stress: trades/westerlies/polar easterlies (kinematic)
+    # zonal wind stress: trades/westerlies/polar easterlies. The flux BC
+    # imposes the NEGATIVE of the physical eastward stress (positive top
+    # flux decelerates u — same convention as the reference, which loads
+    # `-τˣ` into its FluxBoundaryConditions,
+    # validation/multi_region/multi_region_near_global_quarter_degree.jl:116)
     def tau_x(lam, phi, t):
         phi_r = np.deg2rad(phi)
-        return 1.2e-4 * (-np.cos(3.0 * phi_r)) * np.cos(phi_r) ** 2
+        return -1.2e-4 * (-np.cos(3.0 * phi_r)) * np.cos(phi_r) ** 2
 
     # surface buoyancy restoring to a warm-equator/cold-pole profile
     def b_star(phi):
@@ -78,12 +83,17 @@ def build_model(nx=128, ny=64, nz=16, dtype=jnp.float64):
     dz_top = H0 / nz
 
     def b_flux(lam, phi, t, b):
-        return -(1.0 / (86400.0 * 30)) * dz_top * (b - b_star(phi))
+        # positive top flux REMOVES buoyancy (flux divergence convention,
+        # fill_halos._apply_flux_bcs) — restoring toward b* therefore needs
+        # q ∝ +(b − b*): warm anomalies lose buoyancy, cold ones gain
+        return (1.0 / (86400.0 * 30)) * dz_top * (b - b_star(phi))
 
     u_bcs = FieldBoundaryConditions(
         top=FluxBoundaryCondition(tau_x),
         bottom=FluxBoundaryCondition(
-            lambda lam, phi, t, u: 3e-3 * u * abs(u),
+            # quadratic drag opposing the flow (reference sign:
+            # u_bottom_drag = -μ u, barotropic_gyre.jl:44)
+            lambda lam, phi, t, u: -3e-3 * u * abs(u),
             field_dependencies="u"))
     b_bcs = FieldBoundaryConditions(
         top=FluxBoundaryCondition(b_flux, field_dependencies="b"))
@@ -96,6 +106,11 @@ def build_model(nx=128, ny=64, nz=16, dtype=jnp.float64):
         buoyancy=BuoyancyTracer(),
         closure=ClosureTuple(
             CATKEVerticalDiffusivity(buoyancy=BuoyancyTracer()),
+            # horizontal Laplacian viscosity: nu_h ~ u dx / 2 ~ 1e5 m^2/s,
+            # the classic coarse-OGCM value (grid Reynolds number ~ 2) —
+            # CATKE is vertical-only and GM acts on tracers, so this is the
+            # only lateral momentum dissipation at ~5 deg
+            ScalarDiffusivity(nu=1.0e5, formulation="horizontal"),
             TriadIsopycnalSkewSymmetricDiffusivity(
                 kappa_skew=1000.0, kappa_symmetric=1000.0,
                 buoyancy=BuoyancyTracer())),
@@ -129,6 +144,13 @@ def drake_transport_sv(model, ibg):
 
 
 def main():
+    """Time-step guidance: the explicit-Coriolis QAB2 stepper is weakly
+    unstable for undamped oscillations — at 75° latitude the amplification
+    root of z² − (1+(1.5+χ)iθ)z + (0.5+χ)iθ (θ = f·Δt, χ = 0.1) crosses
+    |z| = 1 near θ ≈ 0.35, so Δt = 3600 s (θ = 0.53, |z| = 1.007/step)
+    doubles the inertial modes every ~4 days while Δt ≤ 1800 s (θ ≤ 0.26)
+    is damped. The reference has the same property (quasi_adams_bashforth_2.jl
+    with explicit Coriolis); its near-global studies use Δt of minutes."""
     model, ibg = build_model()
     dt = 1800.0
     n_days = int(os.environ.get("NEAR_GLOBAL_DAYS", "10"))

@@ -155,19 +155,29 @@ class CATKEVerticalDiffusivity(_ClosureBase):
         H = z_top - z_bot
         return (broadcastable_1d(depth, 2), broadcastable_1d(above, 2), H)
 
-    def _Jb(self, grid, time):
+    def _Jb(self, grid, time, fields=None):
         Jb = self.surface_buoyancy_flux
         if Jb is None:
             return 0.0
         if callable(Jb):
+            # field-dependent flux BCs (model wiring marks the callable):
+            # trailing args are the dependencies' surface-cell slices
+            dep_args = ()
+            deps = tuple(getattr(Jb, "field_dependencies", ()))
+            if deps:
+                if fields is None:
+                    return 0.0
+                h, n = grid.H[2], grid.N[2]
+                dep_args = tuple(fields[d][:, :, h + n - 1:h + n]
+                                 for d in deps)
             if hasattr(grid, "nodes2d_padded"):
                 # curvilinear 2D-latitude grids: true (λ, φ) nodes, as the
                 # z-boundary fills pass them (fill_halos.eval_bc)
                 lam, phi = grid.nodes2d_padded(("c", "c"))
-                return Jb(lam[..., None], phi[..., None], time)
+                return Jb(lam[..., None], phi[..., None], time, *dep_args)
             x = broadcastable_1d(grid.coord_padded(0, "c"), 0)
             y = broadcastable_1d(grid.coord_padded(1, "c"), 1)
-            return Jb(x, y, time)
+            return Jb(x, y, time, *dep_args)
         return float(Jb)
 
     # -- mixing lengths ---------------------------------------------------------
@@ -189,7 +199,7 @@ class CATKEVerticalDiffusivity(_ClosureBase):
                          jnp.inf)
         ell_stable = jnp.minimum(d, ellN)
 
-        Jb = self._Jb(grid, time)
+        Jb = self._Jb(grid, time, fields)
         Jbe = self.Jb_eps
         N2_above = shift(N2, +1, 2)
         convecting = (Jb > Jbe) & (N2 < 0)

@@ -184,7 +184,7 @@ class _PanelPhysics:
         self._immersed = isinstance(grid, ImmersedBoundaryGrid)
         dtype = grid.dtype
         if self._immersed:
-            self._H_fc, self._H_cf, self._fluid_int = \
+            self._H_fc, self._H_cf, self._fluid_int, _, _ = \
                 immersed_column_geometry(grid, dtype)
         else:
             self._H_fc = self._H_cf = abs(grid.extent[2])

@@ -72,16 +72,20 @@ def immersed_column_geometry(grid, dtype):
 
     def coldepth(solid):
         d = (dz3 * ~solid)[:, :, h:h + n].sum(2, keepdims=True)
-        return np.maximum(d, 1e-12 * abs(Lz))
+        # wet BEFORE clamping: dry columns (land, and halo columns whose
+        # mask slots are solid) must never receive 1/H-scaled increments —
+        # the clamp exists only to keep the division finite, and anything
+        # divided by it is garbage that must be gated out by `wet`
+        return np.maximum(d, 1e-12 * abs(Lz)), d > 0.0
 
-    H_fc = coldepth(grid.solid_fcc)
-    H_cf = coldepth(grid.solid_cfc)
+    H_fc, wet_fc = coldepth(grid.solid_fcc)
+    H_cf, wet_cf = coldepth(grid.solid_cfc)
     sl = (slice(None), slice(None), slice(h, h + n))
     fluid_int = {
         LOC_FCC: _jnp.asarray((~grid.solid_fcc)[sl], dtype),
         LOC_CFC: _jnp.asarray((~grid.solid_cfc)[sl], dtype),
         LOC_CCC: _jnp.asarray((~grid.solid_ccc)[sl], dtype)}
-    return H_fc, H_cf, fluid_int
+    return H_fc, H_cf, fluid_int, wet_fc, wet_cf
 
 
 def zstar_column_geometry(grid, dtype, H_fc, H_cf, immersed):
@@ -304,11 +308,14 @@ class HydrostaticFreeSurfaceModel:
         if self._immersed:
             # land columns clamped to avoid 0/0 in the barotropic corrector
             # (their velocities are masked to 0 anyway)
-            self._H_fc, self._H_cf, self._fluid_int = \
+            self._H_fc, self._H_cf, self._fluid_int, wet_fc, wet_cf = \
                 immersed_column_geometry(self.grid, dtype)
+            self._wet_fc = jnp.asarray(wet_fc, dtype)
+            self._wet_cf = jnp.asarray(wet_cf, dtype)
         else:
             self._H_fc = Lz
             self._H_cf = Lz
+            self._wet_fc = self._wet_cf = None
         if vertical_coordinate == "zstar":
             self._zstar_geo = zstar_column_geometry(
                 self.grid, dtype, self._H_fc, self._H_cf, self._immersed)
@@ -484,7 +491,18 @@ class HydrostaticFreeSurfaceModel:
             bc = getattr(fb, "top", None) if fb is not None else None
             if bc is None or getattr(bc, "classification", None) != FLUX:
                 return None
-            return bc.condition
+            cond = bc.condition
+            deps = tuple(getattr(bc, "field_dependencies", ()))
+            if deps and callable(cond):
+                # carry the BC's field dependencies on the callable so the
+                # closure coupling can evaluate them at the surface cell
+                # (reference: continuous_boundary_function.jl
+                # field_dependencies)
+                def wrapped(x, y, t, *dep_vals, _c=cond):
+                    return _c(x, y, t, *dep_vals)
+                wrapped.field_dependencies = deps
+                return wrapped
+            return cond
 
         # a ClosureTuple exposes its substepped member as tke_member
         clo = getattr(self.closure, "tke_member", None) or self.closure
@@ -548,17 +566,31 @@ class HydrostaticFreeSurfaceModel:
         if tau_x is None and tau_y is None and Jb is None:
             return bcs_in
 
-        def e_top_flux(x, y, t):
+        def _deps(q):
+            return (tuple(getattr(q, "field_dependencies", ()))
+                    if callable(q) else ())
+
+        e_deps = _deps(tau_x) + _deps(tau_y) + _deps(Jb)
+
+        def e_top_flux(x, y, t, *dep_vals):
+            k = [0]
+
             def ev(q):
                 if q is None:
                     return 0.0
-                return q(x, y, t) if callable(q) else q
+                if callable(q):
+                    nd = len(_deps(q))
+                    vals = dep_vals[k[0]:k[0] + nd]
+                    k[0] += nd
+                    return q(x, y, t, *vals)
+                return q
             tx, ty = ev(tau_x), ev(tau_y)
             ustar = (tx * tx + ty * ty) ** 0.25
             wD3 = jnp.maximum(jnp.asarray(ev(Jb)), 0.0) * dz_top
             return -Cwu * ustar ** 3 - CwD * wD3
 
-        top_bc = BoundaryCondition(FLUX, e_top_flux)
+        top_bc = BoundaryCondition(FLUX, e_top_flux,
+                                   field_dependencies=e_deps)
         if fb_e is None:
             bcs_in = dict(bcs_in)
             bcs_in["e"] = FieldBoundaryConditions(top=top_bc)
@@ -839,12 +871,21 @@ class HydrostaticFreeSurfaceModel:
 
     def _barotropic_corrector(self, u, v, U_f, V_f):
         """Replace the depth mean of (u, v) with the filtered barotropic mode
-        (reference: barotropic_split_explicit_corrector.jl)."""
+        (reference: barotropic_split_explicit_corrector.jl). On immersed
+        grids the increment is gated by the wet-column mask: dry columns
+        (land, and halo columns whose mask slots are solid) carry the
+        1e-12-clamped depth, and dividing a halo-filled transport by it
+        would plant O(1e10) garbage in pad slots that the immersed mask
+        does not cover (z-pad levels are not 'solid') — it then leaks into
+        the interior through nonlinear stencils over days."""
         Ustar = self._depth_integral(u, LOC_FCC)
         Vstar = self._depth_integral(v, LOC_CFC)
-        u = u + (U_f - Ustar) / self._H_fc
-        v = v + (V_f - Vstar) / self._H_cf
-        return u, v
+        du = (U_f - Ustar) / self._H_fc
+        dv = (V_f - Vstar) / self._H_cf
+        if self._wet_fc is not None:
+            du = du * self._wet_fc
+            dv = dv * self._wet_cf
+        return u + du, v + dv
 
     def _implicit_free_surface_solve(self, eta_rhs, dt, H=None):
         """(1 + g H Δt² λ) η̂ = η̂* in transform space (reference:
