@@ -36,11 +36,14 @@ def check():
     with open(BASELINES_FILE) as f:
         baselines = json.load(f)
     env = dict(os.environ)
-    env.setdefault("BENCH_STEPS", "5")
     rows = {}
 
-    def run(cmd, only=None):
+    def run(cmd, only=None, steps="10"):
+        # enough steps to amortize the remote-dispatch overhead (the axon
+        # tunnel adds ~1-4 ms per enqueued step: a 3 ms cubed-sphere step
+        # measured at 5 steps reads 2-3x slow and false-positives the guard)
         e = dict(env)
+        e.setdefault("BENCH_STEPS", steps)
         if only:
             e["BENCH_ONLY"] = only
         out = subprocess.run([sys.executable, cmd], cwd=here, env=e,
@@ -52,8 +55,8 @@ def check():
                 rows[row["metric"]] = row["value"]
 
     run("bench.py")
-    for only in ("hydro", "cs"):
-        run("bench_extra.py", only)
+    run("bench_extra.py", "hydro", steps="10")
+    run("bench_extra.py", "cs", steps="50")
 
     failed = False
     for metric, floor in baselines.items():
