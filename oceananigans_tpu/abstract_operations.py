@@ -518,6 +518,8 @@ Field.__truediv__ = _field_binop(jnp.divide)
 Field.__rtruediv__ = _field_rbinop(jnp.divide)
 Field.__pow__ = _field_binop(jnp.power)
 Field.__neg__ = lambda self: UnaryOperation(jnp.negative, self)
+Field.__abs__ = lambda self: UnaryOperation(jnp.abs, self)
+AbstractOperation.__abs__ = lambda self: UnaryOperation(jnp.abs, self)
 
 
 class ComputedField:

@@ -1,0 +1,131 @@
+"""Field algebra / broadcasting / computed fields (reference analogues:
+test/test_broadcasting.jl, test/test_computed_field.jl,
+test/test_field_scans.jl). The lazy-operation layer must infer locations,
+interpolate mixed-staggering operands, and cache computed diagnostics by
+time stamp."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from oceananigans_tpu import (Average, CenterField, RectilinearGrid,
+                              XFaceField, ZFaceField)
+from oceananigans_tpu.abstract_operations import (ComputedField,
+                                                  UnaryOperation, partial_x,
+                                                  partial_z)
+
+
+def _grid():
+    return RectilinearGrid(size=(8, 8, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"),
+                           dtype=jnp.float64)
+
+
+def test_scalar_broadcasting_both_sides():
+    g = _grid()
+    c = CenterField(g)
+    c.set(lambda x, y, z: x)
+    ci = np.asarray(c.interior)
+    assert np.allclose(np.asarray((c + 1).compute().interior), ci + 1)
+    assert np.allclose(np.asarray((1 + c).compute().interior), ci + 1)
+    assert np.allclose(np.asarray((2 * c).compute().interior), 2 * ci)
+    assert np.allclose(np.asarray((c / 2).compute().interior), ci / 2)
+    assert np.allclose(np.asarray((1 - c).compute().interior), 1 - ci)
+    assert np.allclose(np.asarray((c ** 2).compute().interior), ci ** 2)
+    assert np.allclose(np.asarray((-c).compute().interior), -ci)
+    assert np.allclose(np.asarray(abs(c - 0.5).compute().interior),
+                       np.abs(ci - 0.5))
+
+
+def test_mixed_location_product_interpolates():
+    """u (fcc) × c (ccc) lives at ccc: the face values are averaged onto
+    centers before multiplying. Compare against the hand-computed 2-point
+    mean of u's own padded data (periodic-consistent, so the wrap halos
+    are exercised too)."""
+    g = _grid()
+    c = CenterField(g)
+    u = XFaceField(g)
+    c.set(lambda x, y, z: 3.0)
+    u.set(lambda x, y, z: np.sin(2 * np.pi * x))
+    prod = (c * u).compute()
+    assert tuple(prod.loc) == ("c", "c", "c")
+    h = g.H
+    up = np.asarray(u.data)
+    nx, ny, nz = g.N
+    mean = 0.5 * (up[h[0]:h[0] + nx] + up[h[0] + 1:h[0] + 1 + nx])
+    expect = 3.0 * mean[:, h[1]:h[1] + ny, h[2]:h[2] + nz]
+    assert np.allclose(np.asarray(prod.interior), expect, atol=1e-12)
+
+
+def test_nested_expression_tree():
+    g = _grid()
+    c = CenterField(g)
+    u = XFaceField(g)
+    c.set(lambda x, y, z: x)
+    u.set(lambda x, y, z: 1.0)
+    ci = np.asarray(c.interior)
+    r = (2 * (c * u) + 1 - c).compute()
+    assert np.allclose(np.asarray(r.interior), 2 * ci + 1 - ci)
+
+
+def test_derivative_locations_and_values():
+    g = _grid()
+    c = CenterField(g)
+    c.set(lambda x, y, z: x)
+    dcdx = partial_x(c)
+    assert tuple(dcdx.loc)[0] == "f"
+    # interior faces see exactly slope 1 (periodic wrap faces see the jump)
+    vals = np.asarray(dcdx.compute().interior)[1:-1]
+    assert np.allclose(vals, 1.0, atol=1e-12)
+    w = ZFaceField(g)
+    w.set(lambda x, y, z: z)
+    dwdz = partial_z(w)
+    assert tuple(dwdz.loc)[2] == "c"
+    # away from the bounded-z boundary slots the slope is exactly 1
+    vals = np.asarray(dwdz.compute().interior)[:, :, 1:]
+    assert np.allclose(vals, 1.0, atol=1e-12)
+
+
+def test_reduction_of_expression():
+    """Average of an expression equals the hand-computed volume mean."""
+    g = _grid()
+    c = CenterField(g)
+    c.set(lambda x, y, z: x)
+    ci = np.asarray(c.interior)
+    got = float(np.asarray(Average(c * c).compute()).squeeze())
+    assert np.isclose(got, (ci ** 2).mean(), atol=1e-12)
+
+
+def test_computed_field_caches_by_time():
+    """ComputedField re-evaluates only when the time stamp changes
+    (reference: computed_field.jl status caching)."""
+    g = _grid()
+    c = CenterField(g)
+    c.set(lambda x, y, z: 1.0)
+    calls = []
+
+    class CountingOp(UnaryOperation):
+        def materialize(self):
+            calls.append(1)
+            return super().materialize()
+
+    op = CountingOp(jnp.negative, c)
+    f = ComputedField(op)
+    f.compute(0.0)
+    f.compute(0.0)          # cached — no new evaluation
+    assert len(calls) == 1
+    f.compute(1.0)          # new time — re-evaluates
+    assert len(calls) == 2
+    f.compute()             # no stamp — always re-evaluates
+    assert len(calls) == 3
+    assert np.allclose(np.asarray(f.interior), -1.0)
+
+
+def test_algebra_is_lazy_until_compute():
+    """Building an expression performs no array work: mutating the operand
+    afterwards changes the computed result (the tree holds references)."""
+    g = _grid()
+    c = CenterField(g)
+    c.set(lambda x, y, z: 1.0)
+    expr = 2 * c
+    c.set(lambda x, y, z: 3.0)       # mutate AFTER building the tree
+    assert np.allclose(np.asarray(expr.compute().interior), 6.0)
