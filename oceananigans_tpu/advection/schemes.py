@@ -144,6 +144,32 @@ def _axis_bounded(grid, axis):
     return topo[axis] == BOUNDED
 
 
+def _immersed_ok(grid, axis, R):
+    """Static fluid-window mask for the immersed near-boundary order
+    cascade (reference: immersed_advective_fluxes.jl — within the
+    scheme's buffer of a solid cell the reconstruction drops to the
+    buffer scheme, recursively down to the 2-point order-1 stencil whose
+    reads at a fluid face never touch solid values). True where NO solid
+    cell lies within ±R cells along ``axis`` — conservative for both
+    face (β=0) and center (β=1) targets. None on non-immersed grids and
+    kernel-slab proxies (the Pallas paths are immersed-ineligible)."""
+    solid = getattr(grid, "solid_ccc", None)
+    if solid is None or grid.is_flat(axis):
+        return None
+    cache = getattr(grid, "_imm_adv_masks", None)
+    if cache is None:
+        cache = grid._imm_adv_masks = {}
+    key = (axis, R)
+    m = cache.get(key)
+    if m is None:
+        s = np.asarray(solid)
+        near = s.copy()
+        for r in range(1, R + 1):
+            near = near | np.roll(s, r, axis) | np.roll(s, -r, axis)
+        m = cache[key] = jnp.asarray(~near)
+    return m
+
+
 def _cascade_select(grid, axis, beta, R, hi, lo):
     """Blend the scheme's reconstruction ``hi`` with its buffer-scheme value
     ``lo`` by the static outside-the-boundary-buffer mask (reference:
@@ -198,10 +224,19 @@ class AdvectionScheme:
 
     def _cascade(self, grid, axis, beta, hi, lo_eval):
         bs = self.buffer_scheme()
-        if bs is None or not _axis_bounded(grid, axis):
+        if bs is None:
             return hi
-        return _cascade_select(grid, axis, beta, self.buffer, hi,
-                               lo_eval(bs))
+        bounded = _axis_bounded(grid, axis)
+        imask = _immersed_ok(grid, axis, self.buffer)
+        if not bounded and imask is None:
+            return hi
+        lo = lo_eval(bs)
+        out = hi
+        if bounded:
+            out = _cascade_select(grid, axis, beta, self.buffer, out, lo)
+        if imask is not None:
+            out = jnp.where(imask, out, lo)
+        return out
 
     def biased_pair(self, grid, a, axis, beta, smooth=None, zbc=None):
         """(left, right) biased reconstructions. ``smooth`` optionally lists
@@ -217,11 +252,18 @@ class AdvectionScheme:
         l = self._biased(grid, sc, axis, beta, "left", scs)
         r = self._biased(grid, sc, axis, beta, "right", scs)
         bs = self.buffer_scheme()
-        if bs is None or not _axis_bounded(grid, axis):
+        bounded = _axis_bounded(grid, axis)
+        imask = _immersed_ok(grid, axis, getattr(self, "buffer", 1))
+        if bs is None or (not bounded and imask is None):
             return l, r
         ll, lr = bs.biased_pair(grid, a, axis, beta, smooth=smooth, zbc=zbc)
-        return (_cascade_select(grid, axis, beta, self.buffer, l, ll),
-                _cascade_select(grid, axis, beta, self.buffer, r, lr))
+        if bounded:
+            l = _cascade_select(grid, axis, beta, self.buffer, l, ll)
+            r = _cascade_select(grid, axis, beta, self.buffer, r, lr)
+        if imask is not None:
+            l = jnp.where(imask, l, ll)
+            r = jnp.where(imask, r, lr)
+        return l, r
 
     def biased(self, grid, a, axis, beta, side, smooth=None, zbc=None):
         scs = ([_ShiftCache(s, axis, zbc) for s in smooth]
