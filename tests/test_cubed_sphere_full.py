@@ -350,3 +350,36 @@ def test_curvilinear_diffusion_spherical_harmonic_decay():
     assert abs(rate / exact - 1) < 0.02, rate / exact
     # no spurious dynamics: the passive-tracer run stays motionless
     assert float(np.abs(np.asarray(m.field("u").interior)).max()) < 1e-12
+
+
+def test_uniform_tracer_invariant_under_advection_and_diffusion():
+    """A uniform tracer stays EXACTLY uniform under flow + horizontal
+    diffusion across the panel seams (reference analogue:
+    test_multi_region_advection_diffusion.jl): any deviation exposes
+    metric inconsistency at the panel edges or vertex treatment, since
+    both the advective flux divergence of a constant (with the shared-face
+    transport sync) and kappa*laplacian of a constant must vanish on every
+    curvilinear panel."""
+    from oceananigans_tpu.closures import ScalarDiffusivity
+
+    U, H0 = 15.0, 1000.0
+    grid = ConformalCubedSphereGrid((12, 12, 3), z=(-H0, 0.0), radius=R,
+                                    dtype=jnp.float64)
+    m = CubedSphereHydrostaticModel(
+        grid, tracers=("c",), rotation_rate=OMEGA, buoyancy_tracer=None,
+        gravity=G, closure=ScalarDiffusivity(kappa=1.0e4,
+                                             formulation="horizontal"))
+    m.set_geographic(u_east=lambda lam, phi: U * np.cos(phi),
+                     v_north=lambda lam, phi: 0.0 * lam)
+    m.set(eta=lambda lam, phi: -(R * OMEGA * U + 0.5 * U * U)
+          * np.sin(phi) ** 2 / G,
+          c=1.0)
+    for _ in range(8):
+        m.time_step(600.0)
+    H, N = grid.H[0], grid.N[0]
+    g0 = grid.panel_grids[0]
+    hz, nz = g0.H[2], g0.N[2]
+    sl = (slice(None), slice(H, H + N), slice(H, H + N),
+          slice(hz, hz + nz))
+    c = np.asarray(m.state["c"])[sl]
+    assert np.abs(c - 1.0).max() < 1e-11, np.abs(c - 1.0).max()
