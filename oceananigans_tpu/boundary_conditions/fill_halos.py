@@ -464,6 +464,14 @@ def apply_immersed_flux_bcs(G, grid, loc, ibc, time=0.0, c=None, kappa=0.0):
     array, ``kappa`` the (scalar) closure diffusivity for this field."""
     from ..operators.shifts import shift
 
+    if not hasattr(ibc, "side"):
+        # reference parity: a PLAIN BoundaryCondition in the immersed slot
+        # applies to the whole immersed boundary (every side) — the
+        # reference's FieldBoundaryConditions(immersed=FluxBoundaryCondition(q))
+        # form (immersed_boundary_condition.jl regularization)
+        from .boundary_condition import ImmersedBoundaryCondition
+        ibc = ImmersedBoundaryCondition(west=ibc, east=ibc, south=ibc,
+                                        north=ibc, bottom=ibc, top=ibc)
     solid = np.asarray(grid.solid_ccc)
     fluid = ~solid
     nd = G.ndim
