@@ -674,3 +674,55 @@ def test_hydrostatic_lateral_open_boundaries():
     assert np.abs(u - U0).max() < 1e-10
     peak = np.unravel_index(c.argmax(), c.shape)[0]
     assert 6 <= peak <= 10     # advected by ~U0·t = 0.1 domain lengths
+
+
+def test_qab2_euler_fallback_on_dt_change():
+    """QAB2 re-Eulerizes when Δt changes (reference:
+    quasi_adams_bashforth_2.jl:88-96 — extrapolating tendencies across a
+    Δt change is wrong, so χ = -1/2 and G⁻ is dropped for one step).
+    Contract: (a) the switch FIRES — a Δt-changed step differs from the
+    same step with last_dt forged to suppress it; (b) both Euler triggers
+    (iteration == 0 and last_dt != dt) produce bitwise-identical steps."""
+    import jax.numpy as jnp
+
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.advection import WENO
+    from oceananigans_tpu.models.hydrostatic import (
+        HydrostaticFreeSurfaceModel)
+
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1.0, 1.0, 0.5),
+                           topology=("periodic", "periodic", "bounded"),
+                           dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    m = HydrostaticFreeSurfaceModel(grid=grid, tracers=("b",),
+                                    tracer_advection=WENO(5))
+    m.set(u=0.1 * rng.standard_normal((8, 8, 4)),
+          b=lambda x, y, z: 0.01 * z + 1e-3 * np.sin(2 * np.pi * x))
+    m.time_step(0.01)
+    m.time_step(0.01)
+    S = m.state
+
+    def step_with(state, dt):
+        return m._step(state, jnp.asarray(dt, jnp.float64))
+
+    def with_clock(state, **kw):
+        clock = dict(state["clock"])
+        clock.update({k: jnp.asarray(v, jnp.float64) if k != "iteration"
+                      else jnp.asarray(v) for k, v in kw.items()})
+        return {**state, "clock": clock}
+
+    # (a) the dt-change Euler step differs from the suppressed-switch step
+    changed = step_with(S, 0.005)
+    suppressed = step_with(with_clock(S, last_dt=0.005), 0.005)
+    du = np.abs(np.asarray(changed["fields"]["u"])
+                - np.asarray(suppressed["fields"]["u"])).max()
+    assert du > 0.0, "the Euler switch never fired"
+
+    # (b) both triggers take the same branch: forging iteration = 0 (with
+    # last_dt already equal) must give bitwise the same result as the
+    # dt-change trigger
+    via_iter0 = step_with(with_clock(S, last_dt=0.005, iteration=0), 0.005)
+    for name in ("u", "v", "b"):
+        np.testing.assert_array_equal(
+            np.asarray(changed["fields"][name]),
+            np.asarray(via_iter0["fields"][name]), err_msg=name)
