@@ -1,12 +1,28 @@
-"""Headline benchmark: 256³ nonhydrostatic WENO LES, time per RK3 step.
+"""Headline benchmarks: the three driver-captured rows.
 
-Mirrors the reference's canonical benchmark setup
-(benchmark/benchmark_nonhydrostatic_models.jl / benchmarkable_nonhydrostatic_
-model.jl: RectilinearGrid(size=(N,N,N)) + default model, warmup, then timed
-time_step!). Baseline anchor: 432 M cell-updates/s (V100, Float32, WENO —
-docs/src/appendix/benchmarks.md:120-125; see BASELINE.md).
+1. hydrostatic lat-lon 512x256x32 WENO-VI split-explicit (production
+   primitive-equation config)
+2. cubed-sphere hydrostatic 6x64x64x32 split-explicit (panel-batched step)
+3. flagship: 256^3 nonhydrostatic WENO LES, time per RK3 step — printed
+   LAST so a single-line parser reads the flagship row.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Mirrors the reference's canonical benchmark setups
+(benchmark/benchmark_nonhydrostatic_models.jl,
+benchmark/benchmark_models_stepping.jl: build model, warmup, timed
+time_step!). Baseline anchor for the flagship: 432 M cell-updates/s (V100,
+Float32, WENO — docs/src/appendix/benchmarks.md:120-125; see BASELINE.md).
+
+Variance protocol (the analogue of the reference's BenchmarkTools
+sampling): each row is the MEDIAN over >=3 independent timing blocks, with
+the relative spread (max-min)/median reported in the row; block length
+doubles (bounded) until the spread is <=2%. Committed floors in
+BENCH_BASELINES.json are trusted-median x 0.95; `python bench.py --check`
+re-measures and fails on a >10% regression against any floor
+(benchmark/benchmark_regression.jl analogue). See docs/roofline.md
+"Measurement variance" for the session-to-session band.
+
+Env knobs: BENCH_ONLY=flagship|hydro|cs (default: all three),
+BENCH_STEPS (starting block length), BENCH_BLOCKS, BENCH_N.
 """
 
 import json
@@ -16,14 +32,10 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 BASELINE_CU_PER_S = 432e6  # V100 Float32 256³ WENO (BASELINE.md)
 
-# committed round-over-round floors for `--check` (the analogue of the
-# reference's benchmark/benchmark_regression.jl branch-vs-main guard):
-# metric prefix -> cell-updates/s recorded on the v5e at the time the row
-# last moved. `python bench.py --check` re-measures and FAILS (exit 1) on a
-# >10% regression against any row present here. Update a row when a change
-# legitimately moves it (and say so in the commit).
 BASELINES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_BASELINES.json")
 
@@ -31,33 +43,12 @@ BASELINES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def check():
     """Run the headline rows and compare against BENCH_BASELINES.json.
     Exits 1 on any >10% regression; prints one line per row."""
-    import subprocess
-    here = os.path.dirname(os.path.abspath(__file__))
+    rows = {}
+    for row in all_rows():
+        rows[row["metric"]] = row["value"]
+
     with open(BASELINES_FILE) as f:
         baselines = json.load(f)
-    env = dict(os.environ)
-    rows = {}
-
-    def run(cmd, only=None, steps="10"):
-        # enough steps to amortize the remote-dispatch overhead (the axon
-        # tunnel adds ~1-4 ms per enqueued step: a 3 ms cubed-sphere step
-        # measured at 5 steps reads 2-3x slow and false-positives the guard)
-        e = dict(env)
-        e.setdefault("BENCH_STEPS", steps)
-        if only:
-            e["BENCH_ONLY"] = only
-        out = subprocess.run([sys.executable, cmd], cwd=here, env=e,
-                             capture_output=True, text=True, timeout=3600)
-        for line in out.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                row = json.loads(line)
-                rows[row["metric"]] = row["value"]
-
-    run("bench.py")
-    run("bench_extra.py", "hydro", steps="10")
-    run("bench_extra.py", "cs", steps="50")
-
     failed = False
     for metric, floor in baselines.items():
         cur = rows.get(metric)
@@ -74,27 +65,18 @@ def check():
     sys.exit(1 if failed else 0)
 
 
-def main():
+def flagship_row():
+    """The 256^3 nonhydrostatic WENO-5 RK3 row. Returns the row dict."""
     n = int(os.environ.get("BENCH_N", "256"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    blocks = int(os.environ.get("BENCH_BLOCKS", "3"))
 
     import jax
     import jax.numpy as jnp
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        # the container's sitecustomize pins the axon TPU tunnel before env
-        # vars apply; force the platform before the backend initializes
-        jax.config.update("jax_platforms", "cpu")
+    from bench_extra import _jax_setup, timed_blocks
+    _jax_setup()
 
-    # Persistent compilation cache: the first (cold) compile of the 256³ step
-    # through the remote-compile tunnel is slow; subsequent runs reuse it.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from oceananigans_tpu import RectilinearGrid
     from oceananigans_tpu.advection import WENO
     from oceananigans_tpu.models import NonhydrostaticModel
@@ -156,21 +138,44 @@ def main():
         if t_plain < t_fused:
             model, state = alt, alt_state
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state = model._step(state, dt)
-    fetch(state)
-    elapsed = time.perf_counter() - t0
-
-    t_median = elapsed / steps
-    cu_per_s = n ** 3 / t_median
-
-    print(json.dumps({
+    med, spread, steps_used, _ = timed_blocks(
+        model._step, state, dt, fetch, steps, blocks,
+        on_cpu=platform == "cpu")
+    cu_per_s = n ** 3 / med
+    return {
         "metric": f"nonhydrostatic_{n}^3_weno5_f32_cell_updates_per_s",
         "value": cu_per_s,
         "unit": "cell-updates/s",
         "vs_baseline": cu_per_s / BASELINE_CU_PER_S,
-    }))
+        "step_ms": med * 1e3, "spread_pct": round(spread * 100, 2),
+        "steps": steps_used, "blocks": blocks,
+    }
+
+
+def all_rows():
+    """Yield the three headline rows, flagship LAST. A secondary row that
+    fails to build never blocks the flagship row."""
+    only = os.environ.get("BENCH_ONLY", "")
+    import bench_extra
+    if only in ("", "hydro"):
+        try:
+            yield bench_extra.hydro_row()
+        except Exception as e:
+            print(f"# hydro row failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    if only in ("", "cs"):
+        try:
+            yield bench_extra.cs_row()
+        except Exception as e:
+            print(f"# cs row failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    if only in ("", "flagship"):
+        yield flagship_row()
+
+
+def main():
+    for row in all_rows():
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -20,8 +20,12 @@ divergence plus an upwinded horizontal-divergence correction Φᵟ and the KE
 gradient is split into a self-upwinded part and a centered cross part
 (vector_invariant_self_upwinding.jl, vector_invariant_cross_upwinding.jl;
 `OnlySelfUpwinding` / `CrossAndSelfUpwinding`). The moving-grid ∂t_σ
-contribution to the divergence flux (Az·Δr·∂t_σ) is zero on static grids and
-is not yet added on z-star grids.
+contribution to the divergence flux (Az·Δr·∂t_σ,
+vector_invariant_self_upwinding.jl:9-11) is zero on static grids; on z-star
+grids the hydrostatic models pass it via ``grid_motion=`` (the lagged
+``dt_sigma`` carried in the model state) so the upwinding decomposition is
+consistent with moving-grid continuity — see
+tests/test_hydrostatic_model.py::test_zstar_upwinded_vi_heave_consistency.
 
 `WENOVectorInvariant()` reproduces the reference convenience constructor
 (vector_invariant_advection.jl:204-250): WENO-9 vorticity with

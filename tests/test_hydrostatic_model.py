@@ -409,6 +409,48 @@ def test_zstar_grid_motion_in_upwinded_divergence():
     assert du.max() > 0, "grid-motion term had no effect"
 
 
+def test_zstar_upwinded_vi_heave_consistency():
+    """Exact discriminating test for the Az·Δr·∂t_σ divergence-flux term
+    (reference: vector_invariant_self_upwinding.jl:9-11 δy_V_plus_∂t_σ).
+
+    Under a barotropic heave — uniform η, uniform ∂t_σ, uniform u, v = 0 —
+    moving-grid continuity gives δz(Az ω) = -Az·Δr·∂t_σ with zero horizontal
+    transport divergence, so the upwinded vertical term decomposes as
+    u·(Az·Δr·∂t_σ) + δz(Az ω)·u = 0 pointwise: the momentum tendency of a
+    uniform velocity field vanishes EXACTLY, but only when the grid-motion
+    term is included in the divergence flux. Dropping it (the pre-fix
+    behavior) leaves a spurious tendency of magnitude u·∂t_σ/σ."""
+    from oceananigans_tpu.advection.vector_invariant import \
+        WENOVectorInvariant
+
+    grid = RectilinearGrid(size=(16, 1, 8), x=(0, 1e4), y=(0, 1e3),
+                           z=(-100.0, 0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=20),
+        momentum_advection=WENOVectorInvariant(),
+        tracers=(), buoyancy=None, vertical_coordinate="zstar")
+    model.set(eta=0.2, u=0.3)
+
+    # fabricated uniform heave rate: ∂t_σ = ∂t η / H = 1e-5
+    dts = jnp.full_like(model.state["dt_sigma"], 1e-5)
+    ff = model._fill_all(model.state["fields"], 0.0)
+    w = model._w_from_continuity(ff["u"], ff["v"], dt_sigma=dts)
+    G1, _ = model._compute_tendencies(ff, w, 0.0, dt_sigma=dts)
+    G0, _ = model._compute_tendencies(ff, w, 0.0, dt_sigma=None)
+    sl = model.grid.interior_slices
+    # the top cell is excluded: the fabricated heave has no horizontal
+    # convergence, so the implied surface ω ≠ 0 there and the w halo fill
+    # (impenetrability) clips it — an artifact of the synthetic state, not
+    # of the scheme (a dynamically consistent heave has ω_surface = 0)
+    with_term = np.abs(np.asarray(G1["u"])[sl][:, :, :-1]).max()
+    without = np.abs(np.asarray(G0["u"])[sl][:, :, :-1]).max()
+    # expected spurious magnitude without the term: u·∂t_σ/σ ≈ 3e-6
+    assert without > 1e-6, "test lost its discriminating power"
+    assert with_term < 1e-15, \
+        f"grid-motion term does not close the heave budget: {with_term}"
+
+
 def test_single_column_mode_catke():
     """Single-column mode (reference: SingleColumnGrid usage for CATKE
     calibration): (1, 1, Nz) doubly-Flat grid runs the full CATKE column
