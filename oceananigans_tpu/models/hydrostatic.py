@@ -290,9 +290,20 @@ class HydrostaticFreeSurfaceModel:
             self.state["barotropic"] = {"U": jnp.zeros(shape2d, dtype),
                                         "V": jnp.zeros(shape2d, dtype)}
         if vertical_coordinate == "zstar":
-            # lagged grid-motion rate ∂t_σ (enters the upwinded vector-
-            # invariant divergence flux; reference: Az_Δr_∂t_σ)
+            # grid-motion rate ∂t_σ = -δh_U/H (enters the upwinded vector-
+            # invariant divergence flux and w-from-continuity; reference:
+            # Az_Δr_∂t_σ, _update_grid_vertical_velocity!)
             self.state["dt_sigma"] = jnp.zeros(shape2d, dtype)
+            # the GRID's free surface: σ derives from this η, stepped with
+            # the SAME AB2 discretization as the tracers from the barotropic
+            # transport divergence δh_U, so the σ-weighted tracer update
+            # telescopes exactly (uniform tracers stay uniform to machine
+            # precision). Reference: z_star_vertical_spacing.jl
+            # _ab2_update_grid_scaling! — "Note!!! This η is different than
+            # the free surface coming from the barotropic step"; G_sigma is
+            # the AB2 memory of δh_U (the reference's Gⁿ storage).
+            self.state["eta_grid"] = jnp.zeros(shape2d, dtype)
+            self.state["G_sigma"] = jnp.zeros(shape2d, dtype)
 
         # immersed boundaries: velocities/tracers masked in the solid, depth
         # integrals over the FLUID column, per-column depths in the
@@ -460,6 +471,10 @@ class HydrostaticFreeSurfaceModel:
             fields[name] = fill_halo_regions(data, self.grid, self.loc(name),
                                              self.bcs[name], t)
         self.state = {**self.state, "fields": fields}
+        if "eta_grid" in self.state and "eta" in values:
+            # the grid η starts from the same initial free surface
+            # (reference: ηⁿ of the mutable grid initialized from η)
+            self.state = {**self.state, "eta_grid": fields["eta"]}
         if ("barotropic" in self.state
                 and ("u" in values or "v" in values)):
             # re-initialize the barotropic mode from the velocity initial
@@ -630,20 +645,30 @@ class HydrostaticFreeSurfaceModel:
             d, jnp.asarray(tri, d.dtype), (((2,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST)
 
-    def _w_from_continuity(self, u, v, dt_sigma=None):
+    def _w_from_continuity(self, u, v, dt_sigma=None, sigma=None):
         """Diagnose the (grid-relative) vertical velocity by integrating
         continuity upward from the bottom (reference:
         compute_w_from_continuity.jl:16-19). On a moving z* grid the
-        grid-motion term enters: ω accumulates -Δr·∂t_σ per layer
-        (reference: the Az·Δr·∂t_σ contribution of
-        z_star_vertical_spacing.jl / vector_invariant_self_upwinding.jl
-        Az_Δr_∂t_σ)."""
+        grid-motion term enters: ω accumulates -Δr·∂t_σ per layer, and the
+        horizontal divergence uses the MOVING (σ-scaled) face areas when
+        ``sigma`` (the per-staggering σ dict) is given — required for the
+        tracer flux divergence to telescope exactly with the σ update
+        (reference: compute_w_from_continuity on the mutable grid +
+        the Az·Δr·∂t_σ contribution of z_star_vertical_spacing.jl)."""
         grid = self.grid
         h, n = grid.H[2], grid.N[2]
         dzc = _dzc_interior(grid)
-        div_h = div_xy_ccc(grid, u, v)
         sx, sy = grid.interior_slices[0], grid.interior_slices[1]
-        d = div_h[sx, sy, h:h + n] * jnp.asarray(dzc, div_h.dtype)
+        if sigma is None:
+            div_h = div_xy_ccc(grid, u, v)
+            d = div_h[sx, sy, h:h + n] * jnp.asarray(dzc, div_h.dtype)
+        else:
+            from .zstar import ZStarGrid
+            mg = ZStarGrid(grid, sigma)
+            div_h = div_xy_ccc(mg, u, v)
+            # div_h is per MOVING volume; × σΔr restores [δx+δy]/Az
+            d = div_h[sx, sy, h:h + n] * jnp.asarray(dzc, div_h.dtype) \
+                * sigma[("c", "c")][sx, sy].astype(div_h.dtype)
         if dt_sigma is not None:
             gm = dt_sigma[sx, sy] * jnp.asarray(dzc, div_h.dtype)
             if self._immersed:
@@ -737,14 +762,36 @@ class HydrostaticFreeSurfaceModel:
             out[(loc[0], loc[1])] = sigma_from_eta(self.grid, e, H, wet)
         return out
 
+    def _barotropic_divergence(self, U, V):
+        """δh_U = [δx(Δy U̅) + δy(Δx V̅)]/Az at ccc (padded 2D): the
+        barotropic transport divergence that steps the grid η and defines
+        ∂t_σ = -δh_U/H (reference: z_star_vertical_spacing.jl
+        _update_grid_vertical_velocity! / _ab2_update_grid_scaling!)."""
+        g = self.grid
+        return (dx_c(g, g.dy(LOC_FCC) * U) + dy_c(g, g.dx(LOC_CFC) * V)) \
+            / g.Az(LOC_CCC)
+
+    def _grid_motion_rate(self, dhU):
+        """∂t_σ = -δh_U/H over wet columns, 0 on land (reference:
+        ifelse(hᶜᶜ == 0, 0, -δh_U/hᶜᶜ))."""
+        H, wet = self._zstar_geo[LOC_CCC]
+        r = -dhU / H
+        if wet is not None:
+            r = jnp.where(wet, r, jnp.zeros_like(r))
+        return r
+
     def _moving_grid(self, fields):
         """The (possibly traced) grid used for metric-weighted physics:
         a σ-scaled proxy under the z* coordinate (reference:
-        z_star_vertical_spacing.jl)."""
+        z_star_vertical_spacing.jl). σ derives from the GRID η
+        (``eta_grid``, stepped from the barotropic transport divergence)
+        when the caller provides it; the solver η is the fallback for
+        direct tendency probes."""
         if self.vertical_coordinate != "zstar":
             return self.grid
         from .zstar import ZStarGrid
-        return ZStarGrid(self.grid, self._sigma_fields(fields["eta"]))
+        eta = fields.get("eta_grid", fields["eta"])
+        return ZStarGrid(self.grid, self._sigma_fields(eta))
 
     def _compute_tendencies(self, fields, w, time, dt_sigma=None):
         grid = self._moving_grid(fields)
@@ -869,7 +916,7 @@ class HydrostaticFreeSurfaceModel:
         V_f = fill_V(V_f)
         return eta_f, U_f, V_f
 
-    def _barotropic_corrector(self, u, v, U_f, V_f):
+    def _barotropic_corrector(self, u, v, U_f, V_f, sigma=None):
         """Replace the depth mean of (u, v) with the filtered barotropic mode
         (reference: barotropic_split_explicit_corrector.jl). On immersed
         grids the increment is gated by the wet-column mask: dry columns
@@ -877,11 +924,23 @@ class HydrostaticFreeSurfaceModel:
         1e-12-clamped depth, and dividing a halo-filled transport by it
         would plant O(1e10) garbage in pad slots that the immersed mask
         does not cover (z-pad levels are not 'solid') — it then leaks into
-        the interior through nonlinear stencils over days."""
+        the interior through nonlinear stencils over days.
+
+        On z* grids (``sigma`` given) the barotropic mode is the MOVING-
+        thickness integral (reference: Δzᶠᶜᶜ on the mutable grid, and the
+        moving column_depthᶠᶜᵃ divisor): σ is depth-uniform so
+        ∫u σ dz = σ·∫u dz. This makes the corrected velocities carry
+        exactly U̅ through the next step's σ-weighted fluxes."""
         Ustar = self._depth_integral(u, LOC_FCC)
         Vstar = self._depth_integral(v, LOC_CFC)
-        du = (U_f - Ustar) / self._H_fc
-        dv = (V_f - Vstar) / self._H_cf
+        H_fc, H_cf = self._H_fc, self._H_cf
+        if sigma is not None:
+            sfc = sigma[("f", "c")].astype(u.dtype)
+            scf = sigma[("c", "f")].astype(v.dtype)
+            Ustar, Vstar = Ustar * sfc, Vstar * scf
+            H_fc, H_cf = H_fc * sfc, H_cf * scf
+        du = (U_f - Ustar) / H_fc
+        dv = (V_f - Vstar) / H_cf
         if self._wet_fc is not None:
             du = du * self._wet_fc
             dv = dv * self._wet_cf
@@ -1216,9 +1275,50 @@ class HydrostaticFreeSurfaceModel:
             not_euler = jnp.where(euler, 0.0, 1.0)
 
             fields = self._fill_all(fields, time)
-            w = self._w_from_continuity(fields["u"], fields["v"])
+            zstar = self.vertical_coordinate == "zstar"
+            bt = state.get("barotropic")
+            substepped = getattr(self, "_substepped_names", ())
+            if zstar:
+                # ∂t_σ and the grid-η step derive from the barotropic
+                # transport divergence δh_U at tendency time — the
+                # persisted filtered (U̅, V̅) under split-explicit, the
+                # moving-thickness integral of u otherwise (reference:
+                # barotropic_velocities / barotropic_U fallback in
+                # z_star_vertical_spacing.jl)
+                eta_g = self._fill_xy(state["eta_grid"], LOC_CCC,
+                                      self.bcs["eta"], time)
+                sig_n = self._sigma_fields(eta_g)
+                sig_cc = sig_n[("c", "c")]
+                if bt is not None:
+                    Ubt = self._fill_xy(bt["U"], LOC_FCC, self.bcs["u"],
+                                        time)
+                    Vbt = self._fill_xy(bt["V"], LOC_CFC, self.bcs["v"],
+                                        time)
+                else:
+                    Ubt = self._fill_xy(
+                        self._depth_integral(fields["u"], LOC_FCC)
+                        * sig_n[("f", "c")], LOC_FCC, self.bcs["u"], time)
+                    Vbt = self._fill_xy(
+                        self._depth_integral(fields["v"], LOC_CFC)
+                        * sig_n[("c", "f")], LOC_CFC, self.bcs["v"], time)
+                dhU = self._barotropic_divergence(Ubt, Vbt)
+                dt_sigma_n = self._grid_motion_rate(dhU)
+                fields = dict(fields)
+                fields["eta_grid"] = eta_g
+            else:
+                sig_n = dt_sigma_n = None
+            w = self._w_from_continuity(fields["u"], fields["v"],
+                                        dt_sigma=dt_sigma_n, sigma=sig_n)
             G, aux = self._compute_tendencies(
-                fields, w, time, dt_sigma=state.get("dt_sigma"))
+                fields, w, time, dt_sigma=dt_sigma_n)
+            if zstar:
+                # scale tracer tendencies by σⁿ so the AB2 memory carries
+                # σ-scaled tendencies at their own time levels (reference:
+                # scale_by_stretching_factor!,
+                # hydrostatic_free_surface_ab2_step.jl:23)
+                for name in self.tracer_names:
+                    if name not in substepped:
+                        G[name] = G[name] * sig_cc.astype(G[name].dtype)
 
             ab2G = {name: (1.5 + chi) * G[name]
                     - (0.5 + chi) * Gm[name] * not_euler
@@ -1232,9 +1332,27 @@ class HydrostaticFreeSurfaceModel:
             new = {name: fields[name] + dt * ab2G[name]
                    for name in self.prognostic_3d}
             new = dict(new)
-            zstar = self.vertical_coordinate == "zstar"
+            sig_np1 = None
             if zstar:
-                sigma_n = self._sigma_fields(fields["eta"])[("c", "c")]
+                # grid-η AB2 step from δh_U with the SAME weights as the
+                # tracer update; σⁿ⁺¹ then telescopes exactly with the
+                # σ-scaled tracer tendencies (reference:
+                # _ab2_update_grid_scaling!, z_star_vertical_spacing.jl)
+                eta_g_new = eta_g - dt * ((1.5 + chi) * dhU
+                                          - (0.5 + chi) * state["G_sigma"]
+                                          * not_euler)
+                eta_g_new = self._fill_xy(eta_g_new, LOC_CCC,
+                                          self.bcs["eta"], time)
+                sig_np1 = self._sigma_fields(eta_g_new)
+                sig_np1_cc = sig_np1[("c", "c")]
+                # conservative σ-weighted tracer update (reference:
+                # _ab2_step_tracer_field!, hydrostatic_free_surface_ab2_step
+                # .jl:116-130): θⁿ⁺¹ = (σⁿ θⁿ + Δt ∂t(σθ)) / σⁿ⁺¹
+                for name in self.tracer_names:
+                    if name not in substepped:
+                        new[name] = (sig_cc.astype(fields[name].dtype)
+                                     * fields[name] + dt * ab2G[name]) \
+                            / sig_np1_cc.astype(fields[name].dtype)
 
             # implicit vertical diffusion
             if self.closure is not None:
@@ -1260,14 +1378,13 @@ class HydrostaticFreeSurfaceModel:
                     new = self.closure.clip_fields(new)
 
             fs = self.free_surface
-            bt = state.get("barotropic")
             if isinstance(fs, SplitExplicitFreeSurface):
                 # substepping starts from the PERSISTED barotropic (η, U, V)
                 # state, forced by the AB2-weighted slow tendency
                 eta_f, U_f, V_f = self._step_free_surface_split_explicit(
                     fields, ab2G, dt, time, bt, se_settings)
                 u, v = self._barotropic_corrector(new["u"], new["v"],
-                                                 U_f, V_f)
+                                                 U_f, V_f, sigma=sig_np1)
                 new.update(u=u, v=v)
                 new["eta"] = eta_f
                 bt = {"U": U_f, "V": V_f}
@@ -1286,21 +1403,27 @@ class HydrostaticFreeSurfaceModel:
             else:
                 raise ValueError(f"unknown free surface {fs}")
 
-            if zstar:
-                # conservative σ-weighted tracer update (reference:
-                # _ab2_step_tracer_field!, hydrostatic_free_surface_ab2_step
-                # .jl:116-130): c ← c* σⁿ/σⁿ⁺¹
-                sigma_np1 = self._sigma_fields(new["eta"])[("c", "c")]
-                ratio = sigma_n / sigma_np1
-                for name in self.tracer_names:
-                    new[name] = new[name] * ratio
-
             new = self._mask_state(new)
-            dt_sigma = ((sigma_np1 - sigma_n) / dt) if zstar else None
             uf = fill_halo_regions(new["u"], self.grid, LOC_FCC,
                                    self.bcs["u"], time)
             vf = fill_halo_regions(new["v"], self.grid, LOC_CFC,
                                    self.bcs["v"], time)
+            dt_sigma = None
+            if zstar:
+                # ∂t_σ for the NEXT step's diagnostics (the step itself
+                # recomputes it from the persisted barotropic state)
+                if isinstance(fs, SplitExplicitFreeSurface):
+                    Ub2 = self._fill_xy(U_f, LOC_FCC, self.bcs["u"], time)
+                    Vb2 = self._fill_xy(V_f, LOC_CFC, self.bcs["v"], time)
+                else:
+                    Ub2 = self._fill_xy(
+                        self._depth_integral(uf, LOC_FCC)
+                        * sig_np1[("f", "c")], LOC_FCC, self.bcs["u"], time)
+                    Vb2 = self._fill_xy(
+                        self._depth_integral(vf, LOC_CFC)
+                        * sig_np1[("c", "f")], LOC_CFC, self.bcs["v"], time)
+                dt_sigma = self._grid_motion_rate(
+                    self._barotropic_divergence(Ub2, Vb2))
             if self._substepped_tke:
                 # substepped turbulence equations with the updated
                 # velocities as next_velocities (reference:
@@ -1321,7 +1444,8 @@ class HydrostaticFreeSurfaceModel:
                         val = self.grid.mask_immersed(val, LOC_CCC)
                     new[nm] = val
                     G[nm] = Gm_t[nm]
-            w_new = self._w_from_continuity(uf, vf, dt_sigma=dt_sigma)
+            w_new = self._w_from_continuity(uf, vf, dt_sigma=dt_sigma,
+                                            sigma=sig_np1)
             clock = dict(time=time + dt, iteration=clock["iteration"] + 1,
                          last_dt=dt * jnp.ones_like(clock["last_dt"]))
             out = dict(fields=new, clock=clock, w=w_new, Gm=G)
@@ -1329,6 +1453,8 @@ class HydrostaticFreeSurfaceModel:
                 out["barotropic"] = bt
             if zstar:
                 out["dt_sigma"] = dt_sigma
+                out["eta_grid"] = eta_g_new
+                out["G_sigma"] = dhU
             return out
 
         return step

@@ -409,6 +409,68 @@ def test_zstar_grid_motion_in_upwinded_divergence():
     assert du.max() > 0, "grid-motion term had no effect"
 
 
+def test_zstar_uniform_tracer_stays_uniform():
+    """THE z-star discrete-consistency guarantee (reference:
+    z_star_vertical_spacing.jl _ab2_update_grid_scaling! +
+    scale_by_stretching_factor! + _ab2_step_tracer_field!): σ derives from
+    the GRID's η, stepped with the same AB2 discretization as the tracers
+    from the barotropic transport divergence δh_U, the tendencies are
+    σⁿ-scaled, w-from-continuity uses moving face areas and
+    ∂t_σ = -δh_U/H, and the barotropic corrector pins the moving-thickness
+    integral to U̅ — so the σ-weighted update telescopes and a uniform
+    tracer under a large-amplitude barotropic seiche stays uniform to
+    machine precision (it deviated by ~7% before the round-5 rewiring)."""
+    from oceananigans_tpu.advection.vector_invariant import \
+        WENOVectorInvariant
+
+    grid = RectilinearGrid(size=(32, 1, 8), x=(0, 1e4), y=(0, 1e3),
+                           z=(-100.0, 0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=20),
+        momentum_advection=WENOVectorInvariant(), tracers=("c",),
+        vertical_coordinate="zstar")
+    model.set(eta=lambda x, y, z: 0.5 * jnp.sin(2 * jnp.pi * x / 1e4),
+              c=1.0)
+    for _ in range(40):
+        model.time_step(5.0)
+    c = np.asarray(model.field("c").interior)
+    eta = np.asarray(model.field("eta").interior)
+    assert np.abs(eta).max() > 0.1, "the seiche died"
+    assert np.abs(c - 1.0).max() < 1e-12, \
+        f"uniform tracer drifted: {np.abs(c - 1.0).max()}"
+
+
+def test_zstar_uniform_tracer_immersed():
+    """Uniform-tracer invariance under z* over bathymetry: the wet-gated
+    ∂t_σ (σ ≡ 1, ∂t_σ = 0 on land — reference: ifelse(h == 0, ...) in
+    _update_grid_vertical_velocity!) and the masked transports must keep
+    the telescoping exact over a GridFittedBottom ridge."""
+    from oceananigans_tpu.immersed import (GridFittedBottom,
+                                           ImmersedBoundaryGrid)
+
+    base = RectilinearGrid(size=(32, 1, 8), x=(0, 1e4), y=(0, 1e3),
+                           z=(-100.0, 0),
+                           topology=("periodic", "periodic", "bounded"))
+    grid = ImmersedBoundaryGrid(
+        base, GridFittedBottom(lambda x, y: -100.0
+                               + 60.0 * np.exp(-((x - 5e3) / 1.5e3) ** 2)))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=20),
+        tracers=("c",), vertical_coordinate="zstar")
+    model.set(eta=lambda x, y, z: 0.3 * jnp.sin(2 * jnp.pi * x / 1e4),
+              c=1.0)
+    for _ in range(30):
+        model.time_step(5.0)
+    c = np.asarray(model.field("c").interior)
+    wet = np.asarray(model.grid.fluid_mask(
+        ("c", "c", "c"), jnp.float64))[model.grid.interior_slices] > 0
+    eta = np.asarray(model.field("eta").interior)
+    assert np.abs(eta).max() > 0.05
+    assert np.abs((c - 1.0)[wet]).max() < 1e-11, \
+        f"uniform tracer drifted over bathymetry: {np.abs((c-1)[wet]).max()}"
+
+
 def test_zstar_upwinded_vi_heave_consistency():
     """Exact discriminating test for the Az·Δr·∂t_σ divergence-flux term
     (reference: vector_invariant_self_upwinding.jl:9-11 δy_V_plus_∂t_σ).
