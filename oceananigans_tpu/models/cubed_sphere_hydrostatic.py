@@ -196,17 +196,25 @@ class _PanelPhysics:
 
     # -- all-column diagnostics ------------------------------------------------
 
-    def _w_from_continuity(self, u, v, dt_sigma=None):
+    def _w_from_continuity(self, u, v, dt_sigma=None, sigma=None):
         """w at (c,c,f) by the upward continuity integral over EVERY column
         (compute_w_from_continuity.jl); valid in all but the outermost halo
         ring because u, v are exchange-valid there. On a moving z* grid the
-        grid-motion term -Δr·∂t_σ accumulates per layer (reference:
-        Az_Δr_∂t_σ, z_star_vertical_spacing.jl)."""
+        grid-motion term -Δr·∂t_σ accumulates per layer and, when ``sigma``
+        is given, the horizontal divergence uses the MOVING face areas
+        (reference: Az_Δr_∂t_σ, z_star_vertical_spacing.jl; see the
+        telescoping note in models/hydrostatic.py _w_from_continuity)."""
         grid = self.grid
         h, n = grid.H[2], grid.N[2]
         dzc = _dzc_all_columns(grid)
-        div_h = div_xy_ccc(grid, u, v)
-        d = div_h[:, :, h:h + n] * jnp.asarray(dzc, div_h.dtype)
+        if sigma is None:
+            div_h = div_xy_ccc(grid, u, v)
+            d = div_h[:, :, h:h + n] * jnp.asarray(dzc, div_h.dtype)
+        else:
+            from .zstar import ZStarGrid
+            div_h = div_xy_ccc(ZStarGrid(grid, sigma), u, v)
+            d = div_h[:, :, h:h + n] * jnp.asarray(dzc, div_h.dtype) \
+                * sigma[("c", "c")].astype(div_h.dtype)
         if dt_sigma is not None:
             gm = dt_sigma * jnp.asarray(dzc, div_h.dtype)
             if self._immersed:
@@ -553,8 +561,13 @@ class CubedSphereHydrostaticModel:
                 "U": jnp.zeros((6, NP, NP, 1), dtype),
                 "V": jnp.zeros((6, NP, NP, 1), dtype)}
         if vertical_coordinate == "zstar":
-            # lagged grid-motion rate ∂t_σ at cell centers, per panel
+            # grid-motion rate ∂t_σ = -δh_U/H at cell centers, per panel,
+            # plus the GRID's free surface and its AB2 δh_U memory — the
+            # z* consistency machinery of models/hydrostatic.py (reference:
+            # z_star_vertical_spacing.jl _ab2_update_grid_scaling!)
             self.state["dt_sigma"] = jnp.zeros((6, NP, NP, 1), dtype)
+            self.state["eta_grid"] = jnp.zeros((6, NP, NP, 1), dtype)
+            self.state["G_sigma"] = jnp.zeros((6, NP, NP, 1), dtype)
         self._geom = staggered_points_and_bases(grid)
         self._corner_info = _vertex_corner_info(grid)
         if self._batch:
@@ -608,6 +621,8 @@ class CubedSphereHydrostaticModel:
             st["iteration"] = jnp.zeros((), jnp.int32)
         if "dt_sigma" in st:
             st["dt_sigma"] = jnp.zeros_like(st["dt_sigma"])
+            st["eta_grid"] = st["eta"]
+            st["G_sigma"] = jnp.zeros_like(st["G_sigma"])
         if "barotropic" in st:
             # (re)initialize the persistent barotropic transports from
             # ∫u dz (initialize_split_explicit_substepping.jl:15-27)
@@ -817,6 +832,8 @@ class CubedSphereHydrostaticModel:
             cp = self._catp
             fields_c = {n: sf[n] for n in names}
             fields_c["eta"] = sf["eta"]
+            if "eta_grid" in sf:      # z*: σ derives from the grid η
+                fields_c["eta_grid"] = sf["eta_grid"]
             cp._zeta_override = self._zeta_cat(sf["u"], sf["v"])
             Gc, aux = cp._compute_tendencies(fields_c, w, time,
                                              dt_sigma=dt_sigma)
@@ -829,6 +846,8 @@ class CubedSphereHydrostaticModel:
             pp = self.panels[p]
             fields_p = {n: sf[n][p] for n in names}
             fields_p["eta"] = sf["eta"][p]
+            if "eta_grid" in sf:
+                fields_p["eta_grid"] = sf["eta_grid"][p]
             pp._zeta_override = zetas[p]
             Gp, aux = pp._compute_tendencies(
                 fields_p, w[p], time,
@@ -839,14 +858,63 @@ class CubedSphereHydrostaticModel:
                 G[n].append(Gp[n])
         return {n: jnp.stack(vs) for n, vs in G.items()}, auxs
 
-    def _w(self, sf, dt_sigma=None):
+    def _w(self, sf, dt_sigma=None, sigma=None):
         if self._batch:
             return self._catp._w_from_continuity(sf["u"], sf["v"],
-                                                 dt_sigma=dt_sigma)
+                                                 dt_sigma=dt_sigma,
+                                                 sigma=sigma)
         return jnp.stack([self.panels[p]._w_from_continuity(
             sf["u"][p], sf["v"][p],
-            dt_sigma=None if dt_sigma is None else dt_sigma[p])
+            dt_sigma=None if dt_sigma is None else dt_sigma[p],
+            sigma=None if sigma is None else sigma[p])
             for p in range(6)])
+
+    # -- z* grid-η machinery (reference: z_star_vertical_spacing.jl; the
+    # -- flat-model analogue and the telescoping rationale live in
+    # -- models/hydrostatic.py) ------------------------------------------------
+
+    def _sigma_all(self, eta_grid):
+        """Per-staggering σ dicts from the (halo-valid) grid η: the
+        cat-form dict in batched mode, a list of 6 per-panel dicts
+        otherwise."""
+        if self._batch:
+            return self._catp._sigma_fields(eta_grid)
+        return [self.panels[p]._sigma_fields(eta_grid[p]) for p in range(6)]
+
+    def _sig_cc(self, sig):
+        if self._batch:
+            return sig[("c", "c")]
+        return jnp.stack([s[("c", "c")] for s in sig])
+
+    def _grid_motion_rate_cs(self, dhU):
+        """∂t_σ = -δh_U/H over wet columns (0 on land)."""
+        if self._batch:
+            H, wet = self._catp._zstar_geo[LOC_CCC]
+            r = -dhU / H
+            return r if wet is None else jnp.where(wet, r,
+                                                   jnp.zeros_like(r))
+        out = []
+        for p in range(6):
+            H, wet = self.panels[p]._zstar_geo[LOC_CCC]
+            r = -dhU[p] / H
+            out.append(r if wet is None
+                       else jnp.where(wet, r, jnp.zeros_like(r)))
+        return jnp.stack(out)
+
+    def _transport_divergence(self, U, V):
+        """δh_U from halo-exchanged barotropic transports, batched or
+        stacked."""
+        if self._batch:
+            U, V = self._exuv_cat(U, V)
+            return self._div_transport_cat(U, V)
+        U, V = self._exuv(U, V)
+        out = []
+        for p in range(6):
+            g = self.panels[p].grid
+            out.append((dx_c(g, g.dy(LOC_FCC)[..., :1] * U[p])
+                        + dy_c(g, g.dx(LOC_CFC)[..., :1] * V[p]))
+                       / g.Az(LOC_CCC)[..., :1])
+        return jnp.stack(out)
 
     # -- free surfaces ------------------------------------------------------------
 
@@ -1016,11 +1084,14 @@ class CubedSphereHydrostaticModel:
         (eta, U, V, eta_f, U_f, V_f), _ = jax.lax.scan(body, carry0, ws)
         return eta_f, U_f, V_f
 
-    def _barotropic_corrector(self, u, v, U_f, V_f):
+    def _barotropic_corrector(self, u, v, U_f, V_f, sigma=None):
         """Replace the depth mean of (u, v) with the filtered barotropic
         transports (barotropic_split_explicit_corrector.jl); per-column
-        fluid depths on immersed panels. zmask also zeroes the unused
-        z-halo slots (they would otherwise accumulate unbalanced Coriolis)."""
+        fluid depths on immersed panels; on z* panels (``sigma`` given) the
+        MOVING-thickness integral is pinned (σ is depth-uniform so
+        ∫u σ dz = σ ∫u dz — see models/hydrostatic.py). zmask also zeroes
+        the unused z-halo slots (they would otherwise accumulate unbalanced
+        Coriolis)."""
         g0 = self.grid.panel_grids[0]
         hz, nz = g0.H[2], g0.N[2]
         zmask = jnp.zeros((g0.padded_shape[2],), u.dtype
@@ -1034,6 +1105,11 @@ class CubedSphereHydrostaticModel:
                 np.asarray(cp._H_fc), u.dtype)
             hc = cp._H_cf if not self._immersed else jnp.asarray(
                 np.asarray(cp._H_cf), u.dtype)
+            if sigma is not None:
+                sfc = sigma[("f", "c")].astype(u.dtype)
+                scf = sigma[("c", "f")].astype(v.dtype)
+                Ustar, Vstar = Ustar * sfc, Vstar * scf
+                hf, hc = hf * sfc, hc * scf
             up = (u + (U_f - Ustar) / hf) * zmask
             vp = (v + (V_f - Vstar) / hc) * zmask
             if self._immersed:
@@ -1047,6 +1123,11 @@ class CubedSphereHydrostaticModel:
             Vstar = pp._depth_integral(v[p], LOC_CFC)
             hf = self._H_fc if np.isscalar(self._H_fc) else self._H_fc[p]
             hc = self._H_cf if np.isscalar(self._H_cf) else self._H_cf[p]
+            if sigma is not None:
+                sfc = sigma[p][("f", "c")].astype(u.dtype)
+                scf = sigma[p][("c", "f")].astype(v.dtype)
+                Ustar, Vstar = Ustar * sfc, Vstar * scf
+                hf, hc = hf * sfc, hc * scf
             up = (u[p] + (U_f[p] - Ustar) / hf) * zmask
             vp = (v[p] + (V_f[p] - Vstar) / hc) * zmask
             if self._immersed:
@@ -1299,11 +1380,52 @@ class CubedSphereHydrostaticModel:
                 euler = state["iteration"] == 0
                 chi = jnp.where(euler, -0.5, chi0)
                 not_euler = jnp.where(euler, 0.0, 1.0)
-                dts = state.get("dt_sigma")       # lagged ∂t_σ (z* only)
-                dts = C(dts) if dts is not None else None
+                zstar = "dt_sigma" in state
                 sf = self._filled(st0, time)
-                w = self._w(sf, dt_sigma=dts)
+                substepped = getattr(self, "_substepped_names", ())
+                if zstar:
+                    # z* grid-η machinery (see models/hydrostatic.py):
+                    # δh_U at tendency time from the persisted barotropic
+                    # transports (or moving-thickness integrals), σ from
+                    # the grid η, ∂t_σ = -δh_U/H
+                    eta_g = state["eta_grid"]
+                    eta_g = (self._exc_cat(C(eta_g)) if self._batch
+                             else self._exc(eta_g))
+                    sig_n = self._sigma_all(eta_g)
+                    sig_cc = self._sig_cc(sig_n)
+                    if split_explicit:
+                        bt_n = state["barotropic"]
+                        Ubt, Vbt = C(bt_n["U"]), C(bt_n["V"])
+                    elif self._batch:
+                        cp = self._catp
+                        Ubt = cp._depth_integral(sf["u"], LOC_FCC) \
+                            * sig_n[("f", "c")]
+                        Vbt = cp._depth_integral(sf["v"], LOC_CFC) \
+                            * sig_n[("c", "f")]
+                    else:
+                        Ubt = jnp.stack([
+                            self.panels[p]._depth_integral(
+                                sf["u"][p], LOC_FCC)
+                            * sig_n[p][("f", "c")] for p in range(6)])
+                        Vbt = jnp.stack([
+                            self.panels[p]._depth_integral(
+                                sf["v"][p], LOC_CFC)
+                            * sig_n[p][("c", "f")] for p in range(6)])
+                    dhU = self._transport_divergence(Ubt, Vbt)
+                    dts = self._grid_motion_rate_cs(dhU)
+                    sf = dict(sf)
+                    sf["eta_grid"] = eta_g
+                else:
+                    dts = sig_n = None
+                w = self._w(sf, dt_sigma=dts, sigma=sig_n)
                 G, auxs = self._tendencies(sf, w, time, dt_sigma=dts)
+                if zstar:
+                    # σⁿ-scale the tracer tendencies so the AB2 memory
+                    # carries σ-scaled tendencies at their own time levels
+                    # (reference: scale_by_stretching_factor!)
+                    for n in self.tracer_names:
+                        if n not in substepped:
+                            G[n] = G[n] * sig_cc.astype(G[n].dtype)
                 stepped = ("u", "v") + self.tracer_names
                 ab2G = {n: (1.5 + chi) * G[n]
                         - (0.5 + chi) * Gm[n] * not_euler for n in stepped}
@@ -1311,6 +1433,24 @@ class CubedSphereHydrostaticModel:
                 st = dict(st0)
                 for n in stepped:
                     st[n] = st0[n] + dt * ab2G[n]
+                sig_np1 = None
+                if zstar:
+                    # grid-η AB2 step + conservative σ-weighted tracer
+                    # update (θⁿ⁺¹ = (σⁿθⁿ + Δt ∂t(σθ))/σⁿ⁺¹); telescopes
+                    # exactly — a uniform tracer stays uniform
+                    eta_g_new = eta_g - dt * ((1.5 + chi) * dhU
+                                              - (0.5 + chi)
+                                              * C(state["G_sigma"])
+                                              * not_euler)
+                    eta_g_new = (self._exc_cat(eta_g_new) if self._batch
+                                 else self._exc(eta_g_new))
+                    sig_np1 = self._sigma_all(eta_g_new)
+                    snp1_cc = self._sig_cc(sig_np1)
+                    for n in self.tracer_names:
+                        if n not in substepped:
+                            st[n] = (sig_cc.astype(st0[n].dtype) * st0[n]
+                                     + dt * ab2G[n]) \
+                                / snp1_cc.astype(st0[n].dtype)
                 st = implicit_all(st, auxs, dt)
                 bt = None
                 if split_explicit:
@@ -1330,7 +1470,8 @@ class CubedSphereHydrostaticModel:
                         st0["eta"], bt0["U"], bt0["V"], GU, GV, dt,
                         frac, weights)
                     uc, vc = self._barotropic_corrector(st["u"], st["v"],
-                                                        U_f, V_f)
+                                                        U_f, V_f,
+                                                        sigma=sig_np1)
                     st.update(u=uc, v=vc, eta=eta_f)
                     bt = {"U": U_f, "V": V_f}
                 elif implicit:
@@ -1354,32 +1495,34 @@ class CubedSphereHydrostaticModel:
                 # measured step (the reference also fills once per step, at
                 # update_state! — update_hydrostatic_free_surface_model_state.jl).
                 out = dict(st)
-                if dts is not None:
-                    # conservative σ-weighted tracer update c ← c σⁿ/σⁿ⁺¹
-                    # (hydrostatic_free_surface_ab2_step.jl:116-130); the
-                    # stored ∂t_σ feeds NEXT step's grid-motion terms over
-                    # every column, so η must be halo-valid here — one cheap
-                    # 2D exchange
-                    if self._batch:
-                        out["eta"] = self._exc_cat(out["eta"])
-                        sig_n = self._catp._sigma_fields(
-                            sf["eta"])[("c", "c")]
-                        sig_np1 = self._catp._sigma_fields(
-                            out["eta"])[("c", "c")]
+                if zstar:
+                    # ∂t_σ for the next step's diagnostics, from the
+                    # post-step transports; the step itself recomputes it
+                    # from the persisted barotropic state
+                    if split_explicit:
+                        Ub2, Vb2 = U_f, V_f
+                    elif self._batch:
+                        cp = self._catp
+                        Ub2 = cp._depth_integral(st["u"], LOC_FCC) \
+                            * sig_np1[("f", "c")]
+                        Vb2 = cp._depth_integral(st["v"], LOC_CFC) \
+                            * sig_np1[("c", "f")]
                     else:
-                        out["eta"] = self._exc(out["eta"])
-                        sig_n = jnp.stack([
-                            self.panels[p]._sigma_fields(
-                                sf["eta"][p])[("c", "c")] for p in range(6)])
-                        sig_np1 = jnp.stack([
-                            self.panels[p]._sigma_fields(
-                                out["eta"][p])[("c", "c")] for p in range(6)])
-                    ratio = sig_n / sig_np1
-                    for nm in self.tracer_names:
-                        out[nm] = out[nm] * ratio
-                    out["dt_sigma"] = (sig_np1 - sig_n) / dt
+                        Ub2 = jnp.stack([
+                            self.panels[p]._depth_integral(
+                                st["u"][p], LOC_FCC)
+                            * sig_np1[p][("f", "c")] for p in range(6)])
+                        Vb2 = jnp.stack([
+                            self.panels[p]._depth_integral(
+                                st["v"][p], LOC_CFC)
+                            * sig_np1[p][("c", "f")] for p in range(6)])
+                    out["dt_sigma"] = self._grid_motion_rate_cs(
+                        self._transport_divergence(Ub2, Vb2))
+                    out["eta_grid"] = eta_g_new
+                    out["G_sigma"] = dhU
                 # back to the stacked public state layout
-                out = {n: S(v) if n in prog or n == "dt_sigma" else v
+                out = {n: S(v) if n in prog
+                       or n in ("dt_sigma", "eta_grid", "G_sigma") else v
                        for n, v in out.items()}
                 out["Gm"] = {n: S(G[n]) for n in stepped}
                 out["time"] = time + dt

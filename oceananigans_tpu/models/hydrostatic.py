@@ -1036,14 +1036,17 @@ class HydrostaticFreeSurfaceModel:
     # -- the step -------------------------------------------------------------
 
     def _stage_free_surface(self, fields0, new, G_or_ab2G, sdt, time,
-                            barotropic=None, se_settings=None):
+                            barotropic=None, se_settings=None, sigma=None):
         """Apply the configured free-surface treatment for one (sub)step of
-        size sdt starting from fields0's eta; returns (new, barotropic')."""
+        size sdt starting from fields0's eta; returns (new, barotropic').
+        ``sigma``: z* scale factors at the stage's END (the corrector pins
+        the moving-thickness integral)."""
         fs = self.free_surface
         if isinstance(fs, SplitExplicitFreeSurface):
             eta_f, U_f, V_f = self._step_free_surface_split_explicit(
                 fields0, G_or_ab2G, sdt, time, barotropic, se_settings)
-            u, v = self._barotropic_corrector(new["u"], new["v"], U_f, V_f)
+            u, v = self._barotropic_corrector(new["u"], new["v"], U_f, V_f,
+                                              sigma=sigma)
             new.update(u=u, v=v)
             new["eta"] = eta_f
             return new, {"U": U_f, "V": V_f}
@@ -1156,14 +1159,71 @@ class HydrostaticFreeSurfaceModel:
                 bt = state.get("barotropic")
                 fields = fields0
                 G = None
+                zstar = self.vertical_coordinate == "zstar"
+                substepped = getattr(self, "_substepped_names", ())
+                if zstar:
+                    # reference: cache_previous_fields! stores σ⁰c⁰ and the
+                    # step-start grid η; every substep restarts from them
+                    # (_euler_substep_tracer_field!, rk3_substep_grid!)
+                    eta_g0 = self._fill_xy(state["eta_grid"], LOC_CCC,
+                                           self.bcs["eta"], time)
+                    sig0 = self._sigma_fields(eta_g0)
+                    sc0 = {n: sig0[("c", "c")].astype(fields0[n].dtype)
+                           * fields0[n] for n in self.tracer_names
+                           if n not in substepped}
+                    eta_g_stage, sig_stage = eta_g0, sig0
+                    eta_g_new, dhU = eta_g0, None
                 for beta in SplitRungeKutta3TimeStepper.betas:
                     sdt = dt / beta
                     ff = self._fill_all(fields, time)
-                    w = self._w_from_continuity(ff["u"], ff["v"])
-                    G, aux = self._compute_tendencies(ff, w, time)
+                    if zstar:
+                        if bt is not None:
+                            Ubt = self._fill_xy(bt["U"], LOC_FCC,
+                                                self.bcs["u"], time)
+                            Vbt = self._fill_xy(bt["V"], LOC_CFC,
+                                                self.bcs["v"], time)
+                        else:
+                            Ubt = self._fill_xy(
+                                self._depth_integral(ff["u"], LOC_FCC)
+                                * sig_stage[("f", "c")], LOC_FCC,
+                                self.bcs["u"], time)
+                            Vbt = self._fill_xy(
+                                self._depth_integral(ff["v"], LOC_CFC)
+                                * sig_stage[("c", "f")], LOC_CFC,
+                                self.bcs["v"], time)
+                        dhU = self._barotropic_divergence(Ubt, Vbt)
+                        dt_sig = self._grid_motion_rate(dhU)
+                        ff = dict(ff)
+                        ff["eta_grid"] = eta_g_stage
+                    else:
+                        dt_sig, sig_stage = None, None
+                    w = self._w_from_continuity(ff["u"], ff["v"],
+                                                dt_sigma=dt_sig,
+                                                sigma=sig_stage)
+                    G, aux = self._compute_tendencies(ff, w, time,
+                                                      dt_sigma=dt_sig)
                     G = jax.lax.optimization_barrier(G)  # see QAB2 note
                     new = {n: fields0[n] + sdt * G[n]
                            for n in self.prognostic_3d}
+                    sig_new = None
+                    if zstar:
+                        # grid-η substep from the step-start η (reference:
+                        # _rk3_update_grid_scaling!: ηⁿ⁺¹ = ηⁿ⁻¹ - Δt δh_U)
+                        eta_g_new = self._fill_xy(
+                            eta_g0 - sdt * dhU, LOC_CCC, self.bcs["eta"],
+                            time)
+                        sig_new = self._sigma_fields(eta_g_new)
+                        sc_new = sig_new[("c", "c")]
+                        sig_g = sig_stage[("c", "c")]
+                        for n in self.tracer_names:
+                            if n not in substepped:
+                                # (σ⁰c⁰ + Δt σ_stage G)/σ_new (reference:
+                                # scale_by_stretching_factor! +
+                                # _euler_substep_tracer_field!)
+                                new[n] = (sc0[n] + sdt
+                                          * sig_g.astype(G[n].dtype)
+                                          * G[n]) \
+                                    / sc_new.astype(G[n].dtype)
                     if self.closure is not None:
                         kappas = self.closure.vertical_implicit_kappas(
                             self.grid, new, aux)
@@ -1186,7 +1246,9 @@ class HydrostaticFreeSurfaceModel:
                             new = self.closure.clip_fields(new)
                     new, bt = self._stage_free_surface(
                         fields0, new, G, sdt, time, barotropic=bt,
-                        se_settings=se_settings)
+                        se_settings=se_settings, sigma=sig_new)
+                    if zstar:
+                        eta_g_stage, sig_stage = eta_g_new, sig_new
                     if self._substepped_tke:
                         # per-stage Euler turbulence step (reference:
                         # _euler_step_turbulent_kinetic_energy!,
@@ -1212,17 +1274,41 @@ class HydrostaticFreeSurfaceModel:
                                 val = self.grid.mask_immersed(val, LOC_CCC)
                             new[nm] = val
                     fields = self._mask_state(new)
+                uf = fill_halo_regions(fields["u"], self.grid, LOC_FCC,
+                                       self.bcs["u"], time)
+                vf = fill_halo_regions(fields["v"], self.grid, LOC_CFC,
+                                       self.bcs["v"], time)
+                dt_sigma_out = None
+                if zstar:
+                    if bt is not None:
+                        Ub2 = self._fill_xy(bt["U"], LOC_FCC,
+                                            self.bcs["u"], time)
+                        Vb2 = self._fill_xy(bt["V"], LOC_CFC,
+                                            self.bcs["v"], time)
+                    else:
+                        Ub2 = self._fill_xy(
+                            self._depth_integral(uf, LOC_FCC)
+                            * sig_stage[("f", "c")], LOC_FCC,
+                            self.bcs["u"], time)
+                        Vb2 = self._fill_xy(
+                            self._depth_integral(vf, LOC_CFC)
+                            * sig_stage[("c", "f")], LOC_CFC,
+                            self.bcs["v"], time)
+                    dt_sigma_out = self._grid_motion_rate(
+                        self._barotropic_divergence(Ub2, Vb2))
                 w_new = self._w_from_continuity(
-                    fill_halo_regions(fields["u"], self.grid, LOC_FCC,
-                                      self.bcs["u"], time),
-                    fill_halo_regions(fields["v"], self.grid, LOC_CFC,
-                                      self.bcs["v"], time))
+                    uf, vf, dt_sigma=dt_sigma_out,
+                    sigma=sig_stage if zstar else None)
                 clock = dict(time=time + dt,
                              iteration=clock["iteration"] + 1,
                              last_dt=dt * jnp.ones_like(clock["last_dt"]))
                 out = dict(fields=fields, clock=clock, w=w_new, Gm=G)
                 if bt is not None:
                     out["barotropic"] = bt
+                if zstar:
+                    out["dt_sigma"] = dt_sigma_out
+                    out["eta_grid"] = eta_g_new
+                    out["G_sigma"] = dhU
                 return out
 
             return step

@@ -404,3 +404,26 @@ def test_split_explicit_stable_beyond_gravity_wave_limit():
     assert run("split_explicit", 4.0 * dt_lim, 10, substeps=40)
     assert not run("explicit", 2.0 * dt_lim, 10,
                    timestepper="QuasiAdamsBashforth2")
+
+
+def test_zstar_uniform_tracer_stays_uniform_on_panels():
+    """z* discrete consistency on the cubed sphere (the panel port of
+    models/hydrostatic.py's grid-η machinery; reference:
+    z_star_vertical_spacing.jl): a uniform tracer under a global
+    free-surface adjustment stays uniform to machine precision — the
+    grid-η steps from the exchanged barotropic transport divergence with
+    the same AB2 weights as the σ-scaled tracer tendencies."""
+    grid = ConformalCubedSphereGrid((12, 12, 5), z=(-3000.0, 0.0),
+                                    radius=6.371e6, dtype=jnp.float64)
+    m = CubedSphereHydrostaticModel(
+        grid, tracers=("c",), rotation_rate=7.292e-5,
+        free_surface="split_explicit", substeps=12,
+        timestepper="QuasiAdamsBashforth2", vertical_coordinate="zstar")
+    m.set(c=1.0, eta=lambda lam, phi: 5.0 * np.cos(phi) * np.sin(2 * lam))
+    for _ in range(15):
+        m.time_step(600.0)
+    c = np.asarray(m.field("c").interior)
+    eta = np.asarray(m.field("eta").interior)
+    assert np.abs(eta).max() > 1.0, "the adjustment died"
+    assert np.abs(c - 1.0).max() < 1e-12, \
+        f"uniform tracer drifted on panels: {np.abs(c - 1.0).max()}"

@@ -409,11 +409,13 @@ def test_zstar_grid_motion_in_upwinded_divergence():
     assert du.max() > 0, "grid-motion term had no effect"
 
 
-def test_zstar_uniform_tracer_stays_uniform():
+@pytest.mark.parametrize("stepper", ["qab2", "split_rk3"])
+def test_zstar_uniform_tracer_stays_uniform(stepper):
     """THE z-star discrete-consistency guarantee (reference:
-    z_star_vertical_spacing.jl _ab2_update_grid_scaling! +
-    scale_by_stretching_factor! + _ab2_step_tracer_field!): σ derives from
-    the GRID's η, stepped with the same AB2 discretization as the tracers
+    z_star_vertical_spacing.jl _ab2_update_grid_scaling! /
+    _rk3_update_grid_scaling! + scale_by_stretching_factor! +
+    _ab2_step_tracer_field! / _euler_substep_tracer_field!): σ derives from
+    the GRID's η, stepped with the same time discretization as the tracers
     from the barotropic transport divergence δh_U, the tendencies are
     σⁿ-scaled, w-from-continuity uses moving face areas and
     ∂t_σ = -δh_U/H, and the barotropic corrector pins the moving-thickness
@@ -429,7 +431,7 @@ def test_zstar_uniform_tracer_stays_uniform():
     model = HydrostaticFreeSurfaceModel(
         grid=grid, free_surface=SplitExplicitFreeSurface(substeps=20),
         momentum_advection=WENOVectorInvariant(), tracers=("c",),
-        vertical_coordinate="zstar")
+        timestepper=stepper, vertical_coordinate="zstar")
     model.set(eta=lambda x, y, z: 0.5 * jnp.sin(2 * jnp.pi * x / 1e4),
               c=1.0)
     for _ in range(40):
