@@ -89,7 +89,15 @@ class SeawaterBuoyancy:
              else self.constant_temperature)
         S = (tracers["S"] if self.constant_salinity is None
              else self.constant_salinity)
-        return self.g * (self.eos.alpha * T - self.eos.beta * S)
+        if hasattr(self.eos, "alpha"):        # linear EOS
+            return self.g * (self.eos.alpha * T - self.eos.beta * S)
+        # nonlinear (z-dependent) EOS: the reference's single
+        # SeawaterBuoyancy handles both (seawater_buoyancy.jl dispatching
+        # through SeawaterPolynomials); was an AttributeError here before
+        # round 5 (NonlinearSeawaterBuoyancy was required)
+        from .grids.base import broadcastable_1d
+        z = broadcastable_1d(grid.coord_padded(2, "c"), 2)
+        return self.eos.buoyancy(self.g, T, S, z)
 
     def z_buoyancy(self, grid, tracers):
         return iz_f(grid, self.buoyancy_ccc(grid, tracers))

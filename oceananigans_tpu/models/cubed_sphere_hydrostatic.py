@@ -352,6 +352,11 @@ class CubedSphereHydrostaticModel:
                         else _NamedBuoyancyTracer(buoyancy_tracer))
         self.buoyancy = buoyancy
         self.closure = closure
+        if isinstance(closure, (tuple, list)):
+            # reference parity: closure tuples sum their fluxes
+            # (src/TurbulenceClosures/closure_tuples.jl)
+            from ..closures.scalar_diffusivity import ClosureTuple
+            closure = ClosureTuple(*closure)
         if closure is not None:
             for name in getattr(closure, "required_tracers", ()):
                 if name not in tracers:

@@ -94,6 +94,11 @@ class NonhydrostaticModel:
             for name in biogeochemistry.required_tracers:
                 if name not in tracers:
                     tracers = tracers + (name,)
+        if isinstance(closure, (tuple, list)):
+            # reference parity: closure tuples sum their fluxes
+            # (src/TurbulenceClosures/closure_tuples.jl)
+            from ..closures.scalar_diffusivity import ClosureTuple
+            closure = ClosureTuple(*closure)
         if closure is not None:
             for name in getattr(closure, "required_tracers", ()):
                 if name not in tracers:
@@ -105,12 +110,13 @@ class NonhydrostaticModel:
         self.buoyancy = buoyancy
         self.coriolis = coriolis
         self.closure = closure
-        # buoyancy-modified closures (SmagorinskyLilly / LillyCoefficient)
-        # inherit the model's buoyancy formulation when none was given
+        # closures that consume a buoyancy formulation (SmagorinskyLilly,
+        # CATKE, k-eps, RiBased, isopycnal/GM, ...) inherit the model's when
+        # none was given at closure construction (reference parity: the
+        # reference's closures always receive buoyancy from the model)
         _cls = getattr(closure, "closures", (closure,)) if closure else ()
         for _c in _cls:
-            if getattr(_c, "buoyancy_modified", False) \
-                    and getattr(_c, "buoyancy", None) is None:
+            if hasattr(_c, "buoyancy") and _c.buoyancy is None:
                 _c.buoyancy = buoyancy
         from ..forcings.forcings import regularize_forcing
         self.forcing = regularize_forcing(forcing)
