@@ -314,13 +314,11 @@ class CubedSphereHydrostaticModel:
                              "built with z=(bottom, top)")
         if vertical_coordinate not in ("z", "zstar"):
             raise ValueError("vertical_coordinate must be 'z' or 'zstar'")
-        if vertical_coordinate == "zstar" \
-                and timestepper != "QuasiAdamsBashforth2":
-            # the σ-weighted conservative tracer update is tied to the AB2
-            # substructure (hydrostatic_free_surface_ab2_step.jl:116-130);
-            # the reference's z* validation cases all run AB2
-            raise ValueError("vertical_coordinate='zstar' requires "
-                             "timestepper='QuasiAdamsBashforth2'")
+        # z* runs under BOTH steppers since round 5: the AB2 path uses the
+        # _ab2_update_grid_scaling! form, the Wicker-Skamarock RK3 path the
+        # rk3_substep_grid! form (σ⁰-weighted step-start tracers, grid-η
+        # substepped from the step-start η) — reference:
+        # z_star_vertical_spacing.jl / hydrostatic_free_surface_rk3_step.jl
         self.vertical_coordinate = vertical_coordinate
         self.reference_datetime = reference_datetime
         self.grid = grid
@@ -1544,14 +1542,66 @@ class CubedSphereHydrostaticModel:
             st0 = {n: C(state[n]) for n in prog}
             time = state["time"]
             st = st0
+            zstar = "dt_sigma" in state
+            dhU = None
+            if zstar:
+                # z* under Wicker–Skamarock RK3 (the reference's
+                # rk3_substep_grid! form): every substep restarts from the
+                # σ⁰-weighted step-start tracers and the step-start grid η
+                eta_g0 = (self._exc_cat(C(state["eta_grid"]))
+                          if self._batch else self._exc(state["eta_grid"]))
+                sig0 = self._sigma_all(eta_g0)
+                sig0_cc = self._sig_cc(sig0)
+                sc0 = {n: sig0_cc.astype(st0[n].dtype) * st0[n]
+                       for n in self.tracer_names}
+                eta_g_stage, sig_stage = eta_g0, sig0
+                eta_g_new = eta_g0
             for frac in (1.0 / 3.0, 0.5, 1.0):   # Wicker-Skamarock RK3
                 sdt = frac * dt
                 sf = self._filled(st, time)
-                w = self._w(sf)
-                G, auxs = self._tendencies(sf, w, time)
+                if zstar:
+                    # stage transports: moving-thickness integrals of the
+                    # stage velocities (no barotropic solver on this path)
+                    if self._batch:
+                        cp = self._catp
+                        Ubt = cp._depth_integral(sf["u"], LOC_FCC) \
+                            * sig_stage[("f", "c")]
+                        Vbt = cp._depth_integral(sf["v"], LOC_CFC) \
+                            * sig_stage[("c", "f")]
+                    else:
+                        Ubt = jnp.stack([
+                            self.panels[p]._depth_integral(
+                                sf["u"][p], LOC_FCC)
+                            * sig_stage[p][("f", "c")] for p in range(6)])
+                        Vbt = jnp.stack([
+                            self.panels[p]._depth_integral(
+                                sf["v"][p], LOC_CFC)
+                            * sig_stage[p][("c", "f")] for p in range(6)])
+                    dhU = self._transport_divergence(Ubt, Vbt)
+                    dts = self._grid_motion_rate_cs(dhU)
+                    sf = dict(sf)
+                    sf["eta_grid"] = eta_g_stage
+                else:
+                    dts = None
+                w = self._w(sf, dt_sigma=dts,
+                            sigma=sig_stage if zstar else None)
+                G, auxs = self._tendencies(sf, w, time, dt_sigma=dts)
                 st = dict(st0)
                 for n in ("u", "v") + self.tracer_names:
                     st[n] = st0[n] + sdt * G[n]
+                if zstar:
+                    # grid-η substep from the step-start η + σ-form tracer
+                    # update (σ⁰c⁰ + Δt σ_stage G)/σ_new — telescopes, so
+                    # a uniform tracer stays uniform on every substep
+                    eta_g_new = eta_g0 - sdt * dhU
+                    eta_g_new = (self._exc_cat(eta_g_new) if self._batch
+                                 else self._exc(eta_g_new))
+                    sig_new = self._sigma_all(eta_g_new)
+                    sn_cc = self._sig_cc(sig_new)
+                    sg_cc = self._sig_cc(sig_stage)
+                    for n in self.tracer_names:
+                        st[n] = (sc0[n] + sdt * sg_cc.astype(G[n].dtype)
+                                 * G[n]) / sn_cc.astype(G[n].dtype)
                 st = implicit_all(st, auxs, sdt)
                 if implicit:
                     st = self._implicit_eta_step(st, sdt)
@@ -1559,9 +1609,15 @@ class CubedSphereHydrostaticModel:
                     st["eta"] = self._explicit_eta(st0["eta"], st["u"],
                                                    st["v"], sdt)
                 st = self._mask_prognostics(st)
+                if zstar:
+                    eta_g_stage, sig_stage = eta_g_new, sig_new
             # no end-of-step refresh (see the AB2 step note): the next
             # step's stage-1 _filled rebuilds every halo from interiors
             out = {n: S(v) for n, v in st.items()}
+            if zstar:
+                out["eta_grid"] = S(eta_g_new)
+                out["G_sigma"] = S(dhU)
+                out["dt_sigma"] = S(self._grid_motion_rate_cs(dhU))
             out["time"] = time + dt
             out["iteration"] = state["iteration"] + 1
             return out

@@ -406,7 +406,14 @@ def test_split_explicit_stable_beyond_gravity_wave_limit():
                    timestepper="QuasiAdamsBashforth2")
 
 
-def test_zstar_uniform_tracer_stays_uniform_on_panels():
+import pytest
+
+
+@pytest.mark.parametrize("ts_fs", [
+    ("QuasiAdamsBashforth2", "split_explicit"),
+    ("WickerSkamarockRK3", "explicit"),
+])
+def test_zstar_uniform_tracer_stays_uniform_on_panels(ts_fs):
     """z* discrete consistency on the cubed sphere (the panel port of
     models/hydrostatic.py's grid-η machinery; reference:
     z_star_vertical_spacing.jl): a uniform tracer under a global
@@ -415,10 +422,11 @@ def test_zstar_uniform_tracer_stays_uniform_on_panels():
     the same AB2 weights as the σ-scaled tracer tendencies."""
     grid = ConformalCubedSphereGrid((12, 12, 5), z=(-3000.0, 0.0),
                                     radius=6.371e6, dtype=jnp.float64)
+    timestepper, fs = ts_fs
     m = CubedSphereHydrostaticModel(
         grid, tracers=("c",), rotation_rate=7.292e-5,
-        free_surface="split_explicit", substeps=12,
-        timestepper="QuasiAdamsBashforth2", vertical_coordinate="zstar")
+        free_surface=fs, substeps=12,
+        timestepper=timestepper, vertical_coordinate="zstar")
     m.set(c=1.0, eta=lambda lam, phi: 5.0 * np.cos(phi) * np.sin(2 * lam))
     for _ in range(15):
         m.time_step(600.0)
