@@ -39,3 +39,20 @@ defaults.FloatType = np.float64
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (the analogue of the reference's runtests.jl group
+    sharding): the DEFAULT tier skips `slow`-marked study/equivalence
+    batteries so `pytest tests` finishes in minutes; the FULL tier runs
+    everything. Opt in to the full tier with OCEANANIGANS_TPU_FULL_SUITE=1
+    (or select explicitly with -m, which always wins)."""
+    if os.environ.get("OCEANANIGANS_TPU_FULL_SUITE"):
+        return
+    if config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (set OCEANANIGANS_TPU_FULL_SUITE=1 or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

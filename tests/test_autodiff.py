@@ -8,12 +8,14 @@ diagnostic with respect to initial conditions or parameters."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from oceananigans_tpu import RectilinearGrid
 from oceananigans_tpu.advection import Centered
 from oceananigans_tpu.models import NonhydrostaticModel
 
 
+@pytest.mark.slow
 def test_gradient_through_steps():
     grid = RectilinearGrid(size=(8, 8, 4), extent=(1, 1, 1),
                            topology=("periodic", "periodic", "periodic"))

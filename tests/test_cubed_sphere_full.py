@@ -20,6 +20,8 @@ from oceananigans_tpu.closures import (CATKEVerticalDiffusivity,
 from oceananigans_tpu.grids.cubed_sphere import ConformalCubedSphereGrid
 from oceananigans_tpu.models import CubedSphereHydrostaticModel
 
+pytestmark = pytest.mark.slow  # full-tier study/equivalence battery (see README testing tiers)
+
 R = 6.371e6
 OMEGA = 7.292e-5
 G = 9.81

@@ -2,6 +2,7 @@
 (reference analogue: HydrostaticFreeSurfaceModel on a MultiRegion
 ConformalCubedSphereGrid)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -376,6 +377,7 @@ def test_split_explicit_free_surface_holds_geostrophic_balance():
         < 0.05 * eta_amp
 
 
+@pytest.mark.slow
 def test_split_explicit_stable_beyond_gravity_wave_limit():
     """Without rotation (isolating gravity waves from AB2's inertial f*dt
     limit), the split-explicit surface steps a surface bump at 4x the
@@ -406,7 +408,6 @@ def test_split_explicit_stable_beyond_gravity_wave_limit():
                    timestepper="QuasiAdamsBashforth2")
 
 
-import pytest
 
 
 @pytest.mark.parametrize("ts_fs", [

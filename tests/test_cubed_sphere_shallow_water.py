@@ -223,6 +223,7 @@ def test_enstrophy_conserving_pv_scheme():
     assert abs(m.total_mass() - M0) / M0 < 1e-12
 
 
+@pytest.mark.slow
 def test_tc2_resolution_convergence():
     """TC2 geostrophic-balance drift converges with panel resolution
     (measured order ~1.8 from 8² to 16², ~1.5 to 32² — second-order

@@ -10,6 +10,8 @@ import pytest
 jnp = pytest.importorskip("jax.numpy")
 import jax  # noqa: E402
 
+pytestmark = pytest.mark.slow  # full-tier study/equivalence battery (see README testing tiers)
+
 
 def _turbulence_model(dtype):
     from oceananigans_tpu import RectilinearGrid

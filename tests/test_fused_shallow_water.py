@@ -1,6 +1,7 @@
 """Fused shallow-water kernel parity: the Pallas x-tiled slab kernel
 (kernels/fused_shallow_water.py) matches the XLA path exactly."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -58,6 +59,7 @@ def test_fused_sw_rejects_ineligible():
         ShallowWaterModel(grid=grid2, advection=WENO(5), fused=True)
 
 
+@pytest.mark.slow
 def test_sharded_fused_sw_matches_serial(rng):
     """Serial vs 8-device sharded fused shallow water (SURVEY §4.5
     equivalence strategy on the virtual CPU mesh)."""

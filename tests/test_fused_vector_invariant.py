@@ -19,6 +19,8 @@ from oceananigans_tpu.coriolis import (FPlane, HydrostaticSphericalCoriolis)
 from oceananigans_tpu.models.hydrostatic import HydrostaticFreeSurfaceModel
 from oceananigans_tpu.models.free_surfaces import SplitExplicitFreeSurface
 
+pytestmark = pytest.mark.slow  # full-tier study/equivalence battery (see README testing tiers)
+
 
 def _tol(fused):
     return ({"rtol": 1e-9, "atol": 1e-11} if fused is True

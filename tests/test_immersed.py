@@ -3,6 +3,7 @@ test/test_immersed_boundary_grid.jl, test_conjugate_gradient_poisson_solver.jl).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from oceananigans_tpu import RectilinearGrid
 from oceananigans_tpu.abstract_operations import Average, partial_x
@@ -87,6 +88,7 @@ def test_abstract_operations_basics():
     assert abs(m - 0.5) < 0.05  # mean of sin² over a period = 1/2
 
 
+@pytest.mark.slow
 def test_partial_cell_bottom_geometry():
     """PartialCellBottom: effective Δz of the bottommost fluid cell equals
     z⁺ - z_b, floored at ϵΔz (reference: partial_cell_bottom.jl:143-167)."""

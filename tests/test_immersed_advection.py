@@ -12,6 +12,8 @@ from oceananigans_tpu import (GridFittedBottom, ImmersedBoundaryGrid,
 from oceananigans_tpu.advection import WENO, Centered, UpwindBiased
 from oceananigans_tpu.models import NonhydrostaticModel
 
+pytestmark = pytest.mark.slow  # full-tier study/equivalence battery (see README testing tiers)
+
 
 def _bump_grid(nz=16):
     grid = RectilinearGrid(size=(32, 8, nz), extent=(2.0, 1.0, 1.0),

@@ -15,6 +15,8 @@ from oceananigans_tpu.advection import WENO
 from oceananigans_tpu.buoyancy import BuoyancyTracer
 from oceananigans_tpu.models import NonhydrostaticModel
 
+pytestmark = pytest.mark.slow  # full-tier study/equivalence battery (see README testing tiers)
+
 
 @pytest.fixture
 def lane_aligned():

@@ -15,6 +15,7 @@ Two tiers:
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from oceananigans_tpu import RectilinearGrid
 from oceananigans_tpu.advection import WENO
@@ -27,6 +28,8 @@ from oceananigans_tpu.coriolis import BetaPlane
 from oceananigans_tpu.models import (HydrostaticFreeSurfaceModel,
                                      SplitExplicitFreeSurface)
 from oceananigans_tpu.models.hydrostatic import PrescribedVelocityFields
+
+pytestmark = pytest.mark.slow  # full-tier study/equivalence battery (see README testing tiers)
 
 
 def _front_model(closure):

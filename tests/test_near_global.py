@@ -17,6 +17,8 @@ import pytest
 
 import examples.near_global_ocean as ng
 
+pytestmark = pytest.mark.slow  # full-tier study/equivalence battery (see README testing tiers)
+
 
 @pytest.mark.slow
 def test_near_global_spinup_acc_transport():

@@ -58,6 +58,7 @@ def test_netcdf4_round_trip(tmp_path):
     assert fts.grid_meta["experiment"] == "round-trip"
 
 
+@pytest.mark.slow
 def test_netcdf4_staggered_dims_and_ondisk(tmp_path):
     m = _model()
     path = str(tmp_path / "stag.nc")

@@ -54,6 +54,7 @@ def test_divergence_free_after_steps(stepper, rng):
     assert np.all(np.isfinite(np.asarray(model.state["fields"]["u"])))
 
 
+@pytest.mark.slow
 def test_taylor_green_viscous_decay():
     # 2D Taylor-Green: u = -cos(x) sin(y) e^{-2νt}, exact for the continuous
     # equations; at 64² with Centered(2) the decay rate should match within ~1%
@@ -188,6 +189,7 @@ def test_vertically_implicit_diffusion_stability():
     assert np.max(c) - np.min(c) < 0.05
 
 
+@pytest.mark.slow
 def test_fused_advection_matches_xla_path(rng):
     from oceananigans_tpu.advection import WENO as _W
     grid = RectilinearGrid(size=(16, 16, 8), extent=(1, 1, 1))

@@ -15,6 +15,8 @@ from oceananigans_tpu.parallel import (Distributed, DistributedFFTPoissonSolver,
                                        Partition, make_halo_exchange)
 from oceananigans_tpu.solvers.fft_poisson import FFTPoissonSolver
 
+pytestmark = pytest.mark.slow  # full-tier study/equivalence battery (see README testing tiers)
+
 
 def need_devices(n):
     if len(jax.devices()) < n:

@@ -59,6 +59,7 @@ def test_one_substep_is_the_fv_gradient():
     assert np.abs(U - U_exact).max() < dtau * 1e-3
 
 
+@pytest.mark.slow
 def test_standing_gravity_wave_returns_after_one_period():
     """η₀ = sin x, U₀ = 0, c = √(gH) = 1: the standing wave returns to its
     initial state after T = 2π (reference: the 'Multi-timestep test').

@@ -30,6 +30,7 @@ def _taylor_green_error(n, nu=0.05, T=0.5, dt=2.5e-3):
     return np.abs(u - np.sin(xf) * np.cos(yc) * decay).max()
 
 
+@pytest.mark.slow
 def test_taylor_green_decay_and_convergence():
     """The decaying Taylor-Green vortex is an exact Navier-Stokes solution:
     the full advection + projection + diffusion pipeline must reproduce it
@@ -77,6 +78,7 @@ def test_internal_wave_frequency():
     assert 0.9 < amp_ratio < 1.1, amp_ratio
 
 
+@pytest.mark.slow
 def test_stommel_gyre_steady_state():
     """Wind-driven Stommel (1948) gyre: linear barotropic vorticity balance
     β∂ψ/∂x + r∇²ψ = curl(τ)/ρH with bottom drag has the classic analytic
@@ -228,6 +230,7 @@ def test_vertically_implicit_w_diffusion_taylor_green():
         assert ew < 6e-3, (closure.time_discretization, ew)
 
 
+@pytest.mark.slow
 def test_lid_driven_cavity_ghia():
     """Steady lid-driven cavity at Re = 100 vs the Ghia, Ghia & Shin (1982)
     benchmark (Table I/II): centerline velocity extrema and their positions

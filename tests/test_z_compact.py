@@ -7,12 +7,15 @@ shift_zbc). These tests pin the layout to the padded reference semantics."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from oceananigans_tpu import RectilinearGrid
 from oceananigans_tpu.advection import WENO
 from oceananigans_tpu.buoyancy import BuoyancyTracer
 from oceananigans_tpu.models import NonhydrostaticModel
 from oceananigans_tpu.operators.shifts import shift, shift_zbc
+
+pytestmark = pytest.mark.slow  # full-tier study/equivalence battery (see README testing tiers)
 
 N = (16, 16, 128)
 
