@@ -26,6 +26,53 @@ from .grids.base import AbstractGrid, _mul, broadcastable_1d
 from .grids.topology import CENTER, FACE, LOC_CCC, LOC_CCF, LOC_CFC, LOC_FCC
 
 
+def _pad_columns(grid, a):
+    """Topology-aware horizontal halo padding of an interior per-column
+    array — the analogue of filling the reference's bottom-height Field
+    halos (fill_halo_regions! on the bottom field at ImmersedBoundaryGrid
+    construction): periodic axes WRAP so the mask/geometry at a periodic
+    seam sees the true opposite-side topography (edge-padding there left
+    seam faces unmasked and leaked transport through bathymetry steps —
+    a round-5 fix found by the z* invariant suite); bounded/flat axes
+    extend by the edge value, as the reference's default bottom BCs do."""
+    a = np.asarray(a, a.dtype if hasattr(a, "dtype") else np.float64)
+    for ax in (0, 1):
+        if grid.H[ax] == 0:
+            continue
+        mode = "wrap" if str(grid.topology[ax]) == "periodic" else "edge"
+        pad = [(0, 0)] * a.ndim
+        pad[ax] = (grid.H[ax], grid.H[ax])
+        a = np.pad(a, pad, mode=mode)
+    return a
+
+
+def _interior_centers_2d(grid):
+    """Interior (x, y) center coordinates as broadcastable arrays."""
+    x = np.asarray(grid.coord_padded(0, CENTER))[
+        grid.H[0]:grid.H[0] + grid.N[0]].reshape(-1, 1)
+    y = np.asarray(grid.coord_padded(1, CENTER))[
+        grid.H[1]:grid.H[1] + grid.N[1]].reshape(1, -1)
+    return x, y
+
+
+def _bottom_padded_2d(grid, b):
+    """Padded (npx, npy, 1) bottom-height array from a scalar, callable
+    (evaluated on INTERIOR nodes, halos topology-padded), interior-shaped
+    array, or an already-padded array (used verbatim — cubed-sphere panels
+    pass exchange-valid padded bathymetry)."""
+    if np.isscalar(b):
+        return np.full(grid.padded_shape[:2] + (1,), float(b))
+    if callable(b):
+        x, y = _interior_centers_2d(grid)
+        zb = np.broadcast_to(np.asarray(b(x, y), np.float64),
+                             (grid.N[0], grid.N[1]))
+        return _pad_columns(grid, zb)[..., None]
+    zb = np.asarray(b, np.float64)
+    if zb.shape == (grid.N[0], grid.N[1]):
+        zb = _pad_columns(grid, zb)
+    return zb[..., None] if zb.ndim == 2 else zb
+
+
 class GridFittedBottom:
     def __init__(self, bottom_height):
         self.bottom_height = bottom_height
@@ -34,19 +81,7 @@ class GridFittedBottom:
         """Boolean padded array: True where the cell center is below the
         bottom."""
         zc = broadcastable_1d(grid.coord_padded(2, CENTER), 2)
-        b = self.bottom_height
-        if callable(b):
-            x = broadcastable_1d(grid.coord_padded(0, CENTER), 0)
-            y = broadcastable_1d(grid.coord_padded(1, CENTER), 1)
-            zb = np.asarray(b(x, y))
-        elif np.isscalar(b):
-            zb = np.asarray(b)
-        else:
-            zb = np.asarray(b)
-            if zb.shape == (grid.N[0], grid.N[1]):
-                zb = np.pad(zb, [(grid.H[0],) * 2, (grid.H[1],) * 2],
-                            mode="edge")
-            zb = zb[..., None] if zb.ndim == 2 else zb
+        zb = _bottom_padded_2d(grid, self.bottom_height)
         return np.broadcast_to(zc < zb, grid.padded_shape).copy()
 
     def _fp(self):
@@ -69,21 +104,9 @@ class PartialCellBottom:
         self.epsilon = float(minimum_fractional_cell_height)
 
     def _zb_padded(self, grid):
-        b = self.bottom_height
-        if callable(b):
-            x = broadcastable_1d(grid.coord_padded(0, CENTER), 0)
-            y = broadcastable_1d(grid.coord_padded(1, CENTER), 1)
-            zb = np.broadcast_to(np.asarray(b(x, y), np.float64),
-                                 grid.padded_shape[:2] + (1,)).copy()
-        elif np.isscalar(b):
-            zb = np.full(grid.padded_shape[:2] + (1,), float(b))
-        else:
-            zb = np.asarray(b, np.float64)
-            if zb.shape == (grid.N[0], grid.N[1]):
-                zb = np.pad(zb, [(grid.H[0],) * 2, (grid.H[1],) * 2],
-                            mode="edge")
-            zb = zb[..., None] if zb.ndim == 2 else zb
-        return zb
+        zb = _bottom_padded_2d(grid, self.bottom_height)
+        return (np.broadcast_to(zb, grid.padded_shape[:2] + (1,)).copy()
+                if zb.shape[:2] != grid.padded_shape[:2] else zb)
 
     def _geometry(self, grid):
         """(zb_adjusted, solid, dz_ccc_eff, dz_ccf_eff) padded numpy arrays."""
@@ -159,11 +182,20 @@ class GridFittedBoundary:
         self.mask = mask
 
     def solid_centers(self, grid):
-        x = broadcastable_1d(grid.coord_padded(0, CENTER), 0)
-        y = broadcastable_1d(grid.coord_padded(1, CENTER), 1)
-        z = broadcastable_1d(grid.coord_padded(2, CENTER), 2)
-        return np.broadcast_to(np.asarray(self.mask(x, y, z), bool),
-                               grid.padded_shape).copy()
+        # evaluate on INTERIOR nodes, then topology-pad (periodic axes
+        # wrap, like the reference's mask-Field halo fill) — see
+        # _pad_columns; z extends by edge (the reference's bounded default)
+        x, y = _interior_centers_2d(grid)
+        z = np.asarray(grid.coord_padded(2, CENTER))[
+            grid.H[2]:grid.H[2] + grid.N[2]].reshape(1, 1, -1)
+        m = np.broadcast_to(np.asarray(self.mask(x[..., None], y[..., None],
+                                                 z), bool),
+                            (grid.N[0], grid.N[1], grid.N[2]))
+        m = _pad_columns(grid, m)
+        if grid.H[2] or grid.padded_shape[2] != m.shape[2]:
+            tail = grid.padded_shape[2] - m.shape[2] - grid.H[2]
+            m = np.pad(m, [(0, 0), (0, 0), (grid.H[2], tail)], mode="edge")
+        return np.broadcast_to(m, grid.padded_shape).copy()
 
     def _fp(self):
         return ("GridFittedBoundary", id(self.mask))
