@@ -723,7 +723,11 @@ def build_fused_advection_update(grid, scheme, tracer_names,
         nf = 3 + ntr
         TX, TY = _pick_tiles_vmem(grid.N[0], grid.N[1], Hx, Hy, ZPAD0, ZP,
                                   2 * nf, 2 * nf)
-        single = TX is not None and TX * TY >= 32 * 64
+        # round-5 sweep (scripts/tracer_batch_sweep.py, 256^3 x 12 tracers,
+        # v5e): single 93.0 ms vs K=2/3/4/6 91.4/89.4/87.25/89.5 ms — at
+        # high tracer counts batches of 4 beat the single kernel by ~6%
+        # even when its tiles stay large, so prefer batching past 6
+        single = TX is not None and TX * TY >= 32 * 64 and ntr <= 6
     elif isinstance(tracer_batch, int):
         single = ntr <= tracer_batch
     if single:
@@ -742,7 +746,7 @@ def build_fused_advection_update(grid, scheme, tracer_names,
 
         return fused_update
 
-    K = tracer_batch if isinstance(tracer_batch, int) else 2
+    K = tracer_batch if isinstance(tracer_batch, int) else 4  # see sweep above
     batches = [names[b:b + K] for b in range(0, ntr, K)]
     variants = [False, True] if with_corr else [False]
     mom = {wc: _build_update_group(grid, scheme, (), True, with_corr=wc,

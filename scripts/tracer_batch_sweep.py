@@ -5,10 +5,15 @@ FUSED_TRACER_BATCH split (how many tracers share one Pallas megakernel
 call — the advecting velocity slabs are re-DMA'd once per batch,
 kernels/fused_advection.py:680-699).
 
-Recorded result (v5e, round 5; round 3 agreed): the sweep is FLAT —
-velocity-slab re-streaming between batch calls is NOT the 12-tracer cost;
-the per-tracer WENO reconstruction itself is (VPU-bound). See
-docs/roofline.md "Tracer scaling".
+Recorded result (v5e, round 5): single 93.0 / K=2 91.4 / K=3 89.4 /
+K=4 87.25 / K=6 89.5 / K=12 92.2 ms — a shallow bowl with K=4 optimal
+(~6% under the single kernel). Velocity-slab re-streaming is NOT the
+12-tracer cost (round 3's flat result confirmed at finer resolution); the
+per-tracer WENO reconstruction is. The auto heuristic now batches by 4
+past 6 tracers (kernels/fused_advection.py), re-measured 87.08 ms; the
+12-vs-0 step ratio is 3.38x against the 25.8 ms 0-tracer base. The <=75 ms
+target is bounded out by the per-tracer VPU floor (~5.1 ms/tracer at the
+measured mix rate).
 
 Usage: python scripts/tracer_batch_sweep.py [batch_sizes...]
 """
