@@ -517,14 +517,22 @@ class HydrostaticFreeSurfaceModel:
             # (reference: ηⁿ of the mutable grid initialized from η)
             self.state = {**self.state, "eta_grid": fields["eta"]}
         if ("barotropic" in self.state
-                and ("u" in values or "v" in values)):
+                and ("u" in values or "v" in values or "eta" in values)):
             # re-initialize the barotropic mode from the velocity initial
             # condition (reference: initialize_free_surface!,
-            # initialize_split_explicit_substepping.jl:15-27)
-            U = self._fill_xy(self._depth_integral(fields["u"], LOC_FCC),
-                              LOC_FCC, self.bcs["u"], t)
-            V = self._fill_xy(self._depth_integral(fields["v"], LOC_CFC),
-                              LOC_CFC, self.bcs["v"], t)
+            # initialize_split_explicit_substepping.jl:15-27). On z* the
+            # transports are MOVING-thickness integrals (σ·∫u dz, σ from
+            # the just-mirrored grid η) — the static integral seeded a
+            # one-time O(η/H·u) continuity mismatch that froze a
+            # constancy error into the tracers on the first step
+            U = self._depth_integral(fields["u"], LOC_FCC)
+            V = self._depth_integral(fields["v"], LOC_CFC)
+            if "eta_grid" in self.state:
+                sig = self._sigma_fields(self.state["eta_grid"])
+                U = U * sig[("f", "c")].astype(U.dtype)
+                V = V * sig[("c", "f")].astype(V.dtype)
+            U = self._fill_xy(U, LOC_FCC, self.bcs["u"], t)
+            V = self._fill_xy(V, LOC_CFC, self.bcs["v"], t)
             self.state = {**self.state, "barotropic": {"U": U, "V": V}}
 
     # -- helpers --------------------------------------------------------------

@@ -467,3 +467,61 @@ def test_sharded_cubed_sphere_full_capability_matches_serial():
         a = np.asarray(m_serial.state[name])[:, H:H + N, H:H + N]
         b = np.asarray(m_shard.state[name])[:, H:H + N, H:H + N]
         assert np.abs(a - b).max() < 5e-10, (name, np.abs(a - b).max())
+
+
+def test_sharded_zstar_hydrostatic_matches_serial():
+    """Distributed equivalence of the round-5 z* machinery (grid-η stepped
+    from the barotropic transport divergence, σ-scaled tendencies,
+    moving-metric w): a sharded z-star split-explicit step matches serial,
+    the sharded eta_grid/G_sigma/dt_sigma state stays consistent, and the
+    uniform-tracer guarantee survives GSPMD partitioning."""
+    need_devices(8)
+    from jax.sharding import NamedSharding
+    from oceananigans_tpu.advection.vector_invariant import (
+        WENOVectorInvariant)
+    from oceananigans_tpu.coriolis import FPlane
+    from oceananigans_tpu.models import (HydrostaticFreeSurfaceModel,
+                                         SplitExplicitFreeSurface)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("x", "y"))
+    grid = RectilinearGrid(size=(16, 16, 4), x=(0, 1e5), y=(0, 1e5),
+                           z=(-100.0, 0.0),
+                           topology=("periodic", "periodic", "bounded"))
+
+    def build():
+        m = HydrostaticFreeSurfaceModel(
+            grid=grid, momentum_advection=WENOVectorInvariant(order=5),
+            coriolis=FPlane(1e-4), tracers=("T", "constant"),
+            free_surface=SplitExplicitFreeSurface(substeps=8),
+            vertical_coordinate="zstar")
+        rng = np.random.default_rng(3)
+        m.set(u=0.1 * rng.standard_normal((16, 16, 4)),
+              v=0.1 * rng.standard_normal((16, 16, 4)),
+              T=lambda x, y, z: 10 + 1e-3 * z, constant=1.0,
+              eta=lambda x, y, z: 0.5 * jnp.sin(2 * jnp.pi * x / 1e5))
+        return m
+
+    m_serial = build()
+    m_shard = build()
+
+    def shard(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim == 3:
+            return jax.device_put(leaf, NamedSharding(mesh, P("x", "y",
+                                                              None)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    m_shard.state = jax.tree.map(shard, m_shard.state)
+    for _ in range(3):
+        m_serial.time_step(50.0)
+        m_shard.time_step(50.0)
+    for name in ("u", "v", "T", "constant", "eta"):
+        a = np.asarray(m_serial.state["fields"][name])
+        b = np.asarray(m_shard.state["fields"][name])
+        assert np.allclose(a, b, atol=1e-11), (name, np.abs(a - b).max())
+    for key in ("eta_grid", "G_sigma", "dt_sigma"):
+        a = np.asarray(m_serial.state[key])
+        b = np.asarray(m_shard.state[key])
+        assert np.allclose(a, b, atol=1e-12), (key, np.abs(a - b).max())
+    c = np.asarray(m_shard.state["fields"]["constant"])[
+        m_shard.grid.interior_slices]
+    assert np.abs(c - 1.0).max() < 1e-12, "sharded constancy violated"
