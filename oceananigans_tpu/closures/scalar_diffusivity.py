@@ -112,8 +112,26 @@ class VerticallyImplicitTimeDiscretization:
 
 
 class ScalarDiffusivity(_ClosureBase):
-    def __init__(self, nu=0.0, kappa=0.0, formulation=ISO,
+    def __init__(self, *args, nu=0.0, kappa=0.0, formulation=ISO,
                  time_discretization="explicit"):
+        # reference calling convention: the time discretization may come
+        # FIRST positionally — ScalarDiffusivity(
+        # VerticallyImplicitTimeDiscretization(), nu=..., kappa=...)
+        # (scalar_diffusivity.jl's constructor); plain positional
+        # (nu, kappa[, formulation]) also accepted
+        if args and isinstance(args[0], (ExplicitTimeDiscretization,
+                                         VerticallyImplicitTimeDiscretization)):
+            time_discretization, args = args[0], args[1:]
+        if len(args) > 0:
+            nu = args[0]
+        if len(args) > 1:
+            kappa = args[1]
+        if len(args) > 2:
+            formulation = args[2]
+        if len(args) > 3:
+            time_discretization = args[3]
+        if len(args) > 4:
+            raise TypeError("too many positional arguments")
         self.nu = nu
         self.kappa = kappa
         self.formulation = formulation
@@ -211,13 +229,26 @@ class ScalarDiffusivity(_ClosureBase):
         return out
 
 
-def VerticalScalarDiffusivity(nu=0.0, kappa=0.0,
+def VerticalScalarDiffusivity(*args, nu=0.0, kappa=0.0,
                               time_discretization="explicit"):
-    return ScalarDiffusivity(nu, kappa, VERTICAL, time_discretization)
+    # accepts the reference's td-first positional form too
+    if args and isinstance(args[0], (ExplicitTimeDiscretization,
+                                     VerticallyImplicitTimeDiscretization)):
+        time_discretization, args = args[0], args[1:]
+    if len(args) > 0:
+        nu = args[0]
+    if len(args) > 1:
+        kappa = args[1]
+    return ScalarDiffusivity(nu=nu, kappa=kappa, formulation=VERTICAL,
+                             time_discretization=time_discretization)
 
 
-def HorizontalScalarDiffusivity(nu=0.0, kappa=0.0):
-    return ScalarDiffusivity(nu, kappa, HORIZONTAL)
+def HorizontalScalarDiffusivity(*args, nu=0.0, kappa=0.0):
+    if len(args) > 0:
+        nu = args[0]
+    if len(args) > 1:
+        kappa = args[1]
+    return ScalarDiffusivity(nu=nu, kappa=kappa, formulation=HORIZONTAL)
 
 
 class ScalarBiharmonicDiffusivity(_ClosureBase):

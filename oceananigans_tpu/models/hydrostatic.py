@@ -509,6 +509,10 @@ class HydrostaticFreeSurfaceModel:
                 fields["eta"] = self._fill_xy(data, LOC_CCC, self.bcs["eta"], t)
                 continue
             data = set_on_padded(self.grid, self.loc(name), value)
+            if self._immersed:
+                # reference: set! → update_state! → mask_immersed_field!;
+                # the stored state is solid-masked from the start
+                data = self.grid.mask_immersed(data, self.loc(name))
             fields[name] = fill_halo_regions(data, self.grid, self.loc(name),
                                              self.bcs[name], t)
         self.state = {**self.state, "fields": fields}
