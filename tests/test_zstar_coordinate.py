@@ -175,3 +175,27 @@ def test_zstar_invariants_matrix(gname, fs, stepper):
                     "explicit": ExplicitFreeSurface()}[fs]
     dt = 5.0 if fs == "explicit" else 60.0
     run_zstar_case(grid, free_surface, stepper, n_steps=20, dt=dt)
+
+
+def test_zstar_with_catke_substepped_tke():
+    """z* + CATKE: the substepped TKE equation lives outside the σ-form
+    tracer update (the reference also skips :e in ab2_step_tracers!), and
+    the remaining tracers keep machine-exact constancy alongside it."""
+    from oceananigans_tpu.buoyancy import BuoyancyTracer
+    from oceananigans_tpu.closures.catke import CATKEVerticalDiffusivity
+
+    grid = RectilinearGrid(size=(16, 1, 8), x=(0, 1e4), y=(0, 1e3),
+                           z=(-100.0, 0),
+                           topology=("periodic", "periodic", "bounded"))
+    m = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=20),
+        tracers=("b", "e", "c"), buoyancy=BuoyancyTracer(),
+        closure=CATKEVerticalDiffusivity(), vertical_coordinate="zstar")
+    m.set(b=lambda x, y, z: 1e-5 * z, c=1.0,
+          eta=lambda x, y, z: 0.3 * jnp.sin(2 * jnp.pi * x / 1e4))
+    for _ in range(20):
+        m.time_step(30.0)
+    c = np.asarray(m.field("c").interior)
+    e = np.asarray(m.field("e").interior)
+    assert np.abs(c - 1.0).max() < 1e-12
+    assert np.isfinite(e).all() and (e >= 0).all()
