@@ -89,15 +89,17 @@ class SeawaterBuoyancy:
              else self.constant_temperature)
         S = (tracers["S"] if self.constant_salinity is None
              else self.constant_salinity)
-        if hasattr(self.eos, "alpha"):        # linear EOS
-            return self.g * (self.eos.alpha * T - self.eos.beta * S)
-        # nonlinear (z-dependent) EOS: the reference's single
-        # SeawaterBuoyancy handles both (seawater_buoyancy.jl dispatching
-        # through SeawaterPolynomials); was an AttributeError here before
-        # round 5 (NonlinearSeawaterBuoyancy was required)
-        from .grids.base import broadcastable_1d
-        z = broadcastable_1d(grid.coord_padded(2, "c"), 2)
-        return self.eos.buoyancy(self.g, T, S, z)
+        if callable(getattr(self.eos, "buoyancy", None)):
+            # nonlinear (z-dependent) EOS: the reference's single
+            # SeawaterBuoyancy handles both (seawater_buoyancy.jl
+            # dispatching through SeawaterPolynomials); was an
+            # AttributeError here before round 5. Dispatch on the declared
+            # buoyancy method, not hasattr(eos, "alpha") — a nonlinear EOS
+            # exposing an alpha diagnostic must not take the linear path
+            from .grids.base import broadcastable_1d
+            z = broadcastable_1d(grid.coord_padded(2, "c"), 2)
+            return self.eos.buoyancy(self.g, T, S, z)
+        return self.g * (self.eos.alpha * T - self.eos.beta * S)
 
     def z_buoyancy(self, grid, tracers):
         return iz_f(grid, self.buoyancy_ccc(grid, tracers))
@@ -253,20 +255,13 @@ class TEOS10EquationOfState:
 
 
 class NonlinearSeawaterBuoyancy(SeawaterBuoyancy):
-    """SeawaterBuoyancy with a nonlinear (z-dependent) equation of state."""
+    """SeawaterBuoyancy defaulting to a nonlinear equation of state.
+    Kept as a convenience alias — since round 5 the base class dispatches
+    on the EOS itself, so this adds only the Roquet default."""
 
     def __init__(self, equation_of_state=None, **kw):
         eos = equation_of_state or RoquetSecondOrderEquationOfState()
         super().__init__(equation_of_state=eos, **kw)
-
-    def buoyancy_ccc(self, grid, tracers):
-        from .grids.base import broadcastable_1d
-        T = (tracers["T"] if self.constant_temperature is None
-             else self.constant_temperature)
-        S = (tracers["S"] if self.constant_salinity is None
-             else self.constant_salinity)
-        z = broadcastable_1d(grid.coord_padded(2, "c"), 2)
-        return self.eos.buoyancy(self.g, T, S, z)
 
 
 def seawater_density(model, eos=None):

@@ -231,7 +231,8 @@ class ScalarDiffusivity(_ClosureBase):
 
 def VerticalScalarDiffusivity(*args, nu=0.0, kappa=0.0,
                               time_discretization="explicit"):
-    # accepts the reference's td-first positional form too
+    # accepts the reference's td-first positional form AND the legacy
+    # (nu, kappa, time_discretization) positional order
     if args and isinstance(args[0], (ExplicitTimeDiscretization,
                                      VerticallyImplicitTimeDiscretization)):
         time_discretization, args = args[0], args[1:]
@@ -239,16 +240,27 @@ def VerticalScalarDiffusivity(*args, nu=0.0, kappa=0.0,
         nu = args[0]
     if len(args) > 1:
         kappa = args[1]
+    if len(args) > 2:
+        time_discretization = args[2]
+    if len(args) > 3:
+        raise TypeError("too many positional arguments")
     return ScalarDiffusivity(nu=nu, kappa=kappa, formulation=VERTICAL,
                              time_discretization=time_discretization)
 
 
-def HorizontalScalarDiffusivity(*args, nu=0.0, kappa=0.0):
+def HorizontalScalarDiffusivity(*args, nu=0.0, kappa=0.0,
+                                time_discretization="explicit"):
+    if args and isinstance(args[0], (ExplicitTimeDiscretization,
+                                     VerticallyImplicitTimeDiscretization)):
+        time_discretization, args = args[0], args[1:]
     if len(args) > 0:
         nu = args[0]
     if len(args) > 1:
         kappa = args[1]
-    return ScalarDiffusivity(nu=nu, kappa=kappa, formulation=HORIZONTAL)
+    if len(args) > 2:
+        raise TypeError("too many positional arguments")
+    return ScalarDiffusivity(nu=nu, kappa=kappa, formulation=HORIZONTAL,
+                             time_discretization=time_discretization)
 
 
 class ScalarBiharmonicDiffusivity(_ClosureBase):

@@ -633,8 +633,13 @@ def eligible_hydrostatic_packed(grid, vi, tracer_scheme, tracer_names):
                            spill_factor=8) is not None
 
 
-def _pick_tx_packed(grid, nf, budget=100 * 1024 * 1024, spill_factor=4):
-    """Largest TX whose packed slab working set fits the VMEM budget."""
+def _pick_tx_packed(grid, nf, budget=100 * 1024 * 1024, spill_factor=4,
+                    nout=4):
+    """Largest TX whose packed slab working set fits the VMEM budget.
+    ``nout`` is the phase's double-buffered output count (the forces
+    phase emits 2 + ntr blocks — a hardcoded 4 under-budgeted it at high
+    tracer counts and risked a Mosaic VMEM overflow instead of a smaller
+    tile)."""
     Nx, Hx = grid.N[0], grid.H[0]
     NYP, ZP = grid.padded_shape[1], grid.padded_shape[2]
     S = -(-(NYP * ZP) // 128)
@@ -642,7 +647,7 @@ def _pick_tx_packed(grid, nf, budget=100 * 1024 * 1024, spill_factor=4):
         if Nx % TX:
             continue
         slabs = nf * (TX + 2 * Hx) * S * 128 * 4
-        outs = 2 * 4 * TX * S * 128 * 4
+        outs = 2 * nout * TX * S * 128 * 4
         if slabs * spill_factor + outs <= budget:
             return TX
     return None
@@ -659,7 +664,8 @@ def _build_phase_call_packed(grid, tgrid, n_in, nout, body, spill_factor):
     Nx = grid.N[0]
     S = tgrid.S
     ZP = tgrid.ZP
-    TX = _pick_tx_packed(grid, n_in, spill_factor=spill_factor)
+    TX = _pick_tx_packed(grid, n_in, spill_factor=spill_factor,
+                        nout=nout)
     if TX is None:
         raise ValueError("grid not tileable for the packed VI kernel")
     TXS = TX + 2 * Hx

@@ -349,12 +349,13 @@ class CubedSphereHydrostaticModel:
             buoyancy = (BuoyancyTracer() if buoyancy_tracer == "b"
                         else _NamedBuoyancyTracer(buoyancy_tracer))
         self.buoyancy = buoyancy
-        self.closure = closure
         if isinstance(closure, (tuple, list)):
             # reference parity: closure tuples sum their fluxes
-            # (src/TurbulenceClosures/closure_tuples.jl)
+            # (src/TurbulenceClosures/closure_tuples.jl); wrap BEFORE the
+            # attribute assignment so _PanelPhysics sees the ClosureTuple
             from ..closures.scalar_diffusivity import ClosureTuple
             closure = ClosureTuple(*closure)
+        self.closure = closure
         if closure is not None:
             for name in getattr(closure, "required_tracers", ()):
                 if name not in tracers:
@@ -628,12 +629,21 @@ class CubedSphereHydrostaticModel:
             st["G_sigma"] = jnp.zeros_like(st["G_sigma"])
         if "barotropic" in st:
             # (re)initialize the persistent barotropic transports from
-            # ∫u dz (initialize_split_explicit_substepping.jl:15-27)
+            # ∫u dz (initialize_split_explicit_substepping.jl:15-27); on z*
+            # the MOVING-thickness integral σ·∫u dz (σ from the grid η) —
+            # the flat model's set() got the same fix this round
+            sig = None
+            if "eta_grid" in st:
+                eg = (self._exc_cat(self._c(st["eta_grid"]))
+                      if self._batch else self._exc(st["eta_grid"]))
+                sig = self._sigma_all(eg)
             if self._batch:
-                U = self._s(self._catp._depth_integral(self._c(st["u"]),
-                                                       LOC_FCC))
-                V = self._s(self._catp._depth_integral(self._c(st["v"]),
-                                                       LOC_CFC))
+                U = self._catp._depth_integral(self._c(st["u"]), LOC_FCC)
+                V = self._catp._depth_integral(self._c(st["v"]), LOC_CFC)
+                if sig is not None:
+                    U = U * sig[("f", "c")].astype(U.dtype)
+                    V = V * sig[("c", "f")].astype(V.dtype)
+                U, V = self._s(U), self._s(V)
             else:
                 U = jnp.stack([self.panels[p]._depth_integral(st["u"][p],
                                                               LOC_FCC)
@@ -641,6 +651,11 @@ class CubedSphereHydrostaticModel:
                 V = jnp.stack([self.panels[p]._depth_integral(st["v"][p],
                                                               LOC_CFC)
                                for p in range(6)])
+                if sig is not None:
+                    U = U * jnp.stack([sig[p][("f", "c")]
+                                       for p in range(6)]).astype(U.dtype)
+                    V = V * jnp.stack([sig[p][("c", "f")]
+                                       for p in range(6)]).astype(V.dtype)
             st["barotropic"] = {"U": U, "V": V}
         self.state = st
 
@@ -1699,14 +1714,23 @@ class CubedSphereHydrostaticModel:
         return int(self.state["iteration"])
 
     def diagnose_w(self):
-        """(6, NP, NP, ZP) grid-relative w from continuity."""
+        """(6, NP, NP, ZP) grid-relative w from continuity. On z* the
+        moving (σ-scaled) face areas and the current ∂t_σ enter, matching
+        the w used inside the step (the round-5 telescoping form)."""
         C = self._c if self._batch else (lambda a: a)
         S = self._s if self._batch else (lambda a: a)
         sf = self._filled({n: C(self.state[n])
                            for n in ("u", "v", "eta") + self.tracer_names},
                           self.state["time"])
         dts = self.state.get("dt_sigma")
-        return S(self._w(sf, dt_sigma=C(dts) if dts is not None else None))
+        sig = None
+        if dts is not None:
+            eta_g = self.state["eta_grid"]
+            eta_g = (self._exc_cat(C(eta_g)) if self._batch
+                     else self._exc(eta_g))
+            sig = self._sigma_all(eta_g)
+        return S(self._w(sf, dt_sigma=C(dts) if dts is not None else None,
+                         sigma=sig))
 
     def field(self, name):
         """Writer/diagnostic accessor (fetch_output protocol). 2D fields

@@ -350,11 +350,25 @@ class HydrostaticFreeSurfaceModel:
         if legacy_kw:
             raise TypeError(f"unknown kwargs: {sorted(legacy_kw)}")
         self._fused_vi = None
-        if fused_tendencies in (True, "packed") \
-                and self.prescribed_velocities is None \
-                and vertical_coordinate == "z" and not self._immersed \
-                and not getattr(closure, "has_eddy_velocities", False) \
-                and isinstance(self.momentum_advection, VectorInvariant):
+        if fused_tendencies in (True, "packed"):
+            # explicit opt-in must not silently fall back to the XLA path:
+            # fail loudly on configurations the kernel family doesn't cover
+            unsupported = []
+            if self.prescribed_velocities is not None:
+                unsupported.append("prescribed velocities")
+            if vertical_coordinate != "z":
+                unsupported.append("z* moving coordinate")
+            if self._immersed:
+                unsupported.append("immersed boundaries")
+            if getattr(closure, "has_eddy_velocities", False):
+                unsupported.append("eddy-velocity (advective GM) closures")
+            if not isinstance(self.momentum_advection, VectorInvariant):
+                unsupported.append("non-vector-invariant momentum advection")
+            if unsupported:
+                raise ValueError(
+                    "fused_tendencies is not supported with: "
+                    + ", ".join(unsupported))
+        if fused_tendencies in (True, "packed"):
             from ..kernels.fused_vector_invariant import (
                 build_fused_hydrostatic_tendency,
                 build_fused_hydrostatic_tendency_packed,

@@ -282,3 +282,55 @@ def test_background_fields_step():
             "R": BackgroundField(1.0),
         })
     assert steps_ok(model)
+
+
+# -- round-5 review regressions ----------------------------------------------
+
+def test_vertical_diffusivity_positional_time_discretization():
+    """All positional spellings of the time discretization bind correctly
+    (a review-found silent-explicit bug: the 3rd positional was dropped)."""
+    from oceananigans_tpu import (VerticallyImplicitTimeDiscretization,
+                                  VerticalScalarDiffusivity)
+    td = VerticallyImplicitTimeDiscretization()
+    assert VerticalScalarDiffusivity(
+        1e-4, 1e-5, td).time_discretization == "vertically_implicit"
+    assert VerticalScalarDiffusivity(
+        td, 1e-4, 1e-5).time_discretization == "vertically_implicit"
+    assert VerticalScalarDiffusivity(
+        nu=1e-4, time_discretization=td
+    ).time_discretization == "vertically_implicit"
+    assert HorizontalScalarDiffusivity(1e-4, 1e-5).nu == 1e-4
+    with pytest.raises(TypeError):
+        VerticalScalarDiffusivity(1e-4, 1e-5, td, 7)
+
+
+def test_cubed_sphere_closure_tuple_steps():
+    """Closure tuples on the cubed sphere (a review-found crash: the tuple
+    was wrapped after the attribute assignment)."""
+    from oceananigans_tpu.grids.cubed_sphere import ConformalCubedSphereGrid
+    from oceananigans_tpu.models import CubedSphereHydrostaticModel
+
+    grid = RectilinearGrid  # silence linters; real grid below
+    csgrid = ConformalCubedSphereGrid((8, 8, 3), z=(-1000.0, 0.0),
+                                      radius=6.371e6)
+    m = CubedSphereHydrostaticModel(
+        csgrid, tracers=("b",), rotation_rate=7.292e-5,
+        closure=(VerticalScalarDiffusivity(nu=1e-3, kappa=1e-3),
+                 HorizontalScalarDiffusivity(nu=10.0, kappa=10.0)))
+    m.set(b=lambda lam, phi, z: 1e-5 * z)
+    m.time_step(300.0)
+    assert np.isfinite(np.asarray(m.field("b").interior)).all()
+
+
+def test_fused_tendencies_explicit_request_raises_on_unsupported():
+    """fused_tendencies=True must not silently fall back (review finding):
+    unsupported configurations raise with the reason."""
+    from oceananigans_tpu.advection import WENOVectorInvariant
+    from oceananigans_tpu.models.hydrostatic import HydrostaticFreeSurfaceModel
+
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1e5, 1e5, 100.0),
+                           topology=("periodic", "periodic", "bounded"))
+    with pytest.raises(ValueError, match="z\\* moving coordinate"):
+        HydrostaticFreeSurfaceModel(
+            grid=grid, momentum_advection=WENOVectorInvariant(order=5),
+            fused_tendencies=True, vertical_coordinate="zstar")
