@@ -832,3 +832,80 @@ def test_qab2_euler_fallback_on_dt_change():
         np.testing.assert_array_equal(
             np.asarray(changed["fields"][name]),
             np.asarray(via_iter0["fields"][name]), err_msg=name)
+
+
+def test_implicit_free_surface_operator_residual():
+    """The reference's solver-verification form
+    (test_implicit_free_surface_solver.jl:44-95): after solving the
+    implicit free-surface system for a simple divergent velocity impulse,
+    applying the INDEPENDENTLY-assembled discrete operator
+    L(η) = η − gΔt²·∇·(H∇η) to the solution must reproduce the right-hand
+    side η* = ηⁿ − Δt∇·U★ to ~1e-9 — on the FFT (constant-depth) solver
+    AND the PCG solver over an immersed bathymetry."""
+    from oceananigans_tpu.boundary_conditions.fill_halos import \
+        fill_halo_regions
+    from oceananigans_tpu.immersed import (GridFittedBottom,
+                                           ImmersedBoundaryGrid)
+    from oceananigans_tpu.models.free_surfaces import ImplicitFreeSurface
+    from oceananigans_tpu.models.hydrostatic import immersed_column_geometry
+    from oceananigans_tpu.operators.operators import (LOC_CCC, LOC_CFC,
+                                                      LOC_FCC, dx_c, dy_c)
+
+    def residual(model, dt=900.0):
+        grid = model.grid
+        g = model.free_surface.g
+        Nx, Ny, Nz = grid.N
+        u0 = np.zeros((Nx, Ny, Nz))
+        u0[Nx // 2, Ny // 2, -1] = 1e5 / (1e4 / Ny * 100.0 / Nz)
+        model.set(u=u0, eta=0.0)
+        fields = model._fill_all(model.state["fields"], 0.0)
+        U = model._depth_integral(fields["u"], LOC_FCC)
+        V = model._depth_integral(fields["v"], LOC_CFC)
+        new = {"u": fields["u"], "v": fields["v"]}
+        new = model._implicit_eta_step(fields["eta"], dict(new), U, V,
+                                       jnp.asarray(dt), 0.0)
+        eta = model._fill_xy(new["eta"], LOC_CCC, model.bcs["eta"], 0.0)
+        # independently-assembled operator and rhs
+        if model._immersed:
+            H_fc, H_cf, _, wet_fc, wet_cf = immersed_column_geometry(
+                grid, jnp.float64)
+            H_fc = jnp.asarray(np.asarray(H_fc)) * jnp.asarray(wet_fc)
+            H_cf = jnp.asarray(np.asarray(H_cf)) * jnp.asarray(wet_cf)
+        else:
+            H_fc = H_cf = abs(grid.extent[2])
+        dxe = (eta - jnp.roll(eta, 1, 0)) / jnp.asarray(
+            np.broadcast_to(np.asarray(grid.dx(LOC_FCC), float),
+                            grid.padded_shape)[:, :, :1])
+        dye = (eta - jnp.roll(eta, 1, 1)) / jnp.asarray(
+            np.broadcast_to(np.asarray(grid.dy(LOC_CFC), float),
+                            grid.padded_shape)[:, :, :1])
+        div_Hgrad = (dx_c(grid, grid.dy(LOC_FCC) * H_fc * dxe)
+                     + dy_c(grid, grid.dx(LOC_CFC) * H_cf * dye)) \
+            / grid.Az(LOC_CCC)
+        lhs = eta - g * dt * dt * div_Hgrad
+        div_U = (dx_c(grid, grid.dy(LOC_FCC) * U)
+                 + dy_c(grid, grid.dx(LOC_CFC) * V)) / grid.Az(LOC_CCC)
+        rhs = fields["eta"] - dt * div_U
+        sl = grid.interior_slices
+        r = np.asarray(lhs - rhs)[sl[0], sl[1]]
+        scale = max(float(np.abs(np.asarray(rhs)[sl[0], sl[1]]).max()), 1.0)
+        return np.abs(r).max() / scale
+
+    base = RectilinearGrid(size=(16, 16, 4), x=(0, 1e4), y=(0, 1e4),
+                           z=(-100.0, 0.0),
+                           topology=("periodic", "periodic", "bounded"))
+    m_fft = HydrostaticFreeSurfaceModel(grid=base, momentum_advection=None,
+                                        free_surface=ImplicitFreeSurface())
+    assert residual(m_fft) < 1e-9
+
+    rng = np.random.default_rng(5)
+    ibg = ImmersedBoundaryGrid(
+        RectilinearGrid(size=(16, 16, 4), x=(0, 1e4), y=(0, 1e4),
+                        z=(-100.0, 0.0),
+                        topology=("periodic", "periodic", "bounded")),
+        GridFittedBottom(-100.0 + 40.0 * rng.random((16, 16))))
+    m_pcg = HydrostaticFreeSurfaceModel(
+        grid=ibg, momentum_advection=None,
+        free_surface=ImplicitFreeSurface(
+            solver_method="PreconditionedConjugateGradient"))
+    assert residual(m_pcg) < 1e-7   # the CG solve's own tolerance
