@@ -98,6 +98,13 @@ def div_Uc(grid, scheme, u, v, w, c, zbc=None, tile=None, only_axis=None):
     if scheme is None:
         return _zeros_tiled(c, tile)
     if getattr(scheme, "bounds", None) is not None:
+        if zbc is not None or only_axis is not None:
+            # the limiter couples all three directions through θ; silently
+            # returning the full divergence from a per-axis call would
+            # triple-count, and the z-compact path lacks the parity shifts
+            raise NotImplementedError(
+                "bounds-preserving advection is not supported on the "
+                "z-compact / per-axis kernel path")
         return _div_Uc_bounded(grid, scheme, u, v, w, c, tile=tile)
     total = None
     for axis, vel, A in ((X, u, grid.Ax(LOC_FCC)),

@@ -277,6 +277,13 @@ class AdvectionScheme:
     def biased_by(self, grid, a, axis, beta, q, smooth=None, zbc=None):
         hi = self._biased_by_plain(grid, a, axis, beta, q, smooth=smooth,
                                    zbc=zbc)
+        if not grid.is_flat(axis) and _is_stretched(grid, axis):
+            # the stretched fallback in _biased_by_plain goes through
+            # biased_pair, which already applies the boundary/immersed
+            # order cascade — wrapping again would re-trace the entire
+            # buffer-scheme chain a second time (identical values, ~2×
+            # the traced graph; round-5 review finding)
+            return hi
         return self._cascade(grid, axis, beta, hi,
                              lambda bs: bs.biased_by(grid, a, axis, beta, q,
                                                      smooth=smooth, zbc=zbc))
@@ -393,6 +400,13 @@ class UpwindBiased(AdvectionScheme):
         if grid.is_flat(axis):
             return sc(0)
         stretched = _is_stretched(grid, axis)
+        # Parity note (round-5 review): on stretched axes the PER-STENCIL
+        # reconstruction coefficients go nonuniform (below) but the optimal
+        # weights γ_s stay the uniform table — exactly the reference's
+        # behavior (its C★(scheme, Val(s)) in the zweno_alpha_loop is a
+        # scheme constant even under WENO(grid=...), weno_interpolants.jl:
+        # 289-303). reconstruction.optimal_weights_nonuniform implements
+        # the fully-nonuniform γ_s(i) for a future super-reference mode.
         shifts = left_shifts(self.order, self._s, beta)
         if side == "right":
             shifts = mirror(shifts, beta)
@@ -568,6 +582,16 @@ class FluxFormAdvection(AdvectionScheme):
                         z if z is not None else x)
         self.order = max(s.order for s in self.schemes)
         self.required_halo = max(s.required_halo for s in self.schemes)
+        # propagate the bounds-preserving limiter: without this, wrapping a
+        # bounded WENO in FluxFormAdvection (which adapt_advection_order
+        # does automatically near small directions) silently dropped the
+        # limiter in div_Uc's dispatch (round-5 review finding)
+        all_bounds = {getattr(s, "bounds", None) for s in self.schemes}
+        all_bounds.discard(None)
+        if len(all_bounds) > 1:
+            raise ValueError("FluxFormAdvection members declare different "
+                             f"bounds: {sorted(all_bounds)}")
+        self.bounds = all_bounds.pop() if all_bounds else None
 
     def _fp(self):
         return ("FluxFormAdvection",) + tuple(s._fp() for s in self.schemes)

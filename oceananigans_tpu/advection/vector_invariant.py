@@ -22,8 +22,8 @@ gradient is split into a self-upwinded part and a centered cross part
 `OnlySelfUpwinding` / `CrossAndSelfUpwinding`). The moving-grid ∂t_σ
 contribution to the divergence flux (Az·Δr·∂t_σ,
 vector_invariant_self_upwinding.jl:9-11) is zero on static grids; on z-star
-grids the hydrostatic models pass it via ``grid_motion=`` (the lagged
-``dt_sigma`` carried in the model state) so the upwinding decomposition is
+grids the hydrostatic models pass it via ``grid_motion=`` (∂t_σ = −δh_U/H
+from the barotropic transport divergence) so the upwinding decomposition is
 consistent with moving-grid continuity — see
 tests/test_hydrostatic_model.py::test_zstar_upwinded_vi_heave_consistency.
 
@@ -55,10 +55,6 @@ CROSS_AND_SELF = "cross_and_self"
 
 LOC_FCF = ("f", "c", "f")
 LOC_CFF = ("c", "f", "f")
-
-
-def _upwind(q, left, right):
-    return jnp.where(q > 0, left, right)
 
 
 def _sym(scheme, grid, a, axis, beta):

@@ -67,9 +67,18 @@ def eval_bc(bc, grid, loc, axis, time, dep_values=()):
     arr = np.asarray(cond)
     exp = tuple(grid.N[ax] for ax in t_axes)
     if arr.shape == exp:
-        arr = np.pad(arr, [(grid.H[ax],
-                            grid.H[ax] + (grid.lane_tail if ax == 2 else 0))
-                           for ax in t_axes], mode="edge")
+        # topology-aware halo padding: periodic transverse axes WRAP so
+        # corner halos near a periodic seam read the true opposite-side
+        # boundary values (the _FieldTimeSeriesCondition branch already
+        # did; edge-padding here was a round-5 review finding), others
+        # extend by edge
+        for d, ax in enumerate(t_axes):
+            mode = ("wrap" if str(grid.topology[ax]) == "periodic"
+                    else "edge")
+            pad = [(0, 0), (0, 0)]
+            pad[d] = (grid.H[ax],
+                      grid.H[ax] + (grid.lane_tail if ax == 2 else 0))
+            arr = np.pad(arr, pad, mode=mode)
     return np.expand_dims(arr, axis)
 
 
@@ -129,17 +138,25 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False, dt=None):
         return a
 
     if skip_north:
-        # zipper already filled the north halo rows: refresh only the south
-        # side and keep the folded rows (axis == 1 by construction)
-        middle_and_north = a[S(slice(H, N + 2 * H))]
-        cls = left_bc.classification if left_bc is not None else FLUX
-        if loc[axis] == FACE:
-            south = jnp.flip(a[S(slice(H + 1, 2 * H + 1))], axis=axis)
-            if cls in (OPEN, VALUE):
-                south = -south  # odd reflection about a zero boundary face
-        else:
-            south = jnp.flip(a[S(slice(H, 2 * H))], axis=axis)
-        return cat_full([south, middle_and_north])
+        # zipper already filled the north halo rows: run the NORMAL bounded
+        # fill for the south side — honoring the south BC (Value/Gradient/
+        # Open conditions were previously replaced by a hard-coded no-flux
+        # mirror, and wall-normal FACE fields never had their boundary face
+        # re-pinned; round-5 review finding) — then keep the folded north
+        # rows (axis == 1 by construction)
+        class _SouthOnly:
+            def pair(self, _ax, _inner=bcs):
+                l, _r = _inner.pair(_ax)
+                return l, None        # north side: harmless mirror; rows
+                                      # are discarded by the splice below
+
+        filled = _fill_axis(a, grid, loc, _SouthOnly(), axis, time,
+                            skip_north=False, dt=dt)
+        # splice: [south halo + interior) from the BC-honoring fill, the
+        # north boundary face/halo from the zipper exchange; cat_full
+        # re-appends the lane tail from `a`
+        return cat_full([filled[S(slice(0, H + N))],
+                         a[S(slice(H + N, N + 2 * H))]])
 
     face_loc = loc[axis] == FACE
     xC = grid.coord_padded(axis, CENTER)
@@ -148,7 +165,7 @@ def _fill_axis(a, grid, loc, bcs, axis, time, skip_north=False, dt=None):
         middle = a[S(slice(H, H + N))]
 
         def halo_strip(bc, is_left):
-            cls = bc.classification
+            cls = bc.classification if bc is not None else FLUX
             if cls in (FLUX, OPEN):
                 # mirror copy (no-flux fill; flux applied to tendencies —
                 # so field-dependent flux conditions are never evaluated
@@ -360,8 +377,15 @@ def apply_flux_bcs(G, grid, loc, bcs, time=0.0, fields=None, locs=None):
         floc = tuple(floc)
         A = (grid.Ax(floc), grid.Ay(floc), grid.Az(floc))[axis]
         V = grid.V(loc)
-        AoV = _boundary_slice(A / V, nd, axis, H if is_left else H + N - 1)
         cell = H if is_left else H + N - 1
+        # face index j is the LEFT (west/south/bottom) face of cell j, so
+        # the right-side boundary face of cell H+N-1 is slot H+N — sampling
+        # A there (not at the interior face H+N-1) keeps the injected flux
+        # consistent with the face area the divergence uses; on curvilinear
+        # grids the two differ by O(∂A/∂axis · Δ)
+        face = H if is_left else H + N
+        AoV = (_boundary_slice(A, nd, axis, face)
+               / _boundary_slice(V, nd, axis, cell))
         idx = _idx(nd, axis, slice(cell, cell + 1))
         sgn = 1.0 if is_left else -1.0
         G = G.at[idx].add(sgn * q * AoV)
@@ -504,6 +528,13 @@ def apply_immersed_flux_bcs(G, grid, loc, ibc, time=0.0, c=None, kappa=0.0):
         A = (grid.Ax, grid.Ay, grid.Az)[axis](tuple(floc))
         V = grid.V(loc)
         sgn = 1.0 if is_left else -1.0
-        AoV = jnp.broadcast_to(jnp.asarray(A / V, G.dtype), G.shape)
+        Aarr = jnp.broadcast_to(jnp.asarray(A, G.dtype), G.shape)
+        if not is_left:
+            # face index j is the cell's LEFT face; the east/north/top
+            # immersed face of cell j is face j+1 — align its area onto
+            # the cell (the roll wrap touches only padded-edge slots,
+            # which the fluid/solid mask excludes)
+            Aarr = jnp.roll(Aarr, -1, axis=axis)
+        AoV = Aarr / jnp.broadcast_to(jnp.asarray(V, G.dtype), G.shape)
         G = G + jnp.where(jnp.asarray(mask), sgn * q * AoV, 0.0)
     return G

@@ -233,3 +233,32 @@ def test_stretched_grid_reconstruction_exact():
         got = np.asarray(scheme.biased_by(grid, a, 2, 0, q))
         sel = np.where(np.asarray(q) > 0, np.asarray(l), np.asarray(r))
         assert np.abs(got - sel)[grid.interior_slices].max() < 1e-14
+
+
+def test_bounds_preserved_under_flux_form_wrapping():
+    """Bounds survive FluxFormAdvection wrapping (round-5 review finding:
+    adapt_advection_order wraps per-axis schemes in FluxFormAdvection,
+    which silently dropped the limiter from div_Uc's dispatch)."""
+    from oceananigans_tpu.advection.schemes import FluxFormAdvection
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu import RectilinearGrid
+
+    ff = FluxFormAdvection(WENO(5, bounds=(0.0, 1.0)))
+    assert ff.bounds == (0.0, 1.0)
+
+    grid = RectilinearGrid(size=(64,), extent=(1.0,),
+                           topology=("periodic", "flat", "flat"))
+    m = NonhydrostaticModel(grid=grid, advection=ff, tracers=("c",))
+    m.set(u=1.0, c=lambda x, y, z: np.where((x > 0.25) & (x < 0.5),
+                                            1.0, 0.0),
+          enforce_incompressibility=False)
+    for _ in range(100):
+        m.time_step(1e-3)
+    c = np.asarray(m.field("c").interior)
+    eps = 1e-10
+    assert c.min() >= -eps and c.max() <= 1 + eps, (c.min(), c.max())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="different bounds"):
+        FluxFormAdvection(WENO(5, bounds=(0.0, 1.0)),
+                          WENO(5, bounds=(0.0, 2.0)))

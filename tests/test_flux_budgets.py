@@ -70,3 +70,49 @@ def test_flux_budget_immersed(name, side):
     grid = ImmersedBoundaryGrid(under, GridFittedBottom(lambda x, y: 0.0))
     got, want = _run_budget(grid, name, side, LZ)
     assert np.isclose(got, want, rtol=1e-8), (name, side, got, want)
+
+
+def test_flux_budget_uses_true_boundary_face_area_latlon():
+    """On a curvilinear grid the boundary FACE area differs from the last
+    interior face's (Ay ∝ cos φ): a north-wall tracer flux must change the
+    σ-weighted total by exactly q·A_north·t, with A_north the area of the
+    WALL face (slot H+N), not the face one row inside — a round-5
+    review-found off-by-one (the two differ by O(tan φ·Δφ) ≈ 2% here)."""
+    from oceananigans_tpu.grids.latlon import LatitudeLongitudeGrid
+    from oceananigans_tpu.models.hydrostatic import (
+        HydrostaticFreeSurfaceModel)
+    from oceananigans_tpu.models.free_surfaces import ImplicitFreeSurface
+
+    grid = LatitudeLongitudeGrid(size=(8, 8, 4), longitude=(0, 10),
+                                 latitude=(40, 72), z=(-100.0, 0.0),
+                                 topology=("periodic", "bounded", "bounded"))
+    q = np.pi
+    bcs = FieldBoundaryConditions(north=FluxBoundaryCondition(-q))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, momentum_advection=None,
+        free_surface=ImplicitFreeSurface(), tracers=("c",),
+        boundary_conditions={"c": bcs})
+    # total tracer content: sum c·V over the interior
+    V = np.broadcast_to(np.asarray(grid.V(("c", "c", "c")), float),
+                        grid.padded_shape)[grid.interior_slices]
+
+    def total(m):
+        return float((np.asarray(m.field("c").interior) * V).sum())
+
+    t0, dt, n = total(model), 50.0, 4
+    for _ in range(n):
+        model.time_step(dt)
+    t1 = total(model)
+    # true wall-face area: Ay at the northern boundary face (slot H+N)
+    Ay = np.broadcast_to(np.asarray(grid.Ay(("c", "f", "c")), float),
+                         grid.padded_shape)
+    sx, _, szz = grid.interior_slices
+    H1, N1 = grid.H[1], grid.N[1]
+    hz, nz = grid.H[2], grid.N[2]
+    A_wall = Ay[sx, H1 + N1, hz:hz + nz].sum()
+    A_inner = Ay[sx, H1 + N1 - 1, hz:hz + nz].sum()
+    assert abs(A_wall / A_inner - 1.0) > 0.01, \
+        "test lost discrimination: wall and inner face areas agree"
+    expected = t0 + q * A_wall * dt * n
+    wrong = t0 + q * A_inner * dt * n
+    assert np.isclose(t1, expected, rtol=1e-10), (t1, expected, wrong)
