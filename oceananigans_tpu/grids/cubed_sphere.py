@@ -354,8 +354,22 @@ class ConformalCubedSphereGrid:
             raise ValueError(f"mesh must be 'conformal', 'elliptic' or "
                              f"'equiangular', got {mesh!r}")
         self.mesh = mesh
-        H = 3 if halo is None else (halo if np.isscalar(halo) else halo[0])
-        H = int(H)
+        self._z_halo_request = None
+        if halo is None:
+            H = 3
+        elif np.isscalar(halo):
+            H = int(halo)
+        else:
+            halo = tuple(int(h) for h in halo)
+            if len(halo) >= 2 and halo[0] != halo[1]:
+                # the inter-panel exchange rotates x into y at panel seams,
+                # so heterogeneous horizontal halos cannot be honored —
+                # refuse instead of silently coercing (round-5 review)
+                raise ValueError("cubed-sphere panels need equal horizontal "
+                                 f"halos, got {halo[:2]}")
+            H = halo[0]
+            if len(halo) == 3:
+                self._z_halo_request = halo[2]
         if mesh == "conformal":
             from .conformal_map import conformal_cubed_sphere_nodes
             base = conformal_cubed_sphere_nodes(N)
@@ -365,7 +379,11 @@ class ConformalCubedSphereGrid:
             base = None
         ext = _extended_corner_nodes(N, H, self.connectivity, base=base)
         self.extended_nodes = ext
-        zh = 3 if z is not None else 0
+        zh = 0
+        if z is not None:
+            zh = (self._z_halo_request
+                  if self._z_halo_request is not None else 3)
+            zh = max(int(zh), 3)   # the shared physics needs >= 3
         # panels are FULLY_CONNECTED horizontally (reference: the local
         # topologies of MultiRegion cubed-sphere panels): halos are
         # exchange-valid neighbor-panel data, so advection keeps FULL order
@@ -779,15 +797,9 @@ def build_concat_exchange_catform(csgrid):
                     else (NP - 1 - np.arange(NP)))
             row = jnp.take(row, jnp.asarray(jmap), axis=0) * sgn
             if na_q == 0:
-                if na_p == 0:
-                    u = u.at[q * NP + qi].set(row)
-                else:
-                    u = u.at[q * NP + qi].set(row)
+                u = u.at[q * NP + qi].set(row)
             else:
-                if na_p == 0:
-                    v = v.at[q * NP:(q + 1) * NP, qi].set(row)
-                else:
-                    v = v.at[q * NP:(q + 1) * NP, qi].set(row)
+                v = v.at[q * NP:(q + 1) * NP, qi].set(row)
         return u, v
 
     def exchange_uv(u, v):

@@ -60,6 +60,21 @@ class LatitudeLongitudeGrid(AbstractGrid):
         elif np.isscalar(halo):
             halo = tuple(int(halo) if self.topology[i] != topo.FLAT else 0
                          for i in range(3))
+        else:
+            halo = tuple(halo)
+            if len(halo) != 3:
+                # expand a per-nonflat-direction tuple to 3 entries (the
+                # RectilinearGrid convention; a 2-tuple here used to leave
+                # self.H length-2 and crash padded_shape — round-5 review)
+                nonflat = [i for i in range(3)
+                           if self.topology[i] != topo.FLAT]
+                if len(halo) != len(nonflat):
+                    raise ValueError(
+                        f"halo must have 3 or {len(nonflat)} entries")
+                full = [0, 0, 0]
+                for i, h in zip(nonflat, halo):
+                    full[i] = int(h)
+                halo = tuple(full)
         self.H = tuple(halo)
 
         def build(axis, spec):
@@ -77,9 +92,14 @@ class LatitudeLongitudeGrid(AbstractGrid):
         self._zc = build(2, z)
         self._coords = [self._lam, self._phi, self._zc]
 
-        if np.any(np.abs(self._phi.coord(topo.FACE)) > 90 + 1e-9):
-            # halos may extend past the poles; clamp cosine there
-            pass
+        # INTERIOR latitudes outside ±90° are user error (halo rows may
+        # extend past the poles legitimately — their cosines are clamped
+        # in the metric methods); the old no-op check here promised a
+        # clamp it never performed (round-5 review)
+        phi_f = np.asarray(self._phi.coord(topo.FACE))
+        H1, N1 = self.H[1], self.N[1]
+        if np.any(np.abs(phi_f[H1:H1 + N1 + 1]) > 90 + 1e-9):
+            raise ValueError("latitude extent exceeds ±90°")
 
         # pole-touching grids get polar boundary conditions (reference:
         # polar_boundary_condition.jl): the halo value is the recomputed

@@ -100,6 +100,21 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
         elif np.isscalar(halo):
             halo = tuple(int(halo) if self.topology[i] != topo.FLAT else 0
                          for i in range(3))
+        else:
+            halo = tuple(halo)
+            if len(halo) != 3:
+                # expand a per-nonflat-direction tuple to 3 entries (the
+                # RectilinearGrid convention; a 2-tuple here used to leave
+                # self.H length-2 and crash padded_shape — round-5 review)
+                nonflat = [i for i in range(3)
+                           if self.topology[i] != topo.FLAT]
+                if len(halo) != len(nonflat):
+                    raise ValueError(
+                        f"halo must have 3 or {len(nonflat)} entries")
+                full = [0, 0, 0]
+                for i, h in zip(nonflat, halo):
+                    full[i] = int(h)
+                halo = tuple(full)
         self.H = tuple(halo)
         if ch and (self.H[0] != ch or self.H[1] != ch):
             raise ValueError("corner_halo must equal the horizontal halos")

@@ -121,7 +121,19 @@ class ReferenceToStretchedDiscretization:
                 d = min(maximum_spacing, self.stretching(d_prev))
             else:
                 d = d_prev
-            faces.append(round(faces[-1] + direction * d, rounding_digits))
+            nxt = round(faces[-1] + direction * d, rounding_digits)
+            if nxt == faces[-1]:
+                # the increment collapsed under rounding (spacing below
+                # 0.5·10^-rounding_digits): without this guard d_prev
+                # became 0 and the loop never terminated (round-5 review
+                # finding — e.g. extent=0.05, constant_spacing=1e-3 with
+                # the default rounding_digits=2 hung forever)
+                raise ValueError(
+                    f"spacing {d} rounds to zero at rounding_digits="
+                    f"{rounding_digits}; pass a larger rounding_digits "
+                    "for this domain scale (the reference's "
+                    "ExponentialDiscretization makes the same demand)")
+            faces.append(nxt)
         if direction == -1:
             faces = faces[::-1]
         self.faces = np.asarray(faces)

@@ -38,7 +38,12 @@ def _tripolar_lambda_phi(lam1d, phi1d, first_pole_longitude, focal_a, Nlam):
     pole = (x == 0) & (y == 0)
     iidx = np.arange(lam.shape[0])[:, None] * np.ones_like(lam2)
     lam2 = np.where(pole, np.where(iidx == 0, -90.0, 90.0), lam2)
-    lam2 += np.where(np.arange(lam.shape[0])[:, None] <= Nlam // 2, -90.0,
+    # hemisphere branch of the arctan: columns with λ < 0 (x < 0) take the
+    # -90 offset; the EXACT λ = 0 column (x = +0.0 → arctan = +90) belongs
+    # to the +90 branch — `<=` placed it on the antipodal meridian and
+    # corrupted the metrics of the two adjacent columns (round-5 review
+    # finding, verified: dx jumped to near-half-sphere distances there)
+    lam2 += np.where(np.arange(lam.shape[0])[:, None] < Nlam // 2, -90.0,
                      90.0)
     lam2 += first_pole_longitude + 90.0
     lam2 = np.mod(lam2, 360.0)

@@ -53,6 +53,19 @@ def select_pressure_solver(grid, fill_p=None):
         under = grid.underlying_grid
         fft = FFTPoissonSolver(under) if under.all_regular else None
         return make_immersed_poisson_solver(grid, fill_p, fft)
+    from ..grids.rectilinear import RectilinearGrid
+    if not isinstance(grid, RectilinearGrid):
+        # transform solvers require RECTILINEAR metrics — coordinate
+        # regularity is not metric regularity (a uniform lat-lon grid has
+        # Δx ∝ cos φ). The reference types its FFT/Fourier-tridiagonal
+        # dispatch on the XY/XZ/YZRegularRG RECTILINEAR aliases and routes
+        # everything else to ConjugateGradientPoissonSolver
+        # (Solvers.jl:50, NonhydrostaticModels.jl:35-40); selecting the
+        # eigenvalue solvers here produced dimensionally inconsistent
+        # pressure on curvilinear grids (round-5 review finding)
+        from ..solvers.fourier_tridiagonal import (
+            make_variable_spacing_poisson_solver)
+        return make_variable_spacing_poisson_solver(grid, fill_p)
     if grid.all_regular:
         return FFTPoissonSolver(grid)
     stretched = grid.stretched_axes

@@ -136,8 +136,6 @@ class FourierTridiagonalPoissonSolver:
         w = jnp.asarray(self._dsc, ph.dtype)
         w = w / jnp.sum(w)
         other = tuple(ax for ax in range(3) if ax != s)
-        shape = [1, 1, 1]
-        shape[s] = -1
         mean = jnp.sum(jnp.mean(ph, axis=other) * w.reshape(-1))
         return (ph - mean).astype(b.dtype)
 

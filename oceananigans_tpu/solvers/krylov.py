@@ -38,9 +38,9 @@ class KrylovSolver:
         self.restart = int(restart)
 
     def solve(self, b, x0=None):
-        kw = dict(tol=self.reltol, atol=self.abstol, maxiter=self.maxiter,
-                  M=self.M) if self.M is not None else \
-             dict(tol=self.reltol, atol=self.abstol, maxiter=self.maxiter)
+        kw = dict(tol=self.reltol, atol=self.abstol, maxiter=self.maxiter)
+        if self.M is not None:
+            kw["M"] = self.M
         if self.method == "gmres":
             x, _ = jsla.gmres(self.A, b, x0=x0, restart=self.restart, **kw)
         elif self.method == "bicgstab":

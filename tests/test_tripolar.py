@@ -74,3 +74,22 @@ def test_tripolar_hydrostatic_model_runs():
     for name in ("u", "v", "eta", "b"):
         vals = np.asarray(model.field(name).interior)
         assert np.all(np.isfinite(vals)), name
+
+
+def test_seam_column_longitude_continuity():
+    """The exact λ=0 column (i = Nx/2, present for every even Nx) must take
+    the +90° arctan branch: the `<=` hemisphere split placed it on the
+    antipodal meridian and blew the adjacent columns' Δx up to
+    near-half-sphere great-circle distances (round-5 review finding)."""
+    g = TripolarGrid((8, 4))
+    dx = np.broadcast_to(np.asarray(g.dx(("c", "c", "c")), float),
+                         g.padded_shape)[g.interior_slices[0],
+                                         g.interior_slices[1], 0]
+    # within each latitude row the cell widths must be comparable across
+    # columns (the grid is zonally quasi-uniform away from the poles);
+    # the broken branch gave ratios > 4 at the seam
+    for j in range(dx.shape[1]):
+        row = dx[:, j]
+        # rows near the displaced poles legitimately vary up to ~1.8x;
+        # the broken branch gave > 4x at the seam
+        assert row.max() / row.min() < 2.5, (j, row)
