@@ -52,11 +52,13 @@ def _delta_sq(grid):
 
 class AnisotropicMinimumDissipation(_ClosureBase):
     def __init__(self, C=1.0 / 12.0, Cb=0.0, background_nu=1e-6,
-                 background_kappa=1e-7):
+                 background_kappa=1e-7, buoyancy=None):
         self.C = float(C)
         self.Cb = float(Cb)
         self.background_nu = float(background_nu)
         self.background_kappa = float(background_kappa)
+        # filled by the model when None (like SmagorinskyLilly/CATKE)
+        self.buoyancy = buoyancy
 
     def _fp(self):
         return ("AMD", self.C, self.Cb, self.background_nu,
@@ -86,6 +88,21 @@ class AnisotropicMinimumDissipation(_ClosureBase):
                     t = d2[k] * grads[i][k] * grads[j][k] * Sij
                     num = t if num is None else num + t
 
+        if self.Cb and self.buoyancy is not None:
+            # buoyancy modification (reference: Cb_norm_wᵢ_bᵢᶜᶜᶜ,
+            # anisotropic_minimum_dissipation.jl:310-323 — Abkar & Moin's
+            # +Cb Σₖ Δₖ² (∂ₖw)(∂ₖb) counter-term; previously Cb was
+            # accepted and fingerprinted but never applied, round-5 review)
+            b = self.buoyancy.buoyancy_ccc(grid, fields)
+            db = _grad_ccc(grid, b, ("c", "c", "c"))
+            num_b = None
+            for k in range(3):
+                if np.isscalar(d2[k]) and d2[k] == 0.0:
+                    continue
+                t = d2[k] * dw[k] * db[k]
+                num_b = t if num_b is None else num_b + t
+            if num_b is not None:
+                num = num - self.Cb * num_b
         nu_e = jnp.maximum(0.0, -self.C * num / (denom + EPS)) \
             + self.background_nu
         aux = {"nu_e": nu_e, "_grads": grads, "_d2": d2, "_denom_u": denom}

@@ -395,8 +395,6 @@ def _skew_eddy_velocities(grid, closure, fields):
     smax2 = closure.maximum_slope ** 2
     Sx = Sx * jnp.minimum(1.0, smax2 / jnp.maximum(Sx * Sx, 1e-30))
     Sy = Sy * jnp.minimum(1.0, smax2 / jnp.maximum(Sy * Sy, 1e-30))
-    if hasattr(closure, "_face_masks"):
-        pass
     if hasattr(grid, "fluid_mask_at"):
         Sx = Sx * grid.fluid_mask_at(("f", "c", "f"), dtype)
         Sy = Sy * grid.fluid_mask_at(("c", "f", "f"), dtype)

@@ -87,7 +87,7 @@ class Smagorinsky(_ClosureBase):
             from ..operators.operators import ddz, iz_c
             b = self.buoyancy.buoyancy_ccc(grid, fields)
             N2 = iz_c(grid, ddz(grid, b, ("c", "c", "f")))
-            pr = self._pr_for("b") if not isinstance(self.Pr, dict) else 1.0
+            pr = self._pr_for("b")   # per-tracer dicts too (r5 review)
             zeta2 = jnp.maximum(0.0, 1.0 - N2 / (pr * jnp.maximum(S2, 1e-20)))
             S2 = S2 * zeta2
         if isinstance(self.C, DynamicCoefficient):

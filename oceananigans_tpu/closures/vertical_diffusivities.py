@@ -86,21 +86,40 @@ class RiBasedVerticalDiffusivity(_ClosureBase):
     implicit_only_z = True  # assumes Flux z BCs (validate_implicit_closure_z_bcs)
 
     def __init__(self, nu_0=0.7, kappa_0=0.5, Ri_0=0.1, Ri_delta=0.4,
-                 convective_kappa=2.8, minimum_entrainment=0.0,
-                 buoyancy=None):
+                 convective_kappa=2.8, Cen=0.1,
+                 minimum_entrainment=1e-10,
+                 surface_buoyancy_flux=None, buoyancy=None):
         self.nu_0 = float(nu_0)
         self.kappa_0 = float(kappa_0)
         self.Ri_0 = float(Ri_0)
         self.Ri_delta = float(Ri_delta)
         self.convective_kappa = float(convective_kappa)
+        # penetrative entrainment κᵉⁿ = Cᵉⁿ·Jᵇ/N² where (N² > N²ᵉⁿ) below
+        # a convecting cell under destabilizing surface flux (reference:
+        # ri_based_vertical_diffusivity.jl Cᵉⁿ = 0.1,
+        # minimum_entrainment_buoyancy_gradient = 1e-10; the kwarg was
+        # previously accepted and DROPPED — round-5 review finding)
+        self.Cen = float(Cen)
+        self.minimum_entrainment = float(minimum_entrainment)
+        self.surface_buoyancy_flux = surface_buoyancy_flux
         self.buoyancy = buoyancy
 
     def _fp(self):
         return ("RiBased", self.nu_0, self.kappa_0, self.Ri_0,
-                self.Ri_delta, self.convective_kappa)
+                self.Ri_delta, self.convective_kappa, self.Cen,
+                self.minimum_entrainment,
+                id(self.surface_buoyancy_flux)
+                if callable(self.surface_buoyancy_flux)
+                else self.surface_buoyancy_flux)
 
     def _step(self, Ri):
         return 0.5 * (1 - jnp.tanh((Ri - self.Ri_0) / self.Ri_delta))
+
+    # CATKE's surface-flux evaluation handles scalars, (x, y, t) callables,
+    # field-dependent conditions and curvilinear nodes alike
+    from .catke import CATKEVerticalDiffusivity as _CK
+    _Jb = _CK._Jb
+    del _CK
 
     def compute_diffusivities(self, grid, fields, time):
         if self.buoyancy is None:
@@ -110,6 +129,15 @@ class RiBasedVerticalDiffusivity(_ClosureBase):
         Ri = N2 / jnp.maximum(S2, 1e-16)
         conv = jnp.where(N2 < 0, self.convective_kappa, 0.0)
         kz = self.kappa_0 * self._step(Ri) + conv
+        if self.Cen and self.surface_buoyancy_flux is not None:
+            Jb = self._Jb(grid, time, fields)
+            # N² at the face ABOVE (shift by -1 along z brings k+1 down)
+            N2_above = jnp.roll(N2, -1, axis=2)
+            entraining = ((N2 > self.minimum_entrainment)
+                          & (N2_above < 0))
+            k_en = jnp.where(entraining & (jnp.asarray(Jb) > 0),
+                             self.Cen * Jb / jnp.maximum(N2, 1e-30), 0.0)
+            kz = kz + k_en
         nz = self.nu_0 * self._step(Ri)
         return {"kappa_z_ccf": kz, "nu_z_ccf": nz}
 
@@ -135,8 +163,10 @@ class TwoDimensionalLeith(_ClosureBase):
         zeta = zeta3_ffc(grid, fields["u"], fields["v"])
         dzx = ddx(grid, zeta, ("c", "f", "c"))
         dzy = ddy(grid, zeta, ("f", "c", "c"))
-        grad2 = (iy_c(grid, ix_c(grid, dzx * dzx))
-                 + ix_c(grid, iy_c(grid, dzy * dzy)))
+        # ∂xζ is at (c,f,c) → one iy_c reaches ccc; ∂yζ at (f,c,c) → one
+        # ix_c (the old double interpolation displaced each term half a
+        # cell off-center — round-5 review finding)
+        grad2 = iy_c(grid, dzx * dzx) + ix_c(grid, dzy * dzy)
         import numpy as np
         dx = grid.dx(LOC_CCC)
         dy = grid.dy(LOC_CCC)

@@ -95,13 +95,22 @@ def restore(model, path):
     return model
 
 
-def restore_latest(model, pickup):
-    """pickup=True → newest checkpoint in cwd; pickup=<path> → that file."""
+def restore_latest(model, pickup, checkpointers=()):
+    """pickup=True → newest checkpoint written by a registered Checkpointer
+    (its dir/prefix; previously only cwd with the default prefix was
+    searched, so Checkpointer(dir=..., prefix=...) + run(pickup=True)
+    raised FileNotFoundError — round-5 review finding), falling back to the
+    default pattern in cwd; pickup=<path> → that file."""
     if pickup is True:
-        files = sorted(glob.glob("checkpoint_iteration*.npz"),
-                       key=_iteration_of)
+        patterns = [os.path.join(cp.dir, f"{cp.prefix}_iteration*.npz")
+                    for cp in checkpointers] or                    ["checkpoint_iteration*.npz"]
+        files = []
+        for pat in patterns:
+            files.extend(glob.glob(pat))
+        files = sorted(files, key=_iteration_of)
         if not files:
-            raise FileNotFoundError("no checkpoint files found for pickup")
+            raise FileNotFoundError(
+                f"no checkpoint files found for pickup ({patterns})")
         path = files[-1]
     else:
         path = pickup

@@ -64,6 +64,17 @@ class TimeStepWizard:
         tau = float(cell_advection_timescale(model.grid, f["u"], f["v"],
                                              f["w"]))
         new = self.cfl * tau
+        if self.diffusive_cfl is not None and model.closure is not None:
+            # honor the requested diffusive stability limit (reference:
+            # time_step_wizard.jl min with cell_diffusion_timescale; the
+            # kwarg was previously accepted but never applied)
+            nu = getattr(model.closure, "nu", 0.0) or 0.0
+            if not np.isscalar(nu):
+                nu = float(np.max(np.asarray(nu)))
+            if nu > 0:
+                dmin = min(model.grid.minimum_spacing(i) for i in range(3)
+                           if not model.grid.is_flat(i))
+                new = min(new, self.diffusive_cfl * dmin ** 2 / nu)
         new = min(new, self.max_change * dt)
         new = max(new, self.min_change * dt)
         return float(np.clip(new, self.min_dt, self.max_dt))

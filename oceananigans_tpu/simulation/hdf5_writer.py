@@ -92,11 +92,20 @@ class HDF5Writer:
         self._maybe_split()
         it = model.iteration
         with h5py.File(self._current_path(), "a") as f:
-            f.require_group("timeseries/t")[str(it)] = float(model.time)
+            tgrp = f.require_group("timeseries/t")
+            if str(it) in tgrp:
+                # re-writing an iteration (pickup resumes at a previously-
+                # written step and initialize() force-writes): REPLACE the
+                # duplicate instead of crashing on the existing h5 link
+                # (round-5 review finding)
+                del tgrp[str(it)]
+            tgrp[str(it)] = float(model.time)
             for name, spec in self.outputs.items():
                 if isinstance(spec, str):
                     spec = model.field(spec)
                 grp = f.require_group(f"timeseries/{name}")
+                if str(it) in grp:
+                    del grp[str(it)]
                 grp[str(it)] = np.asarray(fetch_output(spec, model))
         self._count += 1
 

@@ -42,10 +42,14 @@ class NetCDFWriter:
         self._dims_cache = {}
 
         def dim_for(axis, size, loc):
-            key = (axis, size)
+            # staggering is part of the key: face- and center-located
+            # outputs share the interior SIZE but not the coordinates
+            # (round-5 review — the cache collided on (axis, size) and
+            # attached one staggering's coordinates to the other's data)
+            key = (axis, size, loc)
             if key in self._dims_cache:
                 return self._dims_cache[key]
-            name = f"{'xyz'[axis]}_{'caf'[0] if loc == 'c' else 'f'}{size}"
+            name = f"{'xyz'[axis]}_{loc}{size}"
             f.createDimension(name, size)
             var = f.createVariable(name, "d", (name,))
             try:

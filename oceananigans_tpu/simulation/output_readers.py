@@ -137,6 +137,10 @@ class FieldTimeSeries:
         data = jnp.asarray(self._data)
         times = jnp.asarray(self.times)
         nt = data.shape[0]
+        if nt == 1:
+            # a single snapshot: constant in time (the interpolation weight
+            # below would be 0/0 — round-5 review finding)
+            return jnp.take(data, 0, axis=0)
         t = jnp.clip(t, times[0], times[-1])
         j = jnp.clip(jnp.searchsorted(times, t), 1, nt - 1)
         i = j - 1

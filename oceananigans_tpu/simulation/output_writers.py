@@ -143,8 +143,9 @@ class WindowedTimeAverage:
         self.window = float(window if window is not None else interval)
         self.stride = int(stride)
         self._accum = None
-        self._count = 0
+        self._wsum = 0.0
         self._calls = 0
+        self._last_t = None
         self._next_output = None
 
     def collect(self, model):
@@ -155,23 +156,43 @@ class WindowedTimeAverage:
         # to the schedule grid (reference: windowed_time_average.jl)
         while t > self._next_output + 1e-9 * self.interval:
             self._next_output += self.interval
-        if t >= self._next_output - self.window - 1e-9 * self.interval:
+        window_start = self._next_output - self.window
+        if t >= window_start - 1e-9 * self.interval:
             self._calls += 1
             if (self._calls - 1) % self.stride:
                 return          # sample every stride-th collection
+            # trapezoid-free left-Riemann dt weighting: each sample is
+            # weighted by the time elapsed since the previous one inside
+            # the window (the reference integrates with Δt weights,
+            # windowed_time_average.jl advance_time_average! — an
+            # unweighted sample mean biased toward small-Δt intervals
+            # under a TimeStepWizard; round-5 review finding)
+            if self._last_t is None or self._last_t < window_start:
+                w = max(t - window_start, 0.0)
+            else:
+                w = t - self._last_t
+            self._last_t = t
+            if w <= 0.0:
+                # the forced t=window_start sample anchors the window but
+                # carries no weight
+                if self._accum is None:
+                    val = fetch_output(self.output, model)
+                    self._accum = np.zeros_like(val)
+                return
             val = fetch_output(self.output, model)
             if self._accum is None:
                 self._accum = np.zeros_like(val)
-            self._accum = self._accum + val
-            self._count += 1
+            self._accum = self._accum + w * val
+            self._wsum += w
 
     def result(self):
-        if not self._count:
+        if not self._wsum:
             return None
-        out = self._accum / self._count
+        out = self._accum / self._wsum
         self._accum = None
-        self._count = 0
+        self._wsum = 0.0
         self._calls = 0
+        self._last_t = None
         self._next_output += self.interval
         return out
 

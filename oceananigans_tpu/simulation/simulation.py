@@ -151,8 +151,10 @@ class Simulation:
     def run(self, pickup=False):
         """Reference: run!, src/Simulations/run.jl:92-113."""
         if pickup:
-            from .checkpointer import restore_latest
-            restore_latest(self.model, pickup)
+            from .checkpointer import Checkpointer, restore_latest
+            cps = [w for w in self.output_writers.values()
+                   if isinstance(w, Checkpointer)]
+            restore_latest(self.model, pickup, checkpointers=cps)
         if not self.initialized:
             self.initialize()
         self.running = True

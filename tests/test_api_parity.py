@@ -160,8 +160,13 @@ def test_averaged_time_interval_stride_and_timedelta():
     for k in range(11):
         m.time = k * 0.1
         w.collect(m)
-    # stride=2 keeps samples at t = 0.0, 0.2, ..., 1.0 (6 of 11)
-    assert w._count == 6, w._count
+    # stride=2 keeps samples at t = 0.0, 0.2, ..., 1.0 (6 of 11); since
+    # round 5 samples are dt-WEIGHTED (the t=0 anchor carries no weight),
+    # so the window weight sums to 1.0 and the average of f(t)=t is the
+    # left-Riemann 0.2·(0.2+0.4+0.6+0.8+1.0) = 0.6
+    assert abs(w._wsum - 1.0) < 1e-12, w._wsum
+    out = w.result()
+    assert abs(float(out[0]) - 0.6) < 1e-12, out
 
 
 def test_lilly_coefficient_inherits_model_buoyancy():

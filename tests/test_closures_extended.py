@@ -445,3 +445,93 @@ def test_vitd_rejects_periodic_z():
             nu=1e-3, time_discretization="vertically_implicit"))
     with pytest.raises(ValueError):
         model.time_step(0.1)
+
+
+def test_ri_based_entrainment_diffusivity():
+    """Penetrative entrainment (reference:
+    ri_based_vertical_diffusivity.jl κᵉⁿ = Cᵉⁿ Jᵇ/N² where the stable cell
+    below a convecting one entrains under destabilizing surface flux; the
+    parameter was previously accepted and silently dropped)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.buoyancy import BuoyancyTracer
+    from oceananigans_tpu.closures.vertical_diffusivities import (
+        RiBasedVerticalDiffusivity)
+
+    grid = RectilinearGrid(size=(4, 4, 16), extent=(1.0, 1.0, 100.0))
+    # convecting upper half (N² < 0) over a stable lower half
+    b = np.zeros((4, 4, 16))
+    z = np.linspace(-100, 0, 16)
+    for k, zk in enumerate(z):
+        b[:, :, k] = 1e-4 * zk if zk < -50 else -1e-5 * (zk + 50)
+    fields = {"b": jnp.asarray(np.pad(b, [(3, 3), (3, 3),
+                                          (grid.H[2],
+                                           grid.padded_shape[2] - 16
+                                           - grid.H[2])]))}
+    fields["u"] = jnp.zeros(grid.padded_shape)
+    fields["v"] = jnp.zeros(grid.padded_shape)
+
+    def run(Jb):
+        clo = RiBasedVerticalDiffusivity(buoyancy=BuoyancyTracer(),
+                                         surface_buoyancy_flux=Jb)
+        aux = clo.compute_diffusivities(grid, fields, 0.0)
+        return np.asarray(aux["kappa_z_ccf"])[grid.interior_slices]
+
+    k_off = run(0.0)
+    k_on = run(1e-7)
+    extra = k_on - k_off
+    assert extra.max() > 0, "entrainment diffusivity never engaged"
+    # it engages only at stable faces below the convecting layer
+    assert (extra > 1e-12).sum() <= 4 * 4 * 3, (extra > 1e-12).sum()
+
+
+def test_amd_buoyancy_modification_changes_nu():
+    """AMD's Cb buoyancy counter-term (reference:
+    Cb_norm_wᵢ_bᵢᶜᶜᶜ, anisotropic_minimum_dissipation.jl:310-323) must
+    actually alter ν — it was previously fingerprinted but never applied."""
+    import jax.numpy as jnp
+    import numpy as np
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.buoyancy import BuoyancyTracer
+    from oceananigans_tpu.closures import AnisotropicMinimumDissipation
+
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1.0, 1.0, 1.0))
+    rng = np.random.default_rng(3)
+
+    def pad(a):
+        return jnp.asarray(np.pad(a, [(grid.H[0],) * 2, (grid.H[1],) * 2,
+                                      (grid.H[2],
+                                       grid.padded_shape[2] - 8
+                                       - grid.H[2])]))
+
+    fields = {n: pad(0.1 * rng.standard_normal((8, 8, 8)))
+              for n in ("u", "v", "w")}
+    fields["b"] = pad(1e-3 * rng.standard_normal((8, 8, 8)))
+
+    nu0 = np.asarray(AnisotropicMinimumDissipation(
+        buoyancy=BuoyancyTracer()).compute_diffusivities(
+        grid, fields, 0.0)["nu_e"])
+    nu1 = np.asarray(AnisotropicMinimumDissipation(
+        Cb=1.0, buoyancy=BuoyancyTracer()).compute_diffusivities(
+        grid, fields, 0.0)["nu_e"])
+    assert np.abs(nu1 - nu0).max() > 0, "Cb had no effect"
+    assert np.isfinite(nu1).all() and (nu1 >= 0).all()
+
+
+def test_timestep_wizard_enforces_diffusive_cfl():
+    """diffusive_cfl was accepted but never applied (round-5 review)."""
+    import numpy as np
+    from oceananigans_tpu import RectilinearGrid, ScalarDiffusivity
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.simulation.diagnostics import TimeStepWizard
+
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1.0, 1.0, 1.0))
+    model = NonhydrostaticModel(grid=grid,
+                                closure=ScalarDiffusivity(nu=1.0))
+    model.set(u=1e-6)            # nearly still: advective limit is huge
+    wiz = TimeStepWizard(cfl=0.7, diffusive_cfl=0.2, max_change=1e6,
+                         min_change=1e-9, max_dt=1e6)
+    dt = wiz.new_dt(model, 1.0)
+    dmin = 1.0 / 8
+    assert dt <= 0.2 * dmin ** 2 / 1.0 + 1e-12, dt
