@@ -304,7 +304,13 @@ def fill_halo_axes(a, grid, loc, bcs, time=0.0, axes=(0, 1, 2), dt=None):
     return a
 
 
-def _pallas_fill_enabled():
+def _pallas_fill_enabled(grid=None):
+    # grids used under a Distributed architecture opt out per-grid (the
+    # Pallas fill doesn't partition under GSPMD); constructing a
+    # Distributed() used to flip a PROCESS-GLOBAL default and silently
+    # disable the fast path for every unrelated model (round-5 review)
+    if grid is not None and getattr(grid, "_pallas_fill_disabled", False):
+        return False
     from ..defaults import defaults
     enabled = getattr(defaults, "pallas_fill", None)
     if enabled is None:
@@ -320,7 +326,7 @@ def fill_halo_regions(a, grid, loc, bcs, time=0.0, dt=None):
     On TPU (lane-aligned layouts, supported BC subset) this dispatches to the
     in-place Pallas DMA fill (kernels/pallas_fill.py) — strip copies instead
     of whole-array concats."""
-    if _pallas_fill_enabled():
+    if _pallas_fill_enabled(grid):
         from ..kernels.pallas_fill import get_pallas_fill
         import jax
         fast = get_pallas_fill(grid, loc, bcs,

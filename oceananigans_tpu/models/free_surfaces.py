@@ -32,6 +32,11 @@ from ..grids.topology import LOC_CCC, LOC_CFC, LOC_FCC
 from ..operators.operators import (ddx, ddy, dx_c, dx_f, dy_c, dy_f, ix_f,
                                    iy_f)
 
+# substep counts above this unroll limit run as a chunked lax.scan (one
+# halo fill per K-substep chunk); below it the loop fully unrolls — the
+# measured-faster form at production counts
+_UNROLL_LIMIT = 64
+
 
 def averaging_shape_function(tau, p=2, q=4, r=0.18927):
     """Shchepetkin & McWilliams (2005) minimal-dispersion averaging kernel
@@ -263,18 +268,50 @@ class SplitExplicitFreeSurface:
         eta_f = jnp.zeros_like(eta)
         U_f = jnp.zeros_like(U0)
         V_f = jnp.zeros_like(V0)
-        for m, w in enumerate(weights):
-            if m % K == 0:
-                U = fill_U(U)
-                V = fill_V(V)
-                eta = fill_eta(eta)
+
+        def body(carry, w):
+            eta, U, V, eta_f, U_f, V_f = carry
             # η ← η - Δτ ∇·U   (δx(Δy U) + δy(Δx V)) / Az
             div = (dx_c(grid, dy_fc * U) + dy_c(grid, dx_cf * V)) / az_cc
             eta = eta - dtau * div
             # U ← U + Δτ(-g H ∂x η + Gᵁ)
             U = U + dtau * (-g * H_fc * dx_f(grid, eta) / dx_fc + GU)
             V = V + dtau * (-g * H_cf * dy_f(grid, eta) / dy_cf + GV)
-            eta_f = eta_f + float(w) * eta
-            U_f = U_f + float(w) * U
-            V_f = V_f + float(w) * V
-        return eta_f, U_f, V_f
+            return (eta, U, V, eta_f + w * eta, U_f + w * U, V_f + w * V)
+
+        M = len(weights)
+        if M <= _UNROLL_LIMIT:
+            # small counts: full unroll (the measured-faster form — the
+            # scan's per-iteration barrier costs ~latency per substep)
+            carry = (eta, U, V, eta_f, U_f, V_f)
+            for m, w in enumerate(weights):
+                if m % K == 0:
+                    carry = (fill_eta(carry[0]), fill_U(carry[1]),
+                             fill_V(carry[2])) + carry[3:]
+                carry = body(carry, float(w))
+            return carry[3], carry[4], carry[5]
+
+        # large counts (FixedTimeStepSize can demand hundreds): a chunked
+        # lax.scan — one fill per K-substep chunk, the chunk body unrolled —
+        # keeps compile time O(K) instead of O(M) (the module docstring's
+        # promised design; the loop was fully unrolled for ANY M before —
+        # round-5 review finding)
+        n_full, rem = divmod(M, K)
+        ws = jnp.asarray(np.asarray(weights[:n_full * K], float)
+                         .reshape(n_full, K), dtype)
+
+        def chunk(carry, wchunk):
+            carry = (fill_eta(carry[0]), fill_U(carry[1]),
+                     fill_V(carry[2])) + carry[3:]
+            for j in range(K):
+                carry = body(carry, wchunk[j])
+            return carry, None
+
+        carry = (eta, U, V, eta_f, U_f, V_f)
+        carry, _ = jax.lax.scan(chunk, carry, ws)
+        for m in range(rem):     # tail substeps, one fill opening them
+            if m % K == 0:
+                carry = (fill_eta(carry[0]), fill_U(carry[1]),
+                         fill_V(carry[2])) + carry[3:]
+            carry = body(carry, float(weights[n_full * K + m]))
+        return carry[3], carry[4], carry[5]

@@ -271,6 +271,9 @@ class NonhydrostaticModel:
         # (per-shard blocks + ppermute halo strips) since Pallas calls are
         # opaque to the GSPMD partitioner.
         self.architecture = architecture
+        if architecture is not None:
+            # scoped Pallas-fill opt-out (see fill_halos._pallas_fill_enabled)
+            self.grid._pallas_fill_disabled = True
         self._fused_advection = None
         if fused_advection in (True, "auto") and not self.immersed \
                 and not getattr(self.closure, "has_eddy_velocities", False) \

@@ -46,6 +46,28 @@ def VectorInvariantFormulation():
     return VECTOR_INVARIANT
 
 
+def advective_tracer_tendencies(grid, scheme, uh, vh, tracer_names,
+                                fields):
+    """Advective-form tracer tendencies via conservative flux + c·∇·U
+    correction (reference: shallow_water_advection_operators.jl div_Uc for
+    VectorInvariantFormulation — shared by both formulations; was
+    duplicated verbatim in two places, round-5 review)."""
+    out = {}
+    divU = (dx_c(grid, grid.dy(LOC_FCC) * uh)
+            + dy_c(grid, grid.dx(LOC_CFC) * vh)) / grid.Az(LOC_CCC)
+    for name in tracer_names:
+        c = fields[name]
+        ct_l, ct_r = scheme.biased_pair(grid, c, 0, 0)
+        chat_x = jnp.where(uh > 0, ct_l, ct_r)
+        fx = dx_c(grid, grid.dy(LOC_FCC) * uh * chat_x)
+        ct_l, ct_r = scheme.biased_pair(grid, c, 1, 0)
+        chat_y = jnp.where(vh > 0, ct_l, ct_r)
+        fy = dy_c(grid, grid.dx(LOC_CFC) * vh * chat_y)
+        divUc = (fx + fy) / grid.Az(LOC_CCC)
+        out[name] = -divUc + c * divU
+    return out
+
+
 def conservative_tendencies(grid, scheme, g, coriolis, hB, tracer_names,
                             fields):
     """Conservative-formulation tendencies G(uh, vh, h, tracers) (reference:
@@ -90,19 +112,8 @@ def conservative_tendencies(grid, scheme, g, coriolis, hB, tracer_names,
 
     G["h"] = -div_xy_ccc(grid, uh, vh) * grid.V(LOC_CCC) / grid.Az(LOC_CCC)
 
-    for name in tracer_names:
-        c = fields[name]
-        # advective form via conservative flux + c ∇·U correction
-        ct_l, ct_r = scheme.biased_pair(grid, c, 0, 0)
-        chat_x = jnp.where(uh > 0, ct_l, ct_r)
-        fx = dx_c(grid, grid.dy(LOC_FCC) * uh * chat_x)
-        ct_l, ct_r = scheme.biased_pair(grid, c, 1, 0)
-        chat_y = jnp.where(vh > 0, ct_l, ct_r)
-        fy = dy_c(grid, grid.dx(LOC_CFC) * vh * chat_y)
-        divUc = (fx + fy) / grid.Az(LOC_CCC)
-        divU = (dx_c(grid, grid.dy(LOC_FCC) * uh)
-                + dy_c(grid, grid.dx(LOC_CFC) * vh)) / grid.Az(LOC_CCC)
-        G[name] = -divUc + c * divU
+    G.update(advective_tracer_tendencies(grid, scheme, uh, vh,
+                                         tracer_names, fields))
     return G
 
 
@@ -284,40 +295,34 @@ class ShallowWaterModel:
                 grid, scheme, g, self.coriolis, hB, self.tracer_names,
                 fields))
         else:
-            # vector-invariant: -(ζ+f) v̂ + ∂x KE + g ∂x(h+hB)
-            zeta = zeta3_ffc(grid, u, v)
-            f = 0.0
+            # vector-invariant (reference: div_mom_u/v for
+            # VectorInvariantFormulation reuses the SAME
+            # horizontal_advection_U/V + bernoulli_head_U/V operators of
+            # the VectorInvariant advection module, and Coriolis enters
+            # via the generic x/y_f_cross_U on (u, v) — the old inline
+            # form dropped rotation for every class except FPlane, used
+            # an unweighted energy-conserving joint average while
+            # claiming the enstrophy form, and carried dead scaffolding;
+            # round-5 review findings)
+            from ..advection.vector_invariant import VectorInvariant
+            vi = (self.momentum_advection
+                  if isinstance(getattr(self, "momentum_advection", None),
+                                VectorInvariant) else VectorInvariant())
+            h_u, h_v = vi._horizontal(grid, u, v)
+            b_u, b_v = vi._bernoulli(grid, u, v)
+            Gu = -(h_u + b_u) - ddx(grid, g * (h + hB), LOC_FCC)
+            Gv = -(h_v + b_v) - ddy(grid, g * (h + hB), LOC_CFC)
             if self.coriolis is not None:
-                f = getattr(self.coriolis, "f", 0.0)
-            q = zeta + f
-            KE = 0.5 * (ix_c(grid, u * u) + iy_c(grid, v * v))
-            Gu = (iy_c(grid, q * ix_f(grid, iy_f(grid, iy_c(grid, v))))
-                  * 0.0)  # placeholder replaced below
-            # enstrophy-conserving form: +q̄ʸ v̄ˣʸ at fcc, -q̄ˣ ūˣʸ at cfc
-            v_at_ffc = ix_f(grid, v)
-            u_at_ffc = iy_f(grid, u)
-            Gu = (iy_c(grid, q * v_at_ffc)
-                  - ddx(grid, KE + g * (h + hB), LOC_FCC))
-            Gv = (-ix_c(grid, q * u_at_ffc)
-                  - ddy(grid, KE + g * (h + hB), LOC_CFC))
+                w0 = jnp.zeros_like(u)
+                Gu = Gu - self.coriolis.x_f_cross_U(grid, u, v, w0)
+                Gv = Gv - self.coriolis.y_f_cross_U(grid, u, v, w0)
             G[self._solution[0]], G[self._solution[1]] = Gu, Gv
 
         if self.formulation != CONSERVATIVE:
             G["h"] = (-div_xy_ccc(grid, uh, vh) * grid.V(LOC_CCC)
                       / grid.Az(LOC_CCC))
-            for name in self.tracer_names:
-                c = fields[name]
-                # advective form via conservative flux + c ∇·U correction
-                ct_l, ct_r = scheme.biased_pair(grid, c, 0, 0)
-                chat_x = jnp.where(uh > 0, ct_l, ct_r)
-                fx = dx_c(grid, grid.dy(LOC_FCC) * uh * chat_x)
-                ct_l, ct_r = scheme.biased_pair(grid, c, 1, 0)
-                chat_y = jnp.where(vh > 0, ct_l, ct_r)
-                fy = dy_c(grid, grid.dx(LOC_CFC) * vh * chat_y)
-                divUc = (fx + fy) / grid.Az(LOC_CCC)
-                divU = (dx_c(grid, grid.dy(LOC_FCC) * uh)
-                        + dy_c(grid, grid.dx(LOC_CFC) * vh)) / grid.Az(LOC_CCC)
-                G[name] = -divUc + c * divU
+            G.update(advective_tracer_tendencies(
+                grid, scheme, uh, vh, self.tracer_names, fields))
 
         if self.closure is not None:
             aux = self.closure.compute_diffusivities(grid, dict(

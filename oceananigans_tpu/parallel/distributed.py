@@ -75,10 +75,10 @@ class Distributed:
 
     def __init__(self, partition=None, devices=None):
         # the single-chip Pallas fast paths (halo fill, megakernel) don't
-        # partition under GSPMD yet — sharded global-view runs stay pure XLA
-        # (shard_map wrapping of the Pallas kernels is future work)
-        from ..defaults import defaults
-        defaults.pallas_fill = False
+        # partition under GSPMD yet — models built WITH this architecture
+        # mark their grids _pallas_fill_disabled (scoped; flipping the
+        # process-global default here used to disable the fast path for
+        # every unrelated single-chip model too — round-5 review)
         if devices is None:
             devices = jax.devices()
         n = len(devices)

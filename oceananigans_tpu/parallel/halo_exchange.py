@@ -27,6 +27,14 @@ def _exchange_axis(a, h, n, axis, axis_name, periodic=True):
 
     ``a`` is a local padded array with layout [h | n | h] along ``axis``;
     ``axis_name`` is the mesh axis this dimension is sharded over."""
+    if not periodic:
+        # the ppermute ring below always wraps; a bounded sharded axis
+        # needs boundary-aware edge shards, which this exchange does not
+        # implement — refuse instead of silently filling wall halos with
+        # opposite-side data (round-5 review finding; all current callers
+        # are gated to doubly-periodic grids)
+        raise NotImplementedError(
+            "shard_map halo exchange supports periodic axes only")
     if h == 0:
         return a
     size = lax.axis_size(axis_name)

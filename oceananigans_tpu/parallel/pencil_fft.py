@@ -51,7 +51,7 @@ class DistributedFFTPoissonSolver:
         nx, ny, nz = grid.N
         if nx % self.P or ny % self.P:
             raise ValueError(
-                f"Nx={nx} and Ny={ny} must divide the mesh size {self.P} "
+                f"the mesh size {self.P} must divide Nx={nx} and Ny={ny} "
                 "(reference analogue: distributed_fft_based_poisson_solver.jl"
                 ":80-91 divisibility constraints)")
 

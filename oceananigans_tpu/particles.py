@@ -150,10 +150,16 @@ class LagrangianParticles:
         zs = self.dynamics.depths if drogued else z
         up = interpolate_field(grid, u, LOC_FCC, x, y, zs)
         vp = interpolate_field(grid, v, LOC_CFC, x, y, zs)
+        if not drogued:
+            # sample w at the ORIGINAL position like u, v (the reference's
+            # forward Euler interpolates all three at the pre-step
+            # position; sampling at the already-moved x, y was both
+            # time-inconsistent and out-of-domain for edge-crossing
+            # particles — round-5 review finding)
+            wp = interpolate_field(grid, w, LOC_CCF, x, y, z)
         x = x + dt * up
         y = y + dt * vp
         if not drogued:
-            wp = interpolate_field(grid, w, LOC_CCF, x, y, z)
             z = z + dt * wp
             if not grid.is_flat(2):
                 z = self._bounce(grid, 2, z)
@@ -169,12 +175,18 @@ class LagrangianParticles:
             new = self.dynamics(grid, fields or {}, new, dt)
         return new
 
+    _FIELD_LOCS = {"u": LOC_FCC, "v": LOC_CFC, "w": LOC_CCF}
+
     def track(self, grid, fields, particles):
-        """Interpolate tracked fields onto particles (reference:
-        update_lagrangian_particle_properties.jl)."""
+        """Interpolate tracked fields onto particles at each field's OWN
+        staggered location (reference:
+        update_lagrangian_particle_properties.jl; velocities were
+        previously sampled with cell-center coordinates, displacing every
+        sample by half a cell — round-5 review finding)."""
         out = dict(particles)
         for name in self.tracked_fields:
-            out[name] = interpolate_field(grid, fields[name], LOC_CCC,
+            loc = self._FIELD_LOCS.get(name, LOC_CCC)
+            out[name] = interpolate_field(grid, fields[name], loc,
                                           particles["x"], particles["y"],
                                           particles["z"])
         return out

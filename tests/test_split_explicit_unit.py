@@ -241,3 +241,39 @@ def test_coastal_faces_stay_impermeable_through_a_step():
     eta = np.asarray(m.field("eta").interior)
     assert np.isfinite(u).all() and np.abs(u).max() < 1.0
     assert np.abs(eta).max() < 0.1
+
+
+def test_substep_scan_path_matches_unrolled():
+    """Above _UNROLL_LIMIT the barotropic subcycle runs as a chunked
+    lax.scan (compile time O(K) instead of O(M) — round-5 review finding:
+    FixedTimeStepSize can demand hundreds of substeps); the scan path must
+    reproduce the unrolled path exactly."""
+    import oceananigans_tpu.models.free_surfaces as fsmod
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.models import (HydrostaticFreeSurfaceModel,
+                                         SplitExplicitFreeSurface)
+
+    def run():
+        grid = RectilinearGrid(size=(16, 8, 4), x=(0, 1e4), y=(0, 5e3),
+                               z=(-100.0, 0.0),
+                               topology=("periodic", "periodic", "bounded"))
+        m = HydrostaticFreeSurfaceModel(
+            grid=grid, free_surface=SplitExplicitFreeSurface(substeps=80),
+            tracers=())
+        m.set(eta=lambda x, y, z: 0.2 * jnp.sin(2 * jnp.pi * x / 1e4),
+              u=0.05)
+        for _ in range(3):
+            m.time_step(20.0)
+        return {k: np.asarray(v) for k, v in m.state["fields"].items()}
+
+    saved = fsmod._UNROLL_LIMIT
+    try:
+        fsmod._UNROLL_LIMIT = 1000        # force full unroll
+        ref = run()
+        fsmod._UNROLL_LIMIT = 8           # force the chunked scan
+        scan = run()
+    finally:
+        fsmod._UNROLL_LIMIT = saved
+    for k in ref:
+        assert np.allclose(ref[k], scan[k], atol=1e-12), \
+            (k, np.abs(ref[k] - scan[k]).max())
