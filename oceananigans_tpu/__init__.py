@@ -98,6 +98,7 @@ from .coriolis import (FPlane, ConstantCartesianCoriolis, BetaPlane,
 # -- Buoyancy / equations of state --------------------------------------------------------
 from .buoyancy import (BuoyancyForce, BuoyancyTracer, SeawaterBuoyancy,
                        LinearEquationOfState, TEOS10EquationOfState,
+                       RoquetSecondOrderEquationOfState,
                        seawater_density)
 
 TEOS10 = TEOS10EquationOfState

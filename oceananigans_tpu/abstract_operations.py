@@ -75,12 +75,6 @@ class AbstractOperation:
         return self.compute().interior
 
 
-def _wrap(x):
-    if isinstance(x, (AbstractOperation, Field)):
-        return x
-    return x  # scalar / array
-
-
 def _materialize(x, grid, loc):
     if isinstance(x, AbstractOperation):
         a = x.materialize()
@@ -170,7 +164,6 @@ def partial_z(a):
 
 def at(loc, a):
     """Relocate an expression (reference: @at macro, at.jl)."""
-    grid, _ = _grid_loc_of(a)
     return UnaryOperation(lambda x: x, a, loc=tuple(loc))
 
 
@@ -220,12 +213,32 @@ class ConditionalOperation(AbstractOperation):
 
 # -- metric reductions ---------------------------------------------------------
 
+def _op_interior_slices(grid, loc, data_shape):
+    """Face-aware interior slices: N points per axis, N+1 where the operand
+    is Face-located in a Bounded direction (matching Field.interior; the
+    grid's plain N-point slices silently dropped the boundary-face strip
+    from Integral/Average of face fields — round-5 review finding)."""
+    from .grids.topology import BOUNDED as _B, FACE as _F
+    sls = []
+    for ax in range(3):
+        if data_shape[ax] == 1:
+            sls.append(slice(0, 1))
+            continue
+        n, h = grid.N[ax], grid.H[ax]
+        extra = 1 if (loc[ax] == _F and grid.topology[ax] == _B) else 0
+        sls.append(slice(h, h + n + extra))
+    return tuple(sls)
+
+
 def _interior_and_weights(op_or_field, dims):
     """Interior data + metric weights for a dim-wise metric reduction. The
     weight is the product of the grid spacings over ``dims`` only (reference:
     metric_field_reductions.jl — ``Integral(c, dims=2)`` is ∫c dz with the
     z metric, ``dims=(0,1)`` integrates with the horizontal area, etc.; the
-    full cell volume is the ``dims=(0,1,2)`` special case)."""
+    full cell volume is the ``dims=(0,1,2)`` special case). Face-located
+    operands in Bounded reduction directions include BOTH boundary faces
+    with trapezoid (half) end weights, so the weights sum to the domain
+    extent and linear fields integrate exactly."""
     if isinstance(op_or_field, Field):
         grid, loc, data = op_or_field.grid, op_or_field.loc, op_or_field.data
     else:
@@ -236,8 +249,19 @@ def _interior_and_weights(op_or_field, dims):
     for ax in dims:
         w = w * jnp.asarray(metric[ax](loc), data.dtype)
     w = jnp.broadcast_to(jnp.asarray(w, data.dtype), data.shape)
-    ii = grid.interior_slices
-    return data[ii], w[ii], grid, loc
+    ii = _op_interior_slices(grid, loc, data.shape)
+    data_i, w_i = data[ii], w[ii]
+    from .grids.topology import BOUNDED as _B, FACE as _F
+    for ax in dims:
+        if (data.shape[ax] != 1 and loc[ax] == _F
+                and grid.topology[ax] == _B):
+            npts = data_i.shape[ax]
+            fac = np.ones(npts)
+            fac[0] = fac[-1] = 0.5
+            shape = [1, 1, 1]
+            shape[ax] = npts
+            w_i = w_i * jnp.asarray(fac.reshape(shape), w_i.dtype)
+    return data_i, w_i, grid, loc
 
 
 def condition_interior(condition, grid, loc):
@@ -274,6 +298,14 @@ def align_reduction_mask(m, shape):
                  if shape[ax] == 1 and m.shape[ax] != 1)
     if axes:
         m = jnp.any(m, axis=axes, keepdims=True)
+    # face-located operands in Bounded directions carry one point MORE
+    # than the grid-interior mask: extend by the edge value (the boundary
+    # face participates iff its adjacent cell does) — round-5 review
+    pads = [(0, (shape[ax] - m.shape[ax])
+             if (ax < len(shape) and 0 < shape[ax] - m.shape[ax] <= 1)
+             else 0) for ax in range(m.ndim)]
+    if any(p[1] for p in pads):
+        m = jnp.pad(m, pads, mode="edge")
     return m
 
 
@@ -287,7 +319,15 @@ def reduction_mask(op_or_field, grid, loc, condition=None):
     m = condition_interior(condition, grid, loc)
     fm = getattr(grid, "fluid_mask_at", None)
     if fm is not None:
-        f = jnp.asarray(fm(loc)).astype(bool)[grid.interior_slices]
+        # face-aware slice on full axes, full grid interior on reduced
+        # ones (align_reduction_mask collapses those)
+        _shape = (op_or_field.data.shape if isinstance(op_or_field, Field)
+                  else grid.padded_shape)
+        _fsl = list(_op_interior_slices(grid, loc, _shape))
+        for _ax in range(3):
+            if _shape[_ax] == 1:
+                _fsl[_ax] = grid.interior_slices[_ax]
+        f = jnp.asarray(fm(loc)).astype(bool)[tuple(_fsl)]
         m = f if m is None else (m & f)
     if condition is None and isinstance(op_or_field, ConditionalOperation):
         c = condition_interior(op_or_field.condition, grid, loc)

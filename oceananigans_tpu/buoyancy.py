@@ -134,8 +134,13 @@ class RoquetSecondOrderEquationOfState:
     __eq__ = BuoyancyTracer.__eq__
 
     def density_anomaly(self, T, S, z):
-        return -self.a0 * (1 + 0.5 * self.lambda1 * T + self.mu1 * z) * T \
-            + self.b0 * S
+        # μ₁ multiplies DEPTH (positive down, d = −z): with height z the
+        # thermobaric term was sign-inverted — α DEcreased with depth,
+        # opposite to seawater and to the TEOS10 class in this module
+        # (which negates z the same way); round-5 review finding, verified
+        # numerically against the polyTEOS10 α(z) profile
+        return -self.a0 * (1 + 0.5 * self.lambda1 * T
+                           + self.mu1 * (-z)) * T + self.b0 * S
 
     def buoyancy(self, g, T, S, z):
         return -g * self.density_anomaly(T, S, z) / self.rho0

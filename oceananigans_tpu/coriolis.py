@@ -148,12 +148,16 @@ class BetaPlane:
 
 
 class NonTraditionalBetaPlane:
-    """Full-Coriolis beta plane retaining the horizontal rotation components
-    (reference: non_traditional_beta_plane.jl): with
-    fz = f₀ + β y - f₀ z γ-terms; here the standard form
-    fz(y) = f₀ + βy, fy(z) = 2Ωcosφ₀ - γ... simplified to the reference's
-    (fx=0, fy = 2Ω cosφ₀ (1 - z/R…)) leading-order form:
-    f×U with fy = F₀ + γ·z-dependence omitted at leading order."""
+    """Full-Coriolis beta plane retaining the horizontal rotation component
+    (reference: non_traditional_beta_plane.jl, Dellar 2011 §5):
+
+        2Ωʸ(y, z) = fy (1 −  z/R) + γ y
+        2Ωᶻ(y, z) = fz (1 + 2z/R) + β y
+
+    with (fz, fy, β, γ) = (2Ω sin φ, 2Ω cos φ, 2Ω cos φ/R, −4Ω sin φ/R)
+    from ``latitude``. The previous form zeroed γ's contribution to Ωᶻ
+    behind a dead `* 0` and attached γ to the wrong component entirely
+    (round-5 review finding)."""
 
     def __init__(self, fz0=None, beta=None, fy0=None, gamma=None,
                  rotation_rate=None, latitude=None, radius=None):
@@ -167,32 +171,37 @@ class NonTraditionalBetaPlane:
             gamma = -4 * rr * np.sin(phi) / R if gamma is None else gamma
         self.fz0, self.beta = float(fz0), float(beta)
         self.fy0, self.gamma = float(fy0), float(gamma or 0.0)
+        self.R = float(R)
 
     def _fp(self):
         return ("NonTraditionalBetaPlane", self.fz0, self.beta, self.fy0,
-                self.gamma)
+                self.gamma, self.R)
 
     __hash__ = FPlane.__hash__
     __eq__ = FPlane.__eq__
 
-    def _fz(self, grid, yloc, zloc):
+    def _two_Oy(self, grid, yloc, zloc):
         y = grid.coord_padded(1, yloc).reshape(1, -1, 1)
         z = grid.coord_padded(2, zloc).reshape(1, 1, -1)
-        return _bake(grid, self.fz0 + self.beta * y + self.gamma * z / 2 * 0)  # leading order
+        return _bake(grid, self.fy0 * (1 - z / self.R) + self.gamma * y)
 
-    def _fy(self, grid, zloc):
+    def _two_Oz(self, grid, yloc, zloc):
+        y = grid.coord_padded(1, yloc).reshape(1, -1, 1)
         z = grid.coord_padded(2, zloc).reshape(1, 1, -1)
-        return _bake(grid, self.fy0 + self.gamma * z)
+        return _bake(grid, self.fz0 * (1 + 2 * z / self.R) + self.beta * y)
 
     def x_f_cross_U(self, grid, u, v, w):
-        return (self._fy(grid, "c") * _w_at_fcc(grid, w)
-                - self._fz(grid, "c", "c") * _v_at_fcc(grid, v))
+        # reference: ℑxᶠᵃᵃ(2Ωʸ·ℑz w − 2Ωᶻ·ℑy v) evaluated at ccc first
+        from .operators.operators import ix_f, iy_c, iz_c
+        Oy = self._two_Oy(grid, "c", "c")
+        Oz = self._two_Oz(grid, "c", "c")
+        return ix_f(grid, Oy * iz_c(grid, w) - Oz * iy_c(grid, v))
 
     def y_f_cross_U(self, grid, u, v, w):
-        return self._fz(grid, "f", "c") * _u_at_cfc(grid, u)
+        return self._two_Oz(grid, "f", "c") * _u_at_cfc(grid, u)
 
     def z_f_cross_U(self, grid, u, v, w):
-        return -self._fy(grid, "f") * _u_at_ccf(grid, u)
+        return -self._two_Oy(grid, "c", "f") * _u_at_ccf(grid, u)
 
 
 class HydrostaticSphericalCoriolis:
@@ -229,35 +238,42 @@ class HydrostaticSphericalCoriolis:
             np.clip(phi, -90, 90))))
 
     def _f_ffc(self, grid):
-        _, phi = grid.nodes2d_padded(("f", "f"))
+        if hasattr(grid, "nodes2d_padded"):
+            _, phi = grid.nodes2d_padded(("f", "f"))
+            return _bake(grid, 2 * self.rotation_rate
+                         * np.sin(np.deg2rad(phi))[..., None])
+        # 1D-latitude spherical grid: f at the (f,f) node is just f(phi_f)
+        phi = grid.coord_padded(1, "f").reshape(1, -1, 1)
         return _bake(grid, 2 * self.rotation_rate
-                     * np.sin(np.deg2rad(phi))[..., None])
-
-    @staticmethod
-    def _curvilinear(grid):
-        return hasattr(grid, "nodes2d_padded")
+                     * np.sin(np.deg2rad(np.clip(phi, -90, 90))))
 
     def x_f_cross_U(self, grid, u, v, w):
-        if self._curvilinear(grid):
-            from .grids.topology import LOC_CFC, LOC_FCC
-            f = self._f_ffc(grid)
-            dx_cfc, dx_fcc = grid.dx(LOC_CFC), grid.dx(LOC_FCC)
-            if self.scheme == "energy_conserving":
-                return -iy_c(grid, f * ix_f(grid, dx_cfc * v)) / dx_fcc
-            return -iy_c(grid, f) * ix_f(grid, iy_c(grid, dx_cfc * v)) \
-                / dx_fcc
-        return -self._f(grid, "c") * _v_at_fcc(grid, v)
+        # metric-weighted Sadourny forms on EVERY spherical grid (the
+        # reference applies them on LatitudeLongitudeGrid too, where
+        # Δx varies with latitude — hydrostatic_spherical_coriolis.jl:71-97;
+        # round-5 review: lat-lon previously got an unweighted 4-point mean
+        # that ignored the requested scheme)
+        from .grids.topology import LOC_CFC, LOC_FCC
+        f = self._f_ffc(grid)
+        dx_cfc, dx_fcc = grid.dx(LOC_CFC), grid.dx(LOC_FCC)
+        if self.scheme == "energy_conserving":
+            return -iy_c(grid, f * ix_f(grid, dx_cfc * v)) / dx_fcc
+        return -iy_c(grid, f) * ix_f(grid, iy_c(grid, dx_cfc * v)) \
+            / dx_fcc
 
     def y_f_cross_U(self, grid, u, v, w):
-        if self._curvilinear(grid):
-            from .grids.topology import LOC_CFC, LOC_FCC
-            f = self._f_ffc(grid)
-            dy_fcc, dy_cfc = grid.dy(LOC_FCC), grid.dy(LOC_CFC)
-            if self.scheme == "energy_conserving":
-                return ix_c(grid, f * iy_f(grid, dy_fcc * u)) / dy_cfc
-            return ix_c(grid, f) * iy_f(grid, ix_c(grid, dy_fcc * u)) \
-                / dy_cfc
-        return self._f(grid, "f") * _u_at_cfc(grid, u)
+        from .grids.topology import LOC_CFC, LOC_FCC
+        f = self._f_ffc(grid)
+        # an x-interp of a broadcast (1, Ny, 1) f is a no-op on the 1D-lat
+        # grid (f is zonally uniform); the slice-based interp helpers would
+        # otherwise halve it
+        fx = f if f.shape[0] == 1 else ix_c(grid, f)
+        dy_fcc, dy_cfc = grid.dy(LOC_FCC), grid.dy(LOC_CFC)
+        if self.scheme == "energy_conserving":
+            if f.shape[0] == 1:
+                return f * iy_f(grid, dy_fcc * u) / dy_cfc
+            return ix_c(grid, f * iy_f(grid, dy_fcc * u)) / dy_cfc
+        return fx * iy_f(grid, ix_c(grid, dy_fcc * u)) / dy_cfc
 
     def z_f_cross_U(self, grid, u, v, w):
         return jnp.zeros_like(w)

@@ -58,10 +58,10 @@ class Field:
 
 
     @property
-    def interior(self):
-        """Interior values: N points per direction, N+1 for a Face location in
-        a Bounded direction (the boundary face lives in the first halo slot —
-        see grids/base.py)."""
+    def interior_slices(self):
+        """Per-axis interior slices of THIS field: N points per direction,
+        N+1 for a Face location in a Bounded direction (the boundary face
+        lives in the first halo slot — see grids/base.py)."""
         sls = []
         for axis in range(3):
             if self.data.shape[axis] == 1:
@@ -72,7 +72,11 @@ class Field:
             extra = 1 if (self.loc[axis] == FACE
                           and self.grid.topology[axis] == BOUNDED) else 0
             sls.append(slice(h, h + n + extra))
-        return self.data[tuple(sls)]
+        return tuple(sls)
+
+    @property
+    def interior(self):
+        return self.data[self.interior_slices]
 
     @property
     def shape(self):
@@ -109,9 +113,21 @@ class Field:
         m = condition_interior(condition, self.grid, self.loc)
         fm = getattr(self.grid, "fluid_mask_at", None)
         if fm is not None:
-            f = jnp.asarray(fm(self.loc)).astype(bool)[
-                self.grid.interior_slices]
-            m = f if m is None else (m & f)
+            # slice with THIS FIELD's interior extents on full axes
+            # (face/bounded fields carry N+1 points — the grid's N-point
+            # slices crashed every masked reduction on them, round-5
+            # review finding), but keep the FULL grid interior on
+            # reduced (size-1) axes so align_reduction_mask can collapse
+            # per-column wetness with `any`
+            fsl = list(self.interior_slices)
+            for ax in range(3):
+                if self.data.shape[ax] == 1:
+                    fsl[ax] = self.grid.interior_slices[ax]
+            f = jnp.asarray(fm(self.loc)).astype(bool)[tuple(fsl)]
+            if m is not None:
+                m = align_reduction_mask(m, f.shape) & f
+            else:
+                m = f
         if m is not None:
             # window-aware: a reduced field (e.g. η with interior (N,M,1))
             # must see a mask of its own shape, not a broadcast 3D one —

@@ -35,10 +35,14 @@ class ContinuousForcing(Forcing):
     field_dependencies name prognostic fields passed (interpolated to the
     forcing location) as trailing arguments."""
 
-    def __init__(self, func, loc=LOC_CCC, field_dependencies=(),
+    def __init__(self, func, loc=None, field_dependencies=(),
                  parameters=None):
         self.func = func
-        self.loc = tuple(loc)
+        # None = derive from the forced field at bind time (round-5 review:
+        # face-located tendencies previously received CCC-evaluated forcing
+        # with a half-cell offset)
+        self.loc = tuple(loc) if loc is not None else None
+        self._dep_locs = None
         if isinstance(field_dependencies, str):
             field_dependencies = (field_dependencies,)
         self.field_dependencies = tuple(field_dependencies)
@@ -46,14 +50,23 @@ class ContinuousForcing(Forcing):
         # `Forcing(func; parameters)` — func(x, y, z, t, fields..., p))
         self.parameters = parameters
 
+    def bind(self, name, loc=None, locs=None):
+        if self.loc is None and loc is not None:
+            self.loc = tuple(loc)
+        if locs is not None:
+            self._dep_locs = dict(locs)
+        return self
+
     def __call__(self, grid, fields, time):
-        coords = [broadcastable_1d(grid.coord_padded(ax, self.loc[ax]), ax)
+        loc = self.loc or LOC_CCC
+        coords = [broadcastable_1d(grid.coord_padded(ax, loc[ax]), ax)
                   for ax in range(3)]
         deps = []
         from ..models.nonhydrostatic import PROGNOSTIC_LOCS
+        dep_locs = self._dep_locs or PROGNOSTIC_LOCS
         for name in self.field_dependencies:
-            src_loc = PROGNOSTIC_LOCS.get(name, LOC_CCC)
-            deps.append(interp_to(grid, fields[name], src_loc, self.loc))
+            src_loc = dep_locs.get(name, PROGNOSTIC_LOCS.get(name, LOC_CCC))
+            deps.append(interp_to(grid, fields[name], src_loc, loc))
         if self.parameters is not None:
             deps.append(self.parameters)
         return self.func(*coords, time, *deps)
@@ -129,15 +142,19 @@ class Relaxation(Forcing):
     relaxation.jl)."""
 
     def __init__(self, rate, mask=None, target=0.0, field_name=None,
-                 loc=LOC_CCC):
+                 loc=None):
         self.rate = float(rate)
         self.mask = mask
         self.target = target
         self.field_name = field_name
-        self.loc = tuple(loc)
+        self.loc = tuple(loc) if loc is not None else None
 
-    def bind(self, name):
+    def bind(self, name, loc=None, locs=None):
         self.field_name = self.field_name or name
+        if self.loc is None and loc is not None:
+            # evaluate the mask/target at the FORCED FIELD's staggering
+            # (round-5 review: a sponge on u was built half a cell off)
+            self.loc = tuple(loc)
         return self
 
     def __call__(self, grid, fields, time):
@@ -146,7 +163,8 @@ class Relaxation(Forcing):
             raise ValueError("Relaxation needs field_name (models bind it "
                              "automatically when passed via forcing={name: ...})")
         q = fields[name]
-        coords = [broadcastable_1d(grid.coord_padded(ax, self.loc[ax]), ax)
+        loc = self.loc or LOC_CCC
+        coords = [broadcastable_1d(grid.coord_padded(ax, loc[ax]), ax)
                   for ax in range(3)]
         target = self.target
         if callable(target):
@@ -163,7 +181,7 @@ class AdvectiveForcing(Forcing):
         self.u, self.v, self.w = u, v, w
         self.field_name = field_name
 
-    def bind(self, name):
+    def bind(self, name, loc=None, locs=None):
         self.field_name = self.field_name or name
         return self
 
@@ -174,6 +192,13 @@ class AdvectiveForcing(Forcing):
         dtype = q.dtype
 
         def vel(v):
+            if hasattr(v, "data"):      # a Field (round-5 review: passing
+                # re-embed on THIS grid: a user Field may have been built on
+                # the pre-halo-inflation grid, whose padding differs
+                if tuple(np.shape(v.data)) != tuple(shape):
+                    from ..fields.field import set_on_padded
+                    return set_on_padded(grid, v.loc, jnp.asarray(v.interior))
+                return v.data           # one crashed inside div_Uc
             if np.isscalar(v):
                 return jnp.full(shape, v, dtype)
             return v
@@ -191,13 +216,19 @@ class FieldTimeSeriesForcing(Forcing):
     ``oceananigans_tpu.simulation.output_readers.FieldTimeSeries`` (or any
     object with a traceable ``traced(t) -> interior array``)."""
 
-    def __init__(self, fts, loc=LOC_CCC):
+    def __init__(self, fts, loc=None):
         self.fts = fts
-        self.loc = tuple(loc)
+        self.loc = tuple(loc) if loc is not None else None
+
+    def bind(self, name, loc=None, locs=None):
+        if self.loc is None and loc is not None:
+            self.loc = tuple(loc)
+        return self
 
     def __call__(self, grid, fields, time):
         from ..fields.field import set_on_padded
-        return set_on_padded(grid, self.loc, self.fts.traced(time))
+        return set_on_padded(grid, self.loc or LOC_CCC,
+                             self.fts.traced(time))
 
 
 def regularize_forcing(forcing):

@@ -211,7 +211,7 @@ class HydrostaticFreeSurfaceModel:
         self.forcing = regularize_forcing(forcing)
         for _name, _F in self.forcing.items():
             if hasattr(_F, "bind"):
-                _F.bind(_name)
+                _F.bind(_name, self.loc(_name), locs=PROGNOSTIC_LOCS)
         if timestepper in ("QuasiAdamsBashforth2", "ab2", "qab2"):
             self.timestepper = QuasiAdamsBashforth2TimeStepper()
         elif timestepper in ("SplitRungeKutta3", "split_rk3"):

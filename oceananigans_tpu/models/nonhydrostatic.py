@@ -135,7 +135,7 @@ class NonhydrostaticModel:
         self.forcing = regularize_forcing(forcing)
         for _name, _F in self.forcing.items():
             if hasattr(_F, "bind"):
-                _F.bind(_name)
+                _F.bind(_name, self.loc(_name), locs=PROGNOSTIC_LOCS)
         self.background_fields = dict(background_fields or {})
 
         # adapt the advection order to small grids, then inflate halos

@@ -170,9 +170,6 @@ class ShallowWaterModel:
         self.tracer_names = tuple(tracers)
         from ..forcings.forcings import regularize_forcing
         self.forcing = regularize_forcing(forcing)
-        for _name, _F in self.forcing.items():
-            if hasattr(_F, "bind"):
-                _F.bind(_name)
 
         if formulation == CONSERVATIVE:
             self._solution = ("uh", "vh", "h")
@@ -190,6 +187,12 @@ class ShallowWaterModel:
         for name in self.tracer_names:
             locs[name] = LOC_CCC
         self._locs = locs
+        # bind AFTER the loc map exists: forcings evaluate coords and
+        # field_dependencies at the forced field's staggering
+        for _name, _F in self.forcing.items():
+            if hasattr(_F, "bind"):
+                _F.bind(_name, locs[_name] if _name in locs else LOC_CCC,
+                        locs=locs)
         for name, loc in locs.items():
             self.bcs[name] = regularize_field_boundary_conditions(
                 bcs_in.get(name), self.grid, loc)

@@ -129,3 +129,42 @@ def test_algebra_is_lazy_until_compute():
     expr = 2 * c
     c.set(lambda x, y, z: 3.0)       # mutate AFTER building the tree
     assert np.allclose(np.asarray(expr.compute().interior), 6.0)
+
+
+def test_integral_on_face_field_is_trapezoidal():
+    """Round-5 review regression: reductions over a FACE-located bounded
+    direction include all N+1 points with trapezoid (half-weight end) areas
+    — Integral(x dV) over the unit cube on x-face data is exactly 1/2
+    (reference: Field reductions via AbstractOperations/metric_field_reductions.jl)."""
+    from oceananigans_tpu import RectilinearGrid, Field, Integral, Average
+    from oceananigans_tpu.fields.field import set_on_padded
+    from oceananigans_tpu.grids.topology import LOC_FCC
+    grid = RectilinearGrid(size=(8, 4, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("bounded", "periodic", "bounded"))
+    # bypass .set(): the default x-face BC (reference-consistent
+    # impenetrability) pins the x=Lx face to 0, which is not what this
+    # quadrature test measures
+    data = set_on_padded(grid, LOC_FCC, lambda x, y, z: x)
+    f = Field(grid, LOC_FCC, None, data)
+    total = float(np.asarray(Integral(f).interior).squeeze())
+    np.testing.assert_allclose(total, 0.5, rtol=1e-12)
+    avg = float(np.asarray(Average(f).interior).squeeze())
+    np.testing.assert_allclose(avg, 0.5, rtol=1e-12)
+
+
+def test_face_field_reduction_mask_covers_all_faces():
+    """Round-5 review regression: the fluid-mask used by conditional/masked
+    reductions is sliced with face-aware interior slices, so the x=Lx face
+    row participates (it was silently dropped before)."""
+    from oceananigans_tpu import RectilinearGrid, Field
+    from oceananigans_tpu.fields.field import set_on_padded
+    from oceananigans_tpu.grids.topology import LOC_FCC
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("bounded", "periodic", "bounded"))
+    data = set_on_padded(grid, LOC_FCC, lambda x, y, z: x)
+    f = Field(grid, LOC_FCC, None, data)
+    interior = np.asarray(f.interior)
+    assert interior.shape[0] == 5          # N+1 x-face points
+    np.testing.assert_allclose(interior[-1, 0, 0], 1.0, rtol=1e-12)
+    # plain max reduction must see the boundary face value 1.0
+    np.testing.assert_allclose(float(f.max()), 1.0, rtol=1e-12)

@@ -300,3 +300,130 @@ def test_particles_custom_properties_and_dynamics():
     age = np.asarray(model.state["particles"]["age"])
     np.testing.assert_allclose(age, 0.05, rtol=1e-6)
     assert float(model.state["particles"]["x"][0]) > 0.1
+
+
+def test_roquet_eos_thermobaric_sign():
+    """Round-5 review regression: the μ₁ (thermobaric) term multiplies DEPTH
+    (positive down), so warm water becomes MORE buoyant (less dense) at depth
+    — the previous height-signed form inverted this (reference:
+    SeawaterPolynomials second-order EOS via nonlinear_equation_of_state.jl)."""
+    from oceananigans_tpu import RoquetSecondOrderEquationOfState
+    eos = RoquetSecondOrderEquationOfState()
+    rho_surface = float(eos.density_anomaly(10.0, 0.0, 0.0))
+    rho_deep = float(eos.density_anomaly(10.0, 0.0, -1000.0))
+    assert rho_deep < rho_surface
+    # exact published-coefficient value: ρ' = -a0(1 + ½λ1Θ + μ1·d)Θ + b0 S
+    d = 1000.0
+    expect = -eos.a0 * (1 + 0.5 * eos.lambda1 * 10.0 + eos.mu1 * d) * 10.0
+    np.testing.assert_allclose(rho_deep, expect, rtol=1e-12)
+
+
+def test_nontraditional_beta_plane_reference_form():
+    """Round-5 review regression: NonTraditionalBetaPlane follows the
+    reference's 2Ωʸ/2Ωᶻ form (non_traditional_beta_plane.jl:55-66) — the
+    previous version zeroed γ and attached it to the wrong component."""
+    from oceananigans_tpu import NonTraditionalBetaPlane
+    import jax.numpy as jnp
+    grid = RectilinearGrid(size=(4, 4, 4), x=(0, 1), y=(0, 1), z=(-1, 0),
+                           topology=("periodic", "periodic", "bounded"))
+    cor = NonTraditionalBetaPlane(fz0=1e-4, beta=1e-11, fy0=2e-4,
+                                  gamma=-3e-11, radius=6.4e6)
+    u0, v0, w0 = 0.3, -0.2, 0.05
+    shp = grid.padded_shape
+    u, v, w = (jnp.full(shp, q) for q in (u0, v0, w0))
+    H = grid.H[0]
+    # analytic value at one interior cell (y at center, z at center)
+    y = float(np.asarray(grid.coord_padded(1, "c"))[H + 1])
+    z = float(np.asarray(grid.coord_padded(2, "c"))[H + 1])
+    Oy = cor.fy0 * (1 - z / cor.R) + cor.gamma * y
+    Oz = cor.fz0 * (1 + 2 * z / cor.R) + cor.beta * y
+    x_got = float(np.asarray(cor.x_f_cross_U(grid, u, v, w))[H + 1, H + 1,
+                                                             H + 1])
+    np.testing.assert_allclose(x_got, Oy * w0 - Oz * v0, rtol=1e-6)
+    y_got = float(np.asarray(cor.y_f_cross_U(grid, u, v, w))[H + 1, H + 1,
+                                                             H + 1])
+    np.testing.assert_allclose(y_got, Oz * u0, rtol=1e-6)
+    # z-component at a z-face: −2Ωʸ·u
+    zf = float(np.asarray(grid.coord_padded(2, "f"))[H + 1])
+    Oy_f = cor.fy0 * (1 - zf / cor.R) + cor.gamma * y
+    z_got = float(np.asarray(cor.z_f_cross_U(grid, u, v, w))[H + 1, H + 1,
+                                                             H + 1])
+    np.testing.assert_allclose(z_got, -Oy_f * u0, rtol=1e-6)
+
+
+def test_relaxation_on_face_field_uses_face_coords():
+    """Round-5 review regression: models bind the forced field's staggered
+    location into the forcing, so a sponge on u evaluates its mask at x-FACE
+    nodes (reference: relaxation.jl builds the forcing at the field's
+    location), not half a cell off at centers."""
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu import Relaxation
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = NonhydrostaticModel(
+        grid=grid, advection=None,
+        forcing={"u": Relaxation(rate=2.0, mask=lambda x, y, z: x)})
+    model.set(u=1.0)
+    F = model.forcing["u"]
+    assert F.loc == model.loc("u")
+    out = np.asarray(F(grid, model.state["fields"], 0.0))
+    H = grid.H[0]
+    x_face = np.asarray(grid.coord_padded(0, "f"))[H:H + 4]
+    got = out[H:H + 4, H + 1, H + 1]
+    np.testing.assert_allclose(got, -2.0 * x_face * 1.0, rtol=1e-6)
+    # face coords start at 0.0; center coords would start at 0.125
+    assert abs(got[0]) < 1e-12
+
+
+def test_advective_forcing_accepts_field_velocity():
+    """Round-5 review regression: AdvectiveForcing unwraps Field settling
+    velocities (reference: advective_forcing.jl accepts fields or numbers) —
+    previously a Field crashed the scalar check inside the forcing."""
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu import AdvectiveForcing, ZFaceField
+    grid = RectilinearGrid(size=(4, 4, 8), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    ws = ZFaceField(grid).set(-0.01)
+    model = NonhydrostaticModel(grid=grid, advection=None, tracers=("P",),
+                                forcing={"P": AdvectiveForcing(w=ws)})
+    model.set(P=lambda x, y, z: np.exp(-((z + 0.5) / 0.1) ** 2))
+    for _ in range(3):
+        model.time_step(0.1)
+    P = np.asarray(model.field("P").interior)
+    assert np.isfinite(P).all()
+    # sinking: the profile's center of mass moves down
+    z_c = np.asarray(grid.coord_padded(2, "c"))[grid.H[2]:grid.H[2] + 8]
+    com = (P.mean((0, 1)) * z_c).sum() / P.mean((0, 1)).sum()
+    assert com < -0.5
+
+
+def test_hydrostatic_spherical_coriolis_latlon_schemes():
+    """Round-5 review regression: on LatitudeLongitudeGrid the
+    energy/enstrophy-conserving Sadourny forms apply (Δx-weighted, f at
+    (f,f) nodes — hydrostatic_spherical_coriolis.jl:71-97); previously the
+    scheme argument was silently ignored on 1D-latitude grids."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import LatitudeLongitudeGrid
+    from oceananigans_tpu.coriolis import HydrostaticSphericalCoriolis
+    grid = LatitudeLongitudeGrid(size=(16, 16, 1), longitude=(-20, 20),
+                                 latitude=(20, 60), z=(-100, 0),
+                                 halo=(4, 4, 4))
+    shp = grid.padded_shape
+    u = jnp.ones(shp)
+    # uniform u: both schemes reduce to +f(φ_f)·u for the v-tendency
+    H = grid.H[1]
+    phi_f = np.asarray(grid.coord_padded(1, "f"))[H + 3]
+    f_expect = 2 * 7.292115e-5 * np.sin(np.deg2rad(phi_f))
+    for scheme in ("energy_conserving", "enstrophy_conserving"):
+        cor = HydrostaticSphericalCoriolis(scheme=scheme)
+        y_got = float(np.asarray(cor.y_f_cross_U(grid, u, u, u))[8, H + 3, 2])
+        np.testing.assert_allclose(y_got, f_expect, rtol=1e-5)
+    # a zonally varying v distinguishes the two schemes in x
+    x2d = np.zeros(shp)
+    x2d[:] = np.sin(np.linspace(0, 4 * np.pi, shp[0]))[:, None, None]
+    v = jnp.asarray(x2d)
+    xe = np.asarray(HydrostaticSphericalCoriolis(
+        scheme="energy_conserving").x_f_cross_U(grid, u, v, u))
+    xz = np.asarray(HydrostaticSphericalCoriolis(
+        scheme="enstrophy_conserving").x_f_cross_U(grid, u, v, u))
+    assert np.max(np.abs(xe - xz)) > 1e-10
