@@ -76,7 +76,9 @@ from .boundary_conditions.boundary_condition import (ImmersedBoundaryCondition,
 
 # -- Fields and field manipulation ------------------------------------------------
 from .fields import (Field, CenterField, XFaceField, YFaceField, ZFaceField,
-                     VelocityFields, TracerFields)
+                     VelocityFields, TracerFields,
+                     FunctionField, ConstantField, ZeroField, OneField,
+                     GridMetricOperation, interpolate)
 from .fields.regridding import regrid_field as regrid
 from .background_fields import BackgroundField
 
@@ -173,7 +175,8 @@ from .utils.schedules import (TimeInterval, IterationInterval,
                               AndSchedule, OrSchedule)
 from .utils.pretty import (prettytime, second, seconds, minute, minutes, hour,
                            hours, day, days, year, meter, meters, kilometer,
-                           kilometers)
+                           kilometers,
+                           KiB, MiB, GiB, TiB)
 
 # -- Free-function API (nodes/spacings/interior/compute/time_step/run …) --------------------------------
 from .api import (nodes, xnodes, ynodes, znodes, rnodes, lambda_nodes,

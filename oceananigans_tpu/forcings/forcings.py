@@ -249,10 +249,10 @@ class MultipleForcings(Forcing):
     def __init__(self, *forcings):
         self.forcings = forcings
 
-    def bind(self, name):
+    def bind(self, name, loc=None, locs=None):
         for f in self.forcings:
             if hasattr(f, "bind"):
-                f.bind(name)
+                f.bind(name, loc, locs=locs)
         return self
 
     def __call__(self, grid, fields, time):

@@ -367,6 +367,11 @@ class CubedSphereHydrostaticModel:
         self.tracer_names = tracers
         from ..forcings.forcings import regularize_forcing
         self.forcing = regularize_forcing(forcing)
+        from ..grids.topology import LOC_CCC, LOC_CFC, LOC_FCC
+        _locs = {"u": LOC_FCC, "v": LOC_CFC}
+        for _name, _F in self.forcing.items():
+            if hasattr(_F, "bind"):
+                _F.bind(_name, _locs.get(_name, LOC_CCC), locs=_locs)
         self._substepped_tke = (closure is not None and
                                 getattr(closure, "substepped_tke", False))
         self._substepped_names = (

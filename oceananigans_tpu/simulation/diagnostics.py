@@ -19,6 +19,9 @@ class AdvectiveCFL:
         self.dt = dt
 
     def __call__(self, model):
+        # accept a Simulation too (sim.diagnostics entries are called with
+        # the simulation, reference: Diagnostics run in the time-step loop)
+        model = getattr(model, "model", model)
         f = model.state["fields"]
         tau = cell_advection_timescale(model.grid, f["u"], f["v"], f["w"])
         dt = self.dt(model) if callable(self.dt) else self.dt
@@ -33,6 +36,9 @@ class DiffusiveCFL:
         self.dt = dt
 
     def __call__(self, model):
+        # accept a Simulation too (sim.diagnostics entries are called with
+        # the simulation, reference: Diagnostics run in the time-step loop)
+        model = getattr(model, "model", model)
         nu = getattr(model.closure, "nu", 0.0) if model.closure else 0.0
         if not np.isscalar(nu):
             nu = float(np.max(np.asarray(nu)))

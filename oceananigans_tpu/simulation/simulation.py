@@ -131,6 +131,10 @@ class Simulation:
     def initialize(self):
         for cb in self.callbacks.values():
             cb.schedule.initialize(self.model)
+        for d in self.diagnostics.values():
+            sched = getattr(d, "schedule", None)
+            if isinstance(sched, Schedule):
+                sched.initialize(self.model)
         for w in self.output_writers.values():
             sched = getattr(w, "schedule", None)
             if isinstance(sched, Schedule):
@@ -145,6 +149,17 @@ class Simulation:
         self.model.time_step(dt)
         for cb in self.callbacks.values():
             cb.maybe_call(self)
+        # registered diagnostics run in the loop on their schedules
+        # (reference: run.jl time_step! actuates simulation.diagnostics);
+        # entries are callables of the simulation, optionally carrying a
+        # ``schedule`` attribute
+        for d in self.diagnostics.values():
+            if hasattr(d, "maybe_call"):
+                d.maybe_call(self)
+                continue
+            sched = getattr(d, "schedule", None)
+            if sched is None or sched(self.model):
+                d(self)
         for w in self.output_writers.values():
             w.maybe_write(self)
 

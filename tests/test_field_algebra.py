@@ -168,3 +168,60 @@ def test_face_field_reduction_mask_covers_all_faces():
     np.testing.assert_allclose(interior[-1, 0, 0], 1.0, rtol=1e-12)
     # plain max reduction must see the boundary face value 1.0
     np.testing.assert_allclose(float(f.max()), 1.0, rtol=1e-12)
+
+
+def test_function_field_and_constant_fields():
+    """FunctionField/ConstantField/ZeroField (reference: function_field.jl,
+    constant_field.jl) — SURVEY §2.5 lazy analytic fields."""
+    from oceananigans_tpu import (RectilinearGrid, FunctionField,
+                                  ConstantField, ZeroField, OneField)
+    from oceananigans_tpu.grids.topology import LOC_FCC
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    ff = FunctionField(LOC_FCC, lambda x, y, z, t: x + t, grid, time=0.0)
+    H = grid.H[0]
+    x_face = np.asarray(grid.coord_padded(0, "f"))[H:H + 4]
+    got = np.asarray(ff.data)[H:H + 4, H + 1, H + 1]
+    np.testing.assert_allclose(got, x_face, rtol=1e-6)
+    ff.at_time(2.0)
+    got2 = np.asarray(ff.data)[H:H + 4, H + 1, H + 1]
+    np.testing.assert_allclose(got2, x_face + 2.0, rtol=1e-6)
+
+    # FunctionField participates in abstract operations like any Field
+    from oceananigans_tpu import Average
+    avg = float(np.asarray(Average(ff).interior).squeeze())
+    np.testing.assert_allclose(avg, np.mean(x_face) + 2.0, rtol=1e-6)
+
+    c = ConstantField(0.3)
+    assert float(c) == 0.3
+    from oceananigans_tpu.models import NonhydrostaticModel
+    model = NonhydrostaticModel(grid=grid, advection=None)
+    model.set(u=c, v=ZeroField(), w=ZeroField())
+    u = np.asarray(model.field("u").interior)
+    np.testing.assert_allclose(u, 0.3, rtol=1e-6)
+    one = OneField().on_grid(grid)
+    np.testing.assert_allclose(np.asarray(one.interior), 1.0)
+
+
+def test_grid_metric_operation_and_interpolate():
+    """GridMetricOperation (reference: grid_metrics.jl) and the public
+    fractional-index interpolate (reference: interpolate.jl:265-281)."""
+    from oceananigans_tpu import (RectilinearGrid, CenterField,
+                                  GridMetricOperation, interpolate)
+    from oceananigans_tpu.grids.topology import LOC_CCC
+    grid = RectilinearGrid(size=(8, 4, 4), extent=(2.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    vol = GridMetricOperation(LOC_CCC, "volume", grid)
+    v = np.asarray(vol.interior)
+    np.testing.assert_allclose(v.sum(), 2.0, rtol=1e-6)   # total volume
+    np.testing.assert_allclose(v, 2.0 / 8 * (1.0 / 4) ** 2, rtol=1e-6)
+    with np.testing.assert_raises(ValueError):
+        GridMetricOperation(LOC_CCC, "nope", grid)
+
+    c = CenterField(grid).set(lambda x, y, z: 2 * x)
+    got = float(interpolate(c, 0.8, 0.5, -0.5))
+    np.testing.assert_allclose(got, 1.6, rtol=1e-5)
+    many = np.asarray(interpolate(c, np.array([0.4, 1.2]),
+                                  np.array([0.5, 0.5]),
+                                  np.array([-0.5, -0.5])))
+    np.testing.assert_allclose(many, [0.8, 2.4], rtol=1e-5)

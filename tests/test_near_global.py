@@ -43,4 +43,7 @@ def test_near_global_spinup_acc_transport():
     assert late < 1000.0, transports
     assert max(abs(t) for t in transports) < 1000.0, transports
     u = np.asarray(model.field("u").interior)
-    assert np.abs(u).max() < 5.0, np.abs(u).max()
+    # boundedness guard, not a golden value: the Δx(φ)-weighted spherical
+    # Coriolis discretization shifted the 12-day spin-up max from ~4.8 to
+    # ~5.3 m/s (still a thin western-boundary jet, not a runaway)
+    assert np.abs(u).max() < 8.0, np.abs(u).max()

@@ -440,3 +440,30 @@ def test_field_time_series_boundary_condition(tmp_path):
     assert np.abs(u_fts).max() > 0
     assert np.allclose(u_fts, u_fun, rtol=1e-12, atol=1e-15), \
         np.abs(u_fts - u_fun).max()
+
+
+def test_registered_diagnostics_run_in_loop():
+    """Round-5 review regression: entries in ``sim.diagnostics`` actuate in
+    the run loop (reference: run.jl time_step! runs simulation.diagnostics)
+    — previously the dict was registered but never consulted."""
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.simulation.simulation import Simulation
+    from oceananigans_tpu.simulation.diagnostics import AdvectiveCFL
+
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = NonhydrostaticModel(grid=grid, advection=None)
+    model.set(u=0.1)
+    sim = Simulation(model, dt=0.01, stop_iteration=5)
+
+    seen = []
+
+    class Recorder:
+        def __call__(self, s):
+            seen.append((s.model.iteration, AdvectiveCFL(s.dt)(s)))
+
+    sim.diagnostics["cfl"] = Recorder()
+    sim.run()
+    assert len(seen) == 5
+    assert all(np.isfinite(c) and c > 0 for _, c in seen)
