@@ -145,6 +145,8 @@ from .timesteppers import (Clock, RungeKutta3TimeStepper,
 
 # -- Simulations / diagnostics / output -------------------------------------------------------------
 from .simulation import Simulation, Callback, NaNChecker
+from .simulation.callsites import (TimeStepCallsite, TendencyCallsite,
+                                   UpdateStateCallsite)
 from .simulation.diagnostics import (CFL, AdvectiveCFL, DiffusiveCFL,
                                      StateChecker, TimeStepWizard,
                                      conjure_time_step_wizard)

@@ -466,6 +466,8 @@ class HydrostaticFreeSurfaceModel:
                 self._az2d = jnp.asarray(az2, dtype)
                 self._pcg_precondition = pc_capable
 
+        self._tendency_hooks = []
+        self._state_hooks = []
         self._step = jax.jit(self._build_step())
 
     # -- properties -----------------------------------------------------------
@@ -962,6 +964,9 @@ class HydrostaticFreeSurfaceModel:
                     G[name], grid, self.loc(name), ibc, time,
                     c=fields[name],
                     kappa=immersed_diffusivity(self.closure, name))
+        # TendencyCallsite hooks (reference: callback.jl TendencyCallsite)
+        for h in self._tendency_hooks:
+            G = h(grid, fields, G, time)
         return G, aux
 
     # -- free surface steps ---------------------------------------------------
@@ -1643,10 +1648,43 @@ class HydrostaticFreeSurfaceModel:
                 self._build_step(se_settings=se, catke_substeps=M))
         return self._se_step_cache[key]
 
+    def add_tendency_hook(self, fn):
+        """Traced TendencyCallsite hook ``fn(grid, fields, G, time) -> G``
+        (reference: Callback with TendencyCallsite, callback.jl); re-traces
+        the step."""
+        self._tendency_hooks.append(fn)
+        self._step = jax.jit(self._build_step())
+        self._se_step_cache = {}
+        return fn
+
+    def add_state_hook(self, fn):
+        """Traced UpdateStateCallsite hook
+        ``fn(grid, fields, time) -> dict-of-field-updates`` applied at the
+        end of every step."""
+        self._state_hooks.append(fn)
+        self._apply_state_hooks = None
+        return fn
+
+    _apply_state_hooks = None
+
+    def _run_state_hooks(self):
+        if not self._state_hooks:
+            return
+        if self._apply_state_hooks is None:
+            def apply(state):
+                fields = dict(state["fields"])
+                time = state["clock"]["time"]
+                for h in self._state_hooks:
+                    fields.update(h(self.grid, fields, time))
+                return dict(state, fields=fields)
+            self._apply_state_hooks = jax.jit(apply)
+        self.state = self._apply_state_hooks(self.state)
+
     def time_step(self, dt):
         step = self._step_for(dt)
         dt = jnp.asarray(dt, self.grid.dtype)
         self.state = step(self.state, dt)
+        self._run_state_hooks()
         return self
 
     def __repr__(self):

@@ -362,6 +362,8 @@ class NonhydrostaticModel:
         self._fuse_correction = (self._fuse_correction
                                  and self._fused_update is not None)
 
+        self._tendency_hooks = []
+        self._state_hooks = []
         self._step = jax.jit(self._build_step())
 
     # -- basic properties -----------------------------------------------------
@@ -677,6 +679,10 @@ class NonhydrostaticModel:
                     G[name], grid, self.loc(name), ibc, time,
                     c=fields[name],
                     kappa=immersed_diffusivity(self.closure, name))
+        # TendencyCallsite hooks (reference: callback.jl TendencyCallsite —
+        # callbacks mutating Gⁿ before the step; here traced functions)
+        for h in self._tendency_hooks:
+            G = h(grid, fields, G, time)
         return G, aux
 
     def _project(self, u, v, w, dtt, time, halos_valid=False):
@@ -921,10 +927,45 @@ class NonhydrostaticModel:
 
     # -- public stepping API --------------------------------------------------
 
+    def add_tendency_hook(self, fn):
+        """Register a traced TendencyCallsite hook
+        ``fn(grid, fields, G, time) -> G`` (reference: Callback with
+        TendencyCallsite, callback.jl). Disables the fused-update fast path
+        (tendencies never materialize inside the megakernel) and re-traces
+        the step."""
+        self._tendency_hooks.append(fn)
+        self._fused_update = None
+        self._step = jax.jit(self._build_step())
+        return fn
+
+    def add_state_hook(self, fn):
+        """Register a traced UpdateStateCallsite hook
+        ``fn(grid, fields, time) -> dict-of-field-updates`` applied at the
+        end of every step (reference: Callback with UpdateStateCallsite)."""
+        self._state_hooks.append(fn)
+        self._apply_state_hooks = None
+        return fn
+
+    _apply_state_hooks = None
+
+    def _run_state_hooks(self):
+        if not self._state_hooks:
+            return
+        if self._apply_state_hooks is None:
+            def apply(state):
+                fields = dict(state["fields"])
+                time = state["clock"]["time"]
+                for h in self._state_hooks:
+                    fields.update(h(self.grid, fields, time))
+                return dict(state, fields=fields)
+            self._apply_state_hooks = jax.jit(apply)
+        self.state = self._apply_state_hooks(self.state)
+
     def time_step(self, dt):
         """Advance the model state by one Δt (reference: time_step!)."""
         dt = jnp.asarray(dt, self.grid.dtype)
         self.state = self._step(self.state, dt)
+        self._run_state_hooks()
         return self
 
     def __repr__(self):

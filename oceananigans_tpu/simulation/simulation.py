@@ -84,7 +84,18 @@ class Simulation:
 
     # -- registration ---------------------------------------------------------
 
-    def add_callback(self, func, schedule=None, name=None):
+    def add_callback(self, func, schedule=None, name=None, callsite=None):
+        from .callsites import TendencyCallsite, UpdateStateCallsite
+        if callsite is not None and not isinstance(callsite, type):
+            callsite = type(callsite)
+        if callsite is TendencyCallsite:
+            # traced hook inside the compiled step (see callsites.py for the
+            # signature); the schedule does not apply
+            self.model.add_tendency_hook(func)
+            return func
+        if callsite is UpdateStateCallsite:
+            self.model.add_state_hook(func)
+            return func
         cb = Callback(func, schedule)
         name = name or f"callback{len(self.callbacks)}"
         self.callbacks[name] = cb

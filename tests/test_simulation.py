@@ -467,3 +467,61 @@ def test_registered_diagnostics_run_in_loop():
     sim.run()
     assert len(seen) == 5
     assert all(np.isfinite(c) and c > 0 for _, c in seen)
+
+
+def test_tendency_and_state_callsites():
+    """Callback callsites (reference: src/Oceananigans.jl:202-204 —
+    TendencyCallsite mutates Gⁿ before the update, UpdateStateCallsite runs
+    after the state update). Here they are TRACED hooks inside the compiled
+    step (see simulation/callsites.py)."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import (RectilinearGrid, TendencyCallsite,
+                                  UpdateStateCallsite)
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.simulation.simulation import Simulation
+
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = NonhydrostaticModel(grid=grid, advection=None, tracers=("c",))
+    sim = Simulation(model, dt=0.1, stop_iteration=3)
+
+    def accelerate(grid, fields, G, time):
+        G = dict(G)
+        G["u"] = G["u"] + 0.5          # constant body force via the hook
+        return G
+
+    def clamp_c(grid, fields, time):
+        return {"c": jnp.clip(fields["c"], 0.0, 1.0)}
+
+    sim.add_callback(accelerate, callsite=TendencyCallsite())
+    sim.add_callback(clamp_c, callsite=UpdateStateCallsite())
+    model.set(c=2.0)                   # above the clamp
+    sim.run()
+    u = np.asarray(model.field("u").interior)
+    # RK3 stage weights sum to 1: du = 0.5 * t = 0.5 * 0.3
+    np.testing.assert_allclose(u, 0.15, rtol=1e-5)
+    c = np.asarray(model.field("c").interior)
+    assert c.max() <= 1.0 + 1e-6
+
+
+def test_tendency_callsite_hydrostatic():
+    import jax.numpy as jnp
+    from oceananigans_tpu import RectilinearGrid, TendencyCallsite
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.simulation.simulation import Simulation
+
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = HydrostaticFreeSurfaceModel(grid=grid, momentum_advection=None,
+                                        tracers=())
+    sim = Simulation(model, dt=0.1, stop_iteration=2)
+
+    def nudge(grid, fields, G, time):
+        G = dict(G)
+        G["v"] = G["v"] + 1.0
+        return G
+
+    sim.add_callback(nudge, callsite=TendencyCallsite)
+    sim.run()
+    v = np.asarray(model.field("v").interior)
+    np.testing.assert_allclose(v, 0.2, rtol=2e-2)
