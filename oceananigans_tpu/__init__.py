@@ -23,7 +23,8 @@ from .defaults import defaults
 
 # -- Architectures (reference: CPU, GPU — placement markers; JAX owns
 # devices. Distributed/Partition are the mesh architecture) -------------------
-from .parallel import CPU, GPU, Distributed, Partition
+from .parallel import (CPU, GPU, Distributed, Partition, Equal,
+                       Fractional, Sizes)
 
 # -- Grids ---------------------------------------------------------------------
 from .grids import (RectilinearGrid, LatitudeLongitudeGrid,

@@ -152,6 +152,7 @@ class _PanelPhysics:
     without an extra exchange."""
 
     # shared code path (models/hydrostatic.py)
+    _tendency_hooks = ()       # borrowed _compute_tendencies consults these
     _compute_tendencies = HydrostaticFreeSurfaceModel._compute_tendencies
     _moving_grid = HydrostaticFreeSurfaceModel._moving_grid
     _depth_integral = HydrostaticFreeSurfaceModel._depth_integral

@@ -1648,6 +1648,11 @@ class HydrostaticFreeSurfaceModel:
                 self._build_step(se_settings=se, catke_substeps=M))
         return self._se_step_cache[key]
 
+    # class-level defaults: wrapper objects that borrow _compute_tendencies
+    # without running __init__ (e.g. cubed-sphere panel physics) see no hooks
+    _tendency_hooks = ()
+    _state_hooks = ()
+
     def add_tendency_hook(self, fn):
         """Traced TendencyCallsite hook ``fn(grid, fields, G, time) -> G``
         (reference: Callback with TendencyCallsite, callback.jl); re-traces

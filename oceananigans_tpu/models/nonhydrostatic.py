@@ -927,6 +927,11 @@ class NonhydrostaticModel:
 
     # -- public stepping API --------------------------------------------------
 
+    # class-level defaults: wrapper objects that borrow _compute_tendencies
+    # without running __init__ (e.g. cubed-sphere panel physics) see no hooks
+    _tendency_hooks = ()
+    _state_hooks = ()
+
     def add_tendency_hook(self, fn):
         """Register a traced TendencyCallsite hook
         ``fn(grid, fields, G, time) -> G`` (reference: Callback with

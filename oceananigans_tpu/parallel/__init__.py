@@ -1,8 +1,10 @@
-from .distributed import CPU, GPU, Distributed, Partition
+from .distributed import (CPU, GPU, Distributed, Partition,
+                          Equal, Fractional, Sizes)
 from .halo_exchange import halo_exchange_local, make_halo_exchange
 from .pencil_fft import (DistributedFFTPoissonSolver,
                          DistributedFourierTridiagonalPoissonSolver)
 
-__all__ = ["CPU", "GPU", "Distributed", "Partition", "halo_exchange_local",
+__all__ = ["CPU", "GPU", "Distributed", "Partition",
+           "Equal", "Fractional", "Sizes", "halo_exchange_local",
            "make_halo_exchange", "DistributedFFTPoissonSolver",
            "DistributedFourierTridiagonalPoissonSolver"]

@@ -50,14 +50,72 @@ class GPU(CPU):
         return "GPU()"
 
 
+class Equal:
+    """Equal split along a direction (reference: distributed_architectures.jl
+    Equal) — ``Partition(x=Equal(), y=2)`` divides x over whatever device
+    count remains. Under GSPMD every split is equal by construction (TPU
+    pods are homogeneous), so this is the only split kind that shards."""
+
+    def __repr__(self):
+        return "Equal()"
+
+
+class Fractional:
+    """Uneven fractional split (reference: Fractional(ϵ₁, ϵ₂, …)). An MPI
+    load-balancing concept with no TPU benefit: XLA's GSPMD partitioner
+    shards arrays in equal tiles, and TPU chips are homogeneous — raises
+    with that explanation rather than silently equalizing."""
+
+    def __init__(self, *fractions):
+        raise NotImplementedError(
+            "Fractional partitions are an MPI load-balancing device; under "
+            "GSPMD all shards are equal tiles on homogeneous TPU chips. "
+            "Use Partition(x=<int>) or Partition(x=Equal()).")
+
+
+class Sizes:
+    """Explicit per-rank sizes (reference: Sizes(n₁, n₂, …)); see
+    :class:`Fractional` for why this does not exist on TPU meshes."""
+
+    def __init__(self, *sizes):
+        raise NotImplementedError(
+            "Sizes partitions are an MPI load-balancing device; under GSPMD "
+            "all shards are equal tiles on homogeneous TPU chips. "
+            "Use Partition(x=<int>) or Partition(x=Equal()).")
+
+
 class Partition:
     """Rank layout (reference: Partition{Sx,Sy,Sz}). ``x``/``y`` are the
-    number of shards along each horizontal direction; z is never sharded
-    (vertical solves and integrals stay chip-local)."""
+    number of shards along each horizontal direction (an int, or ``Equal()``
+    to divide the remaining devices); z is never sharded (vertical solves
+    and integrals stay chip-local)."""
 
     def __init__(self, x=1, y=1):
+        self._equal_axis = None
+        if isinstance(x, Equal):
+            self._equal_axis, x = 0, 0
+        if isinstance(y, Equal):
+            if self._equal_axis is not None:
+                raise ValueError("only one direction may be Equal()")
+            self._equal_axis, y = 1, 0
         self.x = int(x)
         self.y = int(y)
+
+    def resolve(self, n_devices):
+        """Fill an ``Equal()`` direction from the device count."""
+        if self._equal_axis is None:
+            return self
+        other = self.y if self._equal_axis == 0 else self.x
+        other = max(other, 1)
+        if n_devices % other:
+            raise ValueError(f"{n_devices} devices do not divide over "
+                             f"Partition with fixed factor {other}")
+        p = Partition(x=self.x or 1, y=self.y or 1)
+        if self._equal_axis == 0:
+            p.x = n_devices // other
+        else:
+            p.y = n_devices // other
+        return p
 
     def __repr__(self):
         return f"Partition(x={self.x}, y={self.y})"
@@ -87,6 +145,7 @@ class Distributed:
             while n % px:
                 px -= 1
             partition = Partition(px, n // px)
+        partition = partition.resolve(n)
         need = partition.x * partition.y
         if need > n:
             raise ValueError(f"partition {partition} needs {need} devices, "

@@ -525,3 +525,30 @@ def test_sharded_zstar_hydrostatic_matches_serial():
     c = np.asarray(m_shard.state["fields"]["constant"])[
         m_shard.grid.interior_slices]
     assert np.abs(c - 1.0).max() < 1e-12, "sharded constancy violated"
+
+
+def test_partition_equal_and_uneven_kinds():
+    """Partition split kinds (reference: distributed_architectures.jl —
+    Equal / Fractional / Sizes): Equal() divides the remaining devices;
+    uneven splits are an MPI load-balancing device with no GSPMD analogue
+    and raise with an explanation."""
+    from oceananigans_tpu import Partition, Equal, Fractional, Sizes
+    p = Partition(x=Equal(), y=2).resolve(8)
+    assert (p.x, p.y) == (4, 2)
+    p2 = Partition(x=2, y=Equal()).resolve(8)
+    assert (p2.x, p2.y) == (2, 4)
+    with pytest.raises(ValueError):
+        Partition(x=Equal(), y=3).resolve(8)
+    with pytest.raises(ValueError):
+        Partition(x=Equal(), y=Equal())
+    with pytest.raises(NotImplementedError):
+        Fractional(0.3, 0.7)
+    with pytest.raises(NotImplementedError):
+        Sizes(3, 5)
+
+
+def test_distributed_accepts_equal_partition():
+    from oceananigans_tpu import Distributed, Partition, Equal
+    arch = Distributed(Partition(x=Equal(), y=2))
+    assert arch.partition.x * arch.partition.y == len(
+        __import__("jax").devices())
