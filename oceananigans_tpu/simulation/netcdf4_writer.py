@@ -62,7 +62,7 @@ class NetCDF4Writer:
     def __init__(self, model, outputs, filename, schedule=None,
                  overwrite_existing=True, global_attributes=None,
                  output_attributes=None, indices=None,
-                 array_type=np.float32):
+                 array_type=np.float32, file_splitting=None):
         if not HAVE_H5PY:
             raise ImportError("h5py is required for NetCDF4Writer")
         if not filename.endswith(".nc"):
@@ -73,6 +73,12 @@ class NetCDF4Writer:
         self.schedule = schedule or IterationInterval(1)
         self.indices = indices or {}
         self.array_type = array_type
+        # file splitting (reference: output_writer_utils.jl — a Schedule,
+        # typically FileSizeLimit, checked after each write; actuation
+        # closes the file and continues into <stem>_part<N>.nc)
+        self.file_splitting = file_splitting
+        self._part = 1
+        self._global_attributes = global_attributes
         attrs = dict(DEFAULT_ATTRIBUTES)
         for k, v in (output_attributes or {}).items():
             attrs[k] = {**attrs.get(k, {}), **v}
@@ -80,15 +86,22 @@ class NetCDF4Writer:
 
         import os
         appending = (not overwrite_existing) and os.path.exists(filename)
-        self._f = h5py.File(filename, "a" if appending else "w",
-                            track_order=True)
-        f = self._f
         if appending:
+            f = self._f = h5py.File(filename, "a", track_order=True)
             self._time = f["time"]
             self._n = self._time.shape[0]
             self._vars = {name: f[name] for name in self.outputs}
+            if hasattr(self.file_splitting, "path"):
+                self.file_splitting.path = filename
             return
+        self._create_file(filename)
 
+    def _create_file(self, filename):
+        global_attributes = self._global_attributes
+        self._f = h5py.File(filename, "w", track_order=True)
+        f = self._f
+        if hasattr(self.file_splitting, "path"):
+            self.file_splitting.path = filename
         # netcdf-c provenance attribute (readers don't require it, tools
         # use it to recognize netCDF-4 files)
         f.attrs["_NCProperties"] = np.bytes_(
@@ -96,8 +109,8 @@ class NetCDF4Writer:
         ga = {
             "Conventions": "CF-1.8",
             "source": "oceananigans_tpu "
-                      + type(model).__name__,
-            "grid_type": type(model.grid).__name__,
+                      + type(self.model).__name__,
+            "grid_type": type(self.model.grid).__name__,
             "schedule": type(self.schedule).__name__,
         }
         ga.update(global_attributes or {})
@@ -118,7 +131,7 @@ class NetCDF4Writer:
             var = f.create_dataset(
                 name, shape=(0,) + sample.shape,
                 maxshape=(None,) + sample.shape,
-                chunks=(1,) + sample.shape, dtype=array_type)
+                chunks=(1,) + sample.shape, dtype=self.array_type)
             var.dims[0].attach_scale(self._time)
             for axis, dname in enumerate(space_dims):
                 if dname is not None:
@@ -197,6 +210,23 @@ class NetCDF4Writer:
             var[i] = arr.astype(self.array_type)
         self._n += 1
         self._f.flush()
+        if self.file_splitting is not None \
+                and self.file_splitting(model):
+            self._split()
+
+    def _split(self):
+        """Close the current file and continue into the next part
+        (reference: update_file_splitting_schedule! + new-file naming)."""
+        self._f.close()
+        self._part += 1
+        stem = self.filename[:-3]
+        if self._part == 2:
+            import os, shutil
+            part1 = f"{stem}_part1.nc"
+            shutil.move(self.filename, part1)
+        self._dims_cache = {}
+        self._create_file(f"{stem}_part{self._part}.nc")
+        self._n = 0
 
     def maybe_write(self, sim, force=False):
         if force or self.schedule(sim.model):

@@ -4,6 +4,7 @@ attributes and data intact; append-on-pickup continues the time axis.
 Reference: ext/OceananigansNCDatasetsExt.jl:1-80 (attributes, unlimited
 time dimension, overwrite_existing=false pickup)."""
 
+import os
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -102,3 +103,36 @@ def test_netcdf4_append_on_pickup(tmp_path):
 
 def test_netcdf_output_writer_alias():
     assert NetCDFOutputWriter is NetCDF4Writer
+
+
+def test_netcdf4_file_splitting():
+    """file_splitting=FileSizeLimit (reference: output_writer_utils.jl +
+    NetCDFWriter file_splitting): when the limit actuates after a write,
+    output continues into <stem>_part<N>.nc."""
+    h5py = pytest.importorskip("h5py")
+    import tempfile
+    from oceananigans_tpu import RectilinearGrid, NetCDF4Writer, FileSizeLimit
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.simulation.simulation import Simulation
+
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = NonhydrostaticModel(grid=grid, advection=None)
+    model.set(u=0.01)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "split.nc")
+        sim = Simulation(model, dt=0.01, stop_iteration=6)
+        w = NetCDF4Writer(model, {"u": "u"}, path,
+                          file_splitting=FileSizeLimit(20_000))
+        sim.add_output_writer(w)
+        sim.run()
+        w.close()
+        parts = sorted(f for f in os.listdir(d) if f.endswith(".nc"))
+        assert len(parts) >= 2, parts
+        assert any("part1" in p for p in parts)
+        total = 0
+        for p in parts:
+            with h5py.File(os.path.join(d, p), "r") as f:
+                total += f["time"].shape[0]
+                assert f["u"].shape[0] == f["time"].shape[0]
+        assert total == 7          # forced t=0 write + 6 steps
