@@ -153,6 +153,7 @@ class _PanelPhysics:
 
     # shared code path (models/hydrostatic.py)
     _tendency_hooks = ()       # borrowed _compute_tendencies consults these
+    biogeochemistry = None
     _compute_tendencies = HydrostaticFreeSurfaceModel._compute_tendencies
     _moving_grid = HydrostaticFreeSurfaceModel._moving_grid
     _depth_integral = HydrostaticFreeSurfaceModel._depth_integral

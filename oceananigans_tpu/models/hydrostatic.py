@@ -154,7 +154,7 @@ class HydrostaticFreeSurfaceModel:
                  closure=None, forcing=None, boundary_conditions=None,
                  velocities=None, timestepper="QuasiAdamsBashforth2",
                  vertical_coordinate="z", reference_datetime=None,
-                 **legacy_kw):
+                 biogeochemistry=None, **legacy_kw):
         self.reference_datetime = reference_datetime
         if callable(vertical_coordinate):
             vertical_coordinate = vertical_coordinate()
@@ -186,6 +186,12 @@ class HydrostaticFreeSurfaceModel:
             for name in buoyancy.required_tracers:
                 if name not in tracers:
                     tracers = tracers + (name,)
+        if biogeochemistry is not None:
+            # reference: Biogeochemistry.jl required_biogeochemical_tracers
+            # apply to every model family, hydrostatic included
+            for name in biogeochemistry.required_tracers:
+                if name not in tracers:
+                    tracers = tracers + (name,)
         if isinstance(closure, (tuple, list)):
             # reference parity: closure tuples sum their fluxes
             # (src/TurbulenceClosures/closure_tuples.jl)
@@ -196,6 +202,7 @@ class HydrostaticFreeSurfaceModel:
                 if name not in tracers:
                     tracers = tracers + (name,)
         self.tracer_names = tracers
+        self.biogeochemistry = biogeochemistry
         self.buoyancy = buoyancy
         self.coriolis = coriolis
         self.closure = closure
@@ -947,6 +954,18 @@ class HydrostaticFreeSurfaceModel:
                 else:
                     Gc = Gc + self.closure.tracer_tendency(grid, name, cf,
                                                            aux)
+            if self.biogeochemistry is not None:
+                # reactions + drift advection (reference: Biogeochemistry.jl
+                # biogeochemical_transition + biogeochemical_drift_velocity)
+                Gc = Gc + self.biogeochemistry.tracer_tendency(
+                    grid, name, fields, time)
+                drift = self.biogeochemistry.drift_velocity(name)
+                if drift is not None:
+                    du, dv, dw = [jnp.full(grid.padded_shape, q, grid.dtype)
+                                  if np.isscalar(q) else q
+                                  for q in drift]
+                    Gc = Gc - div_Uc(grid, self.tracer_advection,
+                                     du, dv, dw, fields[name])
             G[name] = Gc
 
         for name, F in self.forcing.items():
@@ -1690,6 +1709,8 @@ class HydrostaticFreeSurfaceModel:
         dt = jnp.asarray(dt, self.grid.dtype)
         self.state = step(self.state, dt)
         self._run_state_hooks()
+        if self.biogeochemistry is not None:
+            self.biogeochemistry.update_state(self)
         return self
 
     def __repr__(self):

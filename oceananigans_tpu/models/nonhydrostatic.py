@@ -971,6 +971,9 @@ class NonhydrostaticModel:
         dt = jnp.asarray(dt, self.grid.dtype)
         self.state = self._step(self.state, dt)
         self._run_state_hooks()
+        if self.biogeochemistry is not None:
+            # host-side hook (reference: update_biogeochemical_state!)
+            self.biogeochemistry.update_state(self)
         return self
 
     def __repr__(self):

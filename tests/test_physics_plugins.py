@@ -427,3 +427,40 @@ def test_hydrostatic_spherical_coriolis_latlon_schemes():
     xz = np.asarray(HydrostaticSphericalCoriolis(
         scheme="enstrophy_conserving").x_f_cross_U(grid, u, v, u))
     assert np.max(np.abs(xe - xz)) > 1e-10
+
+
+def test_biogeochemistry_in_hydrostatic_model():
+    """Biogeochemistry applies to the hydrostatic model too (reference:
+    Biogeochemistry.jl hooks are model-family agnostic): required tracers
+    auto-added, reactions + sinking drift in the tendencies, host
+    update_state hook called each step."""
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.biogeochemistry import SimpleBiogeochemistry
+
+    calls = []
+
+    class Decay(SimpleBiogeochemistry):
+        def update_state(self, model):
+            calls.append(model.iteration)
+
+    bgc = Decay(tracers=("P",),
+                reactions={"P": lambda x, y, z, t, P: -0.5 * P},
+                drift={"P": -0.02})
+    grid = RectilinearGrid(size=(4, 4, 8), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = HydrostaticFreeSurfaceModel(grid=grid, momentum_advection=None,
+                                        biogeochemistry=bgc)
+    assert "P" in model.tracer_names
+    model.set(P=lambda x, y, z: np.exp(-((z + 0.3) / 0.1) ** 2))
+    P0 = np.asarray(model.field("P").interior).mean()
+    for _ in range(5):
+        model.time_step(0.1)
+    P = np.asarray(model.field("P").interior)
+    assert np.isfinite(P).all()
+    # decay at rate 0.5: mean drops by ~exp(-0.25)
+    np.testing.assert_allclose(P.mean() / P0, np.exp(-0.25), rtol=0.05)
+    # sinking: center of mass moves down
+    z_c = np.asarray(grid.coord_padded(2, "c"))[grid.H[2]:grid.H[2] + 8]
+    com = (P.mean((0, 1)) * z_c).sum() / P.mean((0, 1)).sum()
+    assert com < -0.3
+    assert calls == [1, 2, 3, 4, 5]
