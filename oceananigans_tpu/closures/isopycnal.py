@@ -383,15 +383,19 @@ def _skew_eddy_velocities(grid, closure, fields):
     bx = ddx(grid, b, LOC_FCC)
     by = ddy(grid, b, LOC_CFC)
     bz = ddz(grid, b, LOC_CCF)
-    # Sx at (f,c,f): ℑz(∂x b)/ℑx(∂z b)
+    # Sx at (f,c,f): ℑz(∂x b)/ℑx(∂z b). Slopes are FORCED TO ZERO in
+    # unstable/degenerate columns (∂z b ≤ N²min) exactly like the flux-form
+    # rotation tensor above — a negative ∂z b would flip the eddy-velocity
+    # sign and pump energy INTO the front (round-5 review finding).
+    minb = getattr(closure, "minimum_N2", 1e-11)
     bx_fcf = iz_f(grid, bx)
     bz_fcf = ix_f(grid, bz)
-    Sx = jnp.where(bz_fcf != 0, -bx_fcf / jnp.where(bz_fcf != 0, bz_fcf, 1.0),
-                   0.0)
+    Sx = jnp.where(bz_fcf > minb,
+                   -bx_fcf / jnp.maximum(bz_fcf, minb), 0.0)
     by_cff = iz_f(grid, by)
     bz_cff = iy_f(grid, bz)
-    Sy = jnp.where(bz_cff != 0, -by_cff / jnp.where(bz_cff != 0, bz_cff, 1.0),
-                   0.0)
+    Sy = jnp.where(bz_cff > minb,
+                   -by_cff / jnp.maximum(bz_cff, minb), 0.0)
     smax2 = closure.maximum_slope ** 2
     Sx = Sx * jnp.minimum(1.0, smax2 / jnp.maximum(Sx * Sx, 1e-30))
     Sy = Sy * jnp.minimum(1.0, smax2 / jnp.maximum(Sy * Sy, 1e-30))

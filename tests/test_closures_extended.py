@@ -535,3 +535,31 @@ def test_timestep_wizard_enforces_diffusive_cfl():
     dt = wiz.new_dt(model, 1.0)
     dmin = 1.0 / 8
     assert dt <= 0.2 * dmin ** 2 / 1.0 + 1e-12, dt
+
+
+def test_gm_advective_eddy_velocities_zero_in_unstable_columns():
+    """Round-5 review regression: the advective-GM eddy velocities force the
+    isopycnal slope to zero where ∂z b ≤ N²min (unstable columns), matching
+    the flux-form rotation tensor (reference:
+    isopycnal_rotation_tensor_components.jl) — a signed slope there pumps
+    energy INTO the front."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import RectilinearGrid, BuoyancyTracer
+    from oceananigans_tpu.closures import IsopycnalSkewSymmetricDiffusivity
+    from oceananigans_tpu.closures.isopycnal import _skew_eddy_velocities
+    from oceananigans_tpu.fields.field import set_on_padded
+    from oceananigans_tpu.grids.topology import LOC_CCC
+
+    grid = RectilinearGrid(size=(8, 1, 8), x=(0, 1), y=(0, 1), z=(-1, 0),
+                           topology=("periodic", "flat", "bounded"))
+    cl = IsopycnalSkewSymmetricDiffusivity(
+        kappa_gm=100.0, skew_flux_formulation="advective",
+        buoyancy=BuoyancyTracer())
+    # UNSTABLE stratification (b increases downward) with a lateral gradient
+    b = set_on_padded(grid, LOC_CCC, lambda x, y, z: -0.01 * z + 0.001 * x)
+    fields = {"b": b, "u": jnp.zeros_like(b), "v": jnp.zeros_like(b),
+              "w": jnp.zeros_like(b)}
+    ue, ve, we = _skew_eddy_velocities(grid, cl, fields)
+    H = grid.H
+    assert float(jnp.abs(ue[H[0]:-H[0], :, H[2]:-H[2]]).max()) == 0.0
+    assert float(jnp.abs(we[H[0]:-H[0], :, H[2]:-H[2]]).max()) == 0.0
