@@ -154,6 +154,8 @@ class _PanelPhysics:
     # shared code path (models/hydrostatic.py)
     _tendency_hooks = ()       # borrowed _compute_tendencies consults these
     biogeochemistry = None
+    _tracer_advection_map = None
+    tracer_scheme = HydrostaticFreeSurfaceModel.tracer_scheme
     _compute_tendencies = HydrostaticFreeSurfaceModel._compute_tendencies
     _moving_grid = HydrostaticFreeSurfaceModel._moving_grid
     _depth_integral = HydrostaticFreeSurfaceModel._depth_integral

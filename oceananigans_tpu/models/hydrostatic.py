@@ -165,6 +165,16 @@ class HydrostaticFreeSurfaceModel:
             velocities, PrescribedVelocityFields) else None)
         self.momentum_advection = (momentum_advection if momentum_advection
                                    is not None else VectorInvariant())
+        # per-tracer schemes (reference: tracer_advection may be a
+        # NamedTuple mapping tracer name -> scheme, e.g.
+        # tracer_advection = (c=WENO(order=7), d=Centered(order=4));
+        # tracer_advection.jl adapt_advection_order per field)
+        if isinstance(tracer_advection, dict):
+            self._tracer_advection_map = dict(tracer_advection)
+            tracer_advection = self._tracer_advection_map.get(
+                "default", Centered(2))
+        else:
+            self._tracer_advection_map = None
         self.tracer_advection = (tracer_advection if tracer_advection
                                  is not None else Centered(2))
         if free_surface is None:
@@ -230,6 +240,8 @@ class HydrostaticFreeSurfaceModel:
 
         required = max(getattr(self.tracer_advection, "required_halo", 1),
                        getattr(self.momentum_advection, "required_halo", 1))
+        for _sch in (self._tracer_advection_map or {}).values():
+            required = max(required, getattr(_sch, "required_halo", 1))
         if closure is not None:
             required = max(required, getattr(closure, "required_halo", 1))
         halo = [max(h, required) if not grid.is_flat(i) else 0
@@ -376,6 +388,9 @@ class HydrostaticFreeSurfaceModel:
                     "fused_tendencies is not supported with: "
                     + ", ".join(unsupported))
         if fused_tendencies in (True, "packed"):
+            if self._tracer_advection_map is not None:
+                raise ValueError("fused_tendencies does not support "
+                                 "per-tracer advection schemes")
             from ..kernels.fused_vector_invariant import (
                 build_fused_hydrostatic_tendency,
                 build_fused_hydrostatic_tendency_packed,
@@ -488,6 +503,14 @@ class HydrostaticFreeSurfaceModel:
     @property
     def prognostic_names(self):
         return self.prognostic_3d + ("eta",)
+
+    def tracer_scheme(self, name):
+        """The advection scheme for one tracer (reference: per-field
+        tracer_advection NamedTuple)."""
+        if self._tracer_advection_map is not None:
+            return self._tracer_advection_map.get(name,
+                                                  self.tracer_advection)
+        return self.tracer_advection
 
     def loc(self, name):
         if name == "w":
@@ -937,7 +960,7 @@ class HydrostaticFreeSurfaceModel:
 
         for name in self.tracer_names:
             Gc = (Gc_fused[name] if Gc_fused is not None else
-                  -div_Uc(grid, self.tracer_advection, ut, vt, wt,
+                  -div_Uc(grid, self.tracer_scheme(name), ut, vt, wt,
                           fields[name]))
             if self.closure is not None:
                 cf = dict(fields)
@@ -964,7 +987,7 @@ class HydrostaticFreeSurfaceModel:
                     du, dv, dw = [jnp.full(grid.padded_shape, q, grid.dtype)
                                   if np.isscalar(q) else q
                                   for q in drift]
-                    Gc = Gc - div_Uc(grid, self.tracer_advection,
+                    Gc = Gc - div_Uc(grid, self.tracer_scheme(name),
                                      du, dv, dw, fields[name])
             G[name] = Gc
 
@@ -1197,7 +1220,7 @@ class HydrostaticFreeSurfaceModel:
             ue, ve, we = self.closure.eddy_velocities(self.grid, cf)
             ut, vt, wt = u + ue, v + ve, w + we
         for name in self.tracer_names:
-            Gc = -div_Uc(self.grid, self.tracer_advection, ut, vt,
+            Gc = -div_Uc(self.grid, self.tracer_scheme(name), ut, vt,
                          wt, fields[name])
             if self.closure is not None:
                 Gc = Gc + self.closure.tracer_tendency(

@@ -83,3 +83,53 @@ def test_time_dependent_background():
     c0 = np.sin(2 * np.pi * np.asarray(grid.nodes1d(0, "c")))
     assert not np.allclose(c[:, 0, 0] if c.ndim == 3 else c[:, 0], c0,
                            atol=1e-4)
+
+
+def test_background_stratification_matches_initial_condition():
+    """Port of test_background_flux_divergence.jl: a linear background
+    stratification B̄ = N²z carried as a BackgroundField (with gradient BCs
+    absorbing ∂z B̄ at the walls) evolves the TOTAL buoyancy B = B̄ + b
+    identically to carrying the full stratification in the initial
+    condition."""
+    from oceananigans_tpu import (RectilinearGrid, BackgroundField,
+                                  BuoyancyTracer, FieldBoundaryConditions,
+                                  GradientBoundaryCondition)
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    N2 = (1e-3) ** 2
+    grid = RectilinearGrid(size=(1, 1, 10), x=(0, 1), y=(0, 1), z=(0, 1),
+                           topology=("flat", "flat", "bounded"))
+
+    def run(with_background):
+        if with_background:
+            bcs = FieldBoundaryConditions(
+                bottom=GradientBoundaryCondition(-N2),
+                top=GradientBoundaryCondition(0.0))
+            model = NonhydrostaticModel(
+                grid=grid, advection=None, tracers=("b",),
+                buoyancy=BuoyancyTracer(),
+                background_fields={"b": BackgroundField(
+                    lambda x, y, z, t, p: p * z, parameters=N2)},
+                boundary_conditions={"b": bcs})
+            zc = np.asarray(grid.coord_padded(2, "c"))
+            zint = zc[grid.H[2]:grid.H[2] + 10]
+            offset = N2 * zint
+        else:
+            bcs = FieldBoundaryConditions(
+                bottom=GradientBoundaryCondition(0.0),
+                top=GradientBoundaryCondition(N2))
+            model = NonhydrostaticModel(
+                grid=grid, advection=None, tracers=("b",),
+                buoyancy=BuoyancyTracer(),
+                boundary_conditions={"b": bcs})
+            model.set(b=lambda x, y, z: N2 * z)
+            offset = 0.0
+        for _ in range(5):
+            model.time_step(0.1)
+        b = np.asarray(model.field("b").interior)[0, 0, :]
+        return b + offset
+
+    B_bg = run(True)
+    B_ic = run(False)
+    assert np.isfinite(B_bg).all() and np.isfinite(B_ic).all()
+    np.testing.assert_allclose(B_bg, B_ic, atol=1e-10)

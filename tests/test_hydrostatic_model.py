@@ -909,3 +909,33 @@ def test_implicit_free_surface_operator_residual():
         free_surface=ImplicitFreeSurface(
             solver_method="PreconditionedConjugateGradient"))
     assert residual(m_pcg) < 1e-7   # the CG solve's own tolerance
+
+
+def test_per_tracer_advection_schemes():
+    """Per-tracer tracer_advection mapping (reference:
+    test_implicit_diffusion_diagnostic.jl uses
+    tracer_advection = (c=WENO(order=7), d=Centered(order=4)))."""
+    from oceananigans_tpu.advection import WENO, Centered
+    from oceananigans_tpu.models.hydrostatic import PrescribedVelocityFields
+
+    grid = RectilinearGrid(size=(20, 1, 1), x=(-1, 1), y=(0, 1), z=(-1, 0),
+                           topology=("periodic", "flat", "bounded"))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, tracers=("c", "d"),
+        tracer_advection={"c": WENO(7), "d": Centered(4)},
+        velocities=PrescribedVelocityFields(u=1.0))
+    assert model.tracer_scheme("c").required_halo >= 4
+    assert model.tracer_scheme("d").required_halo == 2
+    model.set(c=lambda x, y, z: np.sin(np.pi * x),
+              d=lambda x, y, z: np.cos(np.pi * x))
+    for _ in range(20):
+        model.time_step(0.005)
+    c = np.asarray(model.field("c").interior)[:, 0, 0]
+    d = np.asarray(model.field("d").interior)[:, 0, 0]
+    assert np.isfinite(c).all() and np.isfinite(d).all()
+    # both advected by u=1 for t=0.1: compare against the shifted profile
+    x = np.asarray(grid.coord_padded(0, "c"))[grid.H[0]:grid.H[0] + 20]
+    np.testing.assert_allclose(c, np.sin(np.pi * (x - 0.1)), atol=0.05)
+    np.testing.assert_allclose(d, np.cos(np.pi * (x - 0.1)), atol=0.1)
+    # WENO keeps the sine within bounds; Centered(4) rings slightly more
+    assert np.abs(c).max() <= 1.0 + 1e-3
