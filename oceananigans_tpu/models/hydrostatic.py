@@ -154,7 +154,7 @@ class HydrostaticFreeSurfaceModel:
                  closure=None, forcing=None, boundary_conditions=None,
                  velocities=None, timestepper="QuasiAdamsBashforth2",
                  vertical_coordinate="z", reference_datetime=None,
-                 biogeochemistry=None, **legacy_kw):
+                 biogeochemistry=None, auxiliary_fields=None, **legacy_kw):
         self.reference_datetime = reference_datetime
         if callable(vertical_coordinate):
             vertical_coordinate = vertical_coordinate()
@@ -213,6 +213,7 @@ class HydrostaticFreeSurfaceModel:
                     tracers = tracers + (name,)
         self.tracer_names = tracers
         self.biogeochemistry = biogeochemistry
+        self.auxiliary_fields = dict(auxiliary_fields or {})
         self.buoyancy = buoyancy
         self.coriolis = coriolis
         self.closure = closure
@@ -536,6 +537,8 @@ class HydrostaticFreeSurfaceModel:
         if name == "w":
             return Field(self.grid, LOC_CCF, self.bcs["w"], self.state["w"],
                          _regularize=False)
+        if name in self.auxiliary_fields:
+            return self.auxiliary_fields[name]
         return Field(self.grid, self.loc(name), self.bcs[name],
                      self.state["fields"][name], _regularize=False)
 

@@ -87,6 +87,7 @@ class NonhydrostaticModel:
                  boundary_conditions=None, timestepper="RungeKutta3",
                  pressure_solver=None, background_fields=None,
                  stokes_drift=None, biogeochemistry=None, particles=None,
+                 auxiliary_fields=None,
                  fused_advection="auto", z_compact="auto", architecture=None,
                  reference_datetime=None, fuse_correction="auto"):
         from ..parallel.distributed import CPU as _CPU
@@ -119,6 +120,10 @@ class NonhydrostaticModel:
         self.tracer_names = tracers
         self.stokes_drift = stokes_drift
         self.biogeochemistry = biogeochemistry
+        # user auxiliary fields (reference: model.auxiliary_fields — extra
+        # Fields carried on the model, reachable via model.field/outputs and
+        # mutable from host callbacks; NOT stepped)
+        self.auxiliary_fields = dict(auxiliary_fields or {})
         self.particles = particles
         self.buoyancy = buoyancy
         self.coriolis = coriolis
@@ -398,6 +403,8 @@ class NonhydrostaticModel:
         if name == "p":
             return Field(self.grid, LOC_CCC, self.bcs["p"],
                          self.state["pressure"], _regularize=False)
+        if name in self.auxiliary_fields:
+            return self.auxiliary_fields[name]
         return Field(self.grid, self.loc(name), self.bcs[name],
                      self.state["fields"][name], _regularize=False)
 

@@ -525,3 +525,43 @@ def test_tendency_callsite_hydrostatic():
     sim.run()
     v = np.asarray(model.field("v").interior)
     np.testing.assert_allclose(v, 0.2, rtol=2e-2)
+
+
+def test_auxiliary_fields_on_models():
+    """model.auxiliary_fields (reference: auxiliary_fields model kwarg —
+    e.g. test_implicit_diffusion_diagnostic.jl carries c⁻/Δtc² aux fields
+    updated from a callback): reachable via model.field, mutable host-side,
+    and usable as writer outputs."""
+    from oceananigans_tpu import RectilinearGrid, CenterField
+    from oceananigans_tpu.models import (NonhydrostaticModel,
+                                         HydrostaticFreeSurfaceModel)
+    from oceananigans_tpu.simulation.simulation import Simulation, Callback
+    from oceananigans_tpu.utils.schedules import IterationInterval
+
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    c_prev = CenterField(grid)
+    model = NonhydrostaticModel(grid=grid, advection=None, tracers=("c",),
+                                auxiliary_fields={"c_prev": c_prev})
+    assert model.field("c_prev") is c_prev
+    model.set(c=1.0)
+
+    deltas = []
+
+    def track(sim):
+        c_now = np.asarray(sim.model.field("c").interior)
+        deltas.append(np.abs(c_now
+                             - np.asarray(c_prev.interior)).max())
+        c_prev.set(c_now)
+
+    sim = Simulation(model, dt=0.01, stop_iteration=3)
+    sim.callbacks["track"] = Callback(track, IterationInterval(1))
+    sim.run()
+    assert len(deltas) == 3
+    # after the first callback c_prev tracks c, so later deltas are tiny
+    assert deltas[0] == 1.0 and deltas[1] < 1e-6
+
+    hmodel = HydrostaticFreeSurfaceModel(
+        grid=grid, momentum_advection=None,
+        auxiliary_fields={"q": CenterField(grid).set(3.0)})
+    np.testing.assert_allclose(np.asarray(hmodel.field("q").interior), 3.0)
