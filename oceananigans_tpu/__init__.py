@@ -160,7 +160,7 @@ from .simulation.netcdf4_writer import NetCDF4Writer
 # ext/OceananigansNCDatasetsExt.jl); NetCDFWriter remains the NetCDF-3
 # classic fallback
 NetCDFOutputWriter = NetCDF4Writer
-from .simulation.checkpointer import Checkpointer
+from .simulation.checkpointer import (Checkpointer, checkpoint_grid)
 from .simulation.output_readers import (FieldTimeSeries, FieldDataset,
                                         InMemory, OnDisk, written_names)
 

@@ -58,6 +58,18 @@ class Checkpointer:
     def write(self, sim):
         model = sim.model
         arrays = _flatten_state(model.state)
+        # grid spec alongside the state (reference: checkpointer.jl
+        # serializes the grid; Grids.constructor_arguments +
+        # test_grid_reconstruction.jl) — best-effort: exotic grid classes
+        # without a spec still checkpoint their arrays
+        try:
+            import json
+            from ..grids.reconstruction import constructor_arguments
+            arrays["__grid_spec__"] = np.frombuffer(
+                json.dumps(constructor_arguments(model.grid)).encode(),
+                dtype=np.uint8)
+        except NotImplementedError:
+            pass
         np.savez(self.path(model.iteration), **arrays)
         if self.keep:
             files = sorted(glob.glob(os.path.join(
@@ -78,11 +90,25 @@ def _iteration_of(path):
     return int(m.group(1)) if m else -1
 
 
+def checkpoint_grid(path):
+    """Rebuild the grid recorded in a checkpoint file (reference:
+    reconstruct_grid, test_grid_reconstruction.jl). Returns None when the
+    checkpoint predates grid recording or the grid class has no spec."""
+    import json
+    from ..grids.reconstruction import reconstruct_grid
+    with np.load(path) as data:
+        if "__grid_spec__" not in data.files:
+            return None
+        spec = json.loads(bytes(data["__grid_spec__"]).decode())
+    return reconstruct_grid(spec)
+
+
 def restore(model, path):
     """Restore a model's state pytree from a checkpoint file (reference:
     set!(model, path), src/Models/set_model.jl)."""
     with np.load(path) as data:
-        arrays = {k: data[k] for k in data.files}
+        arrays = {k: data[k] for k in data.files
+                  if not k.startswith("__")}
     state = _unflatten_state(arrays)
     # merge: keep any state entries the checkpoint lacks
     merged = dict(model.state)

@@ -171,3 +171,63 @@ def test_reference_to_stretched_discretization():
     assert np.allclose(d[-5:], 10.0)
     assert d[0] > d[-1]
     assert np.all(d > 0)
+
+
+def test_grid_reconstruction_roundtrip():
+    """Port of test_grid_reconstruction.jl: constructor_arguments →
+    reconstruct_grid round-trips regular, stretched, and lat-lon grids with
+    identical metrics."""
+    from oceananigans_tpu.grids.reconstruction import (constructor_arguments,
+                                                       reconstruct_grid)
+    from oceananigans_tpu import LatitudeLongitudeGrid
+
+    g1 = RectilinearGrid(size=(4, 6, 8), extent=(2 * np.pi, 3 * np.pi,
+                                                 4 * np.pi),
+                         topology=("periodic", "bounded", "bounded"),
+                         halo=(2, 3, 2))
+    zf = -np.cos(np.linspace(0, np.pi / 2, 9))  # stretched z faces
+    g2 = RectilinearGrid(size=(4, 4, 8), x=(0, 1), y=(0, 1), z=zf,
+                         topology=("periodic", "periodic", "bounded"))
+    g3 = LatitudeLongitudeGrid(size=(8, 6, 4), longitude=(-10, 10),
+                               latitude=(20, 50), z=(-100, 0))
+    for g in (g1, g2, g3):
+        import json
+        spec = json.loads(json.dumps(constructor_arguments(g)))  # JSON-able
+        r = reconstruct_grid(spec)
+        assert type(r) is type(g)
+        assert r.N == g.N and r.H == g.H
+        assert tuple(r.topology) == tuple(g.topology)
+        for axis in range(3):
+            if g.is_flat(axis):
+                continue
+            np.testing.assert_allclose(
+                np.asarray(g.coord_padded(axis, "f")),
+                np.asarray(r.coord_padded(axis, "f")), rtol=1e-12)
+        loc = ("c", "c", "c")
+        np.testing.assert_allclose(np.asarray(g.V(loc)).ravel(),
+                                   np.asarray(r.V(loc)).ravel(), rtol=1e-12)
+
+
+def test_checkpoint_records_grid_spec(tmp_path):
+    """The Checkpointer records the grid spec; checkpoint_grid rebuilds it
+    (reference: checkpointer grid serialization + reconstruct_grid)."""
+    from oceananigans_tpu import checkpoint_grid, Checkpointer
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.simulation.simulation import Simulation
+    from oceananigans_tpu.utils.schedules import IterationInterval
+
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 2.0, 3.0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = NonhydrostaticModel(grid=grid, advection=None)
+    sim = Simulation(model, dt=0.01, stop_iteration=2)
+    cp = Checkpointer(model, IterationInterval(2), dir=str(tmp_path))
+    sim.add_output_writer(cp)
+    sim.run()
+    path = cp.path(2)
+    import os
+    assert os.path.exists(path)
+    r = checkpoint_grid(path)
+    assert r is not None and r.N == model.grid.N
+    np.testing.assert_allclose(
+        np.asarray(r.coord_padded(2, "f")),
+        np.asarray(model.grid.coord_padded(2, "f")), rtol=1e-12)
