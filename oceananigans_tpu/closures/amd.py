@@ -105,6 +105,7 @@ class AnisotropicMinimumDissipation(_ClosureBase):
                 num = num - self.Cb * num_b
         nu_e = jnp.maximum(0.0, -self.C * num / (denom + EPS)) \
             + self.background_nu
+        nu_e = self._fill_diffusivity(grid, nu_e, "nu_e")
         aux = {"nu_e": nu_e, "_grads": grads, "_d2": d2, "_denom_u": denom}
         return aux
 
@@ -133,4 +134,5 @@ class AnisotropicMinimumDissipation(_ClosureBase):
                 num = t if num is None else num + t
         kappa_e = jnp.maximum(0.0, -self.C * num / (denom + EPS)) \
             + self.background_kappa
+        kappa_e = self._fill_diffusivity(grid, kappa_e, "kappa_e", name)
         return div_kappa_grad(grid, fields[name], LOC_CCC, kappa_e)

@@ -32,6 +32,24 @@ VERTICAL = "vertical"
 
 
 class _ClosureBase:
+    # BCs on the closure's DIAGNOSTIC diffusivity fields (reference:
+    # boundary_conditions = (b=..., κₑ=(b=κₑ_bcs,)) — a Value BC on κₑ
+    # pins the wall diffusivity so the boundary diffusive flux is exact;
+    # test_boundary_conditions_integration.jl "Custom diffusivity boundary
+    # conditions"). Structure: {"nu_e": FieldBCs, "kappa_e": {tracer: FieldBCs}}
+    diffusivity_boundary_conditions = None
+
+    def _fill_diffusivity(self, grid, arr, key, tracer=None, time=0.0):
+        bcs = self.diffusivity_boundary_conditions or {}
+        spec = bcs.get(key)
+        if isinstance(spec, dict):
+            spec = spec.get(tracer)
+        if spec is None:
+            return arr
+        from ..boundary_conditions import fill_halo_regions
+        from ..grids.topology import LOC_CCC
+        return fill_halo_regions(arr, grid, LOC_CCC, spec, time)
+
     def _fp(self):
         raise NotImplementedError
 

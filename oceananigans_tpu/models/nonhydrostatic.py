@@ -225,6 +225,27 @@ class NonhydrostaticModel:
 
         # boundary conditions
         bcs_in = dict(boundary_conditions or {})
+        # BCs on closure diffusivity fields (reference: κₑ=(b=...)-style
+        # entries — see _ClosureBase.diffusivity_boundary_conditions):
+        # pop them out, regularize at centers, hand to the closure(s)
+        diff_bcs = {}
+        for key in ("nu_e", "kappa_e"):
+            spec = bcs_in.pop(key, None)
+            if spec is None:
+                continue
+            if isinstance(spec, dict):
+                diff_bcs[key] = {
+                    n: regularize_field_boundary_conditions(
+                        b, self.grid, LOC_CCC) for n, b in spec.items()}
+            else:
+                diff_bcs[key] = regularize_field_boundary_conditions(
+                    spec, self.grid, LOC_CCC)
+        if diff_bcs:
+            if self.closure is None:
+                raise ValueError("diffusivity boundary conditions "
+                                 f"({sorted(diff_bcs)}) need a closure")
+            for _c in getattr(self.closure, "closures", (self.closure,)):
+                _c.diffusivity_boundary_conditions = diff_bcs
         self.bcs = {}
         for name, loc in PROGNOSTIC_LOCS.items():
             self.bcs[name] = regularize_field_boundary_conditions(

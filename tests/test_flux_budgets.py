@@ -116,3 +116,45 @@ def test_flux_budget_uses_true_boundary_face_area_latlon():
     expected = t0 + q * A_wall * dt * n
     wrong = t0 + q * A_inner * dt * n
     assert np.isclose(t1, expected, rtol=1e-10), (t1, expected, wrong)
+
+
+def test_fluxes_with_diffusivity_boundary_conditions():
+    """Port of test_boundary_conditions_integration.jl
+    'Custom diffusivity boundary conditions': a Value BC on the AMD κₑ
+    diffusivity field pins the wall diffusivity to κ₀, so with a bottom
+    buoyancy-gradient BC ∂z b = bz the boundary diffusive flux is exactly
+    −κ₀ bz and the mean buoyancy obeys <b> − <b₀> = flux·t/Lz."""
+    from oceananigans_tpu import (RectilinearGrid, BuoyancyTracer,
+                                  FieldBoundaryConditions,
+                                  GradientBoundaryCondition,
+                                  ValueBoundaryCondition)
+    from oceananigans_tpu.closures import AnisotropicMinimumDissipation
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    Lz = 1.0
+    kappa0 = float(np.exp(-3))
+    bz = float(np.pi)
+    flux = -kappa0 * bz
+
+    grid = RectilinearGrid(size=(16, 16, 16), extent=(1.0, 1.0, Lz),
+                           topology=("periodic", "periodic", "bounded"))
+    model = NonhydrostaticModel(
+        grid=grid, advection=None, tracers=("b",),
+        buoyancy=BuoyancyTracer(),
+        timestepper="QuasiAdamsBashforth2",
+        closure=AnisotropicMinimumDissipation(),
+        boundary_conditions={
+            "b": FieldBoundaryConditions(
+                bottom=GradientBoundaryCondition(bz)),
+            "kappa_e": {"b": FieldBoundaryConditions(
+                bottom=ValueBoundaryCondition(kappa0))}})
+    model.set(b=lambda x, y, z: z * bz)
+    b0 = np.asarray(model.field("b").interior).mean()
+
+    tau = Lz ** 2 / kappa0
+    dt = 1e-6 * tau
+    for _ in range(10):
+        model.time_step(dt)
+    b = np.asarray(model.field("b").interior).mean()
+    expected = flux * model.time / Lz
+    np.testing.assert_allclose(b - b0, expected, atol=1e-6)
