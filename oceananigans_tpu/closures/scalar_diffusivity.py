@@ -112,6 +112,21 @@ def _kappa_for(kappa, name):
     return kappa
 
 
+def resolve_coefficient(grid, k, loc, time=0.0):
+    """Diffusivity coefficient as scalar / padded array / continuous-form
+    callable ν(x, y, z, t) evaluated at ``loc`` (reference:
+    scalar_diffusivity.jl — ν/κ 'may be constants, arrays, fields, or
+    functions of (x, y, z, t)')."""
+    if callable(k) and not hasattr(k, "ndim"):
+        import jax.numpy as _jnp
+        from ..grids.base import broadcastable_1d
+        coords = [broadcastable_1d(grid.coord_padded(ax, loc[ax]), ax)
+                  for ax in range(3)]
+        return _jnp.broadcast_to(_jnp.asarray(k(*coords, time), grid.dtype),
+                                 grid.padded_shape)
+    return k
+
+
 def time_discretization_str(td):
     """Normalize a time-discretization spec: the reference's
     ExplicitTimeDiscretization() / VerticallyImplicitTimeDiscretization()
@@ -179,15 +194,45 @@ class ScalarDiffusivity(_ClosureBase):
         return (self.time_discretization == "vertically_implicit"
                 and 2 in self._axes)
 
+    def compute_diffusivities(self, grid, fields, time):
+        # continuous-form ν/κ callables resolve ONCE per step at the stress
+        # locations (reference: closure functions of (x, y, z, t))
+        aux = {}
+        if callable(self.nu):
+            aux["nu_ccc"] = resolve_coefficient(grid, self.nu, LOC_CCC, time)
+            aux["nu_ffc"] = resolve_coefficient(grid, self.nu,
+                                                ("f", "f", "c"), time)
+            aux["nu_fcf"] = resolve_coefficient(grid, self.nu,
+                                                ("f", "c", "f"), time)
+            aux["nu_cff"] = resolve_coefficient(grid, self.nu,
+                                                ("c", "f", "f"), time)
+            aux["nu_ccf"] = resolve_coefficient(grid, self.nu,
+                                                ("c", "c", "f"), time)
+        kappas = (self.kappa if isinstance(self.kappa, dict)
+                  else {None: self.kappa})
+        for name, k in kappas.items():
+            if callable(k):
+                key = "kappa_ccc" if name is None else f"kappa_ccc_{name}"
+                aux[key] = resolve_coefficient(grid, k, LOC_CCC, time)
+        return aux
+
+    def _nu_at(self, aux, key):
+        if callable(self.nu):
+            return aux[key]
+        return self.nu
+
     def momentum_tendencies(self, grid, fields, aux):
         u, v, w = fields["u"], fields["v"], fields["w"]
-        nu = self.nu
+        nu = self._nu_at(aux, "nu_ccc")
         axes = self._explicit_axes
         if self.formulation == ISO:
+            nu_ffc = self._nu_at(aux, "nu_ffc")
+            nu_fcf = self._nu_at(aux, "nu_fcf")
+            nu_cff = self._nu_at(aux, "nu_cff")
             out = dict(
-                u=div_2nu_strain_u(grid, u, v, w, nu, nu, nu, axes),
-                v=div_2nu_strain_v(grid, u, v, w, nu, nu, nu, axes),
-                w=div_2nu_strain_w(grid, u, v, w, nu, nu, nu, axes))
+                u=div_2nu_strain_u(grid, u, v, w, nu, nu_ffc, nu_fcf, axes),
+                v=div_2nu_strain_v(grid, u, v, w, nu, nu_ffc, nu_cff, axes),
+                w=div_2nu_strain_w(grid, u, v, w, nu, nu_fcf, nu_cff, axes))
             if self._vitd_z:
                 # 2νSxz = ν(∂z u + ∂x w): the tridiagonal owns ν ∂z u on
                 # interior faces; ν ∂x w stays explicit everywhere and the
@@ -216,6 +261,10 @@ class ScalarDiffusivity(_ClosureBase):
 
     def tracer_tendency(self, grid, name, fields, aux):
         k = _kappa_for(self.kappa, name)
+        if callable(k):
+            key = ("kappa_ccc" if not isinstance(self.kappa, dict)
+                   else f"kappa_ccc_{name}")
+            k = aux[key]
         g = div_kappa_grad(grid, fields[name], ("c", "c", "c"), k,
                            self._explicit_axes)
         if self._vitd_z:
@@ -232,7 +281,8 @@ class ScalarDiffusivity(_ClosureBase):
             # solve to own (reference: νᶻ ≡ 0 for HorizontalFormulation,
             # abstract_scalar_diffusivity_closure.jl z-diffusivity extractors)
             return {}
-        out = {"u": self.nu, "v": self.nu}
+        nu_z = (aux["nu_ccf"] if callable(self.nu) else self.nu)
+        out = {"u": nu_z, "v": nu_z}
         if "w" in fields:
             # under the isotropic strain form τ₃₃ = 2ν ∂z w, so the implicit
             # operator owns 2ν; the reference's νᶜᶜᶜ coefficient
@@ -240,10 +290,15 @@ class ScalarDiffusivity(_ClosureBase):
             # ::C::C::C with viscous_flux_wz ≡ 0 on interior faces) silently
             # halves w's vertical dissipation under VITD — kept exact here
             # (the x-z Taylor-Green VITD test asserts the e^{-2νt} decay)
-            out["w"] = 2 * self.nu if self.formulation == ISO else self.nu
+            out["w"] = 2 * nu_z if self.formulation == ISO else nu_z
         for name in fields:
             if name not in ("u", "v", "w"):
-                out[name] = _kappa_for(self.kappa, name)
+                k = _kappa_for(self.kappa, name)
+                if callable(k):
+                    key = ("kappa_ccc" if not isinstance(self.kappa, dict)
+                           else f"kappa_ccc_{name}")
+                    k = aux[key]
+                out[name] = k
         return out
 
 

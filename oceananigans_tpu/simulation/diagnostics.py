@@ -40,6 +40,15 @@ class DiffusiveCFL:
         # the simulation, reference: Diagnostics run in the time-step loop)
         model = getattr(model, "model", model)
         nu = getattr(model.closure, "nu", 0.0) if model.closure else 0.0
+        if callable(nu) and not hasattr(nu, "ndim"):
+            # continuous-form ν(x, y, z, t): max over the grid (reference:
+            # cell_diffusion_timescale with function diffusivities,
+            # test_turbulence_closures.jl)
+            from ..closures.scalar_diffusivity import resolve_coefficient
+            from ..grids.topology import LOC_CCC
+            nu = resolve_coefficient(model.grid, nu, LOC_CCC,
+                                     float(model.time))
+            nu = np.asarray(nu)[model.grid.interior_slices]
         if not np.isscalar(nu):
             nu = float(np.max(np.asarray(nu)))
         dmin = min(model.grid.minimum_spacing(i) for i in range(3)

@@ -563,3 +563,66 @@ def test_gm_advective_eddy_velocities_zero_in_unstable_columns():
     H = grid.H
     assert float(jnp.abs(ue[H[0]:-H[0], :, H[2]:-H[2]]).max()) == 0.0
     assert float(jnp.abs(we[H[0]:-H[0], :, H[2]:-H[2]]).max()) == 0.0
+
+
+def test_function_scalar_diffusivity():
+    """Port of test_turbulence_closures.jl test_function_scalar_diffusivity:
+    continuous-form ν(x, y, z, t)/κ(x, y, z, t) run in a model, and the
+    diffusive timescale uses the grid MAXIMUM of the function."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import RectilinearGrid, BuoyancyTracer
+    from oceananigans_tpu.closures import ScalarDiffusivity
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.simulation.diagnostics import DiffusiveCFL
+
+    depth_scale = 120.0
+    nu = lambda x, y, z, t: 2000.0 * jnp.exp(z / depth_scale)
+    closure = ScalarDiffusivity(nu=nu, kappa=nu)
+    grid = RectilinearGrid(size=(2, 2, 2), extent=(1.0, 2.0, 3.0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = NonhydrostaticModel(grid=grid, advection=None, tracers=("b",),
+                                buoyancy=BuoyancyTracer(), closure=closure)
+    model.set(b=lambda x, y, z: 1e-5 * z, u=0.01)
+    for _ in range(3):
+        model.time_step(1e-5)
+    b = np.asarray(model.field("b").interior)
+    assert np.isfinite(b).all()
+
+    # diffusive CFL uses max ν over the grid (z centers)
+    zc = np.asarray(grid.coord_padded(2, "c"))[grid.H[2]:grid.H[2] + 2]
+    max_nu = float(np.max(2000.0 * np.exp(zc / depth_scale)))
+    dmin = min(grid.minimum_spacing(i) for i in range(3))
+    dt = 0.1
+    got = DiffusiveCFL(dt)(model)
+    np.testing.assert_allclose(got, dt * max_nu / dmin ** 2, rtol=1e-6)
+
+
+def test_function_diffusivity_taylor_green_decay():
+    """A spatially-CONSTANT function ν(x,y,z,t)=ν₀ must reproduce the scalar
+    path bit-for-bit physics: Taylor-Green x-y decay at rate 2νk²."""
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.closures import ScalarDiffusivity
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    nu0 = 0.02
+    grid = RectilinearGrid(size=(16, 16, 1), x=(0, 2 * np.pi),
+                           y=(0, 2 * np.pi), z=(0, 1),
+                           topology=("periodic", "periodic", "flat"))
+
+    def run(closure):
+        model = NonhydrostaticModel(grid=grid, advection=None,
+                                    closure=closure)
+        model.set(u=lambda x, y, z: np.sin(x) * np.cos(y),
+                  v=lambda x, y, z: -np.cos(x) * np.sin(y))
+        for _ in range(20):
+            model.time_step(0.01)
+        return np.asarray(model.field("u").interior)
+
+    u_fn = run(ScalarDiffusivity(nu=lambda x, y, z, t: nu0 + 0 * x))
+    u_sc = run(ScalarDiffusivity(nu=nu0))
+    np.testing.assert_allclose(u_fn, u_sc, rtol=1e-6, atol=1e-10)
+    # Taylor-Green amplitude decays as e^{-2νt} (k² = 2, strain form)
+    amp = np.abs(u_fn).max()
+    x_f = np.asarray(grid.coord_padded(0, "f"))[grid.H[0]:grid.H[0] + 16]
+    np.testing.assert_allclose(amp / np.abs(np.sin(x_f)).max(),
+                               np.exp(-2 * nu0 * 0.2), rtol=0.05)
