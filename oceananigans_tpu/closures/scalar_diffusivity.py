@@ -19,6 +19,7 @@ Closure protocol (consumed by models):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..operators.operators import ddx, ddy, div_xy_ccc
 from .diffusion_operators import (LOC_CFF, LOC_FCF, div_2nu_strain_u,
@@ -146,7 +147,14 @@ class VerticallyImplicitTimeDiscretization:
 
 class ScalarDiffusivity(_ClosureBase):
     def __init__(self, *args, nu=0.0, kappa=0.0, formulation=ISO,
-                 time_discretization="explicit"):
+                 time_discretization="explicit", discrete_form=False,
+                 loc=None, parameters=None):
+        """``discrete_form=True``: ν/κ are ``f(grid, fields, time[, p])``
+        returning a padded center-located array (the whole-array analogue of
+        the reference's discrete form f(i, j, k, grid, clock, fields, p),
+        scalar_diffusivity.jl). ``parameters`` is passed as the trailing
+        argument when given; ``loc`` is accepted for reference-API
+        compatibility (whole-array coefficients are center-located)."""
         # reference calling convention: the time discretization may come
         # FIRST positionally — ScalarDiffusivity(
         # VerticallyImplicitTimeDiscretization(), nu=..., kappa=...)
@@ -167,16 +175,28 @@ class ScalarDiffusivity(_ClosureBase):
             raise TypeError("too many positional arguments")
         self.nu = nu
         self.kappa = kappa
+        self.discrete_form = bool(discrete_form)
+        self.parameters = parameters
         self.formulation = formulation
         self.time_discretization = time_discretization_str(time_discretization)
         if formulation not in (ISO, HORIZONTAL, VERTICAL):
             raise ValueError(formulation)
 
+    @staticmethod
+    def _coef_fp(k):
+        # arrays aren't hashable: fingerprint by identity (same convention
+        # as callables — a new array object is a new configuration)
+        return id(k) if getattr(k, "ndim", 0) >= 1 else k
+
     def _fp(self):
-        k = tuple(sorted(self.kappa.items())) if isinstance(self.kappa, dict) \
-            else self.kappa
-        return ("ScalarDiffusivity", self.nu, k, self.formulation,
-                self.time_discretization)
+        if isinstance(self.kappa, dict):
+            k = tuple(sorted((n, self._coef_fp(v))
+                             for n, v in self.kappa.items()))
+        else:
+            k = self._coef_fp(self.kappa)
+        return ("ScalarDiffusivity", self._coef_fp(self.nu), k,
+                self.formulation, self.time_discretization,
+                self.discrete_form)
 
     @property
     def _axes(self):
@@ -194,30 +214,48 @@ class ScalarDiffusivity(_ClosureBase):
         return (self.time_discretization == "vertically_implicit"
                 and 2 in self._axes)
 
+    def _resolve(self, grid, k, loc, fields, time):
+        if self.discrete_form and callable(k):
+            args = (grid, fields, time)
+            if self.parameters is not None:
+                args = args + (self.parameters,)
+            arr = k(*args)           # center-located padded array
+        elif callable(k) and not hasattr(k, "ndim"):
+            return resolve_coefficient(grid, k, loc, time)
+        else:
+            arr = k
+        if np.isscalar(arr) or getattr(arr, "ndim", 0) == 0:
+            return arr
+        # center-located ARRAY coefficient: interpolate to the requested
+        # staggering (reference: ℑ of νᶜᶜᶜ array diffusivities onto the
+        # stress locations — previously the raw ccc array was used at
+        # ffc/fcf, a half-cell mislocation)
+        from ..operators.operators import interp_to
+        return interp_to(grid, arr, LOC_CCC, loc)
+
     def compute_diffusivities(self, grid, fields, time):
-        # continuous-form ν/κ callables resolve ONCE per step at the stress
-        # locations (reference: closure functions of (x, y, z, t))
+        # function/array ν/κ resolve ONCE per step at the stress locations
+        # (reference: continuous f(x, y, z, t), discrete f(i, j, k, ...),
+        # and array diffusivities)
         aux = {}
-        if callable(self.nu):
-            aux["nu_ccc"] = resolve_coefficient(grid, self.nu, LOC_CCC, time)
-            aux["nu_ffc"] = resolve_coefficient(grid, self.nu,
-                                                ("f", "f", "c"), time)
-            aux["nu_fcf"] = resolve_coefficient(grid, self.nu,
-                                                ("f", "c", "f"), time)
-            aux["nu_cff"] = resolve_coefficient(grid, self.nu,
-                                                ("c", "f", "f"), time)
-            aux["nu_ccf"] = resolve_coefficient(grid, self.nu,
-                                                ("c", "c", "f"), time)
+        nu_varies = (callable(self.nu)
+                     or getattr(self.nu, "ndim", 0) >= 1)
+        if nu_varies:
+            for key, loc in (("nu_ccc", LOC_CCC), ("nu_ffc", ("f", "f", "c")),
+                             ("nu_fcf", ("f", "c", "f")),
+                             ("nu_cff", ("c", "f", "f")),
+                             ("nu_ccf", ("c", "c", "f"))):
+                aux[key] = self._resolve(grid, self.nu, loc, fields, time)
         kappas = (self.kappa if isinstance(self.kappa, dict)
                   else {None: self.kappa})
         for name, k in kappas.items():
-            if callable(k):
+            if callable(k) or getattr(k, "ndim", 0) >= 1:
                 key = "kappa_ccc" if name is None else f"kappa_ccc_{name}"
-                aux[key] = resolve_coefficient(grid, k, LOC_CCC, time)
+                aux[key] = self._resolve(grid, k, LOC_CCC, fields, time)
         return aux
 
     def _nu_at(self, aux, key):
-        if callable(self.nu):
+        if callable(self.nu) or getattr(self.nu, "ndim", 0) >= 1:
             return aux[key]
         return self.nu
 
@@ -261,7 +299,7 @@ class ScalarDiffusivity(_ClosureBase):
 
     def tracer_tendency(self, grid, name, fields, aux):
         k = _kappa_for(self.kappa, name)
-        if callable(k):
+        if callable(k) or getattr(k, "ndim", 0) >= 1:
             key = ("kappa_ccc" if not isinstance(self.kappa, dict)
                    else f"kappa_ccc_{name}")
             k = aux[key]
@@ -281,7 +319,9 @@ class ScalarDiffusivity(_ClosureBase):
             # solve to own (reference: νᶻ ≡ 0 for HorizontalFormulation,
             # abstract_scalar_diffusivity_closure.jl z-diffusivity extractors)
             return {}
-        nu_z = (aux["nu_ccf"] if callable(self.nu) else self.nu)
+        nu_z = (aux["nu_ccf"] if (callable(self.nu) or
+                                  getattr(self.nu, "ndim", 0) >= 1)
+                else self.nu)
         out = {"u": nu_z, "v": nu_z}
         if "w" in fields:
             # under the isotropic strain form τ₃₃ = 2ν ∂z w, so the implicit
@@ -294,7 +334,7 @@ class ScalarDiffusivity(_ClosureBase):
         for name in fields:
             if name not in ("u", "v", "w"):
                 k = _kappa_for(self.kappa, name)
-                if callable(k):
+                if callable(k) or getattr(k, "ndim", 0) >= 1:
                     key = ("kappa_ccc" if not isinstance(self.kappa, dict)
                            else f"kappa_ccc_{name}")
                     k = aux[key]
@@ -345,6 +385,8 @@ class ScalarBiharmonicDiffusivity(_ClosureBase):
     def __init__(self, nu=0.0, kappa=0.0, formulation=ISO):
         self.nu = nu
         self.kappa = kappa
+        self.discrete_form = bool(discrete_form)
+        self.parameters = parameters
         self.formulation = formulation
 
     def _fp(self):

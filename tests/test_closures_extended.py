@@ -626,3 +626,49 @@ def test_function_diffusivity_taylor_green_decay():
     x_f = np.asarray(grid.coord_padded(0, "f"))[grid.H[0]:grid.H[0] + 16]
     np.testing.assert_allclose(amp / np.abs(np.sin(x_f)).max(),
                                np.exp(-2 * nu0 * 0.2), rtol=0.05)
+
+
+def test_array_and_discrete_form_diffusivities():
+    """Array ν (center-located, interpolated onto the stress locations) and
+    the discrete form ν(grid, fields, t, p) (reference:
+    test_discrete_function_scalar_diffusivity + array diffusivities) agree
+    with the continuous-form function for the same profile."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import RectilinearGrid, BuoyancyTracer
+    from oceananigans_tpu.closures import ScalarDiffusivity
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.fields.field import set_on_padded
+    from oceananigans_tpu.grids.topology import LOC_CCC
+
+    grid = RectilinearGrid(size=(8, 1, 8), x=(0, 1), y=(0, 1), z=(-1, 0),
+                           topology=("periodic", "flat", "bounded"))
+    prof = lambda x, y, z, t: 0.01 * jnp.exp(z / 0.5)
+    nu_arr = set_on_padded(grid, LOC_CCC, lambda x, y, z: 0.01 * np.exp(z / 0.5))
+
+    def disc(g, fields, t, p):
+        z = np.asarray(g.coord_padded(2, "c")).reshape(1, 1, -1)
+        return jnp.broadcast_to(jnp.asarray(p["nu0"] * np.exp(z / 0.5),
+                                            g.dtype), g.padded_shape)
+
+    def run(closure):
+        model = NonhydrostaticModel(grid=grid, advection=None, tracers=("b",),
+                                    buoyancy=BuoyancyTracer(),
+                                    closure=closure)
+        model.set(b=lambda x, y, z: 0.01 * z + 1e-3 * np.sin(2 * np.pi * x),
+                  u=lambda x, y, z: 0.01 * np.cos(2 * np.pi * x))
+        for _ in range(5):
+            model.time_step(0.01)
+        return (np.asarray(model.field("u").interior),
+                np.asarray(model.field("b").interior))
+
+    u_fn, b_fn = run(ScalarDiffusivity(nu=prof, kappa=prof))
+    u_ar, b_ar = run(ScalarDiffusivity(nu=nu_arr, kappa=nu_arr))
+    u_dc, b_dc = run(ScalarDiffusivity(nu=disc, kappa=disc,
+                                       discrete_form=True,
+                                       parameters={"nu0": 0.01}))
+    # array/discrete paths interpolate a ccc profile, the continuous path
+    # evaluates at the exact staggered nodes — agree to interpolation error
+    np.testing.assert_allclose(u_ar, u_fn, rtol=1e-3, atol=1e-9)
+    np.testing.assert_allclose(b_ar, b_fn, rtol=1e-3, atol=1e-9)
+    np.testing.assert_allclose(u_dc, u_ar, rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(b_dc, b_ar, rtol=1e-6, atol=1e-12)
