@@ -385,8 +385,8 @@ class ScalarBiharmonicDiffusivity(_ClosureBase):
     def __init__(self, nu=0.0, kappa=0.0, formulation=ISO):
         self.nu = nu
         self.kappa = kappa
-        self.discrete_form = bool(discrete_form)
-        self.parameters = parameters
+        self.discrete_form = False
+        self.parameters = None
         self.formulation = formulation
 
     def _fp(self):

@@ -31,6 +31,66 @@ class AdvectiveCFL:
 CFL = AdvectiveCFL
 
 
+def _closure_max_nu(model, closure):
+    """(max ν, power) pairs for one closure: power 2 for Laplacian, 4 for
+    biharmonic diffusivities (reference: cell_diffusion_timescale per
+    closure, turbulence_closure_diagnostics.jl)."""
+    grid = model.grid
+    if closure is None:
+        return []
+    if hasattr(closure, "closures"):        # ClosureTuple
+        out = []
+        for c in closure.closures:
+            out.extend(_closure_max_nu(model, c))
+        return out
+    power = 4 if type(closure).__name__ == "ScalarBiharmonicDiffusivity" \
+        else 2
+
+    def as_max(v):
+        if callable(v) and not hasattr(v, "ndim"):
+            if getattr(closure, "discrete_form", False):
+                return None
+            from ..closures.scalar_diffusivity import resolve_coefficient
+            from ..grids.topology import LOC_CCC
+            v = np.asarray(resolve_coefficient(
+                grid, v, LOC_CCC, float(model.time)))[grid.interior_slices]
+        if v is None or np.isscalar(v) and not np.isreal(v):
+            return None
+        return float(np.max(np.asarray(v)))
+
+    vals = []
+    nu = getattr(closure, "nu", None)
+    m = as_max(nu) if nu is not None else None
+    if m is not None:
+        vals.append((m, power))
+    kappa = getattr(closure, "kappa", None)
+    if isinstance(kappa, dict):
+        for v in kappa.values():
+            m = as_max(v)
+            if m is not None:
+                vals.append((m, power))
+    elif kappa is not None:
+        m = as_max(kappa)
+        if m is not None:
+            vals.append((m, power))
+    if not vals:
+        # diagnostic-viscosity closures (Smagorinsky/AMD/CATKE/k-eps/...):
+        # compute the current aux state and take the max over its
+        # viscosity/diffusivity entries
+        try:
+            fields = dict(model.state["fields"])
+            if "w" not in fields and "w" in model.state:
+                fields["w"] = model.state["w"]
+            aux = closure.compute_diffusivities(grid, fields,
+                                                model.state["clock"]["time"])
+        except Exception:
+            return []
+        for key, v in aux.items():
+            if key.startswith(("nu", "kappa")) and hasattr(v, "ndim"):
+                vals.append((float(np.max(np.asarray(v))), 2))
+    return vals
+
+
 class DiffusiveCFL:
     def __init__(self, dt):
         self.dt = dt
@@ -39,22 +99,17 @@ class DiffusiveCFL:
         # accept a Simulation too (sim.diagnostics entries are called with
         # the simulation, reference: Diagnostics run in the time-step loop)
         model = getattr(model, "model", model)
-        nu = getattr(model.closure, "nu", 0.0) if model.closure else 0.0
-        if callable(nu) and not hasattr(nu, "ndim"):
-            # continuous-form ν(x, y, z, t): max over the grid (reference:
-            # cell_diffusion_timescale with function diffusivities,
-            # test_turbulence_closures.jl)
-            from ..closures.scalar_diffusivity import resolve_coefficient
-            from ..grids.topology import LOC_CCC
-            nu = resolve_coefficient(model.grid, nu, LOC_CCC,
-                                     float(model.time))
-            nu = np.asarray(nu)[model.grid.interior_slices]
-        if not np.isscalar(nu):
-            nu = float(np.max(np.asarray(nu)))
         dmin = min(model.grid.minimum_spacing(i) for i in range(3)
                    if not model.grid.is_flat(i))
         dt = self.dt(model) if callable(self.dt) else self.dt
-        return float(dt * nu / dmin ** 2)
+        # Δt / min timescale over every closure component: d²/ν for
+        # Laplacian, d⁴/ν for biharmonic coefficients (reference:
+        # DiffusiveCFL over closure tuples + turbulent-diffusivity closures,
+        # test_turbulence_closures.jl "Diagnostics")
+        cfl = 0.0
+        for numax, power in _closure_max_nu(model, model.closure):
+            cfl = max(cfl, dt * numax / dmin ** power)
+        return float(cfl)
 
 
 class TimeStepWizard:

@@ -672,3 +672,45 @@ def test_array_and_discrete_form_diffusivities():
     np.testing.assert_allclose(b_ar, b_fn, rtol=1e-3, atol=1e-9)
     np.testing.assert_allclose(u_dc, u_ar, rtol=1e-6, atol=1e-12)
     np.testing.assert_allclose(b_dc, b_ar, rtol=1e-6, atol=1e-12)
+
+
+def test_diffusive_cfl_over_closure_families_and_tuples():
+    """Port of test_turbulence_closures.jl 'Diagnostics':
+    DiffusiveCFL works for every closure family, including
+    diagnostic-viscosity closures and tuples (biharmonic uses the d⁴
+    timescale)."""
+    from oceananigans_tpu import RectilinearGrid, BuoyancyTracer
+    from oceananigans_tpu.closures import (
+        ScalarDiffusivity, ScalarBiharmonicDiffusivity, SmagorinskyLilly,
+        AnisotropicMinimumDissipation)
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.simulation.diagnostics import DiffusiveCFL
+
+    grid = RectilinearGrid(size=(8, 8, 8), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    dmin = min(grid.minimum_spacing(i) for i in range(3))
+    for closure in (ScalarDiffusivity(nu=1e-3),
+                    ScalarBiharmonicDiffusivity(nu=1e-7),
+                    SmagorinskyLilly(),
+                    AnisotropicMinimumDissipation(),
+                    (ScalarDiffusivity(nu=1e-3),
+                     ScalarBiharmonicDiffusivity(nu=1e-7),
+                     SmagorinskyLilly(),
+                     AnisotropicMinimumDissipation())):
+        model = NonhydrostaticModel(grid=grid, advection=None,
+                                    tracers=("b",),
+                                    buoyancy=BuoyancyTracer(),
+                                    closure=closure)
+        model.set(u=lambda x, y, z: 0.1 * np.sin(2 * np.pi * x),
+                  b=lambda x, y, z: 1e-4 * z)
+        c = DiffusiveCFL(1.0)(model)
+        assert np.isfinite(c) and c >= 0.0, type(closure).__name__
+    # scalar sanity: dt·ν/d² and the biharmonic d⁴ scale
+    m1 = NonhydrostaticModel(grid=grid, advection=None,
+                             closure=ScalarDiffusivity(nu=1e-3))
+    np.testing.assert_allclose(DiffusiveCFL(1.0)(m1), 1e-3 / dmin ** 2,
+                               rtol=1e-12)
+    m2 = NonhydrostaticModel(grid=grid, advection=None,
+                             closure=ScalarBiharmonicDiffusivity(nu=1e-7))
+    np.testing.assert_allclose(DiffusiveCFL(1.0)(m2), 1e-7 / dmin ** 4,
+                               rtol=1e-12)
