@@ -231,14 +231,37 @@ class FieldTimeSeriesForcing(Forcing):
                              self.fts.traced(time))
 
 
+class _FieldForcing(Forcing):
+    """A Field used directly as a forcing array (reference:
+    test_forcings.jl time_step_with_forcing_array — forcing=(u=XFaceField,
+    ...)); re-embedded when the model inflated halos after the field was
+    built."""
+
+    def __init__(self, field):
+        self.field = field
+
+    def bind(self, name, loc=None, locs=None):
+        return self
+
+    def __call__(self, grid, fields, time):
+        f = self.field
+        if tuple(jnp.shape(f.data)) != tuple(grid.padded_shape):
+            from ..fields.field import set_on_padded
+            return set_on_padded(grid, f.loc, jnp.asarray(f.interior))
+        return f.data
+
+
 def regularize_forcing(forcing):
     """Normalize a per-field ``forcing=`` dict: tuples/lists of forcings
-    collapse into :class:`MultipleForcings` (reference: model_forcing.jl —
-    `Forcing` tuples are summed)."""
+    collapse into :class:`MultipleForcings`; bare Fields become constant
+    forcing arrays (reference: model_forcing.jl — `Forcing` tuples are
+    summed, fields/arrays pass through)."""
     out = {}
     for name, F in dict(forcing or {}).items():
         if isinstance(F, (tuple, list)):
             F = MultipleForcings(*F)
+        if hasattr(F, "interior") and hasattr(F, "loc"):
+            F = _FieldForcing(F)
         out[name] = F
     return out
 

@@ -31,6 +31,9 @@ def constructor_arguments(grid):
     from .latlon import LatitudeLongitudeGrid
     from .rectilinear import RectilinearGrid
 
+    if type(grid) not in (RectilinearGrid, LatitudeLongitudeGrid):
+        raise NotImplementedError(
+            f"constructor_arguments not implemented for {type(grid).__name__}")
     base = {
         "size": [int(n) for n in grid.N],
         "halo": [int(h) for h in grid.H],

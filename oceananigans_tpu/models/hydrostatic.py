@@ -895,7 +895,8 @@ class HydrostaticFreeSurfaceModel:
         eta = fields.get("eta_grid", fields["eta"])
         return ZStarGrid(self.grid, self._sigma_fields(eta))
 
-    def _compute_tendencies(self, fields, w, time, dt_sigma=None):
+    def _compute_tendencies(self, fields, w, time, dt_sigma=None,
+                            aux_fields=None):
         grid = self._moving_grid(fields)
         u, v = fields["u"], fields["v"]
         G = {}
@@ -994,8 +995,10 @@ class HydrostaticFreeSurfaceModel:
                                      du, dv, dw, fields[name])
             G[name] = Gc
 
+        ffields = {**fields, **aux_fields} if aux_fields else fields
         for name, F in self.forcing.items():
-            G[name] = G[name] + (F(grid, fields, time) if callable(F) else F)
+            G[name] = G[name] + (F(grid, ffields, time) if callable(F)
+                                 else F)
         from ..boundary_conditions.fill_halos import (apply_immersed_flux_bcs,
                                                       immersed_diffusivity)
         locs = {n: self.loc(n) for n in fields}
@@ -1324,8 +1327,9 @@ class HydrostaticFreeSurfaceModel:
                     w = self._w_from_continuity(ff["u"], ff["v"],
                                                 dt_sigma=dt_sig,
                                                 sigma=sig_stage)
-                    G, aux = self._compute_tendencies(ff, w, time,
-                                                      dt_sigma=dt_sig)
+                    G, aux = self._compute_tendencies(
+                        ff, w, time, dt_sigma=dt_sig,
+                        aux_fields=state.get("aux"))
                     G = jax.lax.optimization_barrier(G)  # see QAB2 note
                     new = {n: fields0[n] + sdt * G[n]
                            for n in self.prognostic_3d}
@@ -1520,7 +1524,8 @@ class HydrostaticFreeSurfaceModel:
             w = self._w_from_continuity(fields["u"], fields["v"],
                                         dt_sigma=dt_sigma_n, sigma=sig_n)
             G, aux = self._compute_tendencies(
-                fields, w, time, dt_sigma=dt_sigma_n)
+                fields, w, time, dt_sigma=dt_sigma_n,
+                aux_fields=state.get("aux"))
             if zstar:
                 # scale tracer tendencies by σⁿ so the AB2 memory carries
                 # σ-scaled tendencies at their own time levels (reference:
@@ -1730,9 +1735,20 @@ class HydrostaticFreeSurfaceModel:
             self._apply_state_hooks = jax.jit(apply)
         self.state = self._apply_state_hooks(self.state)
 
+    def _aux_data(self, f):
+        # re-embed on the model grid when the field predates halo inflation
+        if tuple(jnp.shape(f.data)) != tuple(self.grid.padded_shape):
+            from ..fields.field import set_on_padded
+            return set_on_padded(self.grid, f.loc, jnp.asarray(f.interior))
+        return f.data
+
     def time_step(self, dt):
         step = self._step_for(dt)
         dt = jnp.asarray(dt, self.grid.dtype)
+        if self.auxiliary_fields:
+            self.state = dict(self.state,
+                              aux={n: self._aux_data(f) for n, f in
+                                   self.auxiliary_fields.items()})
         self.state = step(self.state, dt)
         self._run_state_hooks()
         if self.biogeochemistry is not None:

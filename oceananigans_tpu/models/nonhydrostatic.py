@@ -589,7 +589,7 @@ class NonhydrostaticModel:
                 v + bg["v"] if "v" in bg else v,
                 w + bg["w"] if "w" in bg else w)
 
-    def _compute_tendencies(self, fields, time):
+    def _compute_tendencies(self, fields, time, aux_fields=None):
         """The hot stencil assembly (reference:
         nonhydrostatic_tendency_kernel_functions.jl:70-103 and
         compute_nonhydrostatic_tendencies.jl:97-131)."""
@@ -683,9 +683,14 @@ class NonhydrostaticModel:
                     Gc = Gc - div_Uc(grid, adv, du, dv, dw, fields[name])
             G[name] = Gc
 
-        # user forcing (discrete form: F(grid, fields, time) -> padded array)
+        # user forcing (discrete form: F(grid, fields, time) -> padded
+        # array); forcings additionally see the model's auxiliary fields
+        # as dependencies (reference: model_fields includes
+        # auxiliary_fields)
+        ffields = {**fields, **aux_fields} if aux_fields else fields
         for name, F in self.forcing.items():
-            G[name] = G[name] + (F(grid, fields, time) if callable(F) else F)
+            G[name] = G[name] + (F(grid, ffields, time) if callable(F)
+                                 else F)
 
         # closure-owned state fields advance via update_state_fields at the
         # end of the step, not through the tendency machinery
@@ -871,7 +876,7 @@ class NonhydrostaticModel:
                 for gamma, zeta in zip(RK3_GAMMAS, RK3_ZETAS):
                     fields = self._fill_all(fields, time,
                                             dt=(gamma + zeta) * dt)
-                    G, aux = self._compute_tendencies(fields, time)
+                    G, aux = self._compute_tendencies(fields, time, state.get("aux"))
                     stage_dt = (gamma + zeta) * dt
                     new = {}
                     for name in fields:
@@ -921,7 +926,7 @@ class NonhydrostaticModel:
                 chi = jnp.where(euler, -0.5, chi0)
                 not_euler = jnp.where(euler, 0.0, 1.0)
                 fields = self._fill_all(fields, time, dt=dt)
-                G, aux = self._compute_tendencies(fields, time)
+                G, aux = self._compute_tendencies(fields, time, state.get("aux"))
                 new = {}
                 for name in fields:
                     inc = (1.5 + chi) * G[name] \
@@ -994,9 +999,23 @@ class NonhydrostaticModel:
             self._apply_state_hooks = jax.jit(apply)
         self.state = self._apply_state_hooks(self.state)
 
+    def _aux_data(self, f):
+        # re-embed on the model grid when the field predates halo inflation
+        if tuple(jnp.shape(f.data)) != tuple(self.grid.padded_shape):
+            from ..fields.field import set_on_padded
+            return set_on_padded(self.grid, f.loc, jnp.asarray(f.interior))
+        return f.data
+
     def time_step(self, dt):
         """Advance the model state by one Δt (reference: time_step!)."""
         dt = jnp.asarray(dt, self.grid.dtype)
+        if self.auxiliary_fields:
+            # refresh the step's view of host-mutable auxiliary fields:
+            # they ride in as plain step inputs, so a callback mutating one
+            # changes the NEXT step without re-tracing
+            self.state = dict(self.state,
+                              aux={n: self._aux_data(f) for n, f in
+                                   self.auxiliary_fields.items()})
         self.state = self._step(self.state, dt)
         self._run_state_hooks()
         if self.biogeochemistry is not None:

@@ -464,3 +464,68 @@ def test_biogeochemistry_in_hydrostatic_model():
     com = (P.mean((0, 1)) * z_c).sum() / P.mean((0, 1)).sum()
     assert com < -0.3
     assert calls == [1, 2, 3, 4, 5]
+
+
+def test_forcing_arrays_and_fields():
+    """Port of test_forcings.jl time_step_with_forcing_array: Fields (and
+    bare padded arrays) used directly as constant forcings on u, v, w."""
+    from oceananigans_tpu import XFaceField, YFaceField, ZFaceField
+    from oceananigans_tpu.models import NonhydrostaticModel
+    grid = RectilinearGrid(size=(2, 2, 2), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    Fu = XFaceField(grid).set(1.0)
+    Fv = YFaceField(grid).set(1.0)
+    Fw = ZFaceField(grid).set(1.0)
+    model = NonhydrostaticModel(grid=grid, advection=None,
+                                forcing={"u": Fu, "v": Fv, "w": Fw})
+    model.time_step(1.0)
+    assert np.isfinite(np.asarray(model.field("u").interior)).all()
+    # the projection removes any divergent part; the uniform u-forcing
+    # survives as a mean flow
+    u = np.asarray(model.field("u").interior)
+    np.testing.assert_allclose(u.mean(), 1.0, rtol=1e-5)
+
+
+def test_forcing_with_auxiliary_field_dependencies():
+    """Port of test_forcings.jl time_step_with_*_field_dependent_forcing:
+    continuous forcings may depend on prognostic AND auxiliary fields;
+    mutating the auxiliary field between steps changes the forcing without
+    re-tracing (aux fields ride in as step inputs)."""
+    from oceananigans_tpu import CenterField, Forcing
+    from oceananigans_tpu.forcings import ContinuousForcing
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    A = CenterField(grid).set(2.0)
+    Fc = ContinuousForcing(lambda x, y, z, t, c, A: -c * 0.0 + A,
+                           field_dependencies=("c", "A"))
+    model = NonhydrostaticModel(grid=grid, advection=None, tracers=("c",),
+                                forcing={"c": Fc},
+                                auxiliary_fields={"A": A})
+    model.time_step(0.1)
+    c1 = np.asarray(model.field("c").interior).mean()
+    np.testing.assert_allclose(c1, 0.2, rtol=1e-5)    # dt·A = 0.1·2
+    A.set(4.0)                                        # host mutation
+    model.time_step(0.1)
+    c2 = np.asarray(model.field("c").interior).mean()
+    np.testing.assert_allclose(c2 - c1, 0.4, rtol=1e-4)  # sees the new A
+
+
+def test_forcing_aux_dependency_hydrostatic():
+    from oceananigans_tpu import CenterField
+    from oceananigans_tpu.forcings import ContinuousForcing
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    A = CenterField(grid).set(1.5)
+    Fc = ContinuousForcing(lambda x, y, z, t, A: A,
+                           field_dependencies=("A",))
+    model = HydrostaticFreeSurfaceModel(grid=grid, momentum_advection=None,
+                                        tracers=("c",), forcing={"c": Fc},
+                                        auxiliary_fields={"A": A})
+    for _ in range(2):
+        model.time_step(0.1)
+    c = np.asarray(model.field("c").interior).mean()
+    np.testing.assert_allclose(c, 0.3, rtol=1e-5)
