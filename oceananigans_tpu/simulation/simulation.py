@@ -142,6 +142,11 @@ class Simulation:
     def initialize(self):
         for cb in self.callbacks.values():
             cb.schedule.initialize(self.model)
+            # callback initialize! hook (reference: callback.jl
+            # initialize!(cb.func, sim) at simulation start)
+            init = getattr(cb.func, "initialize", None)
+            if callable(init):
+                init(self)
         for d in self.diagnostics.values():
             sched = getattr(d, "schedule", None)
             if isinstance(sched, Schedule):
@@ -193,4 +198,10 @@ class Simulation:
                 break
             self.step()
             self.run_wall_time = _time.monotonic() - t0
+        # callback finalize! hooks (reference: run.jl calls
+        # finalize!(callback, sim) when the run stops)
+        for cb in self.callbacks.values():
+            fin = getattr(cb.func, "finalize", None)
+            if callable(fin):
+                fin(self)
         return self

@@ -565,3 +565,38 @@ def test_auxiliary_fields_on_models():
         grid=grid, momentum_advection=None,
         auxiliary_fields={"q": CenterField(grid).set(3.0)})
     np.testing.assert_allclose(np.asarray(hmodel.field("q").interior), 3.0)
+
+
+def test_callback_initialize_and_finalize_hooks():
+    """Port of test_simulations.jl InitializedFinalized: a callback object's
+    ``initialize(sim)`` runs at simulation start and ``finalize(sim)`` when
+    the run stops."""
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.models import NonhydrostaticModel
+    from oceananigans_tpu.simulation.simulation import Simulation, Callback
+    from oceananigans_tpu.utils.schedules import IterationInterval
+
+    grid = RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    model = NonhydrostaticModel(grid=grid, advection=None)
+
+    class InFi:
+        initialized = False
+        finalized = False
+        calls = 0
+
+        def __call__(self, sim):
+            self.calls += 1
+
+        def initialize(self, sim):
+            self.initialized = True
+
+        def finalize(self, sim):
+            self.finalized = True
+
+    infi = InFi()
+    sim = Simulation(model, dt=0.01, stop_iteration=2)
+    sim.callbacks["infi"] = Callback(infi, IterationInterval(1))
+    assert not infi.initialized
+    sim.run()
+    assert infi.initialized and infi.finalized and infi.calls == 2
