@@ -310,8 +310,14 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum,
     ZPAD0 = -(-ZP // 128) * 128
     # double-buffered slabs (2·n_in) + pipelined G outs + Gm input tiles +
     # new-slabs (2·nfo each)
+    # the padded-z body spills scoped VMEM ~6x its slab estimate (same
+    # calibration as the eligibility gate above — at 128^3 the unscaled
+    # pick chose (32, 64) tiles and Mosaic allocated 107 MB against the
+    # 100 MB limit, an AOT compile failure)
+    _spill = 6 if (Hz > 0 and not grid.is_flat(2)) else 1
     TX, TY = _pick_tiles_vmem(Nx, Ny, Hx, Hy, ZPAD0, ZP, 2 * n_in,
-                              max(0, 6 * nfo - 4 * n_in))
+                              max(0, 6 * nfo - 4 * n_in),
+                              spill_factor=_spill)
     import os as _os
     _tiles_env = _os.environ.get("FUSED_UPDATE_TILES")
     dma_io = False
@@ -634,7 +640,11 @@ def _build_update_group(grid, scheme, tracer_names, include_momentum,
             # conventional 100 MB margin but comfortably on-chip (the
             # separate-correct body fits under 100 MB either way)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=(124 if with_corr else 100) * 1024 * 1024),
+                # the plain with-Gm variant at 128^3 z-compact allocates
+                # 107.4 MB of scoped VMEM against v5e's 128 MB (Mosaic's
+                # stack estimate, not the tile pick) — 112 MB clears it
+                # without changing any kernel that already fit
+                vmem_limit_bytes=(124 if with_corr else 112) * 1024 * 1024),
             interpret=jax.default_backend() == "cpu",
         )
 
