@@ -233,8 +233,9 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
             # crop the "+1" staggered rows to N entries (uniform padded layout)
             arr = arr[:self.N[0], :self.N[1]]
             mode_x = "wrap" if self.topology[0] == topo.PERIODIC else "edge"
+            mode_y = "wrap" if self.topology[1] == topo.PERIODIC else "edge"
             out = np.pad(arr, [(self.H[0],) * 2, (0, 0)], mode=mode_x)
-            out = np.pad(out, [(0, 0), (self.H[1],) * 2], mode="edge")
+            out = np.pad(out, [(0, 0), (self.H[1],) * 2], mode=mode_y)
             out = out[..., None]
         self._pad_cache[key] = out
         return out
