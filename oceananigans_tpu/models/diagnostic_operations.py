@@ -134,6 +134,10 @@ def boundary_adjacent_mean(field, side):
         i = 1 if loc[axis] == "f" else 0
     else:
         i = data.shape[axis] - 1
+        if loc[axis] == "f" and str(grid.topology[axis]) == "bounded":
+            # the last interior entry IS the boundary face; boundary-
+            # ADJACENT means one face in (mirror of the left-side i=1)
+            i -= 1
     sl = [slice(None)] * 3
     sl[axis] = i
     plane, w = data[tuple(sl)], An[tuple(sl)]

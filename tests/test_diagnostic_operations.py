@@ -86,3 +86,25 @@ def test_boundary_adjacent_mean():
         pytest.approx(zc[-1], rel=1e-12)
     assert float(boundary_adjacent_mean(model.field("c"), "bottom")) == \
         pytest.approx(zc[0], rel=1e-12)
+
+
+def test_boundary_adjacent_mean_face_right_side():
+    """Round-5 review regression: on a bounded face-located axis the right
+    side's boundary-ADJACENT plane is one face in from the boundary face
+    (mirror of the left side's index 1; reference: boundary_mean.jl)."""
+    from oceananigans_tpu import RectilinearGrid, Field
+    from oceananigans_tpu.fields.field import set_on_padded
+    from oceananigans_tpu.grids.topology import LOC_FCC
+    from oceananigans_tpu.models.diagnostic_operations import (
+        boundary_adjacent_mean)
+
+    grid = RectilinearGrid(size=(4, 2, 2), extent=(1.0, 1.0, 1.0),
+                           topology=("bounded", "periodic", "bounded"))
+    data = set_on_padded(grid, LOC_FCC, lambda x, y, z: x)
+    u = Field(grid, LOC_FCC, None, data)
+    # x faces at 0, .25, .5, .75, 1: east-adjacent face is x=0.75 (NOT the
+    # boundary face x=1), west-adjacent is x=0.25
+    np.testing.assert_allclose(float(boundary_adjacent_mean(u, "east")),
+                               0.75, rtol=1e-6)
+    np.testing.assert_allclose(float(boundary_adjacent_mean(u, "west")),
+                               0.25, rtol=1e-6)
