@@ -24,7 +24,8 @@ from .defaults import defaults
 # -- Architectures (reference: CPU, GPU — placement markers; JAX owns
 # devices. Distributed/Partition are the mesh architecture) -------------------
 from .parallel import (CPU, GPU, Distributed, Partition, Equal,
-                       Fractional, Sizes)
+                       Fractional, Sizes, XPartition, YPartition,
+                       CubedSpherePartition)
 
 # -- Grids ---------------------------------------------------------------------
 from .grids import (RectilinearGrid, LatitudeLongitudeGrid,
@@ -88,7 +89,8 @@ from .abstract_operations import (Average, Integral, CumulativeIntegral,
                                   Reduction, Accumulation,
                                   KernelFunctionOperation,
                                   ConditionalOperation, conditional_length,
-                                  at, partial_x, partial_y, partial_z)
+                                  at, partial_x, partial_y, partial_z,
+                                  Derivative)
 
 # -- Forcings -------------------------------------------------------------------------
 from .forcings import (Forcing, Relaxation, LinearTarget, GaussianMask,
@@ -188,6 +190,7 @@ from .api import (nodes, xnodes, ynodes, znodes, rnodes, lambda_nodes,
                   minimum_xspacing, minimum_yspacing, minimum_zspacing,
                   xspacing, yspacing, zspacing, xarea, yarea, zarea, volume,
                   interior, compute, time_step, run, iteration,
+                  set,
                   iteration_limit_exceeded, stop_time_exceeded,
                   wall_time_limit_exceeded)
 

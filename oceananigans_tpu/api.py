@@ -27,7 +27,7 @@ __all__ = [
     "lambda_spacings", "phi_spacings", "lambda_spacing", "phi_spacing",
     "minimum_xspacing", "minimum_yspacing", "minimum_zspacing",
     "xspacing", "yspacing", "zspacing", "xarea", "yarea", "zarea", "volume",
-    "interior", "compute", "time_step", "run", "iteration",
+    "interior", "compute", "set", "time_step", "run", "iteration",
     "iteration_limit_exceeded", "stop_time_exceeded",
     "wall_time_limit_exceeded",
 ]
@@ -162,6 +162,12 @@ def compute(op):
 
 
 # -- drivers (reference: time_step!, run!, iteration + stop criteria) ---------
+
+def set(obj, *args, **kw):
+    """Free-function spelling of ``obj.set`` (reference: set!(model; u=...),
+    set!(field, value)) — dispatches to the model/field method."""
+    return obj.set(*args, **kw)
+
 
 def time_step(model, dt):
     """Advance a model one step in place (reference: time_step!(model, Δt))."""

@@ -84,6 +84,30 @@ class Sizes:
             "Use Partition(x=<int>) or Partition(x=Equal()).")
 
 
+def XPartition(n):
+    """Reference-API alias (MultiRegion XPartition(n) — splitting a grid
+    into n x-slabs across devices): the GSPMD equivalent is a device-mesh
+    Partition along x."""
+    return Partition(x=int(n))
+
+
+def YPartition(n):
+    """MultiRegion YPartition(n) analogue — see :func:`XPartition`."""
+    return Partition(y=int(n))
+
+
+def CubedSpherePartition(*args, **kw):
+    """The reference's MultiRegion cubed-sphere panel distribution. Under
+    GSPMD the cubed-sphere models shard their (6, nx, ny, nz) panel-batched
+    state over the mesh directly (pass ``architecture=Distributed(...)`` to
+    the CubedSphere models), so there is no separate partition object."""
+    raise NotImplementedError(
+        "CubedSpherePartition is a MultiRegion (explicit per-device region)"
+        " concept; the GSPMD path shards the panel-batched cubed-sphere "
+        "state instead — construct the model with architecture="
+        "Distributed(...) (see docs/tpu_design.md).")
+
+
 class Partition:
     """Rank layout (reference: Partition{Sx,Sy,Sz}). ``x``/``y`` are the
     number of shards along each horizontal direction (an int, or ``Equal()``

@@ -399,3 +399,22 @@ def test_heptadiagonal_solver_method_maps_to_pcg():
     model.time_step(60.0)
     eta = np.asarray(model.field("eta").interior)
     assert np.all(np.isfinite(eta))
+
+
+def test_reference_export_aliases():
+    """Late round-5 export-list diff vs src/Oceananigans.jl: the set! free
+    function, MultiRegion partition aliases, and the Derivative operation."""
+    import oceananigans_tpu as ot
+    grid = ot.RectilinearGrid(size=(4, 4, 4), extent=(1.0, 1.0, 1.0),
+                              topology=("periodic", "periodic", "bounded"))
+    f = ot.CenterField(grid)
+    ot.set(f, 3.0)                       # set!(field, value)
+    np.testing.assert_allclose(np.asarray(f.interior), 3.0)
+    p = ot.XPartition(4)
+    assert (p.x, p.y) == (4, 1)
+    p = ot.YPartition(2)
+    assert (p.x, p.y) == (1, 2)
+    with pytest.raises(NotImplementedError):
+        ot.CubedSpherePartition(1, 1)
+    d = ot.Derivative(f, 0)
+    assert np.isfinite(np.asarray(d.interior)).all()
