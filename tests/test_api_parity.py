@@ -2,6 +2,7 @@
 export list that map mechanically onto existing machinery here)."""
 
 import numpy as np
+import pytest
 
 from oceananigans_tpu import RectilinearGrid
 from oceananigans_tpu.buoyancy import BuoyancyTracer
