@@ -147,6 +147,7 @@ from .timesteppers import (Clock, RungeKutta3TimeStepper,
                            SplitRungeKutta3TimeStepper)
 
 # -- Simulations / diagnostics / output -------------------------------------------------------------
+from .logger import setup_logger as OceananigansLogger
 from .simulation import Simulation, Callback, NaNChecker
 from .simulation.callsites import (TimeStepCallsite, TendencyCallsite,
                                    UpdateStateCallsite)
