@@ -264,14 +264,16 @@ class HydrostaticSphericalCoriolis:
     def y_f_cross_U(self, grid, u, v, w):
         from .grids.topology import LOC_CFC, LOC_FCC
         f = self._f_ffc(grid)
-        # an x-interp of a broadcast (1, Ny, 1) f is a no-op on the 1D-lat
-        # grid (f is zonally uniform); the slice-based interp helpers would
-        # otherwise halve it
+        # an x-interp of the BROADCAST (1, Ny, 1) f alone is a no-op on the
+        # 1D-lat grid (f is zonally uniform) and the slice-based interp
+        # helpers would halve it — but the energy form's outer ℑx acts on
+        # the full f·ℑy(Δy u) product, which varies in x, so only the
+        # bare-f interp of the enstrophy form may be skipped (skipping the
+        # product interp broke the discrete zero-work property; round-5
+        # self-review)
         fx = f if f.shape[0] == 1 else ix_c(grid, f)
         dy_fcc, dy_cfc = grid.dy(LOC_FCC), grid.dy(LOC_CFC)
         if self.scheme == "energy_conserving":
-            if f.shape[0] == 1:
-                return f * iy_f(grid, dy_fcc * u) / dy_cfc
             return ix_c(grid, f * iy_f(grid, dy_fcc * u)) / dy_cfc
         return fx * iy_f(grid, ix_c(grid, dy_fcc * u)) / dy_cfc
 

@@ -81,3 +81,46 @@ def test_baroclinic_adjustment_develops():
     u = np.asarray(model.field("u").interior)
     assert np.all(np.isfinite(u))
     assert np.abs(u).max() > 1e-6  # front slumping generates flow
+
+
+def test_spherical_coriolis_energy_conserving_zero_work():
+    """The EnergyConserving Sadourny form does NO discrete work:
+    Σ u·(x_f_cross_U)·V_fcc + Σ v·(y_f_cross_U)·V_cfc = 0 over a periodic-x
+    lat-lon domain with impenetrable y-walls (reference:
+    hydrostatic_spherical_coriolis.jl EnergyConserving()) — the defining
+    property of the discretization the round-5 lat-lon fix installed."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import LatitudeLongitudeGrid
+    from oceananigans_tpu.coriolis import HydrostaticSphericalCoriolis
+    from oceananigans_tpu.models import HydrostaticFreeSurfaceModel
+    from oceananigans_tpu.grids.topology import LOC_CFC, LOC_FCC
+
+    grid = LatitudeLongitudeGrid(size=(16, 12, 4), longitude=(0, 360),
+                                 latitude=(-60, 60), z=(-100, 0),
+                                 halo=(4, 4, 4))
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, momentum_advection=None,
+        coriolis=HydrostaticSphericalCoriolis(scheme="energy_conserving"))
+    rng = np.random.default_rng(7)
+    model.set(u=rng.standard_normal((16, 12, 4)),
+              v=rng.standard_normal((16, 12, 4)))
+    g = model.grid          # the model may inflate halos
+    f = model.state["fields"]
+    filled = model._fill_all(f, 0.0)
+    u, v = filled["u"], filled["v"]
+    cor = model.coriolis
+    X = -cor.x_f_cross_U(g, u, v, u)          # G_u contribution
+    Y = -cor.y_f_cross_U(g, u, v, u)          # G_v contribution
+    Vu = jnp.broadcast_to(jnp.asarray(g.V(LOC_FCC)), u.shape)
+    Vv = jnp.broadcast_to(jnp.asarray(g.V(LOC_CFC)), v.shape)
+    ii = g.interior_slices
+    work = float(jnp.sum((u * X * Vu)[ii]) + jnp.sum((v * Y * Vv)[ii]))
+    scale = float(jnp.sum(jnp.abs(u * X * Vu)[ii])
+                  + jnp.sum(jnp.abs(v * Y * Vv)[ii]))
+    assert abs(work) / scale < 1e-5, (work, scale)
+    # the enstrophy-conserving form does NOT have this property pointwise
+    cor2 = HydrostaticSphericalCoriolis(scheme="enstrophy_conserving")
+    X2 = -cor2.x_f_cross_U(g, u, v, u)
+    Y2 = -cor2.y_f_cross_U(g, u, v, u)
+    w2 = float(jnp.sum((u * X2 * Vu)[ii]) + jnp.sum((v * Y2 * Vv)[ii]))
+    assert abs(w2) / scale > 1e-5
