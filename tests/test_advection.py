@@ -262,3 +262,45 @@ def test_bounds_preserved_under_flux_form_wrapping():
     with _pytest.raises(ValueError, match="different bounds"):
         FluxFormAdvection(WENO(5, bounds=(0.0, 1.0)),
                           WENO(5, bounds=(0.0, 2.0)))
+
+
+def test_vector_invariant_energy_scheme_vorticity_zero_work():
+    """The EnergyConserving vorticity flux of the vector-invariant form does
+    no net work (Sadourny): sum(u*adv_u*dV) + sum(v*adv_v*dV) = 0 on a
+    doubly periodic domain (reference: vector_invariant_advection.jl
+    EnergyConserving vorticity scheme). The enstrophy form does not share
+    the property pointwise."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.advection.vector_invariant import VectorInvariant
+    from oceananigans_tpu.boundary_conditions import (
+        fill_halo_regions, regularize_field_boundary_conditions)
+    from oceananigans_tpu.grids.topology import LOC_CFC, LOC_FCC
+
+    grid = RectilinearGrid(size=(16, 12, 4), x=(0, 1), y=(0, 1), z=(-1, 0),
+                           topology=("periodic", "periodic", "bounded"))
+    rng = np.random.default_rng(3)
+
+    def mk(loc):
+        bcs = regularize_field_boundary_conditions(None, grid, loc)
+        a = jnp.asarray(rng.standard_normal(grid.padded_shape))
+        return fill_halo_regions(a, grid, loc, bcs)
+
+    u, v = mk(LOC_FCC), mk(LOC_CFC)
+    ii = grid.interior_slices
+    wu = jnp.broadcast_to(jnp.asarray(grid.dx(LOC_FCC) * grid.dy(LOC_FCC)),
+                          u.shape)
+    wv = jnp.broadcast_to(jnp.asarray(grid.dx(LOC_CFC) * grid.dy(LOC_CFC)),
+                          v.shape)
+
+    def work(scheme):
+        vi = VectorInvariant(vorticity_scheme=scheme)
+        au, av = vi._horizontal(grid, u, v)
+        # _horizontal returns the ADVECTIVE terms (tendency = -adv)
+        w = float(jnp.sum((u * au * wu)[ii]) + jnp.sum((v * av * wv)[ii]))
+        s = float(jnp.sum(jnp.abs(u * au * wu)[ii])
+                  + jnp.sum(jnp.abs(v * av * wv)[ii]))
+        return abs(w) / s
+
+    assert work("energy_conserving") < 1e-6
+    assert work("enstrophy_conserving") > 1e-5
