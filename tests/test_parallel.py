@@ -552,3 +552,31 @@ def test_distributed_accepts_equal_partition():
     arch = Distributed(Partition(x=Equal(), y=2))
     assert arch.partition.x * arch.partition.y == len(
         __import__("jax").devices())
+
+
+def test_sharded_auxiliary_field_forcing_dependency():
+    """Auxiliary fields ride into the sharded step as plain inputs: a
+    forcing depending on one runs under an 8-device mesh and host mutation
+    is visible on the next step (late round-5 feature under GSPMD)."""
+    need_devices(8)
+    from oceananigans_tpu import CenterField, Distributed, Partition
+    from oceananigans_tpu.forcings import ContinuousForcing
+    from oceananigans_tpu.models import NonhydrostaticModel
+
+    arch = Distributed(Partition(x=2, y=4))
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "bounded"))
+    A = CenterField(grid).set(2.0)
+    model = NonhydrostaticModel(
+        grid=grid, advection=None, tracers=("c",),
+        forcing={"c": ContinuousForcing(lambda x, y, z, t, A: A,
+                                        field_dependencies=("A",))},
+        auxiliary_fields={"A": A}, architecture=arch)
+    model.state = arch.shard(model.state)
+    model.time_step(0.1)
+    c1 = float(np.asarray(model.field("c").interior).mean())
+    np.testing.assert_allclose(c1, 0.2, rtol=1e-5)
+    A.set(4.0)
+    model.time_step(0.1)
+    c2 = float(np.asarray(model.field("c").interior).mean())
+    np.testing.assert_allclose(c2 - c1, 0.4, rtol=1e-4)
