@@ -304,3 +304,45 @@ def test_vector_invariant_energy_scheme_vorticity_zero_work():
 
     assert work("energy_conserving") < 1e-6
     assert work("enstrophy_conserving") > 1e-5
+
+
+def test_momentum_and_tracer_flux_form_telescoping():
+    """Flux-form advection conserves the advected quantity exactly on a
+    periodic domain: sum(div_Uc * V) = 0 and sum(div_Uu * V_fcc) = 0 to
+    roundoff for ANY velocity field (the finite-volume telescoping the
+    reference's flux operators guarantee, momentum_advection_operators.jl /
+    tracer_advection_operators.jl)."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.advection import WENO, Centered, UpwindBiased
+    from oceananigans_tpu.advection.fluxes import div_Uc, div_Uu, div_Uv
+    from oceananigans_tpu.boundary_conditions import (
+        fill_halo_regions, regularize_field_boundary_conditions)
+    from oceananigans_tpu.grids.topology import LOC_CCC, LOC_CFC, LOC_FCC
+
+    grid = RectilinearGrid(size=(12, 8, 8), extent=(1.0, 1.0, 1.0),
+                           topology=("periodic", "periodic", "periodic"))
+    rng = np.random.default_rng(11)
+
+    def mk(loc):
+        bcs = regularize_field_boundary_conditions(None, grid, loc)
+        a = jnp.asarray(rng.standard_normal(grid.padded_shape))
+        return fill_halo_regions(a, grid, loc, bcs)
+
+    u, v, w = mk(LOC_FCC), mk(LOC_CFC), mk(("c", "c", "f"))
+    c = mk(LOC_CCC)
+    ii = grid.interior_slices
+    for scheme in (Centered(2), Centered(4), UpwindBiased(3), WENO(5)):
+        Vc = jnp.asarray(grid.V(LOC_CCC))
+        tot = float(jnp.sum((div_Uc(grid, scheme, u, v, w, c) * Vc)[ii]))
+        mag = float(jnp.sum(jnp.abs(div_Uc(grid, scheme, u, v, w, c)
+                                    * Vc)[ii]))
+        assert abs(tot) / mag < 1e-6, (type(scheme).__name__, "tracer")
+        Vu = jnp.asarray(grid.V(LOC_FCC))
+        tu = float(jnp.sum((div_Uu(grid, scheme, u, v, w) * Vu)[ii]))
+        mu = float(jnp.sum(jnp.abs(div_Uu(grid, scheme, u, v, w) * Vu)[ii]))
+        assert abs(tu) / mu < 1e-6, (type(scheme).__name__, "u-momentum")
+        Vv = jnp.asarray(grid.V(LOC_CFC))
+        tv = float(jnp.sum((div_Uv(grid, scheme, u, v, w) * Vv)[ii]))
+        mv = float(jnp.sum(jnp.abs(div_Uv(grid, scheme, u, v, w) * Vv)[ii]))
+        assert abs(tv) / mv < 1e-6, (type(scheme).__name__, "v-momentum")
