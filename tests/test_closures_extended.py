@@ -714,3 +714,37 @@ def test_diffusive_cfl_over_closure_families_and_tuples():
                              closure=ScalarBiharmonicDiffusivity(nu=1e-7))
     np.testing.assert_allclose(DiffusiveCFL(1.0)(m2), 1e-7 / dmin ** 4,
                                rtol=1e-12)
+
+
+def test_implicit_vertical_diffusion_conserves_column_integral():
+    """The vertically-implicit tridiagonal diffusion solve with no-flux
+    walls conserves each column's dz-weighted tracer integral to roundoff
+    (reference: vertically_implicit_diffusion_solver.jl builds a flux-form
+    operator whose boundary faces carry no flux) — on uniform AND
+    stretched z, with scalar and 3D-array kappa."""
+    import jax.numpy as jnp
+    from oceananigans_tpu import RectilinearGrid
+    from oceananigans_tpu.models.nonhydrostatic import (
+        implicit_vertical_diffusion)
+
+    rng = np.random.default_rng(5)
+    zf = -np.cos(np.linspace(0, np.pi / 2, 13))   # stretched faces
+    for zspec in ((-1.0, 0.0), zf):
+        grid = RectilinearGrid(size=(4, 4, 12), x=(0, 1), y=(0, 1), z=zspec,
+                               topology=("periodic", "periodic", "bounded"))
+        q = jnp.asarray(rng.standard_normal(grid.padded_shape))
+        dz = jnp.broadcast_to(jnp.asarray(grid.dz(("c", "c", "c"))),
+                              grid.padded_shape)
+        ii = grid.interior_slices
+        for kappa in (1e-2,
+                      jnp.asarray(abs(rng.standard_normal(
+                          grid.padded_shape)) * 1e-2)):
+            out = implicit_vertical_diffusion(grid, q, kappa, 0.5)
+            tot0 = jnp.sum((q * dz)[ii], axis=2)
+            tot1 = jnp.sum((out * dz)[ii], axis=2)
+            np.testing.assert_allclose(np.asarray(tot1), np.asarray(tot0),
+                                       rtol=2e-6, atol=1e-7)
+            # and it actually diffuses (columns approach their mean)
+            var0 = float(jnp.var(q[ii], axis=2).mean())
+            var1 = float(jnp.var(out[ii], axis=2).mean())
+            assert var1 < var0
