@@ -9,22 +9,22 @@ Reference semantics:
   (cubed_sphere_connectivity.jl) and halo exchange
   (cubed_sphere_boundary_conditions.jl).
 
-Map note (documented deviation): the reference's panels use the Rancic et al.
-(1996) CONFORMAL map via the external CubedSphere.jl coefficient tables
-(unavailable offline). Here:
-* single panels (`ConformalCubedSpherePanel`) use the EQUIANGULAR GNOMONIC
-  map (the FV3/MITgcm-standard variant);
-* the composed `ConformalCubedSphereGrid` defaults to an ELLIPTICALLY
-  RELAXED node set (`elliptic_cubed_sphere_nodes`): Jacobi
-  "normalize-the-neighbor-average" smoothing of the global node graph with
-  the 8 cube vertices pinned. At convergence grid lines cross panel edges
-  with NO kink (measured cos(crossing angle) = 1 to machine precision),
-  which is the property that makes the staggered C-grid circulation
-  operators CONSISTENT at panel edges — raw gnomonic panels leave an O(1)
-  non-convergent vorticity error on edge faces. The relaxed mesh reproduces
-  the conformal map's r^(1/3) vertex behavior (cell-area ratio grows
-  2^(2/3) per refinement, matching the conformal grid's known corner
-  shrinkage).
+Map note: the reference's panels use the Rancic et al. (1996) CONFORMAL map
+via the external CubedSphere.jl coefficient tables. Here:
+* the composed `ConformalCubedSphereGrid` defaults to the SAME Rancic
+  conformal map, computed from first principles in grids/conformal_map.py
+  (collocation fit of the vertex series; reproduces the published Table-B1
+  coefficients — asserted in tests/test_cubed_sphere.py);
+* `mesh="elliptic"` gives an ELLIPTICALLY RELAXED node set (Jacobi
+  "normalize-the-neighbor-average" smoothing with the 8 cube vertices
+  pinned): also kink-free at panel edges (cos(crossing angle) = 1 to
+  machine precision — the property that makes the staggered C-grid
+  circulation operators CONSISTENT at edges), and it reproduces the
+  conformal map's r^(1/3) vertex behavior, but it is not conformal;
+* `mesh="equiangular"` keeps raw gnomonic panels (kinked edge crossings:
+  edge-face vorticity carries an O(1) non-converging error; fine for
+  tracer-only work). Single panels (`ConformalCubedSpherePanel`) use the
+  equiangular map (the FV3/MITgcm-standard variant).
 
 TPU-first composition: a cubed-sphere field is ONE array with a leading panel
 axis (6, npx, npy, npz) — the panel axis is shardable across devices, and the
