@@ -382,7 +382,7 @@ class OrthogonalSphericalShellGrid(AbstractGrid):
 
 def RotatedLatitudeLongitudeGrid(size, longitude, latitude, z=None,
                                  north_pole=(0.0, 90.0), radius=None,
-                                 topology=None, halo=None):
+                                 topology=None, halo=None, dtype=None):
     """Lat-lon grid whose coordinate north pole is moved to ``north_pole``
     = (λp, φp) in geographic coordinates (reference:
     src/OrthogonalSphericalShellGrids/rotated_latitude_longitude_grid.jl)."""
@@ -404,7 +404,7 @@ def RotatedLatitudeLongitudeGrid(size, longitude, latitude, z=None,
     lamF, phiF = _cart2sph(Pr)
     return OrthogonalSphericalShellGrid(lamF, phiF, z=z, size=size,
                                         radius=radius, topology=topology,
-                                        halo=halo)
+                                        halo=halo, dtype=dtype)
 
 
 def rotation_angle_ccc(grid):
@@ -429,7 +429,10 @@ def rotation_angle_ccc(grid):
     north = np.cross(Pc, east)
     cos = np.sum(ex * east, axis=-1)
     sin = np.sum(ex * north, axis=-1)
-    pad = [(grid.H[0],) * 2, (grid.H[1],) * 2]
+    # pad to the grid's full padded horizontal extent (halo + any TPU
+    # lane-tail alignment rows land on the high side)
+    ps = grid.padded_shape
+    pad = [(grid.H[a], ps[a] - cos.shape[a] - grid.H[a]) for a in (0, 1)]
     cos = np.pad(cos, pad, mode="edge")[..., None]
     sin = np.pad(sin, pad, mode="edge")[..., None]
     return cos, sin

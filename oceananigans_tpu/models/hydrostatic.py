@@ -548,13 +548,55 @@ class HydrostaticFreeSurfaceModel:
         out["w"] = self.field("w")
         return out
 
-    def set(self, **values):
+    def set(self, intrinsic_velocities=False, **values):
+        """Set prognostic fields. On OrthogonalSphericalShellGrid-family
+        grids (rotated lat-lon, tripolar) ``u``/``v`` inputs are EXTRINSIC
+        (geographic east/north) by default and are rotated into the grid's
+        intrinsic coordinate system; pass ``intrinsic_velocities=True`` for
+        grid-aligned components (reference:
+        set_hydrostatic_free_surface_model.jl:49-116 set_velocities!)."""
+        base = getattr(self.grid, "underlying_grid", self.grid)
+        from ..grids.orthogonal_spherical_shell import (
+            OrthogonalSphericalShellGrid, rotate_from_geographic)
+        rotate = (isinstance(base, OrthogonalSphericalShellGrid)
+                  and not intrinsic_velocities
+                  and ("u" in values or "v" in values))
+        if rotate:
+            # the reference's set_from_extrinsic_velocities!: set at
+            # centers, rotate extrinsic -> intrinsic, halo-fill, then
+            # interpolate to the staggered velocity locations
+            from ..operators.operators import ix_f, iy_f
+            u_ccc = set_on_padded(self.grid, LOC_CCC, values.pop("u", 0.0))
+            v_ccc = set_on_padded(self.grid, LOC_CCC, values.pop("v", 0.0))
+            ui, vi = rotate_from_geographic(base, u_ccc, v_ccc)
+            tnow = self.state["clock"]["time"]
+            ui = fill_halo_regions(ui, self.grid, LOC_CCC,
+                                   self.bcs["ph"], tnow)
+            vi = fill_halo_regions(vi, self.grid, LOC_CCC,
+                                   self.bcs["ph"], tnow)
+            values["u"] = ix_f(self.grid, ui)   # ccc -> fcc
+            values["v"] = iy_f(self.grid, vi)   # ccc -> cfc
         fields = dict(self.state["fields"])
         t = self.state["clock"]["time"]
         for name, value in values.items():
             if name == "eta":
+                # accept 2D (Nx, Ny) or (Nx, Ny, 1) arrays for the surface
+                # field (reference: set!(model, η=...) takes 2D data)
+                if not callable(value) and not np.isscalar(value):
+                    v2 = jnp.asarray(value)
+                    if v2.ndim == 2:
+                        v2 = v2[:, :, None]
+                    if (v2.ndim == 3 and v2.shape[2] == 1
+                            and self.grid.N[2] > 1
+                            and v2.shape[:2] != self.grid.padded_shape[:2]):
+                        v2 = jnp.broadcast_to(
+                            v2, v2.shape[:2] + (self.grid.N[2],))
+                    value = v2
                 data = set_on_padded(self.grid, LOC_CCC, value)
-                data = data[:, :, :1] if data.shape[2] > 1 else data
+                # take an INTERIOR z column (the low padded columns are
+                # z-halo: zero for interior-shaped array input)
+                kz = self.grid.H[2] if data.shape[2] > self.grid.H[2] else 0
+                data = (data[:, :, kz:kz + 1] if data.shape[2] > 1 else data)
                 fields["eta"] = self._fill_xy(data, LOC_CCC, self.bcs["eta"], t)
                 continue
             data = set_on_padded(self.grid, self.loc(name), value)
