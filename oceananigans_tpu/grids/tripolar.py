@@ -70,6 +70,27 @@ class TripolarGrid(OrthogonalSphericalShellGrid):
                          halo=halo)
         self.north_poles_latitude = float(north_poles_latitude)
         self.first_pole_longitude = float(first_pole_longitude)
+        self.southernmost_latitude = float(southernmost_latitude)
+
+    def with_halo(self, halo):
+        """Re-halo preserving the TripolarGrid subclass — the base
+        implementation rebuilds a plain OrthogonalSphericalShellGrid, which
+        silently drops ``zipper_north`` and with it the whole north-fold
+        boundary condition (round-5 review finding: any model whose halo
+        inflation re-haloed a default-halo tripolar grid lost the zipper)."""
+        if tuple(halo) == self.H:
+            return self
+        zspec = None
+        if not self.is_flat(2):
+            c = self._zc
+            zspec = ((c.origin, c.origin + c.extent) if c.regular
+                     else c.xF[self.H[2]:self.H[2] + self.N[2] + 1].copy())
+        return TripolarGrid(
+            size=self.N if zspec is not None else self.N[:2],
+            southernmost_latitude=self.southernmost_latitude,
+            north_poles_latitude=self.north_poles_latitude,
+            first_pole_longitude=self.first_pole_longitude,
+            z=zspec, radius=self.radius, halo=halo)
 
     def _fingerprint(self):
         return ("TripolarGrid",) + super()._fingerprint()[1:]

@@ -553,8 +553,11 @@ class HydrostaticFreeSurfaceModel:
         grids (rotated lat-lon, tripolar) ``u``/``v`` inputs are EXTRINSIC
         (geographic east/north) by default and are rotated into the grid's
         intrinsic coordinate system; pass ``intrinsic_velocities=True`` for
-        grid-aligned components (reference:
-        set_hydrostatic_free_surface_model.jl:49-116 set_velocities!)."""
+        grid-aligned components. As in the reference, the extrinsic path
+        rotates the full horizontal vector: supplying only one of ``u``/``v``
+        treats the other as zero and overwrites it (reference:
+        set_hydrostatic_free_surface_model.jl:49-116 set_velocities! /
+        set_from_extrinsic_velocities!)."""
         base = getattr(self.grid, "underlying_grid", self.grid)
         from ..grids.orthogonal_spherical_shell import (
             OrthogonalSphericalShellGrid, rotate_from_geographic)
@@ -570,10 +573,20 @@ class HydrostaticFreeSurfaceModel:
             v_ccc = set_on_padded(self.grid, LOC_CCC, values.pop("v", 0.0))
             ui, vi = rotate_from_geographic(base, u_ccc, v_ccc)
             tnow = self.state["clock"]["time"]
-            ui = fill_halo_regions(ui, self.grid, LOC_CCC,
-                                   self.bcs["ph"], tnow)
-            vi = fill_halo_regions(vi, self.grid, LOC_CCC,
-                                   self.bcs["ph"], tnow)
+            cbcs = self.bcs["ph"]
+            if getattr(base, "zipper_north", False):
+                # velocity components are ANTISYMMETRIC across the tripolar
+                # fold even at centers; the tracer-signed (+1) zipper of the
+                # pressure BCs would sign-flip them in the fold halos
+                from ..boundary_conditions.boundary_condition import (
+                    FieldBoundaryConditions, ZipperBoundaryCondition,
+                    regularize_field_boundary_conditions)
+                cbcs = regularize_field_boundary_conditions(
+                    FieldBoundaryConditions(
+                        north=ZipperBoundaryCondition(-1.0)),
+                    self.grid, LOC_CCC)
+            ui = fill_halo_regions(ui, self.grid, LOC_CCC, cbcs, tnow)
+            vi = fill_halo_regions(vi, self.grid, LOC_CCC, cbcs, tnow)
             values["u"] = ix_f(self.grid, ui)   # ccc -> fcc
             values["v"] = iy_f(self.grid, vi)   # ccc -> cfc
         fields = dict(self.state["fields"])

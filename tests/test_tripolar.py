@@ -93,3 +93,76 @@ def test_seam_column_longitude_continuity():
         # rows near the displaced poles legitimately vary up to ~1.8x;
         # the broken branch gave > 4x at the seam
         assert row.max() / row.min() < 2.5, (j, row)
+
+
+def test_with_halo_preserves_tripolar_zipper():
+    """Round-5 review finding: OSSG.with_halo rebuilt a plain shell grid,
+    so a model whose halo inflation re-haloed a default-halo TripolarGrid
+    silently lost the north fold. The re-haloed grid must stay a
+    TripolarGrid and the model's BCs must still classify north as zipper."""
+    import jax.numpy as jnp
+    from oceananigans_tpu.models import (HydrostaticFreeSurfaceModel,
+                                         SplitExplicitFreeSurface)
+
+    g = TripolarGrid(size=(16, 10, 2), z=(-500.0, 0.0))
+    g2 = g.with_halo((5, 5, g.H[2]))
+    assert isinstance(g2, TripolarGrid)
+    assert getattr(g2, "zipper_north", False)
+    assert g2.north_poles_latitude == g.north_poles_latitude
+
+    model = HydrostaticFreeSurfaceModel(
+        grid=g, free_surface=SplitExplicitFreeSurface(substeps=8))
+    assert getattr(model.grid, "zipper_north", False), \
+        "halo inflation dropped the tripolar fold"
+    assert model.bcs["u"].north.classification == "zipper"
+
+    # and a model built directly on a grid with the inflated halo is
+    # bit-identical after the same initialization + steps
+    gb = TripolarGrid(size=(16, 10, 2), z=(-500.0, 0.0), halo=model.grid.H)
+    model_b = HydrostaticFreeSurfaceModel(
+        grid=gb, free_surface=SplitExplicitFreeSurface(substeps=8))
+    for m in (model, model_b):
+        m.set(u=1.0, v=0.0)   # geographic eastward (extrinsic default)
+        for _ in range(3):
+            m.time_step(120.0)
+    for n in ("u", "v", "eta"):
+        a = np.asarray(model.field(n).interior)
+        b = np.asarray(model_b.field(n).interior)
+        assert np.all(np.isfinite(a)), n
+        assert np.allclose(a, b, atol=1e-6), n
+
+
+def test_extrinsic_set_velocity_sign_correct_at_fold():
+    """Round-5 review finding: the extrinsic-velocity rotation filled the
+    intermediate center-located components with tracer-signed (+1) zipper
+    BCs, sign-flipping v in the fold halos. A uniform geographic eastward
+    flow must round-trip to (east, north) ≈ (1, 0) away from the
+    coordinate-pole singularities, including rows adjacent to the fold."""
+    from oceananigans_tpu.grids.orthogonal_spherical_shell import (
+        rotate_to_geographic)
+    from oceananigans_tpu.models import (HydrostaticFreeSurfaceModel,
+                                         SplitExplicitFreeSurface)
+    from oceananigans_tpu.operators.operators import ix_c, iy_c
+
+    g0 = TripolarGrid(size=(24, 12, 2), z=(-500.0, 0.0))
+    model = HydrostaticFreeSurfaceModel(
+        grid=g0, free_surface=SplitExplicitFreeSurface(substeps=8))
+    model.set(u=1.0, v=0.0)
+    g = model.grid
+    ui = model.state["fields"]["u"]
+    vi = model.state["fields"]["v"]
+    ue, vn = rotate_to_geographic(g, ix_c(g, ui), iy_c(g, vi))
+    sx, sy = g.interior_slices[:2]
+    # all interior rows except the fold row itself (the geographic pole
+    # lies on the fold, where east/north are undefined); mask the columns
+    # nearest the two coordinate poles
+    ii = (slice(sx.start + 1, sx.stop - 1), slice(sy.start, sy.stop - 1))
+    ue = np.asarray(ue)[ii]
+    vn = np.asarray(vn)[ii]
+    lam_c, phi_c = g.nodes2d(("c", "c"))
+    # keep cells equatorward of 45N: far from both poles and the fold
+    mask = (phi_c[1:g.N[0] - 1, :g.N[1] - 1] < 45.0)[..., None]
+    err_e = np.abs(np.where(mask, ue - 1.0, 0.0)).max()
+    err_n = np.abs(np.where(mask, vn, 0.0)).max()
+    assert err_e < 5e-2, err_e
+    assert err_n < 5e-2, err_n
